@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline registry queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect on the driver — result
+sets are small top-k/agg outputs by design) and timed wall-clock. A
+warmup query first, so JVM/codegen startup doesn't pollute q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from databeats_spark.registry import bench_queries
+    from databeats_spark.session import get_spark
+
+    spark = get_spark(app_name="databeats_bench")
+
+    qs = bench_queries()
+    # warmup: touch every table + JIT the scan path
+    next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name, build in qs.items():
+        t0 = time.perf_counter()
+        build(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    main()

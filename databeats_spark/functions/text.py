@@ -1,0 +1,127 @@
+"""Text-analysis column functions for document pipelines.
+
+All pure Column expressions (JVM-side, whole-stage-codegen'd): no
+Python UDFs in any hot path. These power the training-data-pipeline
+operators (dedup, quality scoring, language ID) that a 100 TB corpus
+run needs; the reference has no text surface beyond string equality
+filters, so this extends SURVEY.md §2 per the north-star brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small + deterministic so the
+# scoring is reproducible in plain SQL on any engine.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # romanized markers
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}<>/\\|@#$%^&*_+=~`-]"
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization (the canonical split for token counts)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(c)
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Punctuation chars / total chars — a quality-score component."""
+    c = F.col(text) if isinstance(text, str) else text
+    kept = F.length(F.regexp_replace(c, PUNCT_CLASS, ""))
+    return (F.length(c) - kept) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_count(text: str | Column, stopwords: tuple[str, ...]) -> Column:
+    """How many tokens are in ``stopwords`` (duplicates counted)."""
+    toks = tokens(text)
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(text: str | Column, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    return stopword_count(text, stopwords) / F.greatest(token_count(text), F.lit(1))
+
+
+def mean_token_length(text: str | Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize extreme punctuation,
+    reward plausible token lengths and some stopword presence.
+    Deterministic arithmetic only — oracle-reproducible."""
+    mtl = mean_token_length(text)
+    len_component = F.when((mtl >= 3) & (mtl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * 10, F.lit(1.0))
+    return F.round((len_component + punct_component + stop_component) / 3, 6)
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Marker-token count per language (the lang-ID signal)."""
+    return {lang: stopword_count(text, marks) for lang, marks in LANG_MARKERS.items()}
+
+
+def lang_guess(text: str | Column) -> Column:
+    """Argmax language by marker count; ties and zero-evidence fall back
+    to 'und' → deterministic. (An n-gram-frequency language IDer
+    distilled to something a SQL oracle can replicate.)"""
+    scores = lang_scores(text)
+    # build: the lang with the strictly-highest score, first-wins in
+    # fixed key order for ties handled by > comparison chain
+    langs = list(scores)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        s = scores[lang]
+        cond = s > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best
+
+
+def normalized(text: str | Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse spaces."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Content fingerprint: md5 of the normalized text (md5 chosen for
+    cross-engine reproducibility; xxhash64 is faster but Spark-only)."""
+    return F.md5(normalized(text))
+
+
+def word_shingles(text: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles — the MinHash/Jaccard unit.
+
+    Pure array expressions: split → sequence of start offsets →
+    slice+join. Runs entirely in codegen, no UDF.
+    """
+    toks = tokens(text)
+    n_shingles = F.size(toks) - (n - 1)
+    # sequence(1, 0) would produce a DESCENDING [1, 0] — guard short docs
+    starts = F.sequence(F.lit(1), F.greatest(n_shingles, F.lit(1)))
+    sh = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(n_shingles >= 1, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )

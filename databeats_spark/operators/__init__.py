@@ -1,0 +1,14 @@
+from databeats_spark.operators.windows import (  # noqa: F401
+    latest_per_key,
+    per_parent_limit,
+    running_total,
+    streak_ending_at_latest,
+    top_k_per_group,
+)
+from databeats_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    dedup_first,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)

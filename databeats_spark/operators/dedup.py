@@ -1,0 +1,267 @@
+"""Deduplication operators — exact and near-duplicate.
+
+The reference's only dedup is ``drop_duplicates`` (reference
+dag.py:462-464, 725-733); at 100 TB a training-data pipeline needs the
+full ladder: exact content hashing, candidate generation that avoids
+the O(n²) cross join (MinHash+LSH banding, SimHash bucketing), and an
+exact-Jaccard verifier for the candidates. Everything below is built
+from shuffle-conscious DataFrame primitives:
+
+- exact dedup = one hash-aggregate on a fingerprint (single shuffle);
+- MinHash/LSH = explode shingles → per-doc signature agg → band
+  bucket join (pairs only meet inside a bucket — the join key is the
+  band hash, so the shuffle moves signatures, not documents);
+- SimHash = one 64-bit signature per doc, self-join on signature
+  prefix bucket + Hamming filter.
+
+No Python UDFs: signatures use xxhash64 + arithmetic on exploded
+rows, so the whole pipeline stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.text import fingerprint, word_shingles
+
+# Mersenne prime 2^31-1: universal-hash modulus. With a, b, x all
+# < 2^31, a*x + b < 2^62 — no 64-bit overflow (Spark 4 runs ANSI mode:
+# overflow throws, it doesn't wrap). 31-bit minhash space is ample for
+# per-document shingle sets; candidates are exact-verified anyway.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def dedup_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[str | Column]) -> DataFrame:
+    """Deterministic ``drop_duplicates(subset=keys)`` — pandas keeps the
+    FIRST row in current order (reference dag.py:462-464); Spark's
+    ``dropDuplicates`` keeps an arbitrary row, so we pin the choice with
+    an explicit in-group ordering (reference A3 hazard, SURVEY §2.5)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def dedup_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fingerprint_col: str = "fp",
+) -> DataFrame:
+    """Exact content dedup: md5 fingerprint of normalized text, keep the
+    lowest id per fingerprint. One hash-partitioned aggregate — the
+    map-side partial min/count makes the shuffle tiny regardless of
+    corpus size."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias(fingerprint_col))
+        .groupBy(fingerprint_col)
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard over all pairs sharing ≥1 shingle.
+
+    The shingle-equijoin is the candidate generator: pairs that share
+    no shingle (Jaccard 0) never materialize. Correct but quadratic in
+    the worst case — at scale use :func:`minhash_near_duplicates` and
+    keep this as the verifier on the candidate set.
+
+    Returns (id_a, id_b, common, jaccard) with id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, n)).alias("__sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+
+
+def _minhash_signature(
+    exploded: DataFrame,
+    id_col: str,
+    hash_col: str,
+    num_hashes: int,
+    seed: int,
+) -> DataFrame:
+    """num_hashes min-hash values per id from exploded shingle hashes.
+
+    Universal hashing h_i(x) = (a_i * x + b_i) mod p, vectorized by
+    cross-joining each row with a tiny literal array of (a, b) pairs —
+    Catalyst folds the constants; the per-row cost is pure arithmetic.
+    Output: one row per id with an array<long> signature (ordered by
+    hash index).
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [(rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31)) for _ in range(num_hashes)]
+    # positive 31-bit shingle hash
+    x = F.pmod(F.col(hash_col), F.lit(_MERSENNE_31))
+    mins = [
+        F.min(F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_31))).alias(f"__h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate detection, scale path.
+
+    shingle → 61-bit hash → ``num_hashes`` min-hash signature → split
+    into ``bands`` bands of r = num_hashes/bands rows → bucket-join on
+    (band index, band hash) → verify candidates with exact shingle
+    Jaccard (via :func:`ngram_jaccard_pairs`'s math on the candidate
+    set only). With b=8, r=4 the LSH S-curve crosses ~0.5 at
+    J ≈ (1/8)^(1/4) ≈ 0.6.
+
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),
+    ).withColumn("__h", F.abs(F.xxhash64("__sh")))
+    exploded = exploded.persist()
+
+    sig = _minhash_signature(exploded, "__id", "__h", num_hashes, seed)
+
+    # band key = hash of the signature slice; explode to (id, band, key)
+    band_rows = sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("signature", bi * r + 1, r), lambda v: v.cast("string")
+                    ))).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    cand = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification restricted to candidates
+    sizes = exploded.select("__id", "__sh").distinct().groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
+    sh = exploded.select("__id", "__sh").distinct()
+    common = (
+        cand.join(sh.alias("sa"), F.col("sa.__id") == F.col("id_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.__id") == F.col("id_b")) & (F.col("sa.__sh") == F.col("sb.__sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    hamming_max: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign(Σ ±bit per feature
+    hash); candidates bucketed by signature prefix (cheap single-probe
+    LSH — catches most low-Hamming pairs; multi-table probing is the
+    production extension), verified by exact Hamming distance.
+
+    Returns (id_a, id_b, hamming).
+    """
+    feats = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),
+    ).withColumn("__h", F.xxhash64("__sh"))
+
+    # per-bit vote: for each of 64 bits, +1 if set else -1; sum per doc.
+    # Bit masks via shiftleft (1<<63 literal would overflow a signed long).
+    def _mask(b: int) -> Column:
+        return F.shiftleft(F.lit(1).cast("long"), b)
+
+    bit_votes = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(_mask(b)) != 0, 1).otherwise(-1)
+        ).alias(f"__b{b}")
+        for b in range(64)
+    ]
+    voted = feats.groupBy("__id").agg(*bit_votes)
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig.bitwiseOR(F.when(F.col(f"__b{b}") > 0, _mask(b)).otherwise(F.lit(0).cast("long")))
+    signed = voted.select("__id", sig.alias("simhash"))
+
+    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
+    bucketed = signed.withColumn("__bucket", bucket)
+    pairs = (
+        bucketed.alias("a")
+        .join(
+            bucketed.alias("b"),
+            (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+    )
+    return pairs

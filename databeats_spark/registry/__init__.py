@@ -1,0 +1,67 @@
+"""Query registry — the driver-facing inventory of implemented operators.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame builder with the
+equivalent ANSI-SQL oracle string (run by DuckDB over the same parquet)
+so the two can never drift apart. Specs without an oracle are
+non-SQL-expressible (LSH/approximate ops) and get a rows-only check.
+
+Oracle-parity rules used throughout (see tests/test_differential.py):
+- money/value aggregation happens in DECIMAL(18,2) on BOTH engines —
+  exact arithmetic, so results are bit-identical regardless of
+  summation order (float sums are engine- and partition-order-
+  dependent);
+- every count / row_number is cast to BIGINT on both sides (DuckDB
+  sum(BIGINT) is HUGEINT, Spark row_number is INT — both normalized);
+- every ranking has a total-order tie-break;
+- ratio-valued doubles are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    doc: str
+    build: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    bench: bool = False
+    tags: tuple[str, ...] = ()
+
+
+def _collect() -> list[QuerySpec]:
+    from databeats_spark.registry import documents, events, relational, vectors
+
+    specs: list[QuerySpec] = []
+    for mod in (relational, events, documents, vectors):
+        specs.extend(mod.SPECS)
+    names = [s.name for s in specs]
+    assert len(names) == len(set(names)), f"duplicate query names: {names}"
+    return specs
+
+
+_REGISTRY: list[QuerySpec] | None = None
+
+
+def registry() -> list[QuerySpec]:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = _collect()
+    return _REGISTRY
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.build for s in registry()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in registry() if s.oracle is not None}
+
+
+def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {s.name: s.build for s in registry() if s.bench}

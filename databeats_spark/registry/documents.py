@@ -1,0 +1,223 @@
+"""Document-table inventory: the training-data-pipeline text surface.
+
+Exact dedup, n-gram Jaccard near-dup, token/quality/language analysis,
+content fingerprinting, binary-column (multimodal) plumbing. The
+MinHash-LSH and SimHash scale paths live in operators/dedup.py and are
+registered in vectors.py as rows-only checks (their banding internals
+aren't SQL-expressible); the exact ``ngram_jaccard_pairs`` oracle here
+is their ground-truth verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.text import (
+    LANG_MARKERS,
+    fingerprint,
+    lang_guess,
+    mean_token_length,
+    quality_score,
+    stopword_count,
+    token_count,
+)
+from databeats_spark.operators.dedup import dedup_exact, ngram_jaccard_pairs
+from databeats_spark.registry import QuerySpec
+from databeats_spark.sources.tables import load_tables
+
+# brute-force pair queries are bounded to this many docs — the exact
+# O(n²) verifier; the LSH operators handle the full corpus.
+PAIR_DOC_LIMIT = 300
+JACCARD_THRESHOLD = 0.5
+
+
+def _dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = dedup_exact(t.documents, "doc_id", "text")
+    return out.select("fp", F.col("keep_id").cast("long"), F.col("n_copies").cast("long")).orderBy("fp")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY fp
+"""
+
+
+def _doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t.documents.select(
+            "doc_id",
+            fingerprint("text").alias("fp"),
+            F.md5(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8))).alias("prefix_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DOC_FINGERPRINTS_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:8], ' ')) AS prefix_fp
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t.documents.select(
+            "doc_id",
+            token_count("text").cast("long").alias("n_tokens"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.round(mean_token_length("text"), 6).alias("mean_tok_len"),
+            stopword_count("text", LANG_MARKERS["en"]).cast("long").alias("en_stopwords"),
+            quality_score("text").alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _text_stats_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    # mirror functions/text.py exactly: quality = (len_component +
+    # punct_component + stop_component) / 3, rounded to 6
+    punct = r"[.,;:!?'\"()\[\]{}<>/\\|@#$%^&*_+=~`-]"
+    punct_sql = punct.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT doc_id, text, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_filter(toks, x -> x IN ({en}))) AS BIGINT) AS en_stopwords
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(n_chars AS BIGINT) AS n_chars,
+       round(mtl, 6) AS mean_tok_len,
+       en_stopwords,
+       round((
+         (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END)
+         + (1.0 - least((n_chars - length(regexp_replace(text, '{punct_sql}', '', 'g'))) * 1.0 / greatest(n_chars, 1) * 5, 1.0))
+         + least(en_stopwords * 1.0 / greatest(n_tokens, 1) * 10, 1.0)
+       ) / 3, 6) AS quality
+FROM m
+ORDER BY doc_id
+"""
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t.documents.select("doc_id", F.col("lang").alias("labeled_lang"), lang_guess("text").alias("lang_guess"))
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_sql() -> str:
+    # replicate functions/text.py lang_guess: running argmax with strict
+    # '>' in dict order — first language wins ties, 'und' if all zero.
+    score_cols = []
+    for lang, marks in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in marks)
+        score_cols.append(f"len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}")
+    langs = list(LANG_MARKERS)
+    # build running-best CASE chain
+    best_expr = "'und'"
+    best_score = "0"
+    for lang in langs:
+        best_expr = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best_expr} END"
+        best_score = f"greatest(s_{lang}, {best_score})"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, {", ".join(score_cols)} FROM t
+)
+SELECT doc_id, lang AS labeled_lang, {best_expr} AS lang_guess
+FROM s
+ORDER BY doc_id
+"""
+
+
+def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    return out.select(
+        "id_a", "id_b", F.col("common").cast("long").alias("common"), F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+_NEAR_DUP_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+), sized AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
+       round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+FROM pairs
+JOIN sized sa ON sa.doc_id = id_a
+JOIN sized sb ON sb.doc_id = id_b
+WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+def _multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text → binary payload → byte length +
+    content hash. Stands in for image/audio payload handling — the
+    decode/feature UDFs live in operators/multimodal.py (stubbed —
+    codec libs absent); this proves the schema + hashing path."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    payload = F.encode(F.col("text"), "utf-8")
+    return (
+        t.documents.select(
+            "doc_id",
+            F.length(payload).cast("long").alias("byte_len"),
+            F.sha2(payload, 256).alias("sha_hex"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_MULTIMODAL_BYTES_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       sha256(text) AS sha_hex
+FROM documents
+ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec("dedup_exact_docs", "exact content dedup via md5 fingerprint hash-agg", _dedup_exact_docs, _DEDUP_EXACT_SQL, bench=True, tags=("dedup", "text")),
+    QuerySpec("doc_fingerprints", "document fingerprinting (full + prefix)", _doc_fingerprints, _DOC_FINGERPRINTS_SQL, tags=("text",)),
+    QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),
+    QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
+    QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),
+    QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
+]

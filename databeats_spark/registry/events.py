@@ -1,0 +1,217 @@
+"""Event-table inventory: the time-series/window surface.
+
+`weekly_chart_streak` is the faithful re-expression of the reference's
+one genuinely non-trivial operator — `get_week_on_chart`
+(reference dag.py:118-154): per-period top-k "chart" membership plus a
+consecutive-period streak that must end at the newest period. The
+pandas original walks every group row-by-row in Python; here it is
+W1 (top-k window) + gaps-and-islands (two window passes), all JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.timeutils import week_index
+from databeats_spark.operators.windows import streak_ending_at_latest, top_k_per_group
+from databeats_spark.registry import QuerySpec
+from databeats_spark.registry.relational import dec
+from databeats_spark.sources.tables import load_tables
+
+CHART_K = 10
+SESSION_GAP_US = 1800 * 1_000_000  # 30 min
+
+
+def _weekly_chart_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    weekly = t.events.groupBy(
+        week_index("ts").alias("wk"), F.col("user_id")
+    ).agg(F.sum(dec("value")).cast("double").alias("wv"))
+    chart = top_k_per_group(weekly, ["wk"], [F.col("wv").desc(), F.col("user_id")], CHART_K)
+    streaks = streak_ending_at_latest(chart, "user_id", "wk", latest_idx=None)
+    return streaks.select("user_id", F.col("streak").cast("long").alias("streak")).orderBy(
+        F.col("streak").desc(), "user_id"
+    )
+
+
+_WEEKLY_CHART_STREAK_SQL = f"""
+WITH weekly AS (
+  SELECT CAST(floor(epoch(CAST(date_trunc('week', ts) AS TIMESTAMP)) / 604800) AS BIGINT) AS wk,
+         user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS wv
+  FROM events GROUP BY 1, 2
+), chart AS (
+  SELECT wk, user_id
+  FROM (
+    SELECT wk, user_id, row_number() OVER (PARTITION BY wk ORDER BY wv DESC, user_id) AS pos
+    FROM weekly
+  ) WHERE pos <= {CHART_K}
+), latest AS (
+  SELECT max(wk) AS maxwk FROM chart
+), islands AS (
+  SELECT user_id, wk,
+         wk - row_number() OVER (PARTITION BY user_id ORDER BY wk) AS isl
+  FROM chart
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS streak
+FROM islands
+GROUP BY user_id, isl
+HAVING max(wk) = (SELECT maxwk FROM latest)
+ORDER BY streak DESC, user_id
+"""
+
+
+def _latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.windows import latest_per_key
+
+    t = load_tables(spark, sf_dir, ["events"])
+    out = latest_per_key(t.events, ["user_id"], "ts", tie_breakers=["event_id"])
+    return out.select(
+        "user_id", "event_id", "event_type", "value", F.unix_micros("ts").alias("ts_us")
+    ).orderBy("user_id")
+
+
+_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def _time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t.events.filter(F.col("user_id") < 5)
+        .select(
+            "event_id",
+            F.unix_timestamp("ts").alias("ts_unix"),
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias("wk_start"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("long")
+            .alias("days_since"),
+            F.hour("ts").cast("long").alias("hr"),
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_TIME_FEATURES_SQL = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix,
+       strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk_start,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS days_since,
+       CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+       CAST(extract(dow FROM ts) AS BIGINT) AS dow
+FROM events
+WHERE user_id < 5
+ORDER BY event_id
+"""
+
+
+def _json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C7: JSON parse at the edge (reference dag.py:209, 655-657).
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t.events.filter(F.col("user_id") < 3)
+        .select("event_id", F.get_json_object("props", "$.k").cast("long").alias("prop_k"))
+        .orderBy("event_id")
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k
+FROM events
+WHERE user_id < 3
+ORDER BY event_id
+"""
+
+
+def _sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: 30-min inactivity gap starts a
+    new session. Exact microsecond arithmetic (no float time math)."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.when(F.lag("us").over(w).isNull(), 1)
+        .when(F.col("us") - F.lag("us").over(w) > SESSION_GAP_US, 1)
+        .otherwise(0)
+    )
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    per_session = (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("cnt").cast("long").alias("n_events"),
+            F.max("cnt").alias("max_session_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SESSIONIZATION_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+), per_session AS (
+  SELECT user_id, sid, count(*) AS cnt FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(max(cnt) AS BIGINT) AS max_session_events
+FROM per_session
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    pivoted = t.events.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return pivoted.select(
+        "user_id", *[F.coalesce(F.col(e), F.lit(0)).cast("long").alias(e) for e in EVENT_TYPES]
+    ).orderBy("user_id")
+
+
+_EVENT_TYPE_PIVOT_SQL = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+SPECS = [
+    QuerySpec("weekly_chart_streak", "W1+W3: per-week top-k chart + consecutive-week streak (reference get_week_on_chart)", _weekly_chart_streak, _WEEKLY_CHART_STREAK_SQL, bench=True, tags=("window", "streak")),
+    QuerySpec("latest_event_per_user", "W2 latest row per entity over event time", _latest_event_per_user, _LATEST_EVENT_SQL, tags=("window",)),
+    QuerySpec("time_features", "C1-C5 scalar time functions", _time_features, _TIME_FEATURES_SQL, tags=("scalar",)),
+    QuerySpec("json_props", "C7 JSON field extraction", _json_props, _JSON_PROPS_SQL, tags=("scalar",)),
+    QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
+    QuerySpec("event_type_pivot", "pivot / conditional aggregation", _event_type_pivot, _EVENT_TYPE_PIVOT_SQL, tags=("agg",)),
+]

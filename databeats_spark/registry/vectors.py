@@ -1,0 +1,88 @@
+"""Embedding-table inventory: similarity search + LSH-family operators.
+
+``cosine_topk`` is the exact brute-force baseline with a DuckDB oracle
+(list_cosine_similarity). The LSH / MinHash / SimHash entries are the
+scale paths — approximate candidate generation isn't SQL-expressible,
+so they carry rows-only checks; their correctness is pinned by pytest
+against the exact operators (tests/test_near_dup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.similarity import cosine_top_k, lsh_cosine_top_k
+from databeats_spark.operators.dedup import minhash_near_duplicates, simhash_near_duplicates
+from databeats_spark.registry import QuerySpec
+from databeats_spark.sources.tables import load_tables
+
+N_QUERY_VECS = 5
+TOP_K = 10
+EMBED_DIM = 64
+
+
+def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = cosine_top_k(t.embeddings, q, k=TOP_K)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cs
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def _lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate ANN: random-hyperplane bucket join (rows-only check;
+    # recall vs the exact oracle is asserted in tests/test_similarity.py)
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = lsh_cosine_top_k(t.embeddings, q, dim=EMBED_DIM, k=TOP_K, n_planes=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash+LSH banding over the FULL corpus (the scale path; the
+    # bounded-exact oracle twin is documents.near_dup_pairs)
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = minhash_near_duplicates(t.documents, "doc_id", "text", threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
+
+
+def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    out = simhash_near_duplicates(t.documents, "doc_id", "text")
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SPECS = [
+    QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
+    QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
+    QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
+    QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
+]

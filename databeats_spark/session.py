@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference (dag.py) runs eager single-process pandas with no
+planner; here one lazy Catalyst plan replaces the hand-wired Airflow
+edge list (reference dag.py:851-875). Defaults below are chosen for
+correctness parity with a DuckDB oracle (UTC session time zone) and
+for 100 TB posture (AQE on, skew-join handling, partition coalescing).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that must be present for the engine to behave correctly no
+# matter who built the session (the test driver builds its own): these
+# are all runtime-settable SQL confs.
+RUNTIME_CONFS: dict[str, str] = {
+    # the driver's events.parquet carries TIMESTAMP(NANOS) which Spark
+    # cannot read natively; read as long and convert in the loader.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # oracle (DuckDB) timestamps are UTC-naive.
+    "spark.sql.session.timeZone": "UTC",
+    # runtime re-planning: partition coalescing, skew-join splitting.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply the engine's required runtime confs to an existing session.
+
+    Called by every loader entry point so the engine works even inside
+    a session it did not build.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # immutable in this session (e.g. static conf): leave as-is
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "databeats_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Local test posture: one JVM, N threads; shuffle partitions sized to
+    cores, not the 200 default (pointless tiny tasks locally; on a real
+    cluster, AQE coalescing makes the initial number less critical).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or f"local[{cpus}]"
+    nshuffle = shuffle_partitions or int(cpus)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        # local mode: all shuffle is local disk; compress less, spill less
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)

@@ -1,0 +1,59 @@
+"""Parquet table loaders for the driver's TPC-H-ish testdata.
+
+The reference pulls whole tables eagerly over the network with
+``SELECT *`` and prunes client-side (reference app.py:11-33,
+ml_training_dag.py:35-46). Here every table is a lazy parquet scan:
+Catalyst pushes filters and prunes columns down to the file reader, so
+downstream queries only read the bytes they touch — the property that
+matters at 100 TB.
+"""
+
+from __future__ import annotations
+
+import os
+from types import SimpleNamespace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databeats_spark.session import apply_runtime_confs
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) on disk, read as long (nanosAsLong).
+        # Truncate to microseconds — exactly what DuckDB/Arrow do — so
+        # oracle comparisons see identical instants. Integer DIV, not
+        # float division: ns values exceed 2^53 and would round.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None, names=TESTDATA_TABLES) -> SimpleNamespace:
+    """Load the testdata tables as lazy DataFrames (attribute access)."""
+    apply_runtime_confs(spark)
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    return SimpleNamespace(**{n: _load_one(spark, sf_dir, n) for n in names})
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None, names=TESTDATA_TABLES) -> None:
+    """Register the testdata tables as temp views for spark.sql use."""
+    t = load_tables(spark, sf_dir, names)
+    for n in names:
+        getattr(t, n).createOrReplaceTempView(n)
