@@ -1,0 +1,90 @@
+"""IVF approximate-nearest-neighbor index — the 100 TB similarity path.
+
+Brute-force cosine (functions/similarity.py) scans the whole corpus
+per query batch. An IVF (inverted-file) index partitions the corpus by
+KMeans centroid; queries probe only the ``n_probe`` nearest centroids'
+partitions — at cluster scale, with the corpus written partitioned by
+``centroid_id``, that is partition pruning: the scan itself skips
+(n_lists - n_probe)/n_lists of the data.
+
+Fit is Spark ML KMeans (distributed, seeded); assignment + probing are
+pure DataFrame ops; the final exact re-rank reuses the zip_with cosine.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans, KMeansModel
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame, functions as F
+
+from databeats_spark.functions.similarity import cosine
+from databeats_spark.operators.windows import top_k_per_group
+
+
+class IVFIndex:
+    def __init__(self, kmeans: KMeansModel, assigned: DataFrame, id_col: str, vec_col: str):
+        self.kmeans = kmeans
+        self.assigned = assigned  # corpus + centroid_id
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    @classmethod
+    def fit(
+        cls,
+        embeddings: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        n_lists: int = 16,
+        seed: int = 42,
+    ) -> "IVFIndex":
+        vecs = embeddings.withColumn("__v", array_to_vector(F.col(vec_col)))
+        km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="centroid_id").fit(vecs)
+        assigned = km.transform(vecs).select(id_col, vec_col, "centroid_id")
+        return cls(km, assigned, id_col, vec_col)
+
+    def write_partitioned(self, path: str) -> None:
+        """Persist the corpus partitioned by centroid — probing then
+        becomes parquet partition pruning on read."""
+        self.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+    def _query_centroids(self, queries: DataFrame, n_probe: int) -> DataFrame:
+        """Top n_probe centroids per query by Euclidean distance,
+        computed as array arithmetic against the centroid literals."""
+        centers = self.kmeans.clusterCenters()
+        rows = []
+        for ci, c in enumerate(centers):
+            rows.append((ci, [float(x) for x in c]))
+        spark = queries.sparkSession
+        cdf = spark.createDataFrame(rows, ["centroid_id", "center"])
+        q = queries.select(
+            F.col(self.id_col).alias("query_id"), F.col(self.vec_col).alias("__qv")
+        )
+        dist2 = F.aggregate(
+            F.zip_with(F.col("__qv"), F.col("center"), lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        scored = q.join(F.broadcast(cdf)).withColumn("__d2", dist2)
+        return top_k_per_group(
+            scored.select("query_id", "__qv", "centroid_id", "__d2"),
+            ["query_id"],
+            [F.col("__d2").asc(), F.col("centroid_id")],
+            n_probe,
+        ).select("query_id", "__qv", "centroid_id")
+
+    def search(self, queries: DataFrame, k: int = 10, n_probe: int = 4) -> DataFrame:
+        """Approximate top-k cosine: probe n_probe lists, exact re-rank
+        inside them. Returns (query_id, neighbor_id, cos_sim, rank)."""
+        probes = self._query_centroids(queries, n_probe)
+        cand = self.assigned.select(
+            F.col(self.id_col).alias("neighbor_id"), F.col(self.vec_col).alias("__cv"), "centroid_id"
+        )
+        scored = (
+            cand.join(F.broadcast(probes), "centroid_id")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos_sim", cosine("__qv", "__cv"))
+            .select("query_id", "neighbor_id", "cos_sim")
+        )
+        return top_k_per_group(
+            scored, ["query_id"], [F.col("cos_sim").desc(), F.col("neighbor_id")], k, keep_rank="rank"
+        )

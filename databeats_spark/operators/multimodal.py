@@ -1,0 +1,110 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media payloads are opaque ``binary`` columns + a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The container has no codec libraries
+(PIL/cv2/librosa), so the decoder bodies are STUBS — a deterministic
+fake keyed on the payload bytes, clearly marked, behind the same
+interface a real decoder would implement. Everything Spark-side
+(schema, batch iteration, partition sizing, null handling) is real and
+tested.
+
+Design for 100 TB: payloads never shuffle — decode stages are
+narrow (mapInPandas preserves partitioning), metadata-only columns
+flow onward, and the binary column is pruned as soon as features are
+extracted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, byte_len long, format string, width int, height int, embedding array<float>"
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
+    """Materialize a binary payload column (here derived from text; in
+    production this is the raw media bytes from the lake)."""
+    return df.withColumn(out_col, F.encode(F.col(text_col), "utf-8"))
+
+
+def _fake_decode(payload: bytes) -> tuple[str, int, int]:
+    """STUB decoder. A real implementation would call PIL/ffmpeg —
+    unavailable in this image. Deterministic on content so tests can
+    assert exact values. Raises on empty payloads like a real codec."""
+    if not payload:
+        raise ValueError("cannot decode empty payload")
+    h = hashlib.sha256(payload).digest()
+    fmt = ["jpeg", "png", "webp"][h[0] % 3]
+    width = 64 + h[1] % 192
+    height = 64 + h[2] % 192
+    return fmt, width, height
+
+
+def _fake_embedding(payload: bytes, dim: int = 8) -> np.ndarray:
+    """STUB feature extractor (real: a vision tower). Deterministic
+    unit-norm vector derived from the content hash."""
+    h = hashlib.sha256(payload).digest()
+    v = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32).astype(
+        np.float64
+    )
+    v = (v % 1000) / 1000.0 + 1e-6
+    return (v / np.linalg.norm(v)).astype(np.float32)
+
+
+def decode_image_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    embed_dim: int = 8,
+) -> DataFrame:
+    """decode → metadata + embedding, one Arrow batch at a time.
+
+    The output drops the payload column: downstream operators work on
+    features only, so the heavy bytes never cross a shuffle boundary.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col]
+                fmt, w, h = _fake_decode(payload)
+                recs.append(
+                    {
+                        "doc_id": row[id_col],
+                        "byte_len": len(payload),
+                        "format": fmt,
+                        "width": w,
+                        "height": h,
+                        "embedding": _fake_embedding(payload, embed_dim).tolist(),
+                    }
+                )
+            yield pd.DataFrame(recs)
+
+    return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    duration_col: str | None = None,
+) -> DataFrame:
+    """Video frame-sampling plumbing: expand each media row into
+    ``n_frames`` (row, frame_idx, frame_ts_frac) rows — pure Spark
+    (posexplode over a literal sequence), the decode-per-frame then
+    rides the same mapInPandas path as images."""
+    fracs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i + F.lit(0.5)) / F.lit(float(n_frames)),
+    )
+    return df.select(id_col, F.posexplode(fracs).alias("frame_idx", "frame_ts_frac"))

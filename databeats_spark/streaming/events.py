@@ -1,0 +1,91 @@
+"""Structured Streaming variants of the event analytics.
+
+The reference has NO streaming surface (SURVEY §2.12) — its temporal
+model is weekly batch snapshots. This module is the modernization the
+north star asks for: the same aggregations as the batch registry,
+expressed as incremental streams with watermarked late-data handling.
+
+Local testing drives a parquet-directory source with
+``trigger(availableNow=True)`` + a memory sink — the batch-incremental
+pattern; in production the source line changes to kafka/kinesis and
+nothing else moves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from databeats_spark.session import apply_runtime_confs
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over an events parquet directory. Handles the
+    TIMESTAMP(NANOS) quirk the same way the batch loader does."""
+    apply_runtime_confs(spark)
+    schema = spark.read.parquet(path).schema
+    raw = spark.readStream.schema(schema).parquet(path)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Tumbling-window per-type stats with a watermark: the streaming
+    form of the weekly-snapshot aggregation. Late rows beyond the
+    watermark are dropped deterministically instead of silently
+    mutating history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessionization(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Native session windows (session_window, gap-based) — the
+    streaming twin of the batch gaps-and-islands sessionization in
+    registry/events.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> StreamingQuery:
+    """Drain everything currently available into a memory sink and stop
+    — synchronous batch-incremental execution for tests/backfills."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

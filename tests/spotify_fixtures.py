@@ -29,8 +29,15 @@ def gen_spotify(
     track_ids = [f"tr{i:05d}" for i in range(n_tracks)]
     weeks = [T0 + w * WEEK for w in range(n_weeks)]
 
-    # skewed artist popularity base; per-week jitter
-    base_pop = rng.integers(0, 101, n_tracks)
+    # audio features drawn first so popularity can carry a planted
+    # signal (popularity ≈ f(danceability, energy) + noise) — makes the
+    # ML tolerance gates meaningful (a model must beat the mean
+    # predictor by a wide margin, like the reference's RMSE baselines)
+    dance = rng.random(n_tracks)
+    energy = rng.random(n_tracks)
+    base_pop = np.clip(
+        (60 * dance + 30 * energy + rng.normal(0, 8, n_tracks)).astype(int), 0, 100
+    )
     track_artist = rng.integers(0, n_artists, n_tracks)
     track_album = rng.integers(0, n_albums, n_tracks)
 
@@ -83,8 +90,8 @@ def gen_spotify(
     audio = pd.DataFrame(
         {
             "track_id": [track_ids[i] for i in np.nonzero(with_audio)[0]],
-            "danceability": rng.random(with_audio.sum()),
-            "energy": rng.random(with_audio.sum()),
+            "danceability": dance[with_audio],
+            "energy": energy[with_audio],
             "key": rng.integers(0, 12, with_audio.sum()),
             "loudness": -40 * rng.random(with_audio.sum()),
             "mode": rng.integers(0, 2, with_audio.sum()),

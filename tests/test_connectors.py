@@ -1,0 +1,112 @@
+"""REST-connector plumbing tests (network-free: injected fake fetch)
+and multimodal decode-stage tests (stubbed codecs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databeats_spark.operators.multimodal import (
+    attach_payload,
+    decode_image_features,
+    frame_sample_plan,
+)
+from databeats_spark.sources.rest import dedup_union, keyed_batch_fetch, missing_keys, search_scan
+from databeats_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+AUDIO_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("track_id", T.StringType()),
+        T.StructField("danceability", T.DoubleType()),
+        T.StructField("chunk_size", T.IntegerType()),
+    ]
+)
+
+
+def make_fake_fetch():
+    # returned as a CLOSURE so Spark pickles it by value — a module-
+    # level function would pickle by reference and executors can't
+    # import the test module
+    def fake_fetch(endpoint: str, ids: list[str]) -> list[dict]:
+        # fetch runs in executor Python workers — observations must
+        # travel IN the returned data, not via driver-side closures
+        if endpoint == "audio-features":
+            return [
+                {"track_id": i, "danceability": (hash(i) % 100) / 100.0, "chunk_size": len(ids)}
+                for i in ids
+            ]
+        if endpoint == "search":
+            offset = int(ids[0].split("=")[1])
+            if offset >= 100:
+                return []
+            return [
+                {"track_id": f"t{offset + j}", "danceability": 0.5, "chunk_size": 50}
+                for j in range(50)
+            ]
+        return []
+
+    return fake_fetch
+
+
+def test_keyed_batch_fetch_chunks_and_schema(spark):
+    ids = spark.createDataFrame([(f"tr{i:04d}",) for i in range(120)], ["track_id"])
+    # include duplicates: they must collapse before fetching
+    ids = ids.union(ids.limit(10))
+    out = keyed_batch_fetch(ids, "track_id", "audio-features", make_fake_fetch(), AUDIO_RESULT_SCHEMA,
+                            batch_size=50, num_partitions=2)
+    pdf = out.toPandas()
+    assert len(pdf) == 120  # dedup before fetch (duplicates collapsed)
+    assert pdf["track_id"].is_unique
+    assert set(pdf.columns) == {"track_id", "danceability", "chunk_size"}
+    # chunking: every API call carried <= 50 ids
+    assert (pdf["chunk_size"] <= 50).all()
+    assert (pdf["chunk_size"] > 0).all()
+
+
+def test_missing_keys_anti_join(spark):
+    existing = spark.createDataFrame([("a",), ("b",)], ["artist_id"])
+    cands = spark.createDataFrame([("a",), ("c",), ("c",), ("d",)], ["artist_id"])
+    got = {r["artist_id"] for r in missing_keys(existing, cands, "artist_id").collect()}
+    assert got == {"c", "d"}
+
+
+def test_search_scan_pagination(spark):
+    df = search_scan(spark, "search", make_fake_fetch(), AUDIO_RESULT_SCHEMA, pages=5, page_size=50)
+    # 2 pages of 50, then the empty page stops the cursor (search_scan
+    # runs driver-side, so the row count fully pins the pagination)
+    assert df.count() == 100
+
+
+def test_dedup_union_newest_wins(spark):
+    hist = spark.createDataFrame([("t1", 10, 100), ("t2", 20, 100)], ["track_id", "popularity", "timestamp"])
+    fresh = spark.createDataFrame([("t1", 99, 200)], ["track_id", "popularity", "timestamp"])
+    out = dedup_union(hist, fresh, ["track_id"], "timestamp").toPandas().set_index("track_id")
+    assert out.loc["t1", "popularity"] == 99
+    assert out.loc["t2", "popularity"] == 20
+
+
+def test_multimodal_decode_pipeline(spark):
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(50)
+    feats = decode_image_features(attach_payload(docs))
+    pdf = feats.toPandas()
+    assert len(pdf) == 50
+    assert set(pdf["format"]) <= {"jpeg", "png", "webp"}
+    assert (pdf["width"].between(64, 255)).all()
+    assert pdf["embedding"].map(len).eq(8).all()
+    # deterministic: same content → same features
+    pdf2 = decode_image_features(attach_payload(docs)).toPandas()
+    assert pdf.sort_values("doc_id")["width"].tolist() == pdf2.sort_values("doc_id")["width"].tolist()
+    # unit-norm embeddings from the stub extractor
+    import numpy as np
+
+    norms = pdf["embedding"].map(lambda v: float(np.linalg.norm(v)))
+    assert ((norms - 1).abs() < 1e-3).all()
+
+
+def test_frame_sample_plan(spark):
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(3)
+    plan = frame_sample_plan(docs, n_frames=4).toPandas()
+    assert len(plan) == 12
+    assert set(plan["frame_idx"]) == {0, 1, 2, 3}
+    assert ((plan["frame_ts_frac"] > 0) & (plan["frame_ts_frac"] < 1)).all()

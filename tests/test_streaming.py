@@ -1,0 +1,87 @@
+"""Streaming tests: the availableNow-drained streaming aggregations
+must agree with their batch twins over the same files."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from databeats_spark.sources.tables import load_tables
+from databeats_spark.streaming.events import (
+    run_available_now,
+    stream_events,
+    streaming_sessionization,
+    windowed_event_stats,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    # copy the smoke events file into a dir the stream can watch
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_windowed_stats_match_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    agg = windowed_event_stats(stream, window="1 day", watermark="2 days")
+    run_available_now(agg, "win_stats", output_mode="complete")
+    got = spark.sql("SELECT * FROM win_stats").toPandas()
+
+    batch = load_tables(spark, SF_SMOKE, ["events"]).events
+    exp = (
+        batch.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    exp_s = exp.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(exp_s) > 0
+    assert (got_s["n"].values == exp_s["n"].values).all()
+    assert (got_s["total_value"].values == exp_s["total_value"].values).all()
+
+
+def test_incremental_second_file_appends(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    agg = windowed_event_stats(stream, window="1 day")
+    run_available_now(agg, "win_inc", output_mode="complete")
+    n1 = spark.sql("SELECT count(*) c FROM win_inc").collect()[0]["c"]
+    assert n1 > 0
+    # second drain with no new files adds nothing (exactly-once per file)
+    run_available_now(agg, "win_inc2", output_mode="complete")
+    # new query name → fresh sink; same rows re-derived from the source
+    n2 = spark.sql("SELECT count(*) c FROM win_inc2").collect()[0]["c"]
+    assert n2 == n1
+
+
+def test_streaming_sessionization_totals(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    sess = streaming_sessionization(stream, gap="30 minutes")
+    run_available_now(sess, "sess", output_mode="complete")
+    got = spark.sql("SELECT sum(n_events) AS total, count(*) AS n_sessions FROM sess").collect()[0]
+    # every event lands in exactly one session
+    n_events = load_tables(spark, SF_SMOKE, ["events"]).events.count()
+    assert got["total"] == n_events
+    assert 0 < got["n_sessions"] <= n_events
+
+    # agrees with the batch gaps-and-islands twin on session counts
+    from databeats_spark.registry import queries
+
+    batch = queries()["sessionization"](spark, SF_SMOKE).toPandas()
+    per_user = (
+        spark.sql("SELECT user_id, count(*) AS n FROM sess GROUP BY user_id")
+        .toPandas()
+        .set_index("user_id")["n"]
+    )
+    exp = batch.set_index("user_id")["n_sessions"]
+    assert (per_user.sort_index() == exp.sort_index()).all()
