@@ -139,6 +139,7 @@ def minhash_near_duplicates(
     bands: int = 8,
     threshold: float = 0.6,
     seed: int = 42,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate detection, scale path.
 
@@ -154,11 +155,20 @@ def minhash_near_duplicates(
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     r = num_hashes // bands
 
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),
+    # shingling is compute-bound: when the source collapses to few
+    # input splits (small files), spread it before the heavy expression
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    # one row per doc with its distinct shingle set — computed once,
+    # reused by both the signature build and the exact verification
+    shingled = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__shingles")
+    ).filter(F.size("__shingles") > 0)
+    shingled = shingled.persist()
+
+    exploded = shingled.select(
+        "__id", F.explode("__shingles").alias("__sh")
     ).withColumn("__h", F.abs(F.xxhash64("__sh")))
-    exploded = exploded.persist()
 
     sig = _minhash_signature(exploded, "__id", "__h", num_hashes, seed)
 
@@ -190,26 +200,21 @@ def minhash_near_duplicates(
         .distinct()
     )
 
-    # exact-Jaccard verification restricted to candidates
-    sizes = exploded.select("__id", "__sh").distinct().groupBy("__id").agg(F.count(F.lit(1)).alias("n"))
-    sh = exploded.select("__id", "__sh").distinct()
-    common = (
-        cand.join(sh.alias("sa"), F.col("sa.__id") == F.col("id_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.__id") == F.col("id_b")) & (F.col("sa.__sh") == F.col("sb.__sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    out = (
-        common.join(sizes.select(F.col("__id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
-        .join(sizes.select(F.col("__id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+    # exact-Jaccard verification restricted to candidates: join the
+    # (small) candidate list back to the per-doc shingle ARRAYS and
+    # intersect in-memory — no shingle-level shuffle, the candidate
+    # count (not the corpus size) drives the cost
+    sa = shingled.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))
+    sb = shingled.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"))
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size("__sh_a") + F.size("__sh_b") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def simhash_near_duplicates(
@@ -219,6 +224,7 @@ def simhash_near_duplicates(
     shingle_n: int = 2,
     hamming_max: int = 3,
     prefix_bits: int = 16,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign(Σ ±bit per feature
     hash); candidates bucketed by signature prefix (cheap single-probe
@@ -227,6 +233,8 @@ def simhash_near_duplicates(
 
     Returns (id_a, id_b, hamming).
     """
+    if num_partitions:
+        df = df.repartition(num_partitions)
     feats = df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(text_col, shingle_n)).alias("__sh"),

@@ -68,13 +68,19 @@ def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash+LSH banding over the FULL corpus (the scale path; the
     # bounded-exact oracle twin is documents.near_dup_pairs)
     t = load_tables(spark, sf_dir, ["documents"])
-    out = minhash_near_duplicates(t.documents, "doc_id", "text", threshold=0.5)
+    out = minhash_near_duplicates(
+        t.documents, "doc_id", "text", threshold=0.5,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 
 
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    out = simhash_near_duplicates(t.documents, "doc_id", "text")
+    out = simhash_near_duplicates(
+        t.documents, "doc_id", "text",
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming")).orderBy(
         "id_a", "id_b"
     )

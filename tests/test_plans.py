@@ -1,0 +1,79 @@
+"""Physical-plan regression tests — the 100 TB posture checks.
+
+Correctness tests prove WHAT is computed; these prove HOW. If a code
+change silently drops predicate pushdown, column pruning, or a
+broadcast join, the query still passes its oracle test but becomes a
+full-scan/shuffle disaster at scale — these assertions catch that.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from databeats_spark.registry import queries
+from tests.conftest import SF_CORRECT
+
+
+def formatted_plan(spark, name: str) -> str:
+    df = queries()[name](spark, SF_CORRECT)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_reach_parquet_scan(spark):
+    plan = formatted_plan(spark, "filter_project")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, "no PushedFilters in scan"
+    line = pushed[0]
+    assert "GreaterThan(l_discount" in line
+    assert "GreaterThanOrEqual(l_shipdate" in line
+    assert "GreaterThanOrEqual(l_quantity" in line
+
+
+def test_columns_pruned_at_scan(spark):
+    plan = formatted_plan(spark, "filter_project")
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_lines
+    # 6 columns read (5 projected + l_discount for the filter), not all 11
+    line = schema_lines[0]
+    assert line.count(":") >= 6
+    for dropped in ("l_returnflag", "l_linestatus", "l_tax", "l_suppkey"):
+        assert dropped not in line, f"{dropped} not pruned from scan"
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = formatted_plan(spark, "revenue_by_nation")
+    # nation/region/customer must broadcast; no dimension may sort-merge
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = formatted_plan(spark, "pricing_summary")
+    # map-side combine: at least 2 HashAggregate nodes around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    plan = formatted_plan(spark, "dedup_exact_docs")
+    # one hash aggregate pair + the output sort; no join, no window
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_topk_per_group_has_no_global_sort_before_window(spark):
+    plan = formatted_plan(spark, "top_orders_per_customer")
+    # the window sorts within partitions; the only global Sort allowed
+    # is the final presentation ORDER BY
+    assert plan.count("WindowGroupLimit") >= 1 or plan.count("Window") >= 1
+
+
+def test_rows_limited_queries_use_limit_pushdown(spark):
+    plan = formatted_plan(spark, "top_customers")
+    assert "TakeOrderedAndProject" in plan, "global top-k should be TakeOrderedAndProject, not Sort+Limit"
