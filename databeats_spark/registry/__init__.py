@@ -35,10 +35,10 @@ class QuerySpec:
 
 
 def _collect() -> list[QuerySpec]:
-    from databeats_spark.registry import documents, events, relational, vectors
+    from databeats_spark.registry import documents, events, extended, relational, vectors
 
     specs: list[QuerySpec] = []
-    for mod in (relational, events, documents, vectors):
+    for mod in (relational, events, documents, vectors, extended):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"

@@ -1,0 +1,314 @@
+"""Extended operator inventory — capabilities Catalyst gives for free
+that the reference never surfaces (SURVEY §2.5/§2.8/§2.9 notes):
+string scalar library, INTERSECT/EXCEPT, exact quantiles, lag/lead
+deltas, correlated aggregate subqueries, term-frequency explodes, and
+exact embedding near-dup pairs (the oracle twin of the LSH path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.similarity import cosine
+from databeats_spark.registry import QuerySpec
+from databeats_spark.registry.relational import dec, money_sum
+from databeats_spark.sources.tables import load_tables
+
+
+# --- Q: part_name_features — C-series string scalar functions ---------
+
+def _part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    return (
+        t.part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_PART_NAME_FEATURES_SQL = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       replace(p_type, ' ', '_') AS type_snake,
+       substr(p_name, 1, 8) AS name_prefix,
+       lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+ORDER BY p_partkey
+"""
+
+
+# --- Q: supplier_part_stats — the two remaining tables join ------------
+
+def _supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["supplier", "nation", "lineitem"])
+    return (
+        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            money_sum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_SUPPLIER_PART_STATS_SQL = """
+SELECT s.s_suppkey, s.s_name, n.n_name,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY s.s_suppkey, s.s_name, n.n_name
+ORDER BY s.s_suppkey
+"""
+
+
+# --- Q: repeat_customers — INTERSECT -----------------------------------
+
+def _repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    open_c = t.orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    closed_c = t.orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersect(closed_c).orderBy("o_custkey")
+
+
+_REPEAT_CUSTOMERS_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+# --- Q: open_only_customers — EXCEPT ------------------------------------
+
+def _open_only_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    open_c = t.orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    other = t.orders.filter(F.col("o_orderstatus") != "O").select("o_custkey")
+    # subtract = SQL EXCEPT (distinct semantics); exceptAll is the
+    # multiset variant and would keep duplicate open-order customers
+    return open_c.subtract(other).orderBy("o_custkey")
+
+
+_OPEN_ONLY_CUSTOMERS_SQL = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus <> 'O'
+ORDER BY o_custkey
+"""
+
+
+# --- Q: price_quantiles — exact interpolated quantiles -------------------
+
+def _price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    return (
+        t.part.groupBy("p_brand")
+        .agg(
+            F.round(F.expr("percentile(p_retailprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(p_retailprice, 0.9)"), 6).alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_PRICE_QUANTILES_SQL = """
+SELECT p_brand,
+       round(quantile_cont(p_retailprice, 0.5), 6) AS median_price,
+       round(quantile_cont(p_retailprice, 0.9), 6) AS p90_price,
+       CAST(count(*) AS BIGINT) AS n
+FROM part
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- Q: order_gaps — lag/lead deltas -------------------------------------
+
+def _order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.filter(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("days_since_prev"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+_ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS BIGINT) AS days_since_prev,
+       lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- Q: above_average_customers — correlated aggregate subquery ----------
+
+def _above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    spend = t.orders.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("spend"))
+    avg_spend = spend.agg(
+        (F.sum(dec("spend")).cast("double") / F.count(F.lit(1))).alias("avg_spend")
+    )
+    return (
+        spend.crossJoin(F.broadcast(avg_spend))
+        .filter(F.col("spend") > F.col("avg_spend"))
+        .select("o_custkey", "spend", F.round("avg_spend", 6).alias("avg_spend"))
+        .orderBy("o_custkey")
+    )
+
+
+_ABOVE_AVERAGE_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey
+), avg_s AS (
+  SELECT CAST(sum(CAST(spend AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_spend FROM spend
+)
+SELECT s.o_custkey, s.spend, round(a.avg_spend, 6) AS avg_spend
+FROM spend s, avg_s a
+WHERE s.spend > a.avg_spend
+ORDER BY s.o_custkey
+"""
+
+
+# --- Q: top_terms — term frequency over the corpus (text analytics) ------
+
+def _top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t.documents.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(50)
+    )
+
+
+_TOP_TERMS_SQL = """
+SELECT term, CAST(count(*) AS BIGINT) AS freq
+FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents)
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 50
+"""
+
+
+# --- Q: embedding_near_dups — exact cosine near-dup pairs ----------------
+# The oracle twin of the LSH embedding path: bounded brute force.
+
+EMBED_PAIR_LIMIT = 500
+EMBED_DUP_THRESHOLD = 0.4
+
+
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = t.embeddings.filter(F.col("vec_id") < EMBED_PAIR_LIMIT).select(
+        "vec_id", "embedding"
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine("__va", "__vb"))
+        .filter(F.col("cos_sim") >= EMBED_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_EMBEDDING_NEAR_DUPS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {EMBED_PAIR_LIMIT}
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {EMBED_DUP_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- Q: value_histogram — bucketed distribution ---------------------------
+
+def _value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    bucket = F.floor(F.col("value") / 50).cast("long")
+    return (
+        t.events.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_VALUE_HISTOGRAM_SQL = """
+SELECT CAST(floor(value / 50) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+# --- Q: approx_distinct_parts — sketch aggregation (rows-only) ------------
+# HLL implementations differ between engines → no value oracle; the
+# driver records the rows-only check and pytest bounds the error.
+
+def _approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SPECS = [
+    QuerySpec("part_name_features", "C-series string scalar functions", _part_name_features, _PART_NAME_FEATURES_SQL, tags=("scalar",)),
+    QuerySpec("supplier_part_stats", "supplier/nation dim joins + multi-agg", _supplier_part_stats, _SUPPLIER_PART_STATS_SQL, tags=("join", "agg")),
+    QuerySpec("repeat_customers", "INTERSECT set op", _repeat_customers, _REPEAT_CUSTOMERS_SQL, tags=("setop",)),
+    QuerySpec("open_only_customers", "EXCEPT set op", _open_only_customers, _OPEN_ONLY_CUSTOMERS_SQL, tags=("setop",)),
+    QuerySpec("price_quantiles", "exact interpolated median/p90 per group", _price_quantiles, _PRICE_QUANTILES_SQL, tags=("agg",)),
+    QuerySpec("order_gaps", "lag/lead window deltas", _order_gaps, _ORDER_GAPS_SQL, tags=("window",)),
+    QuerySpec("above_average_customers", "correlated aggregate subquery", _above_average_customers, _ABOVE_AVERAGE_SQL, tags=("agg", "subquery")),
+    QuerySpec("top_terms", "term-frequency explode over the corpus", _top_terms, _TOP_TERMS_SQL, bench=True, tags=("text",)),
+    QuerySpec("embedding_near_dups", "exact cosine near-dup pairs (LSH oracle twin)", _embedding_near_dups, _EMBEDDING_NEAR_DUPS_SQL, tags=("similarity", "dedup")),
+    QuerySpec("value_histogram", "bucketed value distribution", _value_histogram, _VALUE_HISTOGRAM_SQL, tags=("agg",)),
+    QuerySpec("approx_distinct_parts", "HLL sketch vs exact distinct (rows-only)", _approx_distinct_parts, None, tags=("agg", "approx")),
+]
