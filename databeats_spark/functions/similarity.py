@@ -105,26 +105,69 @@ def lsh_cosine_top_k(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_planes: int = 12,
+    n_planes: int = 8,
+    n_tables: int = 4,
     seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates = same LSH bucket, then exact
-    cosine + window. Recall is tunable via ``n_planes`` (fewer planes →
-    bigger buckets → higher recall, more compute). Multi-probe
-    (flipping one bit) would raise recall; single-probe keeps the demo
-    plan minimal."""
-    sig = hyperplane_signature(vec_col, dim, n_planes, seed)
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"), sig.alias("__bucket")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), sig.alias("__qbucket")
-    )
+    """Approximate top-k: candidates share an LSH bucket with the query
+    in ANY of ``n_tables`` independent hash tables, then exact cosine +
+    window. The recall dials, in the standard LSH design:
+
+    - ``n_planes`` (bits per table): fewer → bigger buckets → recall up,
+      candidate count up;
+    - ``n_tables``: per-table miss probabilities multiply, so recall
+      1-(1-p)^L — the lever that works even for weakly-similar
+      neighbors;
+    - ``multiprobe``: each query also probes the ``n_planes`` buckets at
+      Hamming distance 1 — recall without growing the corpus index.
+
+    The corpus side carries n_tables signatures per vector (the usual
+    LSH index cost); at cluster scale each table is an equi-join on its
+    bucket column."""
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+
+    table_sigs_c = [
+        hyperplane_signature("__cv", dim, n_planes, seed + 1000 * t).alias(f"__b{t}")
+        for t in range(n_tables)
+    ]
+    table_sigs_q = [
+        hyperplane_signature("__qv", dim, n_planes, seed + 1000 * t).alias(f"__b{t}")
+        for t in range(n_tables)
+    ]
+    # (table, bucket) rows for corpus and queries; query side optionally
+    # fans out to the n_planes hamming-1 probes per table
+    c_rows = c.select("neighbor_id", "__cv", *table_sigs_c).select(
+        "neighbor_id",
+        "__cv",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"__b{t}").alias("b")) for t in range(n_tables)])
+        ).alias("tb"),
+    ).select("neighbor_id", "__cv", F.col("tb.t").alias("__t"), F.col("tb.b").alias("__b"))
+
+    def q_probes(t: int) -> list[Column]:
+        base = F.col(f"__b{t}")
+        probes = [base]
+        if multiprobe:
+            probes += [base.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        return [F.struct(F.lit(t).alias("t"), p.alias("b")) for p in probes]
+
+    q_rows = q.select("query_id", "__qv", *table_sigs_q).select(
+        "query_id",
+        "__qv",
+        F.explode(F.array(*[s for t in range(n_tables) for s in q_probes(t)])).alias("tb"),
+    ).select("query_id", "__qv", F.col("tb.t").alias("__t"), F.col("tb.b").alias("__b"))
+
     scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("__bucket") == F.col("__qbucket")) & (F.col("query_id") != F.col("neighbor_id")),
+        c_rows.join(
+            F.broadcast(q_rows),
+            (c_rows["__t"] == q_rows["__t"])
+            & (c_rows["__b"] == q_rows["__b"])
+            & (F.col("query_id") != F.col("neighbor_id")),
         )
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos_sim", cosine("__qv", "__cv"))
         .select("query_id", "neighbor_id", "cos_sim")
     )

@@ -87,7 +87,11 @@ def week_on_chart(
     # trailing run of qualifying rows = total rows − last disqualified row
     last_bad = F.max(F.when(~F.col("__ok"), F.col("__rn")).otherwise(F.lit(0))).over(we)
     n_rows = F.max("__rn").over(we)
-    newest_all = F.max(F.col(ts_col).cast("date")).over(Window.partitionBy())
+    # global newest snapshot as a broadcast scalar — an empty-partition
+    # window here would funnel the WHOLE table through one task
+    newest_df = df.agg(F.max(F.col(ts_col).cast("date")).alias("__newest"))
+    ranked = ranked.crossJoin(F.broadcast(newest_df))
+    newest_all = F.col("__newest")
     last_ts = F.max(F.col(ts_col).cast("date")).over(we)
 
     streaked = (
@@ -102,5 +106,5 @@ def week_on_chart(
         .withColumn("__is_last", F.col("__rn") == n_rows)
     )
     return streaked.filter(F.col("__is_last")).drop(
-        "__rn", "__ok", "__on_chart", "__chart_raw", "__is_last"
+        "__rn", "__ok", "__on_chart", "__chart_raw", "__is_last", "__newest"
     )

@@ -223,13 +223,14 @@ def simhash_near_duplicates(
     text_col: str,
     shingle_n: int = 2,
     hamming_max: int = 3,
-    prefix_bits: int = 16,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign(Σ ±bit per feature
-    hash); candidates bucketed by signature prefix (cheap single-probe
-    LSH — catches most low-Hamming pairs; multi-table probing is the
-    production extension), verified by exact Hamming distance.
+    hash); candidate generation bands the signature into
+    ``hamming_max + 1`` bit-blocks — by pigeonhole, any pair within
+    ``hamming_max`` Hamming distance matches exactly on at least one
+    block, so recall at the threshold is GUARANTEED, not probabilistic.
+    Exact Hamming verification filters the candidates.
 
     Returns (id_a, id_b, hamming).
     """
@@ -257,19 +258,39 @@ def simhash_near_duplicates(
         sig = sig.bitwiseOR(F.when(F.col(f"__b{b}") > 0, _mask(b)).otherwise(F.lit(0).cast("long")))
     signed = voted.select("__id", sig.alias("simhash"))
 
-    bucket = F.shiftrightunsigned(F.col("simhash"), 64 - prefix_bits)
-    bucketed = signed.withColumn("__bucket", bucket)
+    n_blocks = hamming_max + 1
+    width = 64 // n_blocks
+    # block i = bits [i*width, (i+1)*width) (last block absorbs the
+    # remainder); explode each signature into its blocks
+    def block_value(i: int) -> Column:
+        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
+        if i == n_blocks - 1:
+            return shifted  # top block: high bits are already zero
+        return shifted.bitwiseAND(F.lit((1 << width) - 1))
+
+    blocks = F.array(
+        *[
+            F.struct(F.lit(i).alias("block"), block_value(i).alias("value"))
+            for i in range(n_blocks)
+        ]
+    )
+    banded = signed.select("__id", "simhash", F.explode(blocks).alias("b")).select(
+        "__id", "simhash", F.col("b.block").alias("__block"), F.col("b.value").alias("__value")
+    )
     pairs = (
-        bucketed.alias("a")
+        banded.alias("a")
         .join(
-            bucketed.alias("b"),
-            (F.col("a.__bucket") == F.col("b.__bucket")) & (F.col("a.__id") < F.col("b.__id")),
+            banded.alias("b"),
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__value") == F.col("b.__value"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
+        .distinct()
         .filter(F.col("hamming") <= hamming_max)
     )
     return pairs

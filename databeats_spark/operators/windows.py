@@ -121,10 +121,11 @@ def streak_ending_at_latest(
         )
     )
     if latest_idx is None:
-        # global newest period from the chart itself (k rows per period —
-        # tiny by construction, so the single-partition window is safe);
-        # materialized as a column first: window fns can't sit in a filter
-        grouped = grouped.withColumn("__latest", F.max("__maxp").over(Window.partitionBy()))
+        # global newest period from the chart itself, attached as a
+        # broadcast scalar (an empty-partition window would drag
+        # everything to one task and warn)
+        latest = grouped.agg(F.max("__maxp").alias("__latest"))
+        grouped = grouped.crossJoin(F.broadcast(latest))
         lit_latest = F.col("__latest")
     else:
         lit_latest = F.lit(latest_idx) if isinstance(latest_idx, int) else latest_idx

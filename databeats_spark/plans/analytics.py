@@ -61,6 +61,25 @@ def audio_comparison(
     )
 
 
+def top_tracks_sql(spark, tracks: DataFrame, metric: str = "popularity", k: int = 20) -> DataFrame:
+    """The same dashboard query through the SQL surface with parameter
+    markers — the safe form of the reference's f-string SQL templating
+    (C9, dag.py:726-738; f-strings invite injection and defeat plan
+    caching)."""
+    tracks.createOrReplaceTempView("curated_tracks")
+    return spark.sql(
+        """
+        SELECT track_name, artist_id, {metric} AS metric_value
+        FROM curated_tracks
+        WHERE {metric} IS NOT NULL AND track_name IS NOT NULL
+        ORDER BY {metric} DESC, track_name
+        LIMIT {k}
+        """,
+        metric=F.col(metric),
+        k=k,
+    )
+
+
 def genre_explode_counts(artists: DataFrame, k: int = 20) -> DataFrame:
     """Genre array analytics (the reference stores ARRAY<STR> genre but
     never aggregates it — free capability surfaced): top genres by

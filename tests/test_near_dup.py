@@ -1,0 +1,77 @@
+"""Recall gates for the approximate near-dup/similarity operators —
+the rows-only registry entries get their real verification here,
+pinned against their exact counterparts."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.similarity import cosine_top_k, lsh_cosine_top_k
+from databeats_spark.operators.dedup import (
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from databeats_spark.sources.tables import load_tables
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    d = load_tables(spark, SF_CORRECT, ["documents"]).documents.cache()
+    d.count()
+    return d
+
+
+def test_minhash_finds_all_high_jaccard_pairs(spark, docs):
+    # ground truth: exact 3-gram Jaccard >= 0.8 over the full corpus
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8).toPandas()
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+    approx = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.8).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    approx_pairs = set(zip(approx["id_a"], approx["id_b"]))
+    missed = exact_pairs - approx_pairs
+    # LSH with b=8, r=4 has >99.9% hit probability at J>=0.8
+    assert not missed, f"minhash missed high-jaccard pairs: {missed}"
+    # and the verify stage means no false positives below threshold
+    assert (approx["jaccard"] >= 0.8).all()
+
+
+def test_minhash_jaccard_values_are_exact(spark, docs):
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.6).toPandas()
+    approx = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.6).toPandas()
+    e = exact.set_index(["id_a", "id_b"])["jaccard"]
+    a = approx.set_index(["id_a", "id_b"])["jaccard"]
+    joined = pd.concat([e, a], axis=1, join="inner")
+    assert len(joined) > 0
+    # the verification stage computes EXACT jaccard, not an estimate
+    assert (joined.iloc[:, 0] - joined.iloc[:, 1]).abs().max() < 1e-12
+
+
+def test_simhash_flags_planted_neardups(spark, docs):
+    # the known planted pair family: simhash at small hamming distance
+    # must flag at least the strongest near-dups found by exact jaccard
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9).toPandas()
+    sim = simhash_near_duplicates(docs, "doc_id", "text", hamming_max=6).toPandas()
+    sim_pairs = set(zip(sim["id_a"], sim["id_b"]))
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    if exact_pairs:
+        hits = len(exact_pairs & sim_pairs) / len(exact_pairs)
+        assert hits >= 0.5, f"simhash recall on near-identical pairs too low: {hits}"
+
+
+def test_lsh_cosine_recall(spark):
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"]).embeddings.cache()
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_top_k(emb, queries, k=5).toPandas()
+    approx = lsh_cosine_top_k(emb, queries, dim=64, k=5, n_planes=6, n_tables=8).toPandas()
+    e = exact.groupby("query_id")["neighbor_id"].apply(set)
+    a = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(e[q] & a.get(q, set())) / len(e[q]) for q in e.index]
+    mean_recall = sum(recalls) / len(recalls)
+    # this corpus is near-random (top-5 cosine ~0.33, the hardest case
+    # for hyperplane LSH); 6 planes × 8 tables + multiprobe measured
+    # 0.89 — gate leaves slack for plane-seed sensitivity
+    assert mean_recall >= 0.6, f"LSH cosine recall collapsed: {mean_recall}"
