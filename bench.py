@@ -4,9 +4,10 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is executed to completion (collect on the driver — result
-sets are small top-k/agg outputs by design) and timed wall-clock. A
-warmup query first, so JVM/codegen startup doesn't pollute q1.
+Each query executes to completion through the noop sink (full plan
+runs, nothing serialized to the driver — the standard Spark engine-
+throughput measurement) and is timed wall-clock. A warmup query first,
+so JVM/codegen startup doesn't pollute q1.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, build in qs.items():
         t0 = time.perf_counter()
-        build(spark, sf_dir).collect()
+        build(spark, sf_dir).write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -135,7 +135,7 @@ def minhash_near_duplicates(
     id_col: str,
     text_col: str,
     shingle_n: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
     threshold: float = 0.6,
     seed: int = 42,
@@ -147,8 +147,9 @@ def minhash_near_duplicates(
     into ``bands`` bands of r = num_hashes/bands rows → bucket-join on
     (band index, band hash) → verify candidates with exact shingle
     Jaccard (via :func:`ngram_jaccard_pairs`'s math on the candidate
-    set only). With b=8, r=4 the LSH S-curve crosses ~0.5 at
-    J ≈ (1/8)^(1/4) ≈ 0.6.
+    set only). With b=8, r=2 the LSH S-curve crosses ~0.5 at
+    J ≈ (1/8)^(1/2) ≈ 0.35 — generous candidate generation whose false
+    positives the exact verifier discards.
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """

@@ -52,6 +52,17 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None, names=TESTDATA_T
     return SimpleNamespace(**{n: _load_one(spark, sf_dir, n) for n in names})
 
 
+def spread(df: DataFrame, spark: SparkSession, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a compute-bound input that arrived in too few splits
+    (small files ⇒ one task ⇒ serial execution of heavy expressions).
+    No-op when the scan already has enough parallelism — at real scale
+    inputs have many splits and the shuffle would be pure waste."""
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None, names=TESTDATA_TABLES) -> None:
     """Register the testdata tables as temp views for spark.sql use."""
     t = load_tables(spark, sf_dir, names)
