@@ -1,0 +1,70 @@
+"""Scale-path join strategies: skew salting and bucketed co-location.
+
+Neither exists in the reference (single-process pandas has no shuffle
+to optimize); both are load-bearing at 100 TB:
+
+- **salted join**: a handful of hot keys (the reference data model has
+  them — a few artists own most tracks, SURVEY §1) overload one
+  shuffle partition. Salting fans the hot key's rows across
+  ``salt_factor`` partitions by joining on (key, salt) with the small
+  side replicated per salt value. AQE's skew-join split handles
+  moderate skew automatically; explicit salting is for the pathological
+  keys AQE can't subdivide (single-key aggregation hotspots).
+- **bucketed tables**: pre-hash-partitioning both join sides on the
+  key at WRITE time means later joins co-locate with no exchange at
+  all — the bucketing discipline the README's 100 TB posture calls
+  for. Verified by plan assertion (no Exchange above the join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_factor: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the large side's hot keys fanned across
+    ``salt_factor`` sub-partitions.
+
+    The large side gets a random-but-deterministic salt per row
+    (hash of the full row id space would do; xxhash64 of monotonic id
+    keeps it cheap); the small side is exploded ×salt_factor so every
+    (key, salt) bucket finds its match. Result is row-identical to the
+    plain join — only the shuffle layout changes.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_factor)).cast("int")
+    salted_large = large.withColumn("__salt", salt)
+    salted_small = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)).cast("array<int>"))
+    )
+    out = salted_large.join(salted_small, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    buckets: int = 16,
+) -> None:
+    """Persist hash-bucketed + sorted by ``key``: subsequent joins and
+    aggregations on ``key`` between same-bucketed tables require no
+    shuffle (SortMergeJoin reads co-located buckets directly)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner") -> DataFrame:
+    """Join two same-key bucketed tables — exchange-free by layout."""
+    return spark.table(left_table).join(spark.table(right_table), key, how)

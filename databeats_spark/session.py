@@ -69,6 +69,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode: all shuffle is local disk; compress less, spill less
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/tmp"))
+        # managed (bucketed) tables land outside the repo; static conf,
+        # so it must be set at build time
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_WAREHOUSE_DIR", "/tmp/databeats_warehouse"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

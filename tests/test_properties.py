@@ -1,0 +1,102 @@
+"""Property tests (SURVEY §5): algebraic invariants of the operator
+library under generated data. Spark jobs are slow per example, so each
+property draws a handful of randomized frames (hypothesis with a tight
+example budget + no deadline) rather than hundreds."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from databeats_spark.operators.dedup import dedup_first
+from databeats_spark.operators.windows import streak_ending_at_latest, top_k_per_group
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # key
+        st.integers(min_value=0, max_value=100), # value
+        st.integers(min_value=0, max_value=9),   # seq
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_first_is_idempotent_and_deterministic(spark, rows):
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v", "s"]))
+    once = dedup_first(df, ["k"], [F.col("v").desc(), "s"])
+    twice = dedup_first(once, ["k"], [F.col("v").desc(), "s"])
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b  # idempotent
+    # exactly one row per key, and it is the (max v, min s) row
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    expected = {
+        k: (g.sort_values(["v", "s"], ascending=[False, True]).iloc[0]["v"],)
+        for k, g in pdf.groupby("k")
+    }
+    got = {r["k"]: (r["v"],) for r in once.collect()}
+    assert got == expected
+
+
+@given(rows=rows_strategy, threshold=st.integers(min_value=0, max_value=100))
+@settings(**SETTINGS)
+def test_filter_union_commute(spark, rows, threshold):
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    half = len(pdf) // 2
+    a, b = pdf.iloc[:half], pdf.iloc[half:]
+    if len(a) == 0 or len(b) == 0:
+        return
+    da, db = spark.createDataFrame(a), spark.createDataFrame(b)
+    pred = F.col("v") >= threshold
+    union_then_filter = da.unionByName(db).filter(pred)
+    filter_then_union = da.filter(pred).unionByName(db.filter(pred))
+    assert sorted(map(tuple, union_then_filter.collect())) == sorted(
+        map(tuple, filter_then_union.collect())
+    )
+
+
+@given(rows=rows_strategy, k=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_top_k_per_group_bounds(spark, rows, k):
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["k", "v", "s"]))
+    out = top_k_per_group(df, ["k"], [F.col("v").desc(), "s"], k).toPandas()
+    counts = out.groupby("k").size()
+    assert (counts <= k).all()
+    # every group with >= k rows yields exactly k
+    pdf = pd.DataFrame(rows, columns=["k", "v", "s"])
+    for key, g in pdf.groupby("k"):
+        assert counts.get(key, 0) == min(k, len(g))
+
+
+@given(
+    periods=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=12, unique=True)
+)
+@settings(**SETTINGS)
+def test_streak_bounds_and_latest_rule(spark, periods):
+    # one entity on-chart in an arbitrary period set
+    df = spark.createDataFrame(pd.DataFrame({"e": ["x"] * len(periods), "p": sorted(periods)}))
+    out = streak_ending_at_latest(df, "e", "p", latest_idx=None).collect()
+    # the entity's newest island always reaches the global latest (it is
+    # the only entity) → exactly one row, streak = trailing consecutive run
+    assert len(out) == 1
+    streak = out[0]["streak"]
+    ps = sorted(periods)
+    run = 1
+    for a, b in zip(reversed(ps[:-1]), reversed(ps[1:])):
+        if b - a == 1:
+            run += 1
+        else:
+            break
+    assert streak == run
+    assert 1 <= streak <= len(periods)

@@ -1,0 +1,70 @@
+"""Scale-path join strategies: salted joins must be result-identical
+to plain joins; bucketed joins must be exchange-free by plan."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from databeats_spark.operators.scale import bucketed_join, salted_join, write_bucketed
+from databeats_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def test_salted_join_matches_plain_join(spark):
+    t = load_tables(spark, SF_SMOKE, ["orders", "customer"])
+    plain = (
+        t.orders.join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+    )
+    salted = (
+        salted_join(
+            t.orders.withColumnRenamed("o_custkey", "custkey"),
+            t.customer.withColumnRenamed("c_custkey", "custkey"),
+            "custkey",
+            salt_factor=4,
+        )
+        .groupBy(F.col("custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+    )
+    a = plain.orderBy("c_custkey").toPandas()
+    b = salted.orderBy("c_custkey").toPandas()
+    assert a["c_custkey"].tolist() == b["c_custkey"].tolist()
+    assert a["n"].tolist() == b["n"].tolist()
+    assert (abs(a["s"] - b["s"]) < 1e-6).all()
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    rows = [(1, "hot")] * 50 + [(2, "cold"), (99, "orphan")]
+    large = spark.createDataFrame(rows, ["k", "v"])
+    small = spark.createDataFrame([(1, "dim1"), (2, "dim2")], ["k", "d"])
+    out = salted_join(large, small, "k", salt_factor=4, how="left").toPandas()
+    assert len(out) == 52
+    assert out[out["k"] == 99]["d"].isna().all()
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # warehouse dir is static conf — set to /tmp by the session factory
+    t = load_tables(spark, SF_SMOKE, ["orders", "customer"])
+    write_bucketed(t.orders, "b_orders", "o_custkey", buckets=8)
+    write_bucketed(
+        t.customer.withColumnRenamed("c_custkey", "o_custkey"), "b_customer", "o_custkey", buckets=8
+    )
+    # disable broadcast so the join must pick a distribution strategy
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join should not shuffle"
+        assert joined.count() == t.orders.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
