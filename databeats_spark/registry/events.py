@@ -183,6 +183,48 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+def _asof_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click enriched with the user's most recent
+    prior (inclusive) purchase value. DuckDB's native ASOF JOIN is the
+    oracle; Spark side is operators/joins.asof_join (union + running
+    last-value window — no native as-of node exists)."""
+    from databeats_spark.operators.dedup import dedup_first
+    from databeats_spark.operators.joins import asof_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    clicks = t.events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    # one purchase per (user, instant): exact-tie picks are otherwise
+    # engine-arbitrary on both sides
+    purchases = dedup_first(purchases, ["user_id", "ts"], [F.col("value").desc()])
+    out = asof_join(clicks, purchases, on="ts", by=["user_id"], value_cols=["value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("last_purchase_value"),
+    ).orderBy("event_id")
+
+
+_ASOF_PURCHASE_VALUE_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, p.value AS last_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+ORDER BY c.event_id
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -213,5 +255,6 @@ SPECS = [
     QuerySpec("time_features", "C1-C5 scalar time functions", _time_features, _TIME_FEATURES_SQL, tags=("scalar",)),
     QuerySpec("json_props", "C7 JSON field extraction", _json_props, _JSON_PROPS_SQL, tags=("scalar",)),
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
+    QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
     QuerySpec("event_type_pivot", "pivot / conditional aggregation", _event_type_pivot, _EVENT_TYPE_PIVOT_SQL, tags=("agg",)),
 ]

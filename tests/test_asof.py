@@ -1,0 +1,49 @@
+"""asof_join edge semantics: inclusive equality, unmatched lefts,
+per-key isolation, deterministic tie-breaks."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from databeats_spark.operators.joins import asof_join
+
+
+def _run(spark, left_rows, right_rows, **kw):
+    left = spark.createDataFrame(pd.DataFrame(left_rows, columns=["k", "ts", "lid"]))
+    right = spark.createDataFrame(pd.DataFrame(right_rows, columns=["k", "ts", "val"]))
+    out = asof_join(left, right, on="ts", by=["k"], value_cols=["val"], **kw)
+    return {r["lid"]: r["val"] for r in out.collect()}
+
+
+def test_backward_inclusive(spark):
+    got = _run(
+        spark,
+        [("a", 10, 1), ("a", 20, 2), ("a", 30, 3)],
+        [("a", 10, 100), ("a", 25, 200)],
+    )
+    # ts=10 matches the equal-instant right row (inclusive);
+    # ts=20 still sees the ts=10 purchase; ts=30 sees ts=25
+    assert got == {1: 100, 2: 100, 3: 200}
+
+
+def test_unmatched_left_is_null(spark):
+    got = _run(spark, [("a", 5, 1), ("a", 50, 2)], [("a", 10, 100)])
+    assert got[1] is None
+    assert got[2] == 100
+
+
+def test_keys_are_isolated(spark):
+    got = _run(
+        spark,
+        [("a", 20, 1), ("b", 20, 2)],
+        [("a", 10, 100), ("b", 15, 999)],
+    )
+    assert got == {1: 100, 2: 999}
+
+
+def test_equal_instant_tie_break(spark):
+    # two right rows at the same (k, ts): the LAST in tie-break order wins
+    left = [("a", 10, 1)]
+    right = [("a", 10, 100), ("a", 10, 300), ("a", 10, 200)]
+    got = _run(spark, left, right, right_tie_breakers=["val"])
+    assert got == {1: 300}
