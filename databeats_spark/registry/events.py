@@ -225,6 +225,35 @@ ORDER BY c.event_id
 """
 
 
+def _user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.13 UDF surface done right: a grouped-map Pandas UDF
+    (applyInPandas, Arrow-batched per group) where Python is the point —
+    the same rank is native `row_number` (that twin IS the oracle).
+    Integer output keeps the pandas path exactly hash-matchable."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.filter(F.col("user_id") < 30).select("user_id", "event_id", "value")
+
+    def rank_group(pdf):
+        pdf = pdf.sort_values(["value", "event_id"], ascending=[False, True])
+        pdf["value_rank"] = range(1, len(pdf) + 1)
+        return pdf
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(rank_group, schema="user_id long, event_id long, value double, value_rank long")
+        .orderBy("user_id", "value_rank")
+    )
+
+
+_USER_VALUE_RANKS_SQL = """
+SELECT user_id, event_id, value,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS BIGINT) AS value_rank
+FROM events
+WHERE user_id < 30
+ORDER BY user_id, value_rank
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -256,5 +285,6 @@ SPECS = [
     QuerySpec("json_props", "C7 JSON field extraction", _json_props, _JSON_PROPS_SQL, tags=("scalar",)),
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
+    QuerySpec("user_value_ranks", "grouped-map Pandas UDF (applyInPandas) vs native-window oracle", _user_value_ranks, _USER_VALUE_RANKS_SQL, tags=("udf",)),
     QuerySpec("event_type_pivot", "pivot / conditional aggregation", _event_type_pivot, _EVENT_TYPE_PIVOT_SQL, tags=("agg",)),
 ]
