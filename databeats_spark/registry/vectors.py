@@ -86,8 +86,44 @@ def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # array-function surface over the vector column: elementwise
+    # aggregates in double precision, sequential fold order on both
+    # engines so values match exactly
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x)
+    sq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    return (
+        t.embeddings.select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.size("embedding").cast("long").alias("dim"),
+            F.round(F.array_min(vec), 6).alias("min_val"),
+            F.round(F.array_max(vec), 6).alias("max_val"),
+            F.round(total / F.size("embedding"), 6).alias("mean_val"),
+            F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_EMBEDDING_STATS_SQL = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(len(e) AS BIGINT) AS dim,
+       round(list_aggregate(e, 'min'), 6) AS min_val,
+       round(list_aggregate(e, 'max'), 6) AS max_val,
+       round(list_aggregate(e, 'sum') / len(e), 6) AS mean_val,
+       round(sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')), 6) AS l2_norm
+FROM v
+ORDER BY vec_id
+"""
+
+
 SPECS = [
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
+    QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
