@@ -187,6 +187,71 @@ ORDER BY id_a, id_b
 """
 
 
+TFIDF_DOC_LIMIT = 50
+TFIDF_TOP_TERMS = 5
+
+
+def _tf_idf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF relevance: top terms per document. Pure arithmetic
+    (count ratios × ln(N/df)) so the score hash-matches the SQL oracle;
+    ln is the same IEEE op on both engines."""
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents
+    n_docs = docs.select(F.count(F.lit(1)).alias("n")).first()["n"]
+
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(F.broadcast(df_counts), "term")
+        .withColumn("tf_idf", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf_idf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_TERMS)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.round("tf_idf", 6).alias("tf_idf"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_TF_IDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dfc AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+         tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df) AS tf_idf
+  FROM tf JOIN dfc USING (term), n
+  WHERE tf.doc_id < {TFIDF_DOC_LIMIT}
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       round(tf_idf, 6) AS tf_idf, CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tf_idf DESC, term) AS rnk
+  FROM scored
+) WHERE rnk <= {TFIDF_TOP_TERMS}
+ORDER BY doc_id, rnk
+"""
+
+
 def _multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text → binary payload → byte length +
     content hash. Stands in for image/audio payload handling — the
@@ -220,4 +285,5 @@ SPECS = [
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),
     QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
+    QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
 ]

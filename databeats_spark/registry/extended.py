@@ -299,8 +299,32 @@ def _approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: sql_api_revenue — the same engine through the SQL surface --------
+
+_SQL_API_QUERY = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the spark.sql surface (C9): same Catalyst plan as the DataFrame
+    # API — here the ORACLE string runs verbatim on Spark too, since
+    # this query sits in the ANSI intersection of both dialects
+    from databeats_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SQL_API_QUERY)
+
+
 SPECS = [
     QuerySpec("part_name_features", "C-series string scalar functions", _part_name_features, _PART_NAME_FEATURES_SQL, tags=("scalar",)),
+    QuerySpec("sql_api_revenue", "spark.sql surface: identical ANSI text on both engines", _sql_api_revenue, _SQL_API_QUERY, tags=("sql", "agg")),
     QuerySpec("supplier_part_stats", "supplier/nation dim joins + multi-agg", _supplier_part_stats, _SUPPLIER_PART_STATS_SQL, tags=("join", "agg")),
     QuerySpec("repeat_customers", "INTERSECT set op", _repeat_customers, _REPEAT_CUSTOMERS_SQL, tags=("setop",)),
     QuerySpec("open_only_customers", "EXCEPT set op", _open_only_customers, _OPEN_ONLY_CUSTOMERS_SQL, tags=("setop",)),
