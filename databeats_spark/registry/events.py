@@ -254,6 +254,58 @@ ORDER BY user_id, value_rank
 """
 
 
+def _weekly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample: every (user, week) cell in the observed
+    range, zero-filled where the user was inactive — the dense-grid
+    form time-series models consume. Grid = span sequence × distinct
+    users (explode, no driver loop), left join the sparse aggregates."""
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.filter(F.col("user_id") < 20)
+    weekly = ev.groupBy(week_index("ts").alias("wk"), "user_id").agg(
+        F.sum(dec("value")).cast("double").alias("wv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    span = weekly.agg(F.min("wk").alias("lo"), F.max("wk").alias("hi"))
+    grid = (
+        span.select(F.explode(F.sequence("lo", "hi")).alias("wk"))
+        .crossJoin(ev.select("user_id").distinct())
+    )
+    return (
+        grid.join(weekly, ["wk", "user_id"], "left")
+        .select(
+            "wk",
+            "user_id",
+            F.coalesce("wv", F.lit(0.0)).alias("wv"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("wk", "user_id")
+    )
+
+
+_WEEKLY_RESAMPLE_SQL = """
+WITH ev AS (
+  SELECT * FROM events WHERE user_id < 20
+), weekly AS (
+  SELECT CAST(floor(epoch(CAST(date_trunc('week', ts) AS TIMESTAMP)) / 604800) AS BIGINT) AS wk,
+         user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS wv,
+         count(*) AS n
+  FROM ev GROUP BY 1, 2
+), span AS (
+  SELECT min(wk) AS lo, max(wk) AS hi FROM weekly
+), grid AS (
+  SELECT gs.wk, u.user_id
+  FROM (SELECT unnest(generate_series(lo, hi)) AS wk FROM span) gs,
+       (SELECT DISTINCT user_id FROM ev) u
+)
+SELECT g.wk, g.user_id,
+       coalesce(w.wv, 0.0) AS wv,
+       CAST(coalesce(w.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN weekly w ON g.wk = w.wk AND g.user_id = w.user_id
+ORDER BY g.wk, g.user_id
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -286,5 +338,6 @@ SPECS = [
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
     QuerySpec("user_value_ranks", "grouped-map Pandas UDF (applyInPandas) vs native-window oracle", _user_value_ranks, _USER_VALUE_RANKS_SQL, tags=("udf",)),
+    QuerySpec("weekly_resample", "gap-filling dense resample (user x week grid, zero-filled)", _weekly_resample, _WEEKLY_RESAMPLE_SQL, tags=("window", "timeseries")),
     QuerySpec("event_type_pivot", "pivot / conditional aggregation", _event_type_pivot, _EVENT_TYPE_PIVOT_SQL, tags=("agg",)),
 ]

@@ -47,3 +47,39 @@ def test_equal_instant_tie_break(spark):
     right = [("a", 10, 100), ("a", 10, 300), ("a", 10, 200)]
     got = _run(spark, left, right, right_tie_breakers=["val"])
     assert got == {1: 300}
+
+
+def test_randomized_vs_pandas_merge_asof(spark):
+    # pandas merge_asof (backward, inclusive) is the same contract —
+    # a second independent oracle on random data
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 80),
+            "ts": rng.choice(np.arange(0, 1000), 80, replace=False).astype(int),
+        }
+    ).assign(lid=range(80))
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 40),
+            "ts": rng.choice(np.arange(0, 1000) + 0, 40, replace=False).astype(int),
+            "val": rng.integers(0, 1000, 40),
+        }
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).set_index("lid")["val"]
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    out = asof_join(sl, sr, on="ts", by=["k"], value_cols=["val"]).toPandas().set_index("lid")["val"]
+    for lid in exp.index:
+        e, g = exp[lid], out[lid]
+        assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
