@@ -278,7 +278,37 @@ ORDER BY doc_id
 """
 
 
+SAMPLE_HEX_THRESHOLD = "1999"  # first-4-hex-chars < this ≈ 10% of keyspace
+
+
+def _deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus sampling: keep rows whose content-hash
+    prefix falls under a hex threshold. Unlike ``df.sample`` (seeded
+    per-partition RNG — layout-dependent), the hash rule selects the
+    SAME documents on any engine, any partitioning, any run — the
+    property training-data pipelines need for auditable subsets."""
+    t = load_tables(spark, sf_dir, ["documents"])
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        t.documents.filter(bucket < SAMPLE_HEX_THRESHOLD)
+        .select("doc_id", bucket.alias("hash_bucket"), "lang", F.col("n_chars").cast("long").alias("n_chars"))
+        .orderBy("doc_id")
+    )
+
+
+_DETERMINISTIC_SAMPLE_SQL = f"""
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hash_bucket,
+       lang,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{SAMPLE_HEX_THRESHOLD}'
+ORDER BY doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("deterministic_sample", "hash-threshold reproducible sampling (auditable subsets)", _deterministic_sample, _DETERMINISTIC_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("dedup_exact_docs", "exact content dedup via md5 fingerprint hash-agg", _dedup_exact_docs, _DEDUP_EXACT_SQL, bench=True, tags=("dedup", "text")),
     QuerySpec("doc_fingerprints", "document fingerprinting (full + prefix)", _doc_fingerprints, _DOC_FINGERPRINTS_SQL, tags=("text",)),
     QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),
