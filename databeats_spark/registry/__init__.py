@@ -18,7 +18,7 @@ Oracle-parity rules used throughout (see tests/test_differential.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
