@@ -283,6 +283,33 @@ ORDER BY bucket
 """
 
 
+# --- Q: lineitem_profile — data-quality profiling (one pass per column) ---
+
+PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.maintenance import profile_numeric
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return profile_numeric(t.lineitem, list(PROFILE_COLS)).orderBy("column")
+
+
+def _lineitem_profile_sql() -> str:
+    blocks = []
+    for c in PROFILE_COLS:
+        blocks.append(f"""
+SELECT '{c}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS DOUBLE) AS min_val,
+       CAST(max({c}) AS DOUBLE) AS max_val,
+       round(CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) / count({c}), 6) AS mean_val
+FROM lineitem""")
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
 # --- Q: approx_distinct_parts — sketch aggregation (rows-only) ------------
 # HLL implementations differ between engines → no value oracle; the
 # driver records the rows-only check and pytest bounds the error.
@@ -335,4 +362,5 @@ SPECS = [
     QuerySpec("embedding_near_dups", "exact cosine near-dup pairs (LSH oracle twin)", _embedding_near_dups, _EMBEDDING_NEAR_DUPS_SQL, tags=("similarity", "dedup")),
     QuerySpec("value_histogram", "bucketed value distribution", _value_histogram, _VALUE_HISTOGRAM_SQL, tags=("agg",)),
     QuerySpec("approx_distinct_parts", "HLL sketch vs exact distinct (rows-only)", _approx_distinct_parts, None, tags=("agg", "approx")),
+    QuerySpec("lineitem_profile", "data-quality column profiling (nulls/distincts/ranges)", _lineitem_profile, _lineitem_profile_sql(), tags=("profiling",)),
 ]
