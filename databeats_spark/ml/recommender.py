@@ -92,3 +92,23 @@ class SongRecommender:
         """K5/M-persistence: PipelineModel.save replaces joblib.dump
         (reference ml_training_dag.py:98)."""
         self.model.write().overwrite().save(path)
+
+
+def format_recommendations(recs: DataFrame, artists: DataFrame | None = None) -> list[str]:
+    """W6 presentation (reference format_recommendation,
+    recommendation.py:82-96): numbered display strings, deduped, cap
+    enforced upstream. Joins the artist display name when a dimension
+    frame is supplied (the reference shows raw ids)."""
+    if artists is not None:
+        recs = (
+            recs.join(
+                F.broadcast(artists.select("artist_id", "artist_name").dropDuplicates(["artist_id"])),
+                "artist_id",
+                "left",
+            )
+            .withColumn("artist_name", F.coalesce("artist_name", "artist_id"))
+        )
+    else:
+        recs = recs.withColumn("artist_name", F.col("artist_id"))
+    rows = recs.select("track_name", "artist_name").collect()
+    return [f"{i + 1}. {r['track_name']} — {r['artist_name']}" for i, r in enumerate(rows)]

@@ -306,6 +306,39 @@ ORDER BY g.wk, g.user_id
 """
 
 
+def _hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregation
+    (streaming/events.windowed_event_stats): F.window() in a batch
+    plan, oracle'd by date_trunc — proving window() semantics match
+    calendar-hour truncation for aligned windows."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_HOURLY_EVENT_STATS_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -339,5 +372,6 @@ SPECS = [
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
     QuerySpec("user_value_ranks", "grouped-map Pandas UDF (applyInPandas) vs native-window oracle", _user_value_ranks, _USER_VALUE_RANKS_SQL, tags=("udf",)),
     QuerySpec("weekly_resample", "gap-filling dense resample (user x week grid, zero-filled)", _weekly_resample, _WEEKLY_RESAMPLE_SQL, tags=("window", "timeseries")),
+    QuerySpec("hourly_event_stats", "tumbling-window aggregation (batch twin of the stream)", _hourly_event_stats, _HOURLY_EVENT_STATS_SQL, tags=("window", "timeseries")),
     QuerySpec("event_type_pivot", "pivot / conditional aggregation", _event_type_pivot, _EVENT_TYPE_PIVOT_SQL, tags=("agg",)),
 ]

@@ -64,6 +64,22 @@ def _lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def _ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF index path: KMeans-partitioned corpus, n_probe nearest lists
+    # probed per query (rows-only check; recall gate in tests/test_ml)
+    from databeats_spark.ml.ann import IVFIndex
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t.embeddings
+    idx = IVFIndex.fit(emb, n_lists=8)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    out = idx.search(q, k=TOP_K, n_probe=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
 def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MinHash+LSH banding over the FULL corpus (the scale path; the
     # bounded-exact oracle twin is documents.near_dup_pairs)
@@ -125,6 +141,7 @@ SPECS = [
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
+    QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
 ]

@@ -51,6 +51,25 @@ def test_regression_linear_and_save_load(spark, corpus, tmp_path):
     assert len(pred) == 10
 
 
+def test_regression_gbt_path(spark, corpus):
+    _, _, merged = corpus
+    stats = merged.agg(F.stddev("popularity").alias("sd")).collect()[0]
+    trained = train_popularity_model(merged, algo="gbt", cv_folds=2)
+    assert trained.rmse < 0.8 * stats["sd"]
+
+
+def test_recommender_formatting(spark, corpus):
+    from databeats_spark.ml.recommender import format_recommendations
+
+    st, sau, _ = corpus
+    rec = SongRecommender.fit(st, sau)
+    names = [r["track_name"] for r in rec.labeled.limit(2).collect()]
+    lines = format_recommendations(rec.recommend(names, k=5))
+    assert 0 < len(lines) <= 5
+    assert lines[0].startswith("1. ")
+    assert all(" — " in l for l in lines)
+
+
 def test_regression_seeded_reproducibility(spark, corpus):
     _, _, merged = corpus
     a = train_popularity_model(merged, algo="rf", cv_folds=2, seed=7)
