@@ -283,6 +283,68 @@ ORDER BY bucket
 """
 
 
+# --- Q: regex_extract_ids — regexp scalar functions -----------------------
+
+def _regex_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    return (
+        t.customer.select(
+            "c_custkey",
+            F.regexp_extract("c_name", "[0-9]+", 0).alias("name_digits"),
+            (F.regexp_extract("c_name", "[0-9]+", 0).cast("long") == F.col("c_custkey")).alias(
+                "digits_match_key"
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_REGEX_EXTRACT_IDS_SQL = """
+SELECT c_custkey,
+       regexp_extract(c_name, '[0-9]+') AS name_digits,
+       (CAST(regexp_extract(c_name, '[0-9]+') AS BIGINT) = c_custkey) AS digits_match_key
+FROM customer
+ORDER BY c_custkey
+"""
+
+
+# --- Q: null_safe_compare — null semantics under joins --------------------
+
+def _null_safe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null semantics: left join produces NULLs, then null-safe (<=>)
+    vs plain equality against a literal — the three-valued-logic
+    behavior every engine must pin down identically."""
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    big = t.orders.filter(F.col("o_totalprice") > 300000).select(
+        "o_custkey", F.lit("has_big").alias("flag")
+    ).dropDuplicates(["o_custkey"])
+    joined = t.customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left")
+    return (
+        joined.select(
+            "c_custkey",
+            F.col("flag").isNull().alias("flag_is_null"),
+            F.col("flag").eqNullSafe(F.lit("has_big")).alias("nullsafe_eq"),
+            # plain '=' with NULL is UNKNOWN → coalesce to make it a
+            # materializable boolean on both engines
+            F.coalesce(F.col("flag") == F.lit("has_big"), F.lit(False)).alias("plain_eq_coalesced"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_NULL_SAFE_COMPARE_SQL = """
+WITH big AS (
+  SELECT DISTINCT o_custkey, 'has_big' AS flag FROM orders WHERE o_totalprice > 300000
+)
+SELECT c.c_custkey,
+       (b.flag IS NULL) AS flag_is_null,
+       (b.flag IS NOT DISTINCT FROM 'has_big') AS nullsafe_eq,
+       coalesce(b.flag = 'has_big', false) AS plain_eq_coalesced
+FROM customer c LEFT JOIN big b ON c.c_custkey = b.o_custkey
+ORDER BY c.c_custkey
+"""
+
+
 # --- Q: lineitem_profile — data-quality profiling (one pass per column) ---
 
 PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -363,4 +425,6 @@ SPECS = [
     QuerySpec("value_histogram", "bucketed value distribution", _value_histogram, _VALUE_HISTOGRAM_SQL, tags=("agg",)),
     QuerySpec("approx_distinct_parts", "HLL sketch vs exact distinct (rows-only)", _approx_distinct_parts, None, tags=("agg", "approx")),
     QuerySpec("lineitem_profile", "data-quality column profiling (nulls/distincts/ranges)", _lineitem_profile, _lineitem_profile_sql(), tags=("profiling",)),
+    QuerySpec("regex_extract_ids", "regexp_extract scalar functions", _regex_extract_ids, _REGEX_EXTRACT_IDS_SQL, tags=("scalar",)),
+    QuerySpec("null_safe_compare", "null-safe equality / three-valued logic under left join", _null_safe_compare, _NULL_SAFE_COMPARE_SQL, tags=("scalar", "join")),
 ]
