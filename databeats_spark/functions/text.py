@@ -36,6 +36,24 @@ def token_count(text: str | Column) -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization pattern (the GPT-2-style split distilled to
+# the subset Java regex and RE2 treat identically): runs of letters,
+# runs of digits, runs of other non-space symbols.
+BPE_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_tokens(text: str | Column) -> Column:
+    """BPE-style pre-tokens (word/number/symbol runs) — the unit a
+    byte-pair tokenizer would merge from; counting them approximates
+    LLM token budgets far better than whitespace words."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: str | Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def char_count(text: str | Column) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     return F.length(c)

@@ -278,6 +278,37 @@ ORDER BY doc_id
 """
 
 
+def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token budget estimation per document: letter runs,
+    digit runs, symbol runs (the pre-tokenization a byte-pair encoder
+    merges from)."""
+    from databeats_spark.functions.text import bpe_token_count
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    c = F.col("text")
+    return (
+        t.documents.select(
+            "doc_id",
+            bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+            F.size(F.regexp_extract_all(c, F.lit("[a-zA-Z]+"), 0)).cast("long").alias("n_word_runs"),
+            F.size(F.regexp_extract_all(c, F.lit("[0-9]+"), 0)).cast("long").alias("n_digit_runs"),
+            F.size(F.regexp_extract_all(c, F.lit(r"[^a-zA-Z0-9\s]+"), 0)).cast("long").alias("n_symbol_runs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+')) AS BIGINT) AS n_word_runs,
+       CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+       CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_symbol_runs
+FROM documents
+ORDER BY doc_id
+"""
+
+
 SAMPLE_HEX_THRESHOLD = "1999"  # first-4-hex-chars < this ≈ 10% of keyspace
 
 
@@ -316,4 +347,5 @@ SPECS = [
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),
     QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
     QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
+    QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),
 ]
