@@ -35,10 +35,10 @@ class QuerySpec:
 
 
 def _collect() -> list[QuerySpec]:
-    from databeats_spark.registry import documents, events, extended, relational, vectors
+    from databeats_spark.registry import documents, events, extended, frames, relational, vectors
 
     specs: list[QuerySpec] = []
-    for mod in (relational, events, documents, vectors, extended):
+    for mod in (relational, events, documents, vectors, extended, frames):
         specs.extend(mod.SPECS)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"
