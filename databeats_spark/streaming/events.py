@@ -77,6 +77,69 @@ def streaming_sessionization(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming exact deduplication: emit each key once, holding
+    per-key state only for the watermark horizon. This is the ingest
+    guard a training-data pipeline puts in front of every sink —
+    re-delivered micro-batches (at-least-once sources) collapse to
+    exactly-once rows. State size is bounded by (keys within the
+    watermark), not by stream history, so it holds at 100 TB/day;
+    unbounded ``dropDuplicates`` would OOM on day two."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_stream_click_attribution(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range predicate:
+    attribute each purchase to the clicks by the same user in the
+    preceding hour. Both sides are watermarked, and the time-interval
+    condition bounds the join state Spark must retain — the canonical
+    funnel/attribution join, running incrementally.
+
+    Batch twin: the same join expressed on static DataFrames
+    (tests/test_streaming.py pins them equal)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}"))
+    )
+    return purchases.join(clicks, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> StreamingQuery:
     """Drain everything currently available into a memory sink and stop
     — synchronous batch-incremental execution for tests/backfills."""

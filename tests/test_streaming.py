@@ -85,3 +85,48 @@ def test_streaming_sessionization_totals(spark, events_dir):
     )
     exp = batch.set_index("user_id")["n_sessions"]
     assert (per_user.sort_index() == exp.sort_index()).all()
+
+
+def test_streaming_dedup_collapses_redelivery(spark, events_dir, tmp_path):
+    # simulate at-least-once redelivery: the same file lands twice
+    shutil.copy(f"{SF_SMOKE}/events.parquet", f"{events_dir}/part-001.parquet")
+    stream = stream_events(spark, events_dir)
+    from databeats_spark.streaming.events import streaming_dedup
+
+    deduped = streaming_dedup(stream, keys=["event_id"])
+    run_available_now(deduped, "dedup_sink", output_mode="append")
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_sink").collect()[0]
+    n_unique = load_tables(spark, SF_SMOKE, ["events"]).events.select("event_id").distinct().count()
+    assert got["n"] == got["d"] == n_unique
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from databeats_spark.streaming.events import stream_stream_click_attribution
+
+    stream = stream_events(spark, events_dir)
+    joined = stream_stream_click_attribution(stream, attribution_window="1 hour")
+    run_available_now(joined, "attr_sink", output_mode="append")
+    got = spark.sql("SELECT * FROM attr_sink").toPandas()
+
+    ev = load_tables(spark, SF_SMOKE, ["events"]).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    exp = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+    ).toPandas()
+    assert len(got) == len(exp) > 0
+    key = ["purchase_id", "click_id"]
+    got_pairs = set(map(tuple, got[key].values.tolist()))
+    exp_pairs = set(map(tuple, exp[key].values.tolist()))
+    assert got_pairs == exp_pairs
