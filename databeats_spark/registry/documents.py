@@ -338,8 +338,52 @@ ORDER BY doc_id
 """
 
 
+# --- Q: stratified_sample — per-stratum hash-threshold sampling ----------
+# sampleBy() semantics (different keep-fraction per stratum) with the
+# same auditability as deterministic_sample: the per-lang threshold is
+# data, not RNG state. Downsampling the over-represented language is
+# THE corpus-balancing move in training-data pipelines.
+
+STRATUM_THRESHOLDS = {"en": "4000", "zh": "c000"}  # ≈25% / ≈75%
+DEFAULT_STRATUM_THRESHOLD = "8000"  # ≈50% for every other language
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    thr = F.lit(DEFAULT_STRATUM_THRESHOLD)
+    for lang, hex_thr in sorted(STRATUM_THRESHOLDS.items()):
+        thr = F.when(F.col("lang") == lang, F.lit(hex_thr)).otherwise(thr)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        t.documents.filter(bucket < thr)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      CASE WHEN lang = 'en' THEN '{STRATUM_THRESHOLDS["en"]}'
+           WHEN lang = 'zh' THEN '{STRATUM_THRESHOLDS["zh"]}'
+           ELSE '{DEFAULT_STRATUM_THRESHOLD}' END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 SPECS = [
     QuerySpec("deterministic_sample", "hash-threshold reproducible sampling (auditable subsets)", _deterministic_sample, _DETERMINISTIC_SAMPLE_SQL, tags=("sampling",)),
+    QuerySpec("stratified_sample", "per-stratum hash-threshold sampling (corpus balancing)", _stratified_sample, _STRATIFIED_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("dedup_exact_docs", "exact content dedup via md5 fingerprint hash-agg", _dedup_exact_docs, _DEDUP_EXACT_SQL, bench=True, tags=("dedup", "text")),
     QuerySpec("doc_fingerprints", "document fingerprinting (full + prefix)", _doc_fingerprints, _DOC_FINGERPRINTS_SQL, tags=("text",)),
     QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),

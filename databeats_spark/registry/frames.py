@@ -430,6 +430,51 @@ ORDER BY sum_qty DESC, o.o_orderkey
 """
 
 
+# --- Q: order_nav — window navigation functions ---------------------------
+# first/last/nth over an explicit full frame: both engines default
+# last_value to the running frame (ROWS ... CURRENT ROW), so the frame
+# is spelled out — the classic cross-engine window gotcha, pinned.
+
+NAV_CUST_LIMIT = 200
+
+
+def _order_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t.orders.filter(F.col("o_custkey") < NAV_CUST_LIMIT)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w_seq).cast("long").alias("seq"),
+            F.first_value("o_orderkey").over(w_full).alias("first_order"),
+            F.last_value("o_orderkey").over(w_full).alias("last_order"),
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        )
+        .orderBy("o_custkey", "seq")
+    )
+
+
+_ORDER_NAV_SQL = f"""
+SELECT o_custkey, o_orderkey,
+       CAST(row_number() OVER ws AS BIGINT) AS seq,
+       first_value(o_orderkey) OVER wf AS first_order,
+       last_value(o_orderkey) OVER wf AS last_order,
+       nth_value(o_orderkey, 2) OVER wf AS second_order
+FROM orders
+WHERE o_custkey < {NAV_CUST_LIMIT}
+WINDOW ws AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, seq
+"""
+
+
 SPECS = [
     QuerySpec("rolling_7d_spend", "value-RANGE rolling window frame (7-day spend)", _rolling_7d_spend, _ROLLING_7D_SPEND_SQL, bench=True, tags=("window", "frame")),
     QuerySpec("sliding_event_stats", "hopping windows (1h window / 30m slide) vs closed-form oracle", _sliding_event_stats, _SLIDING_EVENT_STATS_SQL, tags=("window", "timeseries")),
@@ -440,4 +485,5 @@ SPECS = [
     QuerySpec("exact_moment_stats", "stddev/corr via exact decimal moments (order-independent)", _exact_moment_stats, _EXACT_MOMENT_STATS_SQL, tags=("agg", "stats")),
     QuerySpec("fuzzy_part_names", "edit-distance near-dup with same-brand blocking", _fuzzy_part_names, _FUZZY_PART_NAMES_SQL, tags=("dedup", "similarity")),
     QuerySpec("large_volume_orders", "HAVING over aggregate joined back to dims (Q18 shape)", _large_volume_orders, _LARGE_VOLUME_ORDERS_SQL, tags=("agg", "join")),
+    QuerySpec("order_nav", "first/last/nth_value navigation over explicit full frame", _order_nav, _ORDER_NAV_SQL, tags=("window",)),
 ]
