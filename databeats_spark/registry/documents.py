@@ -159,8 +159,9 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-_NEAR_DUP_PAIRS_SQL = f"""
-WITH t AS (
+# shared CTE chain: shingle → invert → count-common → Jaccard pairs
+# (used by the pairs oracle AND the connected-components oracle)
+_PAIRS_CTES = f"""t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
   FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}
 ), s AS (
@@ -176,7 +177,10 @@ WITH t AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+_NEAR_DUP_PAIRS_SQL = f"""
+WITH {_PAIRS_CTES}
 SELECT id_a, id_b, CAST(common AS BIGINT) AS common,
        round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
 FROM pairs
@@ -184,6 +188,61 @@ JOIN sized sa ON sa.doc_id = id_a
 JOIN sized sb ON sb.doc_id = id_b
 WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
 ORDER BY id_a, id_b
+"""
+
+
+# --- Q: dedup_components — transitive closure of the near-dup graph ------
+# Iterative min-label propagation on Spark (operators/graph.py),
+# oracle'd by a recursive CTE computing reachability — an ITERATIVE
+# algorithm with an exact SQL ground truth.
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.operators.graph import connected_components
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        comps.select(F.col("node").alias("doc_id"), "component")
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component")).cast("long"),
+        )
+        .orderBy("component", "doc_id")
+    )
+
+
+_DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM qual
+  UNION
+  SELECT id_b, id_a FROM qual
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+)
+SELECT doc_id, component,
+       CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS n_members
+FROM comp
+ORDER BY component, doc_id
 """
 
 
@@ -389,6 +448,7 @@ SPECS = [
     QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),
+    QuerySpec("dedup_components", "connected components of the near-dup graph (dedup clusters)", _dedup_components, _DEDUP_COMPONENTS_SQL, tags=("dedup", "graph")),
     QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
     QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
     QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),

@@ -1,0 +1,65 @@
+"""connected_components / dedup_keep_canonical semantics on hand graphs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from databeats_spark.operators.graph import connected_components, dedup_keep_canonical
+
+
+def edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src: long, dst: long")
+
+
+def comp_map(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    got = comp_map(connected_components(edges_df(spark, [(1, 2), (2, 3), (3, 4)])))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_two_components_stay_separate(spark):
+    got = comp_map(
+        connected_components(edges_df(spark, [(1, 2), (5, 6), (6, 7)]))
+    )
+    assert got == {1: 1, 2: 1, 5: 5, 6: 5, 7: 5}
+
+
+def test_direction_and_duplicates_are_irrelevant(spark):
+    got = comp_map(
+        connected_components(edges_df(spark, [(2, 1), (1, 2), (2, 1), (3, 2)]))
+    )
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_long_chain_needs_multiple_rounds(spark):
+    # diameter 9: propagation must iterate, not just look one hop out
+    chain = [(i, i + 1) for i in range(10, 19)]
+    got = comp_map(connected_components(edges_df(spark, chain)))
+    assert set(got.values()) == {10}
+    assert len(got) == 10
+
+
+def test_dedup_keep_canonical_keeps_min_and_singletons(spark):
+    rows = spark.createDataFrame(
+        [(1, "a"), (2, "dup of 1"), (3, "dup of 1"), (9, "singleton")],
+        "doc_id: long, text: string",
+    )
+    comps = connected_components(edges_df(spark, [(1, 2), (2, 3)]))
+    kept = dedup_keep_canonical(rows, comps, "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 9]
+
+
+def test_registry_components_cover_all_pair_endpoints(spark):
+    from databeats_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    pairs = queries()["near_dup_pairs"](spark, SF_SMOKE).toPandas()
+    comps = queries()["dedup_components"](spark, SF_SMOKE).toPandas()
+    endpoints = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert set(comps["doc_id"]) == endpoints
+    # every pair is intra-component (closure really is transitive)
+    label = dict(zip(comps["doc_id"], comps["component"]))
+    assert all(label[a] == label[b] for a, b in zip(pairs["id_a"], pairs["id_b"]))
