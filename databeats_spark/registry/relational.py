@@ -244,13 +244,25 @@ ORDER BY c_custkey
 def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "orders", "customer", "nation", "region"])
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # Pre-aggregate the fact table on the join key BEFORE the join:
+    # Catalyst won't push an aggregate through a join itself, and the
+    # manual rewrite means the orderkey shuffle carries one partial row
+    # per order (map-side combined) instead of every lineitem — ~4×
+    # less shuffle I/O here, more at the skewed tail. Result-identical
+    # because sum/count decompose over the orderkey partition.
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(revenue).alias("rev_dec"), F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        per_order.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name"), F.col("r_name").alias("region_name"))
-        .agg(F.sum(revenue).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(
+            F.sum("rev_dec").cast("double").alias("revenue"),
+            F.sum("cnt").cast("long").alias("n_items"),
+        )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
