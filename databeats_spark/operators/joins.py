@@ -88,3 +88,69 @@ def asof_join(
         *[f"__t_{t}" for t in right_tie_breakers],
     )
     return out.withColumnRenamed("__on", on)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    keys: Sequence[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket: str = "1 hour",
+) -> DataFrame:
+    """Point-in-interval range join: every (point, interval) pair with
+    equal ``keys`` and ``start_ts <= point_ts <= end_ts`` (inclusive
+    both ends).
+
+    Naively this is a non-equi join — Spark plans it as a broadcast
+    nested loop (or worse, a cartesian product), which dies at scale.
+    The scale path here is interval bucketing: quantize time into
+    fixed-width buckets, map each point to its single bucket, explode
+    each interval to every bucket it covers, then EQUI-join on
+    (keys, bucket) and apply the exact containment filter. A point
+    lies in exactly one bucket, so each qualifying pair matches
+    exactly once — no dedup pass. Cost: shuffle on (keys, bucket) +
+    an interval blowup of ceil(span/bucket)+1 rows, tunable via
+    ``bucket`` to match the workload's typical span.
+
+    Both inputs keep all their columns; name collisions (other than
+    ``keys``) must be resolved upstream.
+    """
+    keys = list(keys)
+    bucket_us = _interval_to_us(bucket)
+    # integer `div`, not float division: µs epochs sit near 2^50 and
+    # the bucket id must be exact for the equi-join to be lossless
+    p = points.withColumn("__bkt", F.expr(f"unix_micros({point_ts}) div {bucket_us}"))
+    i = intervals.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros({start_ts}) div {bucket_us}"),
+                F.expr(f"unix_micros({end_ts}) div {bucket_us}"),
+            )
+        ),
+    )
+    return (
+        p.join(i, keys + ["__bkt"])
+        .filter(
+            (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+        )
+        .drop("__bkt")
+    )
+
+
+def _interval_to_us(spec: str) -> int:
+    """'90 minutes' → microseconds. Units: seconds/minutes/hours/days."""
+    qty, unit = spec.split()
+    scale = {
+        "second": 1_000_000,
+        "seconds": 1_000_000,
+        "minute": 60_000_000,
+        "minutes": 60_000_000,
+        "hour": 3_600_000_000,
+        "hours": 3_600_000_000,
+        "day": 86_400_000_000,
+        "days": 86_400_000_000,
+    }[unit]
+    return int(qty) * scale

@@ -225,6 +225,62 @@ ORDER BY c.event_id
 """
 
 
+def _range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (operators/joins.range_join): every
+    click inside the hour before each purchase by the same user — the
+    batch twin of streaming/events.stream_stream_click_attribution.
+    Spark side runs the bucketed equi-join rewrite (a naive non-equi
+    join is a nested-loop at scale); the oracle states the plain range
+    predicate."""
+    from databeats_spark.operators.joins import range_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+        .withColumn("win_start", F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+    )
+    out = range_join(
+        clicks,
+        purchases,
+        keys=["user_id"],
+        point_ts="click_ts",
+        start_ts="win_start",
+        end_ts="purchase_ts",
+        bucket="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    ).orderBy("purchase_id", "click_id")
+
+
+_RANGE_ATTRIBUTION_SQL = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, p.purchase_id, c.click_id,
+       epoch_us(p.purchase_ts) AS purchase_us,
+       epoch_us(c.click_ts) AS click_us
+FROM clicks c
+JOIN purchases p
+  ON c.user_id = p.user_id
+ AND c.click_ts >= p.purchase_ts - INTERVAL 1 hour
+ AND c.click_ts <= p.purchase_ts
+ORDER BY purchase_id, click_id
+"""
+
+
 def _user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §2.13 UDF surface done right: a grouped-map Pandas UDF
     (applyInPandas, Arrow-batched per group) where Python is the point —
@@ -370,6 +426,7 @@ SPECS = [
     QuerySpec("json_props", "C7 JSON field extraction", _json_props, _JSON_PROPS_SQL, tags=("scalar",)),
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
+    QuerySpec("range_attribution", "point-in-interval range join via bucketed equi-join rewrite", _range_attribution, _RANGE_ATTRIBUTION_SQL, tags=("join", "range")),
     QuerySpec("user_value_ranks", "grouped-map Pandas UDF (applyInPandas) vs native-window oracle", _user_value_ranks, _USER_VALUE_RANKS_SQL, tags=("udf",)),
     QuerySpec("weekly_resample", "gap-filling dense resample (user x week grid, zero-filled)", _weekly_resample, _WEEKLY_RESAMPLE_SQL, tags=("window", "timeseries")),
     QuerySpec("hourly_event_stats", "tumbling-window aggregation (batch twin of the stream)", _hourly_event_stats, _HOURLY_EVENT_STATS_SQL, tags=("window", "timeseries")),
