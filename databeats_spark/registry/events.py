@@ -225,6 +225,36 @@ ORDER BY c.event_id
 """
 
 
+def _daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate rollup (operators/rollup.py): daily stats
+    derived by re-aggregating HOURLY PARTIALS, never raw rows. The
+    oracle aggregates raw events directly — hash equality proves the
+    rollup decomposition is exact (the invariant that makes
+    incremental materialized views legal)."""
+    from databeats_spark.operators.rollup import finish, rollup_to, time_partials
+
+    t = load_tables(spark, sf_dir, ["events"])
+    hourly = time_partials(t.events, grain="hour")
+    daily = finish(rollup_to(hourly, grain="day"))
+    return daily.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("day", "event_type")
+
+
+_DAILY_ROLLUP_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY day, event_type
+"""
+
+
 def _range_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval range join (operators/joins.range_join): every
     click inside the hour before each purchase by the same user — the
@@ -427,6 +457,7 @@ SPECS = [
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
     QuerySpec("range_attribution", "point-in-interval range join via bucketed equi-join rewrite", _range_attribution, _RANGE_ATTRIBUTION_SQL, tags=("join", "range")),
+    QuerySpec("daily_from_hourly_rollup", "continuous-aggregate rollup: daily from hourly partials", _daily_from_hourly_rollup, _DAILY_ROLLUP_SQL, tags=("agg", "timeseries")),
     QuerySpec("user_value_ranks", "grouped-map Pandas UDF (applyInPandas) vs native-window oracle", _user_value_ranks, _USER_VALUE_RANKS_SQL, tags=("udf",)),
     QuerySpec("weekly_resample", "gap-filling dense resample (user x week grid, zero-filled)", _weekly_resample, _WEEKLY_RESAMPLE_SQL, tags=("window", "timeseries")),
     QuerySpec("hourly_event_stats", "tumbling-window aggregation (batch twin of the stream)", _hourly_event_stats, _HOURLY_EVENT_STATS_SQL, tags=("window", "timeseries")),

@@ -36,3 +36,53 @@ def read_history_table(spark: SparkSession, path: str) -> DataFrame:
 def read_snapshot_table(spark: SparkSession, path: str) -> DataFrame:
     """The curated-snapshot store (BigQuery role, reference S7)."""
     return spark.read.parquet(path)
+
+
+# every file format the local Spark distribution serves without extra
+# jars (avro needs spark-avro, so it is deliberately absent)
+SUPPORTED_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Format-agnostic table writer. Columnar formats (parquet/orc)
+    are the only sane choices for analytics at scale — json/csv exist
+    for interchange edges. ``partition_by`` produces the directory
+    layout partition pruning keys on."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Format-agnostic reader. Self-describing formats (parquet/orc)
+    carry their schema; text formats REQUIRE one — schema inference is
+    a second full scan and nondeterministic typing, never acceptable
+    in a pipeline."""
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {SUPPORTED_FORMATS}")
+    r = spark.read.format(fmt)
+    if fmt in ("json", "csv"):
+        if schema is None:
+            raise ValueError(f"{fmt} requires an explicit schema")
+        r = r.schema(schema).option("mode", "FAILFAST")
+        if fmt == "csv":
+            r = r.option("header", True)
+    elif schema is not None:
+        r = r.schema(schema)
+    return r.load(path)

@@ -45,3 +45,50 @@ def test_compact_preserves_rows(spark, tmp_path):
     n_files_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
     assert n_files_after <= 2
     assert spark.read.parquet(path).count() == n == ev.count()
+
+
+def test_rollup_partials_equal_direct_aggregation(spark):
+    from databeats_spark.operators.rollup import finish, rollup_to, time_partials
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, SF_SMOKE, ["events"]).events
+    rolled = (
+        finish(rollup_to(time_partials(ev, grain="hour"), grain="day"))
+        .orderBy("bucket", "event_type")
+        .toPandas()
+    )
+    direct = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("bucket", "event_type")
+        .toPandas()
+    )
+    assert rolled.equals(direct)
+    # week-from-hour equals week-from-day (rollup is associative)
+    wk_from_hour = finish(rollup_to(time_partials(ev, grain="hour"), grain="week")).orderBy("bucket", "event_type").toPandas()
+    wk_from_day = finish(rollup_to(rollup_to(time_partials(ev, grain="hour"), grain="day"), grain="week")).orderBy("bucket", "event_type").toPandas()
+    assert wk_from_hour.equals(wk_from_day)
+
+
+def test_format_roundtrip_orc_json_csv(spark, tmp_path):
+    from databeats_spark.sources.files import read_table, write_table
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+    import pytest as _pytest
+
+    nation = load_tables(spark, SF_SMOKE, ["nation"]).nation
+    exp = nation.orderBy("n_nationkey").toPandas()
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(nation, path, fmt=fmt)
+        got = read_table(spark, path, fmt=fmt, schema=nation.schema).orderBy("n_nationkey").toPandas()
+        assert got.equals(exp), fmt
+    with _pytest.raises(ValueError):
+        write_table(nation, str(tmp_path / "x"), fmt="avro")
+    with _pytest.raises(ValueError):
+        read_table(spark, str(tmp_path / "t_json"), fmt="json")  # schema required
