@@ -430,6 +430,74 @@ ORDER BY sum_qty DESC, o.o_orderkey
 """
 
 
+# --- Q: unpivot_part_metrics — wide→long reshape (melt) -------------------
+# The inverse of pivot (event_type_pivot): Spark's native unpivot node.
+# Oracled by stacked SELECTs — the dialect-stable spelling of UNPIVOT.
+
+UNPIVOT_PART_LIMIT = 500
+_UNPIVOT_METRICS = ("p_retailprice", "p_size")
+
+
+def _unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    wide = t.part.filter(F.col("p_partkey") < UNPIVOT_PART_LIMIT).select(
+        "p_partkey", *[F.col(c).cast("double").alias(c) for c in _UNPIVOT_METRICS]
+    )
+    return wide.unpivot(
+        ids=["p_partkey"],
+        values=list(_UNPIVOT_METRICS),
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("p_partkey", "metric")
+
+
+_UNPIVOT_PART_METRICS_SQL = " UNION ALL ".join(
+    f"""SELECT p_partkey, '{m}' AS metric, CAST({m} AS DOUBLE) AS value
+FROM part WHERE p_partkey < {UNPIVOT_PART_LIMIT}"""
+    for m in _UNPIVOT_METRICS
+) + " ORDER BY p_partkey, metric"
+
+
+# --- Q: revenue_share — percent-of-total window over an aggregate ---------
+# Window-over-everything on the AGGREGATED table (25 nations), not the
+# fact table — the single-partition window is safe precisely because
+# the groupBy shrank the data first.
+
+def _revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
+    rev = (
+        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(money_sum("o_totalprice").alias("revenue"))
+    )
+    total = Window.partitionBy()
+    return (
+        rev.select(
+            "n_name",
+            "revenue",
+            F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias("share"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+_REVENUE_SHARE_SQL = """
+WITH rev AS (
+  SELECT n.n_name,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS share
+FROM rev
+ORDER BY revenue DESC, n_name
+"""
+
+
 # --- Q: order_nav — window navigation functions ---------------------------
 # first/last/nth over an explicit full frame: both engines default
 # last_value to the running frame (ROWS ... CURRENT ROW), so the frame
@@ -486,4 +554,6 @@ SPECS = [
     QuerySpec("fuzzy_part_names", "edit-distance near-dup with same-brand blocking", _fuzzy_part_names, _FUZZY_PART_NAMES_SQL, tags=("dedup", "similarity")),
     QuerySpec("large_volume_orders", "HAVING over aggregate joined back to dims (Q18 shape)", _large_volume_orders, _LARGE_VOLUME_ORDERS_SQL, tags=("agg", "join")),
     QuerySpec("order_nav", "first/last/nth_value navigation over explicit full frame", _order_nav, _ORDER_NAV_SQL, tags=("window",)),
+    QuerySpec("unpivot_part_metrics", "wide-to-long unpivot/melt (inverse of pivot)", _unpivot_part_metrics, _UNPIVOT_PART_METRICS_SQL, tags=("reshape",)),
+    QuerySpec("revenue_share", "percent-of-total window over the aggregated table", _revenue_share, _REVENUE_SHARE_SQL, tags=("window", "agg")),
 ]

@@ -101,3 +101,25 @@ def test_analytics_layer(spark):
     cmp = audio_comparison(cached, art, "Artist 1", "Artist 2", features=("danceability", "energy"))
     pdf = cmp.toPandas()
     assert set(pdf["artist_name"]) <= {"Artist 1", "Artist 2"}
+
+
+def test_dashboard_views_compose_and_push_down(spark):
+    from databeats_spark.views import create_dashboard_views
+    from tests.conftest import SF_SMOKE
+
+    created = create_dashboard_views(spark, SF_SMOKE)
+    assert "v_top_customers" in created and "v_pricing_summary" in created
+    assert "v_dedup_components" not in created  # eager entries excluded
+    top = spark.sql("SELECT * FROM v_top_customers LIMIT 5").collect()
+    assert len(top) == 5
+    # composing over a view: SQL on SQL
+    n = spark.sql(
+        "SELECT count(*) AS n FROM v_pricing_summary WHERE count_order > 0"
+    ).collect()[0]["n"]
+    assert n > 0
+    # a view is a named plan, not a materialization: filters written
+    # against it still reach the parquet scan
+    plan = spark.sql(
+        "SELECT o_orderkey FROM orders WHERE o_custkey = 7"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
