@@ -281,6 +281,80 @@ ORDER BY revenue DESC, n.n_name
 """
 
 
+# --- Q: promo_revenue_ratio — Q14 shape: conditional ratio per month -----
+
+def _promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    promo_dec = F.sum(F.when(F.col("p_type") == "PROMO", rev))
+    total_dec = F.sum(rev)
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.coalesce(promo_dec, F.lit(0)).cast("double")
+                / total_dec.cast("double"),
+                6,
+            ).alias("promo_pct"),
+            total_dec.cast("double").alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+_PROMO_REVENUE_RATIO_SQL = """
+SELECT strftime(date_trunc('month', l.l_shipdate), '%Y-%m') AS ship_month,
+       round(100.0 * CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) END), 0) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+         AS promo_pct,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+ORDER BY ship_month
+"""
+
+
+# --- Q: late_shipment_orders — Q4 shape: correlated EXISTS + extra pred --
+# The semi join's condition mixes the equi key with a non-equi date
+# predicate — Spark plans the equi part as the join and the rest as a
+# post-join filter inside the semi, no nested loop.
+
+LATE_DAYS = 60
+
+
+def _late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} days")
+    )
+    return (
+        t.orders.join(t.lineitem.select("l_orderkey", "l_shipdate"), cond, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_LATE_SHIPMENT_ORDERS_SQL = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_DAYS} DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # --- Q: union_dedup -------------------------------------------------------
 # U1/U2 + A2: union two extracts, distinct (reference dag.py:457-460
 # history∪fresh concat + the dead dedup CTAS dag.py:725-733).
@@ -541,6 +615,8 @@ SPECS = [
     QuerySpec("customers_with_big_orders", "semi join (EXISTS)", _customers_with_big_orders, _CUSTOMERS_WITH_BIG_ORDERS_SQL, tags=("join",)),
     QuerySpec("revenue_by_nation", "J2/J6 star join: fact + 4 broadcast dims", _revenue_by_nation, _REVENUE_BY_NATION_SQL, bench=True, tags=("join", "agg")),
     QuerySpec("union_dedup", "U1/U2 union + distinct", _union_dedup, _UNION_DEDUP_SQL, tags=("setop",)),
+    QuerySpec("promo_revenue_ratio", "Q14 shape: conditional revenue ratio per ship month", _promo_revenue_ratio, _PROMO_REVENUE_RATIO_SQL, tags=("join", "agg")),
+    QuerySpec("late_shipment_orders", "Q4 shape: correlated EXISTS with non-equi date predicate", _late_shipment_orders, _LATE_SHIPMENT_ORDERS_SQL, tags=("join", "subquery")),
     QuerySpec("modal_priority", "A5 mode with deterministic tie-break", _modal_priority, _MODAL_PRIORITY_SQL, tags=("agg",)),
     QuerySpec("nation_customer_stats", "A1/A6/A7 multi-agg profile", _nation_customer_stats, _NATION_CUSTOMER_STATS_SQL, tags=("agg",)),
     QuerySpec("segment_class", "D1/D2 conditional derived columns", _segment_class, _SEGMENT_CLASS_SQL, tags=("project",)),
