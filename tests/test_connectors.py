@@ -110,3 +110,48 @@ def test_frame_sample_plan(spark):
     assert len(plan) == 12
     assert set(plan["frame_idx"]) == {0, 1, 2, 3}
     assert ((plan["frame_ts_frac"] > 0) & (plan["frame_ts_frac"] < 1)).all()
+
+
+def test_python_datasource_paged_search(spark):
+    from databeats_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_search")
+        .option("pages", "4").option("page_size", "25").option("seed", "7")
+        .load()
+    )
+    assert df.count() == 100
+    # one input partition per page — the crawl parallelizes
+    assert df.rdd.getNumPartitions() == 4
+    assert df.select("page").distinct().count() == 4
+    # deterministic: same options, same rows
+    again = (
+        spark.read.format("paged_search")
+        .option("pages", "4").option("page_size", "25").option("seed", "7")
+        .load()
+    )
+    assert sorted(df.collect()) == sorted(again.collect())
+    # different seed, different corpus
+    other = (
+        spark.read.format("paged_search")
+        .option("pages", "1").option("page_size", "25").option("seed", "8")
+        .load()
+    )
+    ids = {r["track_id"] for r in df.collect()}
+    assert all(r["track_id"] not in ids for r in other.collect())
+    # schema contract is stable
+    assert [f.name for f in df.schema.fields] == ["page", "track_id", "track_name", "popularity"]
+
+
+def test_python_datasource_page_cap(spark):
+    from databeats_spark.sources.pyds import register
+
+    register(spark)
+    df = (
+        spark.read.format("paged_search")
+        .option("pages", "1").option("page_size", "500")
+        .load()
+    )
+    # page_size clamps to the API limit (50)
+    assert df.count() == 50
