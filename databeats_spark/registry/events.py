@@ -311,6 +311,75 @@ ORDER BY purchase_id, click_id
 """
 
 
+def _user_funnel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-map Pandas UDF surface (§2.13's second half):
+    clicks and purchases cogrouped per user, summarized in ONE pandas
+    callback per key — the shape for per-entity logic that needs both
+    streams at once in Python. Integer/µs outputs keep it exactly
+    hash-matchable; the oracle is the native full-outer-aggregate
+    twin, so the Arrow path is value-verified, not just smoke-run."""
+    import pandas as pd
+
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.filter(F.col("user_id") < 50)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("us"), "value"
+    )
+
+    def summarize(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = (left if len(left) else right)["user_id"].iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_clicks": [len(left)],
+                "n_purchases": [len(right)],
+                "first_click_us": [left["us"].min() if len(left) else None],
+                "last_purchase_us": [right["us"].max() if len(right) else None],
+                "purchase_cents": [
+                    int(round(right["value"] * 100).sum()) if len(right) else 0
+                ],
+            }
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            summarize,
+            "user_id long, n_clicks long, n_purchases long, "
+            "first_click_us long, last_purchase_us long, purchase_cents long",
+        )
+    )
+    return out.orderBy("user_id")
+
+
+_USER_FUNNEL_SUMMARY_SQL = """
+WITH c AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_clicks,
+         min(epoch_us(ts)) AS first_click_us
+  FROM events WHERE event_type = 'click' AND user_id < 50
+  GROUP BY user_id
+), p AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+         max(epoch_us(ts)) AS last_purchase_us,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' AND user_id < 50
+  GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(c.n_clicks, 0) AS n_clicks,
+       coalesce(p.n_purchases, 0) AS n_purchases,
+       c.first_click_us,
+       p.last_purchase_us,
+       coalesce(p.purchase_cents, 0) AS purchase_cents
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+
 def _user_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The §2.13 UDF surface done right: a grouped-map Pandas UDF
     (applyInPandas, Arrow-batched per group) where Python is the point —
@@ -459,6 +528,7 @@ SPECS = [
     QuerySpec("range_attribution", "point-in-interval range join via bucketed equi-join rewrite", _range_attribution, _RANGE_ATTRIBUTION_SQL, tags=("join", "range")),
     QuerySpec("daily_from_hourly_rollup", "continuous-aggregate rollup: daily from hourly partials", _daily_from_hourly_rollup, _DAILY_ROLLUP_SQL, tags=("agg", "timeseries")),
     QuerySpec("user_value_ranks", "grouped-map Pandas UDF (applyInPandas) vs native-window oracle", _user_value_ranks, _USER_VALUE_RANKS_SQL, tags=("udf",)),
+    QuerySpec("user_funnel_summary", "cogrouped-map Pandas UDF vs full-outer-aggregate oracle", _user_funnel_summary, _USER_FUNNEL_SUMMARY_SQL, tags=("udf", "join")),
     QuerySpec("weekly_resample", "gap-filling dense resample (user x week grid, zero-filled)", _weekly_resample, _WEEKLY_RESAMPLE_SQL, tags=("window", "timeseries")),
     QuerySpec("hourly_event_stats", "tumbling-window aggregation (batch twin of the stream)", _hourly_event_stats, _HOURLY_EVENT_STATS_SQL, tags=("window", "timeseries")),
     QuerySpec("event_type_pivot", "pivot / conditional aggregation", _event_type_pivot, _EVENT_TYPE_PIVOT_SQL, tags=("agg",)),
