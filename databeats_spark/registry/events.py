@@ -225,6 +225,68 @@ ORDER BY c.event_id
 """
 
 
+def _session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in a BATCH plan, oracle'd by gaps-and-
+    islands SQL. Boundary semantics differ between the two spellings:
+    session_window merges when diff < gap (STRICT — the window is
+    [start, last+gap) and an event landing exactly at the end starts a
+    new session), so the islands oracle uses >= gap as its new-session
+    condition, unlike registry sessionization's > gap convention."""
+    t = load_tables(spark, sf_dir, ["events"])
+    return (
+        t.events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("s.start").alias("start_us"),
+            F.unix_micros("s.end").alias("end_us"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_us")
+    )
+
+
+_SESSION_WINDOWS_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= {SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, us, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(us) AS start_us,
+       max(us) + {SESSION_GAP_US} AS end_us,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""
+
+
+def _approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch vs exact: approx_percentile (Greenwald-Khanna)
+    beside the exact interpolated percentile. Sketch internals differ
+    per engine → rows-only driver check; tests/test_properties bounds
+    the sketch error against the exact column instead."""
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("exact_p50"),
+            F.expr("approx_percentile(l_extendedprice, 0.9, 1000)").alias("approx_p90"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("exact_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate rollup (operators/rollup.py): daily stats
     derived by re-aggregating HOURLY PARTIALS, never raw rows. The
@@ -524,6 +586,8 @@ SPECS = [
     QuerySpec("time_features", "C1-C5 scalar time functions", _time_features, _TIME_FEATURES_SQL, tags=("scalar",)),
     QuerySpec("json_props", "C7 JSON field extraction", _json_props, _JSON_PROPS_SQL, tags=("scalar",)),
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
+    QuerySpec("session_windows", "native batch session_window vs islands oracle (strict-gap semantics)", _session_windows, _SESSION_WINDOWS_SQL, tags=("window", "timeseries")),
+    QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
     QuerySpec("range_attribution", "point-in-interval range join via bucketed equi-join rewrite", _range_attribution, _RANGE_ATTRIBUTION_SQL, tags=("join", "range")),
     QuerySpec("daily_from_hourly_rollup", "continuous-aggregate rollup: daily from hourly partials", _daily_from_hourly_rollup, _DAILY_ROLLUP_SQL, tags=("agg", "timeseries")),

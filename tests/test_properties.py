@@ -100,3 +100,15 @@ def test_streak_bounds_and_latest_rule(spark, periods):
             break
     assert streak == run
     assert 1 <= streak <= len(periods)
+
+
+def test_approx_percentile_within_bound(spark):
+    from databeats_spark.registry import queries
+    from tests.conftest import SF_CORRECT
+
+    pdf = queries()["approx_price_quantiles"](spark, SF_CORRECT).toPandas()
+    assert len(pdf) > 0
+    for _, r in pdf.iterrows():
+        for q in ("p50", "p90"):
+            exact, approx = r[f"exact_{q}"], r[f"approx_{q}"]
+            assert abs(approx - exact) <= 0.02 * abs(exact) + 1e-9, (q, exact, approx)
