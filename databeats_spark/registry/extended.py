@@ -47,6 +47,53 @@ ORDER BY p_partkey
 """
 
 
+# --- Q: math_scalar_features — the numeric scalar library -----------------
+# Transcendentals differ in the last ulp across libm implementations;
+# round(…, 6) on both sides absorbs that, everything else is exact
+# integer/IEEE arithmetic.
+
+MATH_PART_LIMIT = 1000
+
+
+def _math_scalar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    return (
+        t.part.filter(F.col("p_partkey") < MATH_PART_LIMIT)
+        .select(
+            "p_partkey",
+            F.round(F.sqrt("p_retailprice"), 6).alias("sqrt_price"),
+            F.round(F.log("p_retailprice"), 6).alias("ln_price"),
+            F.round(F.pow(F.col("p_size").cast("double"), F.lit(1.5)), 6).alias("size_pow"),
+            (F.col("p_partkey") % 7).alias("key_mod7"),
+            F.greatest(F.col("p_size").cast("long"), F.lit(25)).alias("size_floor25"),
+            F.least(F.col("p_size").cast("long"), F.lit(25)).alias("size_cap25"),
+            F.col("p_partkey").bitwiseAND(F.lit(255)).alias("key_and255"),
+            F.col("p_partkey").bitwiseXOR(F.lit(93)).alias("key_xor93"),
+            F.abs(F.col("p_size") - 25).cast("long").alias("size_dev"),
+            F.signum(F.col("p_size") - 25).cast("long").alias("size_sign"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_MATH_SCALAR_FEATURES_SQL = f"""
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 6) AS sqrt_price,
+       round(ln(p_retailprice), 6) AS ln_price,
+       round(pow(CAST(p_size AS DOUBLE), 1.5), 6) AS size_pow,
+       p_partkey % 7 AS key_mod7,
+       greatest(CAST(p_size AS BIGINT), 25) AS size_floor25,
+       least(CAST(p_size AS BIGINT), 25) AS size_cap25,
+       p_partkey & 255 AS key_and255,
+       xor(p_partkey, 93) AS key_xor93,
+       CAST(abs(p_size - 25) AS BIGINT) AS size_dev,
+       CAST(sign(p_size - 25) AS BIGINT) AS size_sign
+FROM part
+WHERE p_partkey < {MATH_PART_LIMIT}
+ORDER BY p_partkey
+"""
+
+
 # --- Q: supplier_part_stats — the two remaining tables join ------------
 
 def _supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,6 +460,7 @@ def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPECS = [
     QuerySpec("part_name_features", "C-series string scalar functions", _part_name_features, _PART_NAME_FEATURES_SQL, tags=("scalar",)),
+    QuerySpec("math_scalar_features", "numeric scalar library: sqrt/ln/pow/mod/bitops/sign", _math_scalar_features, _MATH_SCALAR_FEATURES_SQL, tags=("scalar",)),
     QuerySpec("sql_api_revenue", "spark.sql surface: identical ANSI text on both engines", _sql_api_revenue, _SQL_API_QUERY, tags=("sql", "agg")),
     QuerySpec("supplier_part_stats", "supplier/nation dim joins + multi-agg", _supplier_part_stats, _SUPPLIER_PART_STATS_SQL, tags=("join", "agg")),
     QuerySpec("repeat_customers", "INTERSECT set op", _repeat_customers, _REPEAT_CUSTOMERS_SQL, tags=("setop",)),
