@@ -46,12 +46,13 @@ def main() -> None:
     # warmup: touch every table + JIT the scan path
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
 
-    # steady-state timing: best of 2 runs per query (first run pays
-    # whole-stage-codegen compilation; production queries run warm)
+    # steady-state timing: best of 3 runs per query (first run pays
+    # whole-stage-codegen compilation; production queries run warm,
+    # and min-of-3 rejects GC/scheduler noise spikes)
     timings: dict[str, float] = {}
     for name, build in qs.items():
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             build(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
