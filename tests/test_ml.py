@@ -134,3 +134,31 @@ def test_ivf_partitioned_write(spark, tmp_path):
 
     parts = [p for p in os.listdir(path) if p.startswith("centroid_id=")]
     assert len(parts) == 4
+
+
+def test_lang_classifier_distills_heuristic(spark):
+    from databeats_spark.functions.text import lang_guess
+    from databeats_spark.ml.text import train_lang_classifier
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_CORRECT
+
+    docs = load_tables(spark, SF_CORRECT, ["documents"]).documents
+    # weak supervision: the rule-based labeler provides the target —
+    # the learned hashed-TF model must reproduce it on held-out docs
+    weak = docs.withColumn("weak_lang", lang_guess("text"))
+    clf = train_lang_classifier(weak, seed=7, label_col="weak_lang")
+    assert clf.accuracy >= 0.85, clf.accuracy
+    scored = clf.score(docs.limit(50))
+    assert scored.count() == 50
+    assert set(scored.columns) == {"doc_id", "pred_lang"}
+
+
+def test_lang_classifier_seeded_reproducibility(spark):
+    from databeats_spark.ml.text import train_lang_classifier
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents
+    a = train_lang_classifier(docs, seed=11)
+    b = train_lang_classifier(docs, seed=11)
+    assert a.accuracy == b.accuracy
