@@ -64,6 +64,7 @@ def transform(
     hist_audio: DataFrame | None = None,
     *,
     as_of_unix: int | None = None,
+    observation=None,
 ) -> CuratedTables:
     """The reference transform stage (dag.py:408-532) as one lazy plan.
 
@@ -92,6 +93,18 @@ def transform(
     merged = (
         tracks.join(audio, "track_id", "left")
         .transform(lambda d: dedup_first(d, ["track_id", "ts"], [F.col("popularity").desc(), "track_id"]))
+        # pipeline observability: named metrics accumulated DURING the
+        # job (zero extra passes — unlike a .count() audit, which would
+        # re-run the plan). Pass a pyspark Observation to read them
+        # back after any action; defaults to a listener-visible name.
+        .observe(
+            observation if observation is not None else "etl_merged",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("danceability").isNull(), 1)).alias("n_audioless"),
+            # DISTINCT aggregates are disallowed in observed metrics;
+            # the HLL sketch is the observability-grade substitute
+            F.approx_count_distinct("track_id").alias("n_tracks"),
+        )
     )
 
     track_chart = week_on_chart(merged, "track_id", ts_col="ts", k=CHART_K)

@@ -191,6 +191,37 @@ ORDER BY id_a, id_b
 """
 
 
+# --- Q: posexplode_tokens — positional explode (token, position) ----------
+# Position-aware flattening: the shape positional n-grams, alignment,
+# and span labeling build on. Oracle = unnest(list_zip(toks, range)).
+
+POSEXPLODE_DOC_LIMIT = 20
+
+
+def _posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    return (
+        t.documents.filter(F.col("doc_id") < POSEXPLODE_DOC_LIMIT)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "tok")
+        .orderBy("doc_id", "pos")
+    )
+
+
+_POSEXPLODE_TOKENS_SQL = f"""
+SELECT doc_id, CAST(u[2] AS BIGINT) AS pos, u[1] AS tok
+FROM (
+  SELECT doc_id, unnest(list_zip(toks, range(0, len(toks)))) AS u
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents WHERE doc_id < {POSEXPLODE_DOC_LIMIT})
+)
+ORDER BY doc_id, pos
+"""
+
+
 # --- Q: dedup_components — transitive closure of the near-dup graph ------
 # Iterative min-label propagation on Spark (operators/graph.py),
 # oracle'd by a recursive CTE computing reachability — an ITERATIVE
@@ -449,6 +480,7 @@ SPECS = [
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),
     QuerySpec("dedup_components", "connected components of the near-dup graph (dedup clusters)", _dedup_components, _DEDUP_COMPONENTS_SQL, tags=("dedup", "graph")),
+    QuerySpec("posexplode_tokens", "positional explode: (token, position) pairs", _posexplode_tokens, _POSEXPLODE_TOKENS_SQL, tags=("text", "reshape")),
     QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
     QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
     QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),

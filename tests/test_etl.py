@@ -123,3 +123,17 @@ def test_dashboard_views_compose_and_push_down(spark):
         "SELECT o_orderkey FROM orders WHERE o_custkey = 7"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)]" in plan
+
+
+def test_transform_observation_metrics(spark):
+    from pyspark.sql import Observation
+
+    st, sa, sal, sau, (tracks, artists, albums, audio) = _inputs(spark)
+    obs = Observation("etl_merged_test")
+    out = transform(st, sa, sal, sau, as_of_unix=T0 + 8 * WEEK, observation=obs)
+    out.tracks.write.format("noop").mode("overwrite").save()  # any action
+    got = obs.get
+    # metrics accumulate during the job itself — no second pass
+    # (n_tracks is an HLL estimate: allow its ~2% error band)
+    assert 0 < got["n_tracks"] <= got["n_rows"] * 1.05
+    assert 0 <= got["n_audioless"] <= got["n_rows"]
