@@ -29,3 +29,24 @@ def test_query_smoke(spark, spec):
     df = spec.build(spark, SF_SMOKE)
     assert df.columns  # schema resolves
     df.limit(5).collect()  # plan executes
+
+
+def test_entry_twice_same_session(spark):
+    a = entry_mod.entry(spark).collect()
+    b = entry_mod.entry(spark).collect()
+    assert a == b and len(a) >= 1
+
+
+def test_trailing_slash_sf_dir(spark):
+    q = entry_mod.queries()
+    n1 = q["pricing_summary"](spark, SF_SMOKE).count()
+    n2 = q["pricing_summary"](spark, SF_SMOKE + "/").count()
+    assert n1 == n2 > 0
+
+
+def test_bad_sf_dir_raises_cleanly(spark):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    q = entry_mod.queries()
+    with pytest.raises(AnalysisException):
+        q["pricing_summary"](spark, "/root/testdata/does_not_exist").count()
