@@ -94,6 +94,45 @@ ORDER BY p_partkey
 """
 
 
+# --- Q: calendar_features — calendar arithmetic edge semantics ------------
+# add_months clamps to month-end on BOTH engines (Jan 31 + 1 mo =
+# Feb 29); day-of-week is spelled as ISO (Mon=1..Sun=7) because the
+# engines' default conventions differ (Spark dayofweek: Sun=1; DuckDB
+# dayofweek: Sun=0) — the classic silent-off-by-one, pinned here.
+
+CALENDAR_ORDER_LIMIT = 2000
+
+
+def _calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    d = F.to_date("o_orderdate")
+    return (
+        t.orders.filter(F.col("o_orderkey") < CALENDAR_ORDER_LIMIT)
+        .select(
+            "o_orderkey",
+            F.date_format(F.add_months(d, 1), "yyyy-MM-dd").alias("plus_month"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            (F.weekday(d) + 1).cast("long").alias("isodow"),
+            F.quarter(d).cast("long").alias("qtr"),
+            F.dayofyear(d).cast("long").alias("doy"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_CALENDAR_FEATURES_SQL = f"""
+SELECT o_orderkey,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus_month,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+       CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS isodow,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+       CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy
+FROM orders
+WHERE o_orderkey < {CALENDAR_ORDER_LIMIT}
+ORDER BY o_orderkey
+"""
+
+
 # --- Q: supplier_part_stats — the two remaining tables join ------------
 
 def _supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +500,7 @@ def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPECS = [
     QuerySpec("part_name_features", "C-series string scalar functions", _part_name_features, _PART_NAME_FEATURES_SQL, tags=("scalar",)),
     QuerySpec("math_scalar_features", "numeric scalar library: sqrt/ln/pow/mod/bitops/sign", _math_scalar_features, _MATH_SCALAR_FEATURES_SQL, tags=("scalar",)),
+    QuerySpec("calendar_features", "calendar arithmetic: month-end clamping, ISO dow, quarter", _calendar_features, _CALENDAR_FEATURES_SQL, tags=("scalar", "timeseries")),
     QuerySpec("sql_api_revenue", "spark.sql surface: identical ANSI text on both engines", _sql_api_revenue, _SQL_API_QUERY, tags=("sql", "agg")),
     QuerySpec("supplier_part_stats", "supplier/nation dim joins + multi-agg", _supplier_part_stats, _SUPPLIER_PART_STATS_SQL, tags=("join", "agg")),
     QuerySpec("repeat_customers", "INTERSECT set op", _repeat_customers, _REPEAT_CUSTOMERS_SQL, tags=("setop",)),
