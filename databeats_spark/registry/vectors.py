@@ -137,8 +137,72 @@ ORDER BY vec_id
 """
 
 
+# --- Q: label_centroid_distance — per-label centroids + distances ---------
+# The clustering-quality primitive (and the exact twin of what IVF's
+# KMeans does per list): positional explode → per-(label, dimension)
+# mean → join back → L2 distance to own centroid. Centroids round to
+# 6 before the distance so both engines compute from identical
+# doubles; the 16-term distance sum is then stable far below 1e-6.
+
+CENTROID_VEC_LIMIT = 500
+
+
+def _label_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    expl = (
+        t.embeddings.filter(F.col("vec_id") < CENTROID_VEC_LIMIT)
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            ),
+        )
+    )
+    cent = expl.groupBy("label", F.col("pos").alias("cpos")).agg(
+        F.round(F.avg("val"), 6).alias("c")
+    )
+    return (
+        expl.join(
+            cent, (expl["label"] == cent["label"]) & (expl["pos"] == cent["cpos"])
+        )
+        .drop(cent["label"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sqrt(F.sum(F.pow(F.col("val") - F.col("c"), F.lit(2.0)))), 6).alias(
+                "dist_to_centroid"
+            )
+        )
+        .orderBy("vec_id")
+    )
+
+
+_LABEL_CENTROID_DISTANCE_SQL = f"""
+WITH expl AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(u[2] AS BIGINT) AS pos, CAST(u[1] AS DOUBLE) AS val
+  FROM (
+    SELECT vec_id, label,
+           unnest(list_zip(CAST(embedding AS DOUBLE[]),
+                           range(0, len(embedding)))) AS u
+    FROM embeddings WHERE vec_id < {CENTROID_VEC_LIMIT}
+  )
+), cent AS (
+  SELECT label, pos, round(avg(val), 6) AS c
+  FROM expl GROUP BY label, pos
+)
+SELECT e.vec_id, e.label,
+       round(sqrt(sum(pow(e.val - c.c, 2.0))), 6) AS dist_to_centroid
+FROM expl e
+JOIN cent c ON e.label = c.label AND e.pos = c.pos
+GROUP BY e.vec_id, e.label
+ORDER BY e.vec_id
+"""
+
+
 SPECS = [
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
+    QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
