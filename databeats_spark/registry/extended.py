@@ -487,6 +487,34 @@ ORDER BY o.o_orderpriority
 """
 
 
+# --- Q: sql_lateral_topk — identical ANSI LATERAL text on both engines ----
+# Correlated LATERAL subquery with ORDER BY + LIMIT: per-customer
+# top-2 orders, the SQL spelling of the per-parent-limit window
+# (first_lineitems_per_order is the DataFrame spelling). One string,
+# both engines, verbatim.
+
+_SQL_LATERAL_QUERY = """
+SELECT c.c_custkey, t.o_orderkey, t.total
+FROM customer c,
+LATERAL (
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) t
+WHERE c.c_custkey < 100
+ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+def _sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_SQL_LATERAL_QUERY)
+
+
 def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the spark.sql surface (C9): same Catalyst plan as the DataFrame
     # API — here the ORACLE string runs verbatim on Spark too, since
@@ -502,6 +530,7 @@ SPECS = [
     QuerySpec("math_scalar_features", "numeric scalar library: sqrt/ln/pow/mod/bitops/sign", _math_scalar_features, _MATH_SCALAR_FEATURES_SQL, tags=("scalar",)),
     QuerySpec("calendar_features", "calendar arithmetic: month-end clamping, ISO dow, quarter", _calendar_features, _CALENDAR_FEATURES_SQL, tags=("scalar", "timeseries")),
     QuerySpec("sql_api_revenue", "spark.sql surface: identical ANSI text on both engines", _sql_api_revenue, _SQL_API_QUERY, tags=("sql", "agg")),
+    QuerySpec("sql_lateral_topk", "correlated LATERAL subquery (identical ANSI text, top-2 per key)", _sql_lateral_topk, _SQL_LATERAL_QUERY, tags=("sql", "subquery")),
     QuerySpec("supplier_part_stats", "supplier/nation dim joins + multi-agg", _supplier_part_stats, _SUPPLIER_PART_STATS_SQL, tags=("join", "agg")),
     QuerySpec("repeat_customers", "INTERSECT set op", _repeat_customers, _REPEAT_CUSTOMERS_SQL, tags=("setop",)),
     QuerySpec("open_only_customers", "EXCEPT set op", _open_only_customers, _OPEN_ONLY_CUSTOMERS_SQL, tags=("setop",)),
