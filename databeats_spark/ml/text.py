@@ -11,6 +11,8 @@ web-scale text. IDF adds the one corpus-level statistics pass.
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from dataclasses import dataclass
 
 from pyspark.ml import Pipeline, PipelineModel
@@ -28,6 +30,25 @@ def build_lang_classifier(num_features: int = 1 << 12, label_col: str = "lang") 
     indexer = StringIndexer(inputCol=label_col, outputCol="label", handleInvalid="error")
     lr = LogisticRegression(maxIter=25, regParam=1e-3)
     return Pipeline(stages=[tokenizer, tf, idf, indexer, lr])
+
+
+def _strip_training_summary(model: PipelineModel) -> PipelineModel:
+    """Persist/reload the fitted pipeline to shed the LR training summary.
+
+    When the label column happens to index to exactly two classes, Spark's
+    binary LogisticRegression training summary holds the live SparkSession
+    (whose ObservationManager is not serializable), so a freshly-fitted
+    model cannot be shipped inside a task closure — ``transform`` dies with
+    "Task not serializable". Summaries are not persisted, so a save/load
+    roundtrip returns the same model in the state a cluster scorer would
+    load it anyway.
+    """
+    d = tempfile.mkdtemp(prefix="dbts_lang_clf_")
+    try:
+        model.write().overwrite().save(d)
+        return PipelineModel.load(d)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 @dataclass
@@ -58,7 +79,7 @@ def train_lang_classifier(
     bootstrap real corpus pipelines use when gold labels don't exist.
     """
     train, test = docs.randomSplit([train_fraction, 1 - train_fraction], seed=seed)
-    model = build_lang_classifier(label_col=label_col).fit(train)
+    model = _strip_training_summary(build_lang_classifier(label_col=label_col).fit(train))
     labels = model.stages[3].labels
     decoded = IndexToString(inputCol="prediction", outputCol="pred_lang", labels=labels)
     scored = decoded.transform(model.transform(test))
