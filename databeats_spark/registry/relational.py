@@ -605,6 +605,170 @@ ORDER BY o_custkey, o_orderstatus
 """
 
 
+# --- Q: nation_market_share — Q8 shape: conditional share per year --------
+# Two-sided star: the SUPPLIER side decides the numerator (is the line
+# supplied by the target nation?), the CUSTOMER side gates membership
+# (buyer lives in the target region — a semi join, so no fan-out). All
+# dims broadcast; the only shuffles are lineitem→orders on orderkey and
+# the final tiny per-year aggregate.
+
+MKT_REGION = "EUROPE"
+MKT_SUPP_NATION = "NATION_7"
+MKT_PART_TYPE = "STANDARD"
+
+
+def _nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir,
+        ["lineitem", "orders", "customer", "supplier", "nation", "region", "part"],
+    )
+    region_custs = (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == MKT_REGION)
+        .select("c_custkey")
+    )
+    supp_nation = t.supplier.join(
+        F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    target_dec = F.sum(F.when(F.col("supp_nation") == MKT_SUPP_NATION, rev))
+    total_dec = F.sum(rev)
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.filter(F.col("p_type") == MKT_PART_TYPE).select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(region_custs, F.col("o_custkey") == F.col("c_custkey"), "leftsemi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.round(
+                F.coalesce(target_dec, F.lit(0)).cast("double")
+                / total_dec.cast("double"),
+                6,
+            ).alias("mkt_share"),
+            total_dec.cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_NATION_MARKET_SHARE_SQL = f"""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(coalesce(sum(CASE WHEN n2.n_name = '{MKT_SUPP_NATION}'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) END), 0) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6)
+         AS mkt_share,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{MKT_PART_TYPE}'
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_custkey = o.o_custkey AND r.r_name = '{MKT_REGION}'
+  )
+GROUP BY 1
+ORDER BY o_year
+"""
+
+
+# --- Q: blocking_suppliers — Q21 shape: EXISTS + NOT EXISTS self-join -----
+# "Suppliers who kept multi-supplier orders waiting": the late line's
+# supplier qualifies only if ANOTHER supplier shipped on the order
+# (semi self-join, orderkey equi + suppkey non-equi) and NO OTHER
+# supplier was also late (anti self-join, same key shape). Spark plans
+# both as hash joins on l_orderkey with the suppkey inequality as a
+# post-join predicate — no nested loop, and the two self-joins reuse
+# the lineitem shuffle partitioning.
+
+BLOCKING_LATE_DAYS = 60
+
+
+def _blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem", "orders", "supplier"])
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(
+            t.orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {BLOCKING_LATE_DAYS} days")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("s2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("s3_suppkey")
+    )
+    blockers = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("s2_suppkey")),
+        "leftsemi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("s3_suppkey")),
+        "leftanti",
+    )
+    return (
+        blockers.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+_BLOCKING_SUPPLIERS_SQL = f"""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL {BLOCKING_LATE_DAYS} DAY
+)
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+"""
+
+
 SPECS = [
     QuerySpec("pricing_summary", "TPC-H Q1 shape: filter + 8-agg groupBy (A-series)", _pricing_summary, _PRICING_SUMMARY_SQL, bench=True, tags=("agg",)),
     QuerySpec("filter_project", "F1/F2 predicates + P1 projection with pushdown", _filter_project, _FILTER_PROJECT_SQL, bench=True, tags=("filter",)),
@@ -625,4 +789,6 @@ SPECS = [
     QuerySpec("first_lineitems_per_order", "W5 per-parent limit", _first_lineitems_per_order, _FIRST_LINEITEMS_SQL, tags=("window",)),
     QuerySpec("latest_order_per_customer", "W2 latest row per entity", _latest_order_per_customer, _LATEST_ORDER_SQL, tags=("window",)),
     QuerySpec("dedup_first_order", "A3 deterministic dedup-by-key", _dedup_first_order, _DEDUP_FIRST_ORDER_SQL, tags=("dedup",)),
+    QuerySpec("nation_market_share", "Q8 shape: supplier-nation revenue share per year within a customer region", _nation_market_share, _NATION_MARKET_SHARE_SQL, tags=("join", "agg", "subquery")),
+    QuerySpec("blocking_suppliers", "Q21 shape: EXISTS + NOT EXISTS self-joins on late multi-supplier orders", _blocking_suppliers, _BLOCKING_SUPPLIERS_SQL, tags=("join", "subquery")),
 ]
