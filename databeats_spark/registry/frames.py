@@ -543,6 +543,48 @@ ORDER BY o_custkey, seq
 """
 
 
+# --- Q: spend_percentiles — percent_rank / cume_dist distribution ranks ---
+# The remaining W-series rank family: relative position within a
+# segment. Both functions are exact rationals of BIGINT rank/count —
+# (rank-1)/(n-1) and cume/n — so the doubles are bit-identical across
+# engines once the ORDER BY is a total order (spend, then custkey).
+
+def _spend_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    spend = (
+        t.orders.groupBy("o_custkey")
+        .agg(money_sum("o_totalprice").alias("total_spend"))
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "c_mktsegment",
+        "c_custkey",
+        "total_spend",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+_SPEND_PERCENTILES_SQL = """
+WITH spend AS (
+  SELECT c.c_mktsegment, c.c_custkey,
+         CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+)
+SELECT c_mktsegment, c_custkey, total_spend,
+       round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY total_spend, c_custkey), 6) AS pct_rank,
+       round(cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY total_spend, c_custkey), 6) AS cume
+FROM spend
+ORDER BY c_mktsegment, c_custkey
+"""
+
+
 SPECS = [
     QuerySpec("rolling_7d_spend", "value-RANGE rolling window frame (7-day spend)", _rolling_7d_spend, _ROLLING_7D_SPEND_SQL, bench=True, tags=("window", "frame")),
     QuerySpec("sliding_event_stats", "hopping windows (1h window / 30m slide) vs closed-form oracle", _sliding_event_stats, _SLIDING_EVENT_STATS_SQL, tags=("window", "timeseries")),
@@ -556,4 +598,5 @@ SPECS = [
     QuerySpec("order_nav", "first/last/nth_value navigation over explicit full frame", _order_nav, _ORDER_NAV_SQL, tags=("window",)),
     QuerySpec("unpivot_part_metrics", "wide-to-long unpivot/melt (inverse of pivot)", _unpivot_part_metrics, _UNPIVOT_PART_METRICS_SQL, tags=("reshape",)),
     QuerySpec("revenue_share", "percent-of-total window over the aggregated table", _revenue_share, _REVENUE_SHARE_SQL, tags=("window", "agg")),
+    QuerySpec("spend_percentiles", "percent_rank + cume_dist distribution ranks per segment", _spend_percentiles, _SPEND_PERCENTILES_SQL, tags=("window",)),
 ]
