@@ -525,6 +525,37 @@ def _sql_api_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_API_QUERY)
 
 
+# --- Q: priority_flags — bool_and / bool_or universal+existential aggs ----
+# The remaining A-series aggregate family: EVERY / ANY as grouped
+# flags. Identical builtin names on both engines; counts pinned to
+# BIGINT per the parity rules.
+
+def _priority_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return (
+        t.orders.groupBy("o_orderpriority")
+        .agg(
+            F.bool_and(dec("o_totalprice") > 1000).alias("all_above_1k"),
+            F.bool_or(dec("o_totalprice") > 400000).alias("any_jumbo"),
+            F.bool_and(F.col("o_orderstatus") != "P").alias("none_pending"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_PRIORITY_FLAGS_SQL = """
+SELECT o_orderpriority,
+       bool_and(CAST(o_totalprice AS DECIMAL(18,2)) > 1000) AS all_above_1k,
+       bool_or(CAST(o_totalprice AS DECIMAL(18,2)) > 400000) AS any_jumbo,
+       bool_and(o_orderstatus <> 'P') AS none_pending,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 SPECS = [
     QuerySpec("part_name_features", "C-series string scalar functions", _part_name_features, _PART_NAME_FEATURES_SQL, tags=("scalar",)),
     QuerySpec("math_scalar_features", "numeric scalar library: sqrt/ln/pow/mod/bitops/sign", _math_scalar_features, _MATH_SCALAR_FEATURES_SQL, tags=("scalar",)),
@@ -533,6 +564,7 @@ SPECS = [
     QuerySpec("sql_lateral_topk", "correlated LATERAL subquery (identical ANSI text, top-2 per key)", _sql_lateral_topk, _SQL_LATERAL_QUERY, tags=("sql", "subquery")),
     QuerySpec("supplier_part_stats", "supplier/nation dim joins + multi-agg", _supplier_part_stats, _SUPPLIER_PART_STATS_SQL, tags=("join", "agg")),
     QuerySpec("repeat_customers", "INTERSECT set op", _repeat_customers, _REPEAT_CUSTOMERS_SQL, tags=("setop",)),
+    QuerySpec("priority_flags", "bool_and/bool_or (EVERY/ANY) grouped flag aggregates", _priority_flags, _PRIORITY_FLAGS_SQL, tags=("agg",)),
     QuerySpec("open_only_customers", "EXCEPT set op", _open_only_customers, _OPEN_ONLY_CUSTOMERS_SQL, tags=("setop",)),
     QuerySpec("price_quantiles", "exact interpolated median/p90 per group", _price_quantiles, _PRICE_QUANTILES_SQL, tags=("agg",)),
     QuerySpec("order_gaps", "lag/lead window deltas", _order_gaps, _ORDER_GAPS_SQL, tags=("window",)),
