@@ -187,10 +187,17 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing: pairs sharing
-    a hyperplane bucket with cosine ≥ threshold. (id_a < id_b)."""
-    sig = hyperplane_signature(vec_col, _infer_dim(embeddings, vec_col), n_planes, seed)
+    a hyperplane bucket with cosine ≥ threshold. (id_a < id_b).
+
+    Pass ``dim`` explicitly (like ``lsh_cosine_top_k``/``ivf``) — the
+    fallback inference costs a driver round-trip per call.
+    """
+    if dim is None:
+        dim = _infer_dim(embeddings, vec_col)
+    sig = hyperplane_signature(vec_col, dim, n_planes, seed)
     e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__bucket"))
     return (
         e.alias("a")

@@ -28,6 +28,12 @@ from databeats_spark.schemas import AUDIO_FEATURE_COLS
 
 ARTIST_WEIGHT = 100  # reference recommendation.py:59-60
 ROWS_PER_CLUSTER = 15  # reference recommendation.py:61
+# Deviation from the reference's unbounded k = n // 15: at 100× corpus
+# size that rule asks KMeans for hundreds of thousands of centroids,
+# which does not converge in practice. Cap k; beyond ~K_MAX * 15 rows
+# the right tool is the ANN path (ml/ann.py ivf_cosine_top_k), which
+# scales cluster count with sqrt(n) and prunes probes at query time.
+K_MAX = 2048
 
 
 def build_pipeline(k: int, seed: int = 42) -> Pipeline:
@@ -65,7 +71,7 @@ class SongRecommender:
     @classmethod
     def fit(cls, tracks: DataFrame, audio: DataFrame, seed: int = 42) -> "SongRecommender":
         corpus = cls.preprocess(tracks, audio).cache()
-        k = max(2, corpus.count() // ROWS_PER_CLUSTER)  # M6 granularity rule
+        k = max(2, min(corpus.count() // ROWS_PER_CLUSTER, K_MAX))  # M6 rule, capped (see K_MAX)
         model = build_pipeline(k, seed).fit(corpus)
         return cls(model, corpus)
 

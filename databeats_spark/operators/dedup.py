@@ -33,6 +33,10 @@ from databeats_spark.functions.text import fingerprint, word_shingles
 # per-document shingle sets; candidates are exact-verified anyway.
 _MERSENNE_31 = (1 << 31) - 1
 
+# The most recent minhash shingle cache (see minhash_near_duplicates):
+# one entry max, released on the next invocation.
+_SHINGLE_CACHE: list[DataFrame] = []
+
 
 def dedup_first(df: DataFrame, keys: Sequence[str], order_by: Sequence[str | Column]) -> DataFrame:
     """Deterministic ``drop_duplicates(subset=keys)`` — pandas keeps the
@@ -165,7 +169,14 @@ def minhash_near_duplicates(
     shingled = df.select(
         F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__shingles")
     ).filter(F.size("__shingles") > 0)
+    # Bound cache growth across repeated invocations (bench best-of-3
+    # builds a fresh plan per run): release the previous run's shingle
+    # blocks before pinning this run's. At most one shingle cache lives
+    # at a time; unpersist is async so an in-flight prior job finishes.
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop().unpersist(blocking=False)
     shingled = shingled.persist()
+    _SHINGLE_CACHE.append(shingled)
 
     exploded = shingled.select(
         "__id", F.explode("__shingles").alias("__sh")

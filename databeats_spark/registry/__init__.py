@@ -35,11 +35,25 @@ class QuerySpec:
 
 
 def _collect() -> list[QuerySpec]:
+    """Collect specs in driver-verification priority order.
+
+    The driver's CORRECTNESS gate checks ``registry()[:50]``. Round 1
+    verified the first 50 of (relational, events, documents, vectors);
+    round 2 fronts the 37 queries that window missed (all of extended +
+    frames + 5 vectors entries) and then every bench headline, so each
+    benchmarked query carries a driver-green correctness row. Queries
+    already driver-verified in round 1 keep those rows on record.
+    """
     from databeats_spark.registry import documents, events, extended, frames, relational, vectors
 
     specs: list[QuerySpec] = []
-    for mod in (relational, events, documents, vectors, extended, frames):
+    for mod in (extended, frames, vectors):
         specs.extend(mod.SPECS)
+    rest: list[QuerySpec] = []
+    for mod in (relational, events, documents):
+        rest.extend(mod.SPECS)
+    specs.extend(s for s in rest if s.bench)
+    specs.extend(s for s in rest if not s.bench)
     names = [s.name for s in specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"
     return specs
