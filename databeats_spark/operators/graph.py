@@ -17,11 +17,17 @@ document all overlap each other). Each round is one shuffle-join on
 the edge list — no driver-side graph, so it scales with the cluster.
 ``localCheckpoint`` truncates lineage so plans don't grow per round.
 
-Scale note (100 TB): for adversarial graphs with large diameter
-(long chains), swap the propagation loop for the large-star/small-star
-alternation of Kiveris et al., "Connected Components in MapReduce and
-Beyond" (SOCC'14) — O(log n) rounds on power-law graphs. The operator
-signature stays the same; near-dup workloads don't need it.
+Two interchangeable algorithms, same (node, component) contract:
+
+- :func:`connected_components` — min-label propagation; rounds =
+  graph diameter. The default: near-dup clusters have tiny diameter
+  (duplicates of one document all overlap each other), and each round
+  is a single cheap join.
+- :func:`alternating_components` — the large-star/small-star
+  alternation of Kiveris et al., "Connected Components in MapReduce
+  and Beyond" (SOCC'14): O(log n) rounds regardless of diameter, for
+  adversarial graphs (long chains, e.g. transitive near-dup drift
+  across a corpus of incremental revisions).
 """
 
 from __future__ import annotations
@@ -71,6 +77,99 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star: every node connects its strictly-larger neighbors to
+    the minimum of its closed neighborhood. ``sym`` holds BOTH edge
+    directions (a, b)."""
+    mins = sym.groupBy("a").agg(F.min("b").alias("__mb")).select(
+        "a", F.least(F.col("__mb"), F.col("a")).alias("m")
+    )
+    return (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """Small-star: with edges directed large→small (u > v), every node
+    relinks its smaller neighbors (and itself) to the minimum."""
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    joined = directed.join(mins, "u")
+    relink = joined.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_link = joined.select("u", F.col("m").alias("v"))
+    return relink.union(self_link).distinct()
+
+
+def alternating_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via large-star/small-star
+    alternation (Kiveris et al., SOCC'14) — diameter-independent, for
+    graphs where min-label propagation would need too many rounds.
+
+    Same contract as :func:`connected_components`: returns
+    (node, component) with component = min reachable node id; isolated
+    nodes are absent. Raises ``RuntimeError`` if the edge set has not
+    reached fixpoint within ``max_iter`` alternations (each alternation
+    at least halves tree heights, so 30 covers any realistic graph).
+
+    Every round is two grouped-min aggregations + two equi-joins on the
+    shrinking edge list — no driver-side graph state; the only driver
+    actions are the per-round fixpoint signatures.
+    """
+    # canonical undirected pairs, self-loops dropped
+    e = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-insensitive AND overflow-free (ANSI
+        # mode makes a long sum of 2^63-scale hashes throw)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    sig = signature(e)
+    for _ in range(max_iter):
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+        e = _small_star(_large_star(sym)).localCheckpoint()
+        new_sig = signature(e)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(f"alternating_components: no fixpoint in {max_iter} rounds")
+
+    # fixpoint edge set is a star forest: (u, v) = (node, its root)
+    stars = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def dedup_keep_canonical(

@@ -145,12 +145,19 @@ def transform(
 
 def write_history(df: DataFrame, path: str) -> None:
     """Raw-history sink: append-only, partitioned by snapshot week —
-    the Mongo append of the reference (dag.py:534-646) in scalable form."""
-    df.withColumn("__week", F.date_trunc("week", F.timestamp_seconds("timestamp")).cast("date")) \
-        .write.mode("append").partitionBy("__week").parquet(path)
+    the Mongo append of the reference (dag.py:534-646) in scalable
+    form. Store format comes from the session conf (files.py seam)."""
+    from databeats_spark.sources.files import store_format, write_table
+
+    weekly = df.withColumn(
+        "__week", F.date_trunc("week", F.timestamp_seconds("timestamp")).cast("date")
+    )
+    write_table(weekly, path, fmt=store_format(df.sparkSession), mode="append", partition_by=("__week",))
 
 
 def write_snapshot(df: DataFrame, path: str) -> None:
     """Curated-snapshot sink: overwrite — the BigQuery TRUNCATE+APPEND
     of the reference (dag.py:827-849)."""
-    df.write.mode("overwrite").parquet(path)
+    from databeats_spark.sources.files import store_format, write_table
+
+    write_table(df, path, fmt=store_format(df.sparkSession), mode="overwrite")

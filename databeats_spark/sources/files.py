@@ -27,15 +27,27 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+# The external-store seam (S6/S7, K1-K3): history/snapshot tables are
+# read and written through the DataSource format named by this runtime
+# conf — parquet by default; set to "orc" (or "mongodb"/"bigquery"
+# where those connector jars exist) to retarget the stores with ZERO
+# engine-code changes. tests/test_connectors.py proves the swap.
+STORE_FORMAT_CONF = "spark.databeats.store.format"
+
+
+def store_format(spark: SparkSession) -> str:
+    return spark.conf.get(STORE_FORMAT_CONF, "parquet")
+
+
 def read_history_table(spark: SparkSession, path: str) -> DataFrame:
     """The raw-history store (Mongo role, reference S6): append-mode
-    week-partitioned parquet written by plans/etl.write_history."""
-    return spark.read.parquet(path)
+    week-partitioned table written by plans/etl.write_history."""
+    return read_table(spark, path, fmt=store_format(spark))
 
 
 def read_snapshot_table(spark: SparkSession, path: str) -> DataFrame:
     """The curated-snapshot store (BigQuery role, reference S7)."""
-    return spark.read.parquet(path)
+    return read_table(spark, path, fmt=store_format(spark))
 
 
 # every file format the local Spark distribution serves without extra

@@ -155,3 +155,46 @@ def test_python_datasource_page_cap(spark):
     )
     # page_size clamps to the API limit (50)
     assert df.count() == 50
+
+
+def test_store_format_seam_swaps_without_code_changes(spark, tmp_path):
+    """S6/S7 seam contract: the history/snapshot stores retarget to a
+    different DataSource format via configuration ONLY — proving the
+    'Mongo/BQ is a format swap' claim in sources/files.py. The engine
+    call sites (write_history/read_history_table, write_snapshot/
+    read_snapshot_table) are byte-identical between the parquet and orc
+    runs; only the session conf differs."""
+    import os
+
+    from databeats_spark.plans.etl import write_history, write_snapshot
+    from databeats_spark.sources.files import (
+        STORE_FORMAT_CONF,
+        read_history_table,
+        read_snapshot_table,
+    )
+
+    df = spark.range(20).select(
+        F.col("id").alias("track_id"),
+        (F.col("id") % 5).alias("popularity"),
+        (F.lit(1700000000) + F.col("id") * 86400).alias("timestamp"),
+    )
+    spark.conf.set(STORE_FORMAT_CONF, "orc")
+    try:
+        hist, snap = str(tmp_path / "hist"), str(tmp_path / "snap")
+        write_history(df, hist)
+        write_snapshot(df, snap)
+
+        # the physical files really are ORC, laid out by week partition
+        weeks = [p for p in os.listdir(hist) if p.startswith("__week=")]
+        assert weeks
+        files = os.listdir(os.path.join(hist, weeks[0]))
+        assert any(f.endswith(".orc") for f in files), files
+        assert not any(f.endswith(".parquet") for f in files), files
+
+        # and the paired readers round-trip through the same conf
+        assert read_history_table(spark, hist).count() == 20
+        back = read_snapshot_table(spark, snap)
+        assert back.count() == 20
+        assert {"track_id", "popularity", "timestamp"} <= set(back.columns)
+    finally:
+        spark.conf.unset(STORE_FORMAT_CONF)

@@ -63,3 +63,27 @@ def test_registry_components_cover_all_pair_endpoints(spark):
     # every pair is intra-component (closure really is transitive)
     label = dict(zip(comps["doc_id"], comps["component"]))
     assert all(label[a] == label[b] for a, b in zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_alternating_matches_propagation_on_random_graph(spark):
+    import random
+
+    from databeats_spark.operators.graph import alternating_components
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    e = edges_df(spark, pairs)
+    assert comp_map(alternating_components(e)) == comp_map(connected_components(e))
+
+
+def test_alternating_converges_logarithmically_on_long_chain(spark):
+    """Adversarial diameter: a 200-node path. Propagation would need
+    ~200 rounds; large-star/small-star must finish within 12
+    alternations (O(log n); raises if the cap is exceeded)."""
+    from databeats_spark.operators.graph import alternating_components
+
+    chain = [(i, i + 1) for i in range(200)]
+    got = comp_map(alternating_components(edges_df(spark, chain), max_iter=12))
+    assert len(got) == 201
+    assert set(got.values()) == {0}

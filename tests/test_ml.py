@@ -58,6 +58,68 @@ def test_regression_gbt_path(spark, corpus):
     assert trained.rmse < 0.8 * stats["sd"]
 
 
+def test_regression_xgb_path(spark, corpus):
+    """M4: the xgb algo uses SparkXGBRegressor when the package exists
+    and the GBT fallback otherwise — this run exercises whichever
+    branch the environment provides; the fallback is additionally
+    covered unconditionally by test_regression_gbt_path."""
+    from databeats_spark.ml.regression import xgb_regressor
+
+    _, _, merged = corpus
+    stats = merged.agg(F.stddev("popularity").alias("sd")).collect()[0]
+    trained = train_popularity_model(merged, algo="xgb", cv_folds=2)
+    assert trained.rmse < 0.8 * stats["sd"]
+    if xgb_regressor(42) is None:
+        # fallback active: the fitted stage must be the documented GBT
+        assert type(trained.model.stages[-1]).__name__ == "GBTRegressionModel"
+
+
+def test_random_search_matches_grid_at_half_fits(spark, corpus):
+    """M2: seeded random search (BayesSearchCV n_iter semantics) finds
+    a config matching exhaustive-grid quality with half the fits."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+    from pyspark.ml.tuning import CrossValidator
+    from databeats_spark.ml.regression import random_param_maps
+    from databeats_spark.schemas import AUDIO_FEATURE_COLS
+
+    _, _, merged = corpus
+    data = merged.select("popularity", *AUDIO_FEATURE_COLS).na.drop().cache()
+    est = RandomForestRegressor(labelCol="popularity", seed=42)
+    space = {est.maxDepth: [4, 8, 12], est.numTrees: [20, 60, 100, 150]}
+    full = [{est.maxDepth: d, est.numTrees: n} for d in [4, 8, 12] for n in [20, 60, 100, 150]]
+    sampled = random_param_maps(space, n_iter=6, seed=42)
+    assert len(sampled) == 6  # half of the 12-combo grid
+    assert len({tuple(sorted((p.name, v) for p, v in m.items())) for m in sampled}) == 6
+
+    pipe = Pipeline(stages=[VectorAssembler(inputCols=list(AUDIO_FEATURE_COLS), outputCol="features"), est])
+    ev = RegressionEvaluator(labelCol="popularity", metricName="rmse")
+
+    def best_cv_rmse(maps):
+        cv = CrossValidator(estimator=pipe, estimatorParamMaps=maps, evaluator=ev,
+                            numFolds=2, seed=42, parallelism=4)
+        return min(cv.fit(data).avgMetrics)
+
+    grid_rmse = best_cv_rmse(full)
+    rand_rmse = best_cv_rmse(sampled)
+    assert rand_rmse <= grid_rmse * 1.05, (rand_rmse, grid_rmse)
+
+
+def test_rfe_feature_selection(spark, corpus):
+    """M3: iterative drop-by-featureImportances to 10 features keeps
+    the planted signal and the linear model stays in its RMSE band."""
+    from databeats_spark.ml.regression import train_lr_with_rfe
+
+    _, _, merged = corpus
+    trained, selected = train_lr_with_rfe(merged, n_features=10, cv_folds=2)
+    assert len(selected) == 10
+    # planted signal: popularity ≈ 60*dance + 30*energy + N(0,8)
+    assert {"danceability", "energy"} <= set(selected)
+    assert trained.rmse < 12  # matches the full-feature LR band (noise sd 8)
+
+
 def test_recommender_formatting(spark, corpus):
     from databeats_spark.ml.recommender import format_recommendations
 
