@@ -129,6 +129,79 @@ def fingerprint(text: str | Column) -> Column:
     return F.md5(normalized(text))
 
 
+# PII scrubbing — the redaction pass every training-data pipeline runs
+# before a corpus ships. Patterns restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB oracle) treat identically, ordered so earlier
+# rewrites can't create later matches (URLs may contain '@', so URLs
+# scrub first).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?[0-9][0-9()\s-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(text: str | Column) -> Column:
+    """Redact URLs, emails, then phone-like digit runs with typed
+    placeholder tokens. Pure chained regexp_replace — codegen'd,
+    no UDF; order is load-bearing (see PII_PATTERNS)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for _, pattern, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, repl)
+    return c
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Match count per PII class — the audit metric that goes next to
+    the scrub (counts BEFORE any rewriting, all on the raw text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pattern), 0))
+        for name, pattern, _ in PII_PATTERNS
+    }
+
+
+def word_ngrams(text: str | Column, n: int = 2) -> Column:
+    """ALL word n-grams in order (duplicates kept — unlike
+    :func:`word_shingles`): the unit of the duplicate-n-gram repetition
+    metric. Same bind-tokens-once HOF discipline as word_shingles."""
+    def from_tokens(toks: Column) -> Column:
+        n_grams = F.size(toks) - (n - 1)
+        starts = F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1)))
+        grams = F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + off) for off in range(n)]),
+        )
+        return F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(tokens(text)), from_tokens), 1)
+
+
+def dup_ngram_fraction(text: str | Column, n: int = 2) -> Column:
+    """Fraction of n-grams that are repeats of an earlier n-gram —
+    the Gopher-style repetition quality signal (high = boilerplate /
+    degenerate text). 0 for docs shorter than n tokens."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(total > 0, (total - distinct) / total).otherwise(F.lit(0.0))
+
+
+def top_token_fraction(text: str | Column) -> Column:
+    """Frequency of the most common token / total tokens — degenerate
+    docs repeat one token. O(distinct × total) per doc in pure array
+    expressions; fine at document token counts, and the token array is
+    bound once (HOF CSE rule)."""
+    def from_tokens(toks: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda t: t == d)),
+        )
+        return F.array_max(counts) / F.greatest(F.size(toks), F.lit(1))
+
+    return F.element_at(F.transform(F.array(tokens(text)), from_tokens), 1)
+
+
 def word_shingles(text: str | Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles — the MinHash/Jaccard unit.
 

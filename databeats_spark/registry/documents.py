@@ -15,12 +15,17 @@ from pyspark.sql import functions as F
 
 from databeats_spark.functions.text import (
     LANG_MARKERS,
+    PII_PATTERNS,
+    dup_ngram_fraction,
     fingerprint,
     lang_guess,
     mean_token_length,
+    pii_counts,
     quality_score,
+    scrub_pii,
     stopword_count,
     token_count,
+    top_token_fraction,
 )
 from databeats_spark.operators.dedup import dedup_exact, ngram_jaccard_pairs
 from databeats_spark.registry import QuerySpec
@@ -471,6 +476,107 @@ ORDER BY lang
 """
 
 
+# --- Q: repetition_stats — Gopher-style repetition quality signals --------
+# Duplicate-2-gram fraction, distinct-token ratio, and top-token
+# frequency: the degenerate-text detectors a pretraining filter stacks
+# on top of quality_score. All pure array expressions per doc.
+
+
+def _repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split(F.trim("text"), r"\s+")
+    return (
+        t.documents.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.round(F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6).alias("distinct_token_ratio"),
+            F.round(dup_ngram_fraction("text", n=2), 6).alias("dup_2gram_frac"),
+            F.round(top_token_fraction("text"), 6).alias("top_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_REPETITION_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_filter(list_zip(t, t[2:]), u -> u[2] IS NOT NULL) AS g2
+  FROM toks
+), tok_counts AS (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+  GROUP BY doc_id, tok
+), top_tok AS (
+  SELECT doc_id, max(c) AS top_c FROM tok_counts GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       round(len(list_distinct(t)) * 1.0 / greatest(len(t), 1), 6) AS distinct_token_ratio,
+       round(CASE WHEN len(g2) > 0
+                  THEN (len(g2) - len(list_distinct(list_transform(g2, u -> u[1] || ' ' || u[2])))) * 1.0 / len(g2)
+                  ELSE 0.0 END, 6) AS dup_2gram_frac,
+       round(top_c * 1.0 / greatest(len(t), 1), 6) AS top_token_frac
+FROM toks
+JOIN grams ON grams.doc_id = toks.doc_id
+JOIN top_tok ON top_tok.doc_id = toks.doc_id
+ORDER BY toks.doc_id
+"""
+
+
+# --- Q: pii_scrub — typed-placeholder redaction with audit counts --------
+# The corpus has no organic PII, so both engines append an identical
+# deterministic contact tail (doc_id-derived email, URL, phone) and
+# must then agree on match counts AND the md5 of the scrubbed text —
+# i.e. the regex semantics match byte-for-byte across Java and RE2.
+
+PII_DOC_LIMIT = 200
+
+
+def _pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PII_DOC_LIMIT)
+    sid = F.col("doc_id").cast("string")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), sid,
+        F.lit("@example.com via http://ex.com/p/"), sid,
+        F.lit(" or +1 (555) 010-"), sid,
+    )
+    docs = docs.select("doc_id", synth.alias("__synth"))
+    counts = pii_counts("__synth")
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_emails"),
+        counts["url"].cast("long").alias("n_urls"),
+        counts["phone"].cast("long").alias("n_phones"),
+        F.md5(scrub_pii("__synth")).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
+def _pii_scrub_sql() -> str:
+    url_p, email_p, phone_p = (p for _, p, _ in PII_PATTERNS)
+    return f"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com via http://ex.com/p/' || doc_id
+              || ' or +1 (555) 010-' || doc_id AS s
+  FROM documents WHERE doc_id < {PII_DOC_LIMIT}
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{email_p}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{url_p}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(s, '{phone_p}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(regexp_replace(s,
+           '{url_p}', '<URL>', 'g'),
+           '{email_p}', '<EMAIL>', 'g'),
+           '{phone_p}', '<PHONE>', 'g')) AS scrub_md5
+FROM synth
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("deterministic_sample", "hash-threshold reproducible sampling (auditable subsets)", _deterministic_sample, _DETERMINISTIC_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("stratified_sample", "per-stratum hash-threshold sampling (corpus balancing)", _stratified_sample, _STRATIFIED_SAMPLE_SQL, tags=("sampling",)),
@@ -484,4 +590,6 @@ SPECS = [
     QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
     QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
     QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),
+    QuerySpec("repetition_stats", "duplicate-ngram / top-token repetition quality signals", _repetition_stats, _REPETITION_STATS_SQL, tags=("text",)),
+    QuerySpec("pii_scrub", "typed-placeholder PII redaction with audit counts", _pii_scrub, _pii_scrub_sql(), tags=("text",)),
 ]

@@ -200,6 +200,66 @@ ORDER BY e.vec_id
 """
 
 
+# --- Q: canonical_docs — end-to-end fuzzy-dedup pipeline -----------------
+# The full training-data dedup chain in one query: exact n-gram Jaccard
+# pairs → connected components via the LARGE-STAR/SMALL-STAR alternation
+# (operators/graph.py::alternating_components — O(log n) rounds,
+# diameter-independent) → dedup_keep_canonical keeps the min-id doc per
+# cluster plus all singletons. Oracle = recursive-CTE reachability over
+# the same pair predicate, anti-joined to non-canonical members.
+
+
+def _canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.operators.graph import alternating_components, dedup_keep_canonical
+    from databeats_spark.registry.documents import JACCARD_THRESHOLD, PAIR_DOC_LIMIT
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    comps = alternating_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    kept = dedup_keep_canonical(docs, comps, "doc_id")
+    return kept.select(
+        "doc_id", "lang", F.length("text").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+def _canonical_docs_sql() -> str:
+    from databeats_spark.registry.documents import _PAIRS_CTES, JACCARD_THRESHOLD, PAIR_DOC_LIMIT
+
+    return f"""
+WITH RECURSIVE {_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM qual
+  UNION
+  SELECT id_b, id_a FROM qual
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+)
+SELECT d.doc_id, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.doc_id
+WHERE d.doc_id < {PAIR_DOC_LIMIT}
+  AND (c.doc_id IS NULL OR d.doc_id = c.component)
+ORDER BY d.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
@@ -208,4 +268,5 @@ SPECS = [
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
+    QuerySpec("canonical_docs", "end-to-end fuzzy dedup: pairs → star-alternation components → canonical rows", _canonical_docs, _canonical_docs_sql(), tags=("dedup", "graph")),
 ]
