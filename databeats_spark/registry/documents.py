@@ -26,6 +26,7 @@ from databeats_spark.functions.text import (
     stopword_count,
     token_count,
     top_token_fraction,
+    word_shingles,
 )
 from databeats_spark.operators.dedup import dedup_exact, ngram_jaccard_pairs
 from databeats_spark.registry import QuerySpec
@@ -577,6 +578,126 @@ ORDER BY doc_id
 """
 
 
+# --- Q: benchmark_decontam — eval-set n-gram overlap decontamination -----
+# The contamination check every pretraining pipeline runs before
+# shipping a corpus: does a training document share n-grams with the
+# held-out benchmark? Eval set = deterministic 10% split (doc_id % 10),
+# unit = distinct 4-gram shingles. Spark plan: the eval shingle set is
+# benchmark-sized (small even at 100 TB corpus scale), so it BROADCASTS
+# to every executor and the corpus side streams through a broadcast
+# hash join — no shuffle of the exploded corpus shingles at all; the
+# per-doc overlap count then partial-aggregates map-side.
+# Flag threshold is integer math (n_overlap * 20 >= n_shingles, i.e.
+# frac >= 0.05) so both engines compare exactly.
+
+DECONTAM_N = 4
+DECONTAM_EVAL_MOD = 10
+
+
+def _benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select("doc_id", word_shingles("text", n=DECONTAM_N).alias("sh"))
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eval_sh = docs.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
+    corpus = docs.filter(~is_eval).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle")
+    )
+    return (
+        corpus.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("n_shingles"), 6).alias("overlap_frac"),
+            (F.col("n_overlap") * 20 >= F.col("n_shingles")).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DECONTAM_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {DECONTAM_N - 1}, 0) + 1),
+                        i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' '))) AS sh
+  FROM t
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM s WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+), corpus AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+  FROM s WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+)
+SELECT c.doc_id,
+       CAST(c.n_shingles AS BIGINT) AS n_shingles,
+       CAST(count(*) AS BIGINT) AS n_overlap,
+       round(count(*) * 1.0 / c.n_shingles, 6) AS overlap_frac,
+       count(*) * 20 >= c.n_shingles AS contaminated
+FROM corpus c JOIN eval_sh e USING (shingle)
+GROUP BY c.doc_id, c.n_shingles
+ORDER BY c.doc_id
+"""
+
+
+# --- Q: shared_shingle_stats — cross-document boilerplate fraction -------
+# CCNet-style duplicated-content signal: for each document, what
+# fraction of its distinct 5-gram shingles also appear in at least one
+# OTHER document? High fraction = boilerplate / templated content.
+# Spark plan: one explode → self document-frequency aggregation on the
+# shingle key → rejoin → per-doc count. Both aggregations are hash
+# aggregates with map-side partial combine; the join is a plain shuffle
+# equi-join on the shingle key (the DF table scales with corpus size,
+# so no broadcast — this IS the scale path). Integer counts only;
+# the single ratio division rounds to 6 on both engines.
+
+SHARED_SHINGLE_N = 5
+
+
+def _shared_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select("doc_id", word_shingles("text", n=SHARED_SHINGLE_N).alias("sh"))
+    ex = docs.select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle"))
+    df_tbl = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        ex.join(df_tbl, "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("long").alias("n_shared"))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            "n_shared",
+            F.round(F.col("n_shared") / F.greatest(F.col("n_shingles"), F.lit(1)), 6).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SHARED_SHINGLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {SHARED_SHINGLE_N - 1}, 0) + 1),
+                        i -> array_to_string(toks[i:i+{SHARED_SHINGLE_N - 1}], ' '))) AS sh
+  FROM t
+), ex AS (
+  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle FROM s
+), df AS (
+  SELECT shingle, count(*) AS df FROM ex GROUP BY 1
+)
+SELECT ex.doc_id,
+       CAST(ex.n_shingles AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) * 1.0 / greatest(ex.n_shingles, 1), 6) AS shared_frac
+FROM ex JOIN df USING (shingle)
+GROUP BY ex.doc_id, ex.n_shingles
+ORDER BY ex.doc_id
+"""
+
+
 SPECS = [
     QuerySpec("deterministic_sample", "hash-threshold reproducible sampling (auditable subsets)", _deterministic_sample, _DETERMINISTIC_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("stratified_sample", "per-stratum hash-threshold sampling (corpus balancing)", _stratified_sample, _STRATIFIED_SAMPLE_SQL, tags=("sampling",)),
@@ -592,4 +713,6 @@ SPECS = [
     QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),
     QuerySpec("repetition_stats", "duplicate-ngram / top-token repetition quality signals", _repetition_stats, _REPETITION_STATS_SQL, tags=("text",)),
     QuerySpec("pii_scrub", "typed-placeholder PII redaction with audit counts", _pii_scrub, _pii_scrub_sql(), tags=("text",)),
+    QuerySpec("benchmark_decontam", "eval-set 4-gram overlap decontamination (broadcast eval shingles)", _benchmark_decontam, _DECONTAM_SQL, tags=("text", "dedup")),
+    QuerySpec("shared_shingle_stats", "cross-document shared-shingle boilerplate fraction", _shared_shingle_stats, _SHARED_SHINGLE_SQL, tags=("text", "dedup")),
 ]
