@@ -43,6 +43,19 @@ def main() -> None:
     )
 
     qs = bench_queries()
+    # pin execution order to the round-1 sequence: registry collection
+    # order changes round to round (driver-verification priority), but
+    # JVM/JIT warm-up makes early slots slower, so a stable order is
+    # required for round-over-round per-query comparability
+    _R1_ORDER = [
+        "pricing_summary", "filter_project", "top_customers", "revenue_by_nation",
+        "weekly_chart_streak", "sessionization", "asof_purchase_value",
+        "dedup_exact_docs", "text_stats", "near_dup_pairs", "cosine_topk",
+        "minhash_near_dups", "top_terms", "rolling_7d_spend",
+    ]
+    qs = {n: qs[n] for n in _R1_ORDER if n in qs} | {
+        n: b for n, b in qs.items() if n not in _R1_ORDER
+    }
     # warmup: touch every table + JIT the scan path
     next(iter(qs.values()))(spark, sf_dir).limit(1).collect()
 
