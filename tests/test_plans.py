@@ -77,3 +77,30 @@ def test_topk_per_group_has_no_global_sort_before_window(spark):
 def test_rows_limited_queries_use_limit_pushdown(spark):
     plan = formatted_plan(spark, "top_customers")
     assert "TakeOrderedAndProject" in plan, "global top-k should be TakeOrderedAndProject, not Sort+Limit"
+
+
+def test_decontam_broadcasts_eval_shingles(spark):
+    plan = formatted_plan(spark, "benchmark_decontam")
+    # the eval shingle set is benchmark-sized: it must broadcast so the
+    # exploded corpus side never shuffles through the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # per-doc overlap count partial-aggregates map-side after the join
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_shared_shingle_df_join_is_not_hinted_broadcast(spark):
+    # the shingle document-frequency table scales WITH the corpus, so
+    # the code must NOT carry a broadcast() hint (shipping the whole
+    # corpus's shingle vocabulary to every executor at 100 TB). At
+    # sf0.01 AQE broadcasts it by stats — fine; prove no hard-coded
+    # hint by disabling auto-broadcast and checking the plan degrades
+    # to a shuffle join.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = formatted_plan(spark, "shared_shingle_stats")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan
