@@ -18,7 +18,7 @@ to optimize); both are load-bearing at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -68,3 +68,56 @@ def write_bucketed(
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, key: str, how: str = "inner") -> DataFrame:
     """Join two same-key bucketed tables — exchange-free by layout."""
     return spark.table(left_table).join(spark.table(right_table), key, how)
+
+
+def partitioned_running_total(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed prefix sum: running total of ``value_col`` over a
+    GLOBAL total order, without the single-partition window funnel.
+
+    ``Window.orderBy(...)`` with no partitionBy collapses all rows into
+    ONE task — the classic scale-killer for cumulative metrics. The
+    scalable form is the textbook two-phase scan:
+
+    1. range-repartition on the order key (parallel, range-disjoint);
+    2. per-partition subtotal (tiny: one row per partition);
+    3. exclusive prefix over the subtotals (window over #partitions
+       rows — negligible);
+    4. broadcast the offsets back; within-partition running sum +
+       offset = the exact global running total.
+
+    ``order_by`` must be a TOTAL order (append a unique id) — ties that
+    straddle a range boundary would otherwise make step 4 ambiguous.
+    The range-partitioned input is localCheckpoint'd so the subtotal
+    branch and the main branch cannot re-sample different range
+    boundaries (blocks are released when the result is GC'd).
+    """
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n_parts, *order_by)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subtotals = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__sub"))
+    offsets = subtotals.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__sub").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    within = F.sum(value_col).over(
+        Window.partitionBy("__pid").orderBy(*order_by).rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, within + F.col("__offset"))
+        .drop("__pid", "__offset")
+    )

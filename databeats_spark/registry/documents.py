@@ -698,6 +698,128 @@ ORDER BY ex.doc_id
 """
 
 
+# --- Q: token_budget_pack — greedy corpus packing to a token budget ------
+# "Fill a training mix with N tokens": order the corpus by a
+# deterministic shuffle key (Knuth multiplicative hash of doc_id — an
+# unbiased reproducible permutation; any ranking, e.g. quality desc,
+# plugs into the same operator), take documents while the running
+# token total fits the budget. The running total uses
+# operators/scale.py::partitioned_running_total — the two-phase
+# distributed prefix sum — NOT a global-order window, which would
+# funnel 100 TB through one task.
+
+TOKEN_BUDGET = 15_000
+_KNUTH = 2_654_435_761
+
+
+def _token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(65536)).alias("shuffle_key"),
+    )
+    packed = partitioned_running_total(
+        docs,
+        order_by=[F.col("shuffle_key"), F.col("doc_id")],
+        value_col="n_tokens",
+        out_col="cum_tokens",
+    )
+    return (
+        packed.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("shuffle_key").cast("long").alias("shuffle_key"),
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         (doc_id * {_KNUTH}) % 65536 AS shuffle_key
+  FROM documents
+), r AS (
+  SELECT doc_id, n_tokens, shuffle_key,
+         sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= {TOKEN_BUDGET}
+ORDER BY doc_id
+"""
+
+
+# --- Q: mix_rebalance — equalize per-source document counts --------------
+# Training-mix construction: hash-downsample every source to the
+# smallest source's count so the mix is (approximately) uniform across
+# sources, reproducibly. Two-pass: per-source counts (tiny, broadcast
+# back), then a pure-integer keep rule
+#     bucket * n_docs < 65536 * min_docs
+# (i.e. keep-fraction = min_docs/n_docs) with bucket = Knuth hash of
+# doc_id — exact integer comparisons on both engines, no float
+# thresholds. Map-side filter; one final per-source aggregate.
+
+
+def _mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_n = counts.agg(F.min("n_docs").alias("min_docs"))
+    sized = counts.crossJoin(F.broadcast(min_n))
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(65536))
+    kept = (
+        docs.join(F.broadcast(sized), "source")
+        .filter(bucket * F.col("n_docs") < F.lit(65536) * F.col("min_docs"))
+    )
+    return (
+        kept.groupBy("source", "n_docs")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("doc_id").alias("first_kept"),
+            F.max("doc_id").alias("last_kept"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("kept_frac"),
+            "first_kept",
+            "last_kept",
+        )
+        .orderBy("source")
+    )
+
+
+_MIX_REBALANCE_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), m AS (
+  SELECT min(n_docs) AS min_docs FROM counts
+), kept AS (
+  SELECT d.doc_id, d.source, c.n_docs
+  FROM documents d JOIN counts c USING (source) CROSS JOIN m
+  WHERE ((d.doc_id * {_KNUTH}) % 65536) * c.n_docs < 65536 * m.min_docs
+)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       round(count(*) * 1.0 / n_docs, 6) AS kept_frac,
+       min(doc_id) AS first_kept,
+       max(doc_id) AS last_kept
+FROM kept
+GROUP BY source, n_docs
+ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("deterministic_sample", "hash-threshold reproducible sampling (auditable subsets)", _deterministic_sample, _DETERMINISTIC_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("stratified_sample", "per-stratum hash-threshold sampling (corpus balancing)", _stratified_sample, _STRATIFIED_SAMPLE_SQL, tags=("sampling",)),
@@ -715,4 +837,6 @@ SPECS = [
     QuerySpec("pii_scrub", "typed-placeholder PII redaction with audit counts", _pii_scrub, _pii_scrub_sql(), tags=("text",)),
     QuerySpec("benchmark_decontam", "eval-set 4-gram overlap decontamination (broadcast eval shingles)", _benchmark_decontam, _DECONTAM_SQL, tags=("text", "dedup")),
     QuerySpec("shared_shingle_stats", "cross-document shared-shingle boilerplate fraction", _shared_shingle_stats, _SHARED_SHINGLE_SQL, tags=("text", "dedup")),
+    QuerySpec("token_budget_pack", "greedy token-budget packing via distributed prefix sum", _token_budget_pack, _TOKEN_BUDGET_SQL, tags=("text", "sampling", "scale")),
+    QuerySpec("mix_rebalance", "per-source hash-downsampling to the smallest source (mix equalization)", _mix_rebalance, _MIX_REBALANCE_SQL, tags=("sampling",)),
 ]

@@ -68,3 +68,54 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partitioned_running_total_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    rows = [(i, (i * 37) % 101, float(i % 7 + 1)) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "key", "v"])
+    naive = df.withColumn(
+        "rt",
+        F.sum("v").over(
+            Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    for n_parts in (1, 4, 32, 64):
+        got = partitioned_running_total(
+            df, order_by=[F.col("key"), F.col("id")], value_col="v",
+            out_col="rt", num_partitions=n_parts,
+        )
+        a = naive.select("id", "rt").orderBy("id").toPandas()
+        b = got.select("id", "rt").orderBy("id").toPandas()
+        assert a.equals(b), f"mismatch at num_partitions={n_parts}"
+
+
+def test_partitioned_running_total_avoids_single_partition_window(spark):
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    out = partitioned_running_total(
+        df, order_by=[F.col("id")], value_col="v", num_partitions=16
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the big side's running sum must be a __pid-partitioned window —
+    # a Window over the full input with no partition spec (required
+    # distribution SinglePartition) is exactly the funnel this
+    # operator exists to avoid
+    assert "windowspecdefinition(__pid" in plan, plan
+    # the only SinglePartition exchange feeds the per-partition
+    # SUBTOTALS window (one row per partition), never the main data
+    single = [
+        block for block in plan.split("\n\n")
+        if "SinglePartition" in block and "Exchange" in block
+    ]
+    assert len(single) == 1, plan
+    assert "__sub" in single[0], f"SinglePartition exchange carries main data:\n{single[0]}"
