@@ -194,18 +194,44 @@ ORDER BY g_flag, g_status, returnflag, linestatus
 
 
 # --- Q: customer_deciles — ntile bucketing over aggregated spend ----------
-# Single global window, but over the per-customer AGGREGATE (orders of
-# magnitude smaller than the fact table) — the pattern that stays
-# tractable at 100 TB because the shuffle shrinks before the sort.
+# ntile is a GLOBAL-order operator; the naive Window.orderBy form
+# funnels every row through one task. This build computes the exact
+# same buckets distributed: row_number = two-phase prefix sum of 1s
+# (operators/scale.py::partitioned_running_total), then ntile's
+# remainder-to-front bucketing replicated in closed form with the
+# total count broadcast as a 1-row scalar. The DuckDB oracle keeps
+# plain ntile() — the differential proves the distributed form is
+# bucket-for-bucket identical.
 
 def _customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
     t = load_tables(spark, sf_dir, ["orders"])
     spend = t.orders.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("spend"))
-    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
-    ranked = spend.select(
+    rn = partitioned_running_total(
+        spend.withColumn("__one", F.lit(1)),
+        order_by=[F.col("spend").desc(), F.col("o_custkey")],
+        value_col="__one",
+        out_col="rn",
+    ).drop("__one")
+    total = spend.agg(F.count(F.lit(1)).alias("n"))
+
+    # ntile(k): sz = n div k rows per bucket, the first (n mod k)
+    # buckets get one extra row. All-integer closed form over rn.
+    def fdiv(a, b):  # exact floor-div on longs (values << 2^53)
+        return F.floor(a / b).cast("long")
+
+    k = F.lit(10)
+    n = F.col("n")
+    sz, r = fdiv(n, k), n % k
+    big_rows = r * (sz + 1)
+    ranked = rn.crossJoin(F.broadcast(total)).select(
         "o_custkey",
         "spend",
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.when(F.col("rn") <= big_rows, fdiv(F.col("rn") - 1, sz + 1) + 1)
+        .otherwise(r + fdiv(F.col("rn") - big_rows - 1, F.greatest(sz, F.lit(1))) + 1)
+        .cast("long")
+        .alias("decile"),
     )
     return (
         ranked.groupBy("decile")

@@ -1,0 +1,87 @@
+"""Registry-wide physical-plan lint — the automated 100 TB posture
+sweep. test_plans.py pins the flagship plans in detail; this walks
+EVERY registry query's plan and rejects the three classic scale
+killers unless the query is on the justified allowlist:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: only legitimate
+  when the build side is a 1-row scalar aggregate or a bounded small
+  relation (broadcast query set, week grid) — each allowlisted name
+  documents its bounded side;
+- ``BatchEvalPython``: a row-at-a-time Python UDF in ANY plan is a
+  bug, full stop (Arrow paths — ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas — remain allowed);
+- unpartitioned windows (``windowspecdefinition`` with no partition
+  keys): single-task funnels unless they run over an
+  already-tiny derived relation (per-partition subtotals).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from databeats_spark.registry import registry
+from tests.conftest import SF_SMOKE
+
+# BNLJ/cartesian allowlist: name -> the bounded build side
+BOUNDED_JOIN_OK = {
+    "above_average_customers": "1-row scalar AVG subquery broadcast",
+    "cosine_topk": "broadcast query-vector set (bounded by n_queries, not corpus)",
+    "ivf_cosine_topk": "broadcast probe-list ids + 1-row centroid stats",
+    "embedding_near_dups": "1-row dim/threshold scalar broadcast",
+    "weekly_resample": "bounded week x user grid (weeks are a calendar, not data, axis)",
+    "mix_rebalance": "1-row min(source count) scalar broadcast",
+    "customer_deciles": "1-row total-count scalar for the ntile closed form",
+}
+
+# unpartitioned-window allowlist: name -> the tiny relation it sorts
+UNPARTITIONED_WINDOW_OK = {
+    "token_budget_pack": "prefix over per-partition subtotals (#partitions rows)",
+    "customer_deciles": "prefix over per-partition subtotals (#partitions rows)",
+}
+
+_WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
+
+
+def _violations(plan: str) -> list[str]:
+    v = []
+    if "CartesianProduct" in plan:
+        v.append("cartesian")
+    if "BroadcastNestedLoopJoin" in plan:
+        v.append("bnlj")
+    if "BatchEvalPython" in plan:
+        v.append("row-at-a-time-python")
+    for m in _WINDOW_RE.finditer(plan):
+        first = m.group(1).split(",")[0]
+        if " ASC" in first or " DESC" in first:
+            v.append("unpartitioned-window")
+            break
+    return v
+
+
+def test_every_registry_plan_is_scale_clean(spark):
+    offenders: dict[str, list[str]] = {}
+    for spec in registry():
+        df = spec.build(spark, SF_SMOKE)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        v = _violations(buf.getvalue())
+        if "row-at-a-time-python" in v:
+            offenders[spec.name] = v
+            continue
+        if ("cartesian" in v or "bnlj" in v) and spec.name not in BOUNDED_JOIN_OK:
+            offenders.setdefault(spec.name, []).append("unjustified bounded join")
+        if "unpartitioned-window" in v and spec.name not in UNPARTITIONED_WINDOW_OK:
+            offenders.setdefault(spec.name, []).append("unjustified global window")
+    assert not offenders, f"scale-lint violations: {offenders}"
+
+
+def test_allowlists_stay_minimal(spark):
+    """The allowlists must not rot: every allowlisted name still exists
+    AND still needs its exemption (drop the entry when the plan
+    improves, so the lint stays strict)."""
+    names = {s.name for s in registry()}
+    stale = (set(BOUNDED_JOIN_OK) | set(UNPARTITIONED_WINDOW_OK)) - names
+    assert not stale, f"allowlisted queries no longer in registry: {stale}"
