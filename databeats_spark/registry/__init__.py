@@ -34,29 +34,52 @@ class QuerySpec:
     tags: tuple[str, ...] = ()
 
 
+# The driver's CORRECTNESS gate checks ``registry()[:50]`` only, so the
+# front-50 is curated each round by scripts/rotation_report.py: every
+# query that has never earned a driver row (oracle-carrying first, then
+# rows-only) ahead of the bench headliners, with already-verified
+# queries last (their green rows from prior rounds stay on record).
+# Round-2 window = the 44 queries with no CORRECTNESS_r01 row + 6 bench
+# headliners. Queries added mid-round land after the window and rotate
+# in next round. Regenerate with ``python scripts/rotation_report.py``.
+_WINDOW = (
+    "part_name_features", "math_scalar_features", "calendar_features",
+    "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
+    "repeat_customers", "priority_flags", "open_only_customers",
+    "price_quantiles", "order_gaps", "above_average_customers",
+    "top_terms", "embedding_near_dups", "value_histogram",
+    "lineitem_profile", "regex_extract_ids", "null_safe_compare",
+    "rolling_7d_spend", "sliding_event_stats", "order_priority_paths",
+    "cube_quantity", "customer_deciles", "order_status_mix",
+    "exact_moment_stats", "fuzzy_part_names", "large_volume_orders",
+    "order_nav", "unpivot_part_metrics", "revenue_share",
+    "spend_percentiles", "embedding_stats", "canonical_docs",
+    "repetition_stats", "pii_scrub", "benchmark_decontam",
+    "shared_shingle_stats", "token_budget_pack", "mix_rebalance",
+    "approx_distinct_parts", "lsh_cosine_topk", "ivf_cosine_topk",
+    "minhash_near_dups", "simhash_near_dups", "cosine_topk",
+    "pricing_summary", "filter_project", "top_customers",
+    "revenue_by_nation", "weekly_chart_streak",
+)
+
+
 def _collect() -> list[QuerySpec]:
-    """Collect specs in driver-verification priority order.
+    """Collect specs with the curated driver-verification window first."""
+    from databeats_spark.registry import (
+        documents, events, extended, frames, relational, shapes, vectors,
+    )
 
-    The driver's CORRECTNESS gate checks ``registry()[:50]``. Round 1
-    verified the first 50 of (relational, events, documents, vectors);
-    round 2 fronts the 37 queries that window missed (all of extended +
-    frames + 5 vectors entries) and then every bench headline, so each
-    benchmarked query carries a driver-green correctness row. Queries
-    already driver-verified in round 1 keep those rows on record.
-    """
-    from databeats_spark.registry import documents, events, extended, frames, relational, vectors
-
-    specs: list[QuerySpec] = []
-    for mod in (extended, frames, vectors):
-        specs.extend(mod.SPECS)
-    rest: list[QuerySpec] = []
-    for mod in (relational, events, documents):
-        rest.extend(mod.SPECS)
-    specs.extend(s for s in rest if s.bench)
-    specs.extend(s for s in rest if not s.bench)
-    names = [s.name for s in specs]
+    all_specs: list[QuerySpec] = []
+    for mod in (extended, frames, vectors, relational, events, documents, shapes):
+        all_specs.extend(mod.SPECS)
+    names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"
-    return specs
+    by_name = {s.name: s for s in all_specs}
+    missing = [n for n in _WINDOW if n not in by_name]
+    assert not missing, f"window names not in registry: {missing}"
+    front = [by_name[n] for n in _WINDOW]
+    in_front = set(_WINDOW)
+    return front + [s for s in all_specs if s.name not in in_front]
 
 
 _REGISTRY: list[QuerySpec] | None = None
