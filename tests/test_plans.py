@@ -104,3 +104,31 @@ def test_shared_shingle_df_join_is_not_hinted_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_per_source_quota_uses_window_group_limit(spark):
+    # the per-source rank filter must compile to WindowGroupLimit so
+    # each input partition ships at most K rows per source into the
+    # window shuffle — without it, a billion-document source sorts in
+    # full inside one task
+    plan = formatted_plan(spark, "per_source_quota")
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_rare_trigram_dfreq_broadcasts(spark):
+    # the trigram document-frequency table is bounded by charset^3, so
+    # it must broadcast; the exploded corpus side never shuffles
+    # through the join
+    plan = formatted_plan(spark, "rare_trigram_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_length_band_windows_run_on_histogram(spark):
+    # the per-language window must consume the compact (lang, n_chars)
+    # histogram: a HashAggregate sits below the Window node, so the
+    # window input is distinct lengths, never the document table
+    plan = formatted_plan(spark, "length_band_outliers")
+    assert "Window" in plan
+    win_pos = plan.index("Window")
+    assert "HashAggregate" in plan[win_pos:], plan
