@@ -66,11 +66,11 @@ _WINDOW = (
 def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
-        curation, documents, events, extended, frames, relational, shapes, vectors,
+        curation, documents, events, extended, frames, modern, relational, shapes, vectors,
     )
 
     all_specs: list[QuerySpec] = []
-    for mod in (extended, frames, vectors, relational, events, documents, shapes, curation):
+    for mod in (extended, frames, vectors, relational, events, documents, shapes, curation, modern):
         all_specs.extend(mod.SPECS)
     names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"
