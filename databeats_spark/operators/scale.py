@@ -121,3 +121,29 @@ def partitioned_running_total(
         .withColumn(out_col, within + F.col("__offset"))
         .drop("__pid", "__offset")
     )
+
+
+def attach_global_scalar(df: DataFrame, *aggs: Column) -> DataFrame:
+    """Attach global aggregate(s) of ``df`` as columns on every row of
+    ``df``, computing ``df`` exactly once.
+
+    The naive form — ``df.crossJoin(broadcast(df.agg(...)))`` — leaves
+    ``df`` with two consumers. Static planning dedupes the shared
+    subtree (ReusedExchange), but AQE in this Spark version does NOT
+    reuse canonically-equal exchanges when one sits under the broadcast
+    side, so a shared AGGREGATE would scan and shuffle twice. A lazy
+    ``localCheckpoint`` pins one materialization: the broadcast scalar
+    and the main branch both read the checkpointed blocks. Storage is
+    executor-local and freed with the RDD by the context cleaner.
+
+    Use when ``df`` contains a shuffle (an aggregate/join result). For
+    a raw filtered scan, skip the helper: re-scanning parquet twice is
+    cheaper than materializing the table to executor storage.
+
+    At very large scale note spark.sql.broadcastTimeout: the scalar's
+    broadcast waits on the checkpoint materialization, so the timeout
+    must cover the shared subtree's runtime (or pre-materialize with
+    ``df.localCheckpoint(eager=True)`` before calling).
+    """
+    base = df.localCheckpoint(eager=False)
+    return base.crossJoin(F.broadcast(base.agg(*aggs)))

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databeats_spark.operators.scale import attach_global_scalar
 from databeats_spark.registry import QuerySpec
 from databeats_spark.registry.relational import dec, money_sum
 from databeats_spark.sources.tables import load_tables
@@ -88,8 +89,10 @@ ORDER BY p_partkey
 # Parts carrying more than 1.5× the average part's revenue (the share-
 # vs-average form is scale-invariant: a fixed global-share threshold
 # goes empty as the part count grows with SF). The global total+count
-# is a 1-row aggregate cross-joined in (broadcast — the same pattern as
-# weekly_chart_streak's newest-snapshot scalar), and the threshold
+# scalar derives from the per-part aggregate itself; attach_global_
+# scalar materializes that aggregate once (AQE here does not dedupe
+# the shared exchange under the broadcast side, so the naive crossJoin
+# would scan + shuffle lineitem twice). The threshold
 # rev > 1.5 * total/n is cross-multiplied to 2*rev*n > 3*total so both
 # engines compare exact decimals instead of dividing.
 
@@ -98,12 +101,13 @@ def _important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = t.lineitem.groupBy("l_partkey").agg(
         F.sum(dec("l_extendedprice")).alias("part_rev")
     )
-    total = per_part.agg(
-        F.sum("part_rev").alias("total_rev"), F.count(F.lit(1)).alias("n_parts")
+    with_scalar = attach_global_scalar(
+        per_part,
+        F.sum("part_rev").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_parts"),
     )
     return (
-        per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_rev") * 2 * F.col("n_parts") > F.col("total_rev") * 3)
+        with_scalar.filter(F.col("part_rev") * 2 * F.col("n_parts") > F.col("total_rev") * 3)
         .select("l_partkey", F.col("part_rev").cast("double").alias("part_rev"))
         .orderBy(F.desc("part_rev"), "l_partkey")
     )
@@ -182,9 +186,10 @@ def _top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias("total_rev"))
     )
-    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    # max scalar derives from the per-supplier aggregate; materialize it
+    # once (see important_parts note on AQE and shared exchanges)
     return (
-        rev.crossJoin(F.broadcast(top))
+        attach_global_scalar(rev, F.max("total_rev").alias("max_rev"))
         .filter(F.col("total_rev") == F.col("max_rev"))
         .join(F.broadcast(load_tables(spark, sf_dir, ["supplier"]).supplier),
               F.col("l_suppkey") == F.col("s_suppkey"))

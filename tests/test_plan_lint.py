@@ -33,6 +33,9 @@ BOUNDED_JOIN_OK = {
     "weekly_resample": "bounded week x user grid (weeks are a calendar, not data, axis)",
     "mix_rebalance": "1-row min(source count) scalar broadcast",
     "customer_deciles": "1-row total-count scalar for the ntile closed form",
+    "important_parts": "1-row total/count scalar over the checkpointed per-part agg",
+    "idle_high_balance": "1-row positive-balance avg scalar broadcast",
+    "rare_trigram_stats": "1-row corpus doc-count scalar broadcast",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts

@@ -119,3 +119,22 @@ def test_partitioned_running_total_avoids_single_partition_window(spark):
     ]
     assert len(single) == 1, plan
     assert "__sub" in single[0], f"SinglePartition exchange carries main data:\n{single[0]}"
+
+
+def test_attach_global_scalar_materializes_base_once(spark):
+    """The scalar crossJoin must not re-execute the shared aggregate:
+    after execution the plan reads checkpointed blocks (ExistingRDD)
+    and contains zero parquet re-scans; values match the naive form."""
+    from databeats_spark.operators.scale import attach_global_scalar
+    from tests.conftest import SF_CORRECT
+
+    li = load_tables(spark, SF_CORRECT, ["lineitem"]).lineitem
+    per = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("q"))
+    out = attach_global_scalar(per, F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n"))
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0, plan
+    assert "ExistingRDD" in plan
+
+    naive = per.crossJoin(F.broadcast(per.agg(F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n"))))
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, naive.collect()))
