@@ -123,9 +123,13 @@ def streak_ending_at_latest(
     if latest_idx is None:
         # global newest period from the chart itself, attached as a
         # broadcast scalar (an empty-partition window would drag
-        # everything to one task and warn)
-        latest = grouped.agg(F.max("__maxp").alias("__latest"))
-        grouped = grouped.crossJoin(F.broadcast(latest))
+        # everything to one task and warn); attach_global_scalar
+        # materializes the grouped islands once instead of re-running
+        # the whole chart pipeline for the scalar (AQE does not dedupe
+        # the shared exchange under the broadcast side)
+        from databeats_spark.operators.scale import attach_global_scalar
+
+        grouped = attach_global_scalar(grouped, F.max("__maxp").alias("__latest"))
         lit_latest = F.col("__latest")
     else:
         lit_latest = F.lit(latest_idx) if isinstance(latest_idx, int) else latest_idx

@@ -770,10 +770,13 @@ ORDER BY doc_id
 
 def _mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
+    from databeats_spark.operators.scale import attach_global_scalar
+
     docs = t.documents.select("doc_id", "source")
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    min_n = counts.agg(F.min("n_docs").alias("min_docs"))
-    sized = counts.crossJoin(F.broadcast(min_n))
+    # min scalar derives from the per-source counts; materialize them
+    # once (AQE does not dedupe the shared exchange under broadcast)
+    sized = attach_global_scalar(counts, F.min("n_docs").alias("min_docs"))
     bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(65536))
     kept = (
         docs.join(F.broadcast(sized), "source")

@@ -259,13 +259,18 @@ ORDER BY o_custkey, o_orderkey
 # --- Q: above_average_customers — correlated aggregate subquery ----------
 
 def _above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
     t = load_tables(spark, sf_dir, ["orders"])
     spend = t.orders.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("spend"))
-    avg_spend = spend.agg(
-        (F.sum(dec("spend")).cast("double") / F.count(F.lit(1))).alias("avg_spend")
-    )
+    # the avg scalar derives from the per-customer aggregate itself;
+    # attach_global_scalar materializes that aggregate once (AQE does
+    # not dedupe the shared exchange under the broadcast side)
     return (
-        spend.crossJoin(F.broadcast(avg_spend))
+        attach_global_scalar(
+            spend,
+            (F.sum(dec("spend")).cast("double") / F.count(F.lit(1))).alias("avg_spend"),
+        )
         .filter(F.col("spend") > F.col("avg_spend"))
         .select("o_custkey", "spend", F.round("avg_spend", 6).alias("avg_spend"))
         .orderBy("o_custkey")

@@ -204,7 +204,7 @@ ORDER BY g_flag, g_status, returnflag, linestatus
 # bucket-for-bucket identical.
 
 def _customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from databeats_spark.operators.scale import partitioned_running_total
+    from databeats_spark.operators.scale import attach_global_scalar, partitioned_running_total
 
     t = load_tables(spark, sf_dir, ["orders"])
     spend = t.orders.groupBy("o_custkey").agg(money_sum("o_totalprice").alias("spend"))
@@ -214,10 +214,12 @@ def _customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="__one",
         out_col="rn",
     ).drop("__one")
-    total = spend.agg(F.count(F.lit(1)).alias("n"))
 
     # ntile(k): sz = n div k rows per bucket, the first (n mod k)
-    # buckets get one extra row. All-integer closed form over rn.
+    # buckets get one extra row. All-integer closed form over rn. The
+    # total count rides attach_global_scalar (count over rn == count
+    # over spend) so the ranked subtree executes once, not once per
+    # scalar consumer.
     def fdiv(a, b):  # exact floor-div on longs (values << 2^53)
         return F.floor(a / b).cast("long")
 
@@ -225,7 +227,7 @@ def _customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n")
     sz, r = fdiv(n, k), n % k
     big_rows = r * (sz + 1)
-    ranked = rn.crossJoin(F.broadcast(total)).select(
+    ranked = attach_global_scalar(rn, F.count(F.lit(1)).alias("n")).select(
         "o_custkey",
         "spend",
         F.when(F.col("rn") <= big_rows, fdiv(F.col("rn") - 1, sz + 1) + 1)
