@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from databeats_spark.operators.maintenance import apply_upsert, compact, upsert
 from databeats_spark.sources.tables import load_tables
 from tests.conftest import SF_SMOKE
@@ -92,3 +94,65 @@ def test_format_roundtrip_orc_json_csv(spark, tmp_path):
         write_table(nation, str(tmp_path / "x"), fmt="avro")
     with _pytest.raises(ValueError):
         read_table(spark, str(tmp_path / "t_json"), fmt="json")  # schema required
+
+
+class TestScd2:
+    def _dim(self, spark):
+        from databeats_spark.sources.tables import load_tables
+        from tests.conftest import SF_SMOKE
+
+        c = load_tables(spark, SF_SMOKE, ["customer"]).customer
+        return c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.lit("2020-01-01").alias("valid_from"),
+            F.lit(None).cast("string").alias("valid_to"),
+        )
+
+    def test_change_closes_and_opens(self, spark):
+        from databeats_spark.operators.maintenance import scd2_apply
+
+        dim = self._dim(spark)
+        n0 = dim.count()
+        changes = spark.createDataFrame(
+            [(1, "MOVED", "2021-06-01"), (2, "MOVED", "2021-06-01")],
+            "c_custkey long, c_mktsegment string, change_ts string",
+        )
+        out = scd2_apply(dim, changes, "c_custkey", ["c_mktsegment"], "change_ts")
+        assert out.count() == n0 + 2  # two new versions appended
+        k1 = {tuple(r) for r in out.filter(F.col("c_custkey") == 1).collect()}
+        old = dim.filter(F.col("c_custkey") == 1).collect()[0]["c_mktsegment"]
+        assert k1 == {
+            (1, old, "2020-01-01", "2021-06-01"),
+            (1, "MOVED", "2021-06-01", None),
+        }
+        # exactly one open row per key, everywhere
+        opens = out.filter(F.col("valid_to").isNull()).groupBy("c_custkey").count()
+        assert opens.filter(F.col("count") != 1).count() == 0
+
+    def test_idempotent_and_new_key(self, spark):
+        from databeats_spark.operators.maintenance import scd2_apply
+
+        dim = self._dim(spark)
+        changes = spark.createDataFrame(
+            [(1, "MOVED", "2021-06-01"), (999999, "FRESH", "2021-06-01")],
+            "c_custkey long, c_mktsegment string, change_ts string",
+        )
+        once = scd2_apply(dim, changes, "c_custkey", ["c_mktsegment"], "change_ts")
+        assert once.filter(F.col("c_custkey") == 999999).count() == 1
+        # re-applying the identical batch is a no-op (attr-equal changes)
+        twice = scd2_apply(once, changes, "c_custkey", ["c_mktsegment"], "change_ts")
+        assert twice.count() == once.count()
+        assert twice.exceptAll(once).count() == 0
+
+    def test_newest_change_wins_within_batch(self, spark):
+        from databeats_spark.operators.maintenance import scd2_apply
+
+        dim = self._dim(spark)
+        changes = spark.createDataFrame(
+            [(5, "MID", "2021-01-01"), (5, "LAST", "2021-09-09")],
+            "c_custkey long, c_mktsegment string, change_ts string",
+        )
+        out = scd2_apply(dim, changes, "c_custkey", ["c_mktsegment"], "change_ts")
+        open5 = out.filter((F.col("c_custkey") == 5) & F.col("valid_to").isNull()).collect()
+        assert [(r["c_mktsegment"], r["valid_from"]) for r in open5] == [("LAST", "2021-09-09")]
