@@ -12,3 +12,17 @@ from databeats_spark.operators.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_near_duplicates,
 )
+from databeats_spark.operators.joins import asof_join, range_join  # noqa: F401
+from databeats_spark.operators.maintenance import (  # noqa: F401
+    compact,
+    profile_numeric,
+    scd2_apply,
+    upsert,
+)
+from databeats_spark.operators.scale import (  # noqa: F401
+    attach_global_scalar,
+    bucketed_join,
+    partitioned_running_total,
+    salted_join,
+    write_bucketed,
+)
