@@ -104,3 +104,28 @@ def dedup_union(history: DataFrame, fresh: DataFrame, key_cols: list[str], order
 
     merged = history.unionByName(fresh.select(*history.columns))
     return dedup_first(merged, key_cols, [F.col(order_col).desc()])
+
+
+def rotating_credential_fetch(credentials: list[str], base_fetch: Callable[[str, str, list[str]], list[dict]]) -> Fetch:
+    """X4: per-partition credential rotation (reference dag.py keeps 5
+    rotated Spotify client ids and swaps on 429).
+
+    Returns a ``Fetch`` for :func:`keyed_batch_fetch` that picks the
+    credential by the executor task's partition id — each parallel
+    crawler task holds ONE credential for its lifetime, so rate limits
+    apply per credential lane and a pool of N credentials yields N
+    independent lanes (pair with ``num_partitions=len(credentials)``).
+    ``base_fetch(credential, endpoint, ids)`` is the injectable
+    transport; the tests pin the lane assignment, production supplies
+    the HTTP client. Rotation-on-429 stays INSIDE base_fetch (retry
+    with the next credential) — the lane choice here is the
+    load-balancing layer, not the error-handling layer.
+    """
+    def fetch(endpoint: str, ids: list[str]) -> list[dict]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        lane = (ctx.partitionId() if ctx is not None else 0) % len(credentials)
+        return base_fetch(credentials[lane], endpoint, ids)
+
+    return fetch

@@ -242,3 +242,37 @@ def test_python_datasource_streaming_crawl(spark, tmp_path):
     # exact content parity with the batch scan, no dupes, no gaps
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_rotating_credentials_assign_one_lane_per_partition(spark):
+    """X4: each partition must use exactly one credential, and a pool
+    of N credentials must spread across N partitions."""
+    from databeats_spark.sources.rest import keyed_batch_fetch, rotating_credential_fetch
+    from pyspark.sql import types as T
+
+    creds = ["tokenA", "tokenB", "tokenC"]
+
+    def base_fetch(cred, endpoint, ids):
+        return [{"id": i, "cred": cred} for i in ids]
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(60)], "id string")
+    out = keyed_batch_fetch(
+        keys,
+        "id",
+        "audio-features",
+        rotating_credential_fetch(creds, base_fetch),
+        T.StructType([
+            T.StructField("id", T.StringType()),
+            T.StructField("cred", T.StringType()),
+        ]),
+        batch_size=10,
+        num_partitions=len(creds),
+    )
+    rows = out.collect()
+    assert len(rows) == 60
+    used = {r["cred"] for r in rows}
+    assert used == set(creds)  # all lanes active
+    # one credential per partition: group ids by cred and check each id
+    # appears exactly once (no double-fetch across lanes)
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids))
