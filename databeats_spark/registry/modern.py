@@ -90,7 +90,68 @@ ORDER BY event_type
 """
 
 
+# --- Q: pipe_syntax_returns -------------------------------------------
+# SQL pipe syntax (Spark 4): the linear |> form of a filter+aggregate
+# over lineitem. Semantically identical to the ANSI oracle — the pipe
+# text IS the Spark plan spec, so Catalyst output (pushdown, partial
+# agg) matches the classic form exactly.
+
+_PIPE_SYNTAX_QUERY = """
+FROM lineitem
+|> WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+|> AGGREGATE CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
+   GROUP BY l_returnflag
+|> ORDER BY l_returnflag
+"""
+
+_PIPE_SYNTAX_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS returned_value
+FROM lineitem
+WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def _pipe_syntax_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_PIPE_SYNTAX_QUERY)
+
+
+# --- Q: collated_type_counts ------------------------------------------
+# Case-insensitive grouping via the collation engine (Spark 4
+# COLLATE UTF8_LCASE) instead of lower()-normalization. Case variance
+# is introduced deterministically (even part keys upper-cased) so the
+# collated grouping genuinely collapses distinct byte strings; the
+# oracle gets the same semantics with lower() grouping.
+
+def _collated_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    mixed = F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type")).otherwise(F.col("p_type"))
+    return (
+        t.part.select(F.col("p_partkey"), mixed.alias("type_mixed"))
+        .groupBy(F.expr("type_mixed COLLATE UTF8_LCASE").alias("type_key"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(F.lower("type_key").alias("p_type"), "n_parts")
+        .orderBy("p_type")
+    )
+
+
+_COLLATED_TYPE_COUNTS_SQL = """
+SELECT lower(CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END) AS p_type,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part
+GROUP BY 1
+ORDER BY p_type
+"""
+
+
 SPECS = [
     QuerySpec("recursive_week_spine", "WITH RECURSIVE calendar spine, identical ANSI on both engines", _recursive_week_spine, _RECURSIVE_WEEK_SPINE_SQL, tags=("sql", "timeseries")),
     QuerySpec("variant_props_stats", "VARIANT parse_json + variant_get typed extraction", _variant_props_stats, _VARIANT_PROPS_STATS_SQL, tags=("sql", "scalar")),
+    QuerySpec("pipe_syntax_returns", "SQL pipe syntax (|>) filter+aggregate vs classic ANSI oracle", _pipe_syntax_returns, _PIPE_SYNTAX_ORACLE, tags=("sql", "agg")),
+    QuerySpec("collated_type_counts", "COLLATE UTF8_LCASE case-insensitive grouping vs lower() oracle", _collated_type_counts, _COLLATED_TYPE_COUNTS_SQL, tags=("sql", "scalar")),
 ]
