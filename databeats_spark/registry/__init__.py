@@ -39,9 +39,13 @@ class QuerySpec:
 # query that has never earned a driver row (oracle-carrying first, then
 # rows-only) ahead of the bench headliners, with already-verified
 # queries last (their green rows from prior rounds stay on record).
-# Round-2 window = the 44 queries with no CORRECTNESS_r01 row + 6 bench
-# headliners. Queries added mid-round land after the window and rotate
-# in next round. Regenerate with ``python scripts/rotation_report.py``.
+# Round-2 window = the 44 queries with no CORRECTNESS_r01 row + 6 of
+# this round's new shapes queries (also never verified). The bench
+# headliners displaced by those six (pricing_summary, filter_project,
+# top_customers, revenue_by_nation, weekly_chart_streak, cosine_topk)
+# keep their green CORRECTNESS_r01 rows on record. Queries added
+# mid-round land after the window and rotate in next round.
+# Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
     "part_name_features", "math_scalar_features", "calendar_features",
     "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
@@ -57,9 +61,9 @@ _WINDOW = (
     "repetition_stats", "pii_scrub", "benchmark_decontam",
     "shared_shingle_stats", "token_budget_pack", "mix_rebalance",
     "approx_distinct_parts", "lsh_cosine_topk", "ivf_cosine_topk",
-    "minhash_near_dups", "simhash_near_dups", "cosine_topk",
-    "pricing_summary", "filter_project", "top_customers",
-    "revenue_by_nation", "weekly_chart_streak",
+    "minhash_near_dups", "simhash_near_dups", "min_cost_supplier",
+    "important_parts", "order_count_histogram", "top_supplier_revenue",
+    "small_qty_revenue", "idle_high_balance",
 )
 
 
