@@ -45,6 +45,31 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts (TIMESTAMP(NANOS) on disk) to a session-tz
+    TIMESTAMP truncated to microseconds — exactly what DuckDB/Arrow
+    produce — so oracle comparisons see identical instants.
+
+    Schema-adaptive because the physical read type depends on the
+    Spark build and on *static* session confs we cannot control when
+    running inside a session we did not build:
+
+    - ``nanosAsLong`` set at session BUILD time → ts arrives BIGINT
+      nanos. Integer ``DIV 1000`` (not float division: ns values
+      exceed 2^53 and would round) then ``timestamp_micros``.
+    - Spark 4.1+ default → ts arrives TIMESTAMP_NTZ, already
+      micro-truncated by the reader; cast to TIMESTAMP interprets the
+      naive value in the session time zone (we pin UTC at runtime),
+      yielding bit-identical micros to the long path.
+    """
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "long":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df  # already TIMESTAMP — nothing to do
+
+
 def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _DF_CACHE.setdefault(spark, {})
     key = (os.path.abspath(sf_dir), name)
@@ -53,11 +78,7 @@ def _load_one(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) on disk, read as long (nanosAsLong).
-        # Truncate to microseconds — exactly what DuckDB/Arrow do — so
-        # oracle comparisons see identical instants. Integer DIV, not
-        # float division: ns values exceed 2^53 and would round.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        df = _normalize_event_ts(df)
     per_session[key] = df
     return df
 

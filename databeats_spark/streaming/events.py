@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from databeats_spark.session import apply_runtime_confs
+from databeats_spark.sources.tables import _normalize_event_ts
 
 
 def stream_events(spark: SparkSession, path: str) -> DataFrame:
@@ -26,9 +27,7 @@ def stream_events(spark: SparkSession, path: str) -> DataFrame:
     apply_runtime_confs(spark)
     schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(schema).parquet(path)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return raw
+    return _normalize_event_ts(raw)
 
 
 def windowed_event_stats(
