@@ -70,11 +70,13 @@ _WINDOW = (
 def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
-        curation, documents, events, extended, frames, modern, relational, shapes, vectors,
+        curation, decision, documents, events, extended, frames, mining, modern,
+        relational, shapes, vectors,
     )
 
     all_specs: list[QuerySpec] = []
-    for mod in (extended, frames, vectors, relational, events, documents, shapes, curation, modern):
+    for mod in (extended, frames, vectors, relational, events, documents, shapes,
+                curation, modern, decision, mining):
         all_specs.extend(mod.SPECS)
     names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"

@@ -1,0 +1,565 @@
+"""Corpus-mining and behavioral-analytics shapes (round-3 batch) —
+the statistics a training-data pipeline computes between dedup and
+packing, plus the event-stream aggregations the reference's weekly
+snapshots can't express:
+
+- bigram_pmi:          collocation mining (pointwise mutual information)
+- vocab_growth:        vocabulary-growth (Heaps) curve via first occurrence
+- containment_pairs:   asymmetric n-gram containment (quote/subset dedup)
+- gopher_quality_flags: rule-based quality gate pass rates per source
+- source_pareto:       token-budget concentration curve across sources
+- event_transitions:   event-type Markov transition matrix
+- retention_cohorts:   weekly cohort retention triangle
+- click_attribution:   in-window click->purchase attribution (batch twin
+                       of streaming/events.py::stream_stream_click_attribution)
+- grouping_sets_mix:   explicit GROUPING SETS in the ANSI intersection
+
+Reference parity: the reference's corpus ops stop at playlist joins
+(SURVEY §2); these are the standard LLM-curation completions (PMI
+collocations, Heaps-law vocab curves, containment dedup, Gopher-style
+quality rules). Oracle parity per the registry recipe: BIGINT counts,
+round(.., 6) ratio doubles, integer-microsecond time math, ISO-string
+dates/weeks, total-order sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databeats_spark.operators.scale import attach_global_scalar
+from databeats_spark.registry import QuerySpec
+from databeats_spark.sources.tables import load_tables
+
+
+# --- Q: bigram_pmi — collocation mining -------------------------------
+# PMI of adjacent word pairs: ln(p(ab) / (p(a) p(b))). Bigrams come
+# from one transform/sequence pass over the token array (no UDF, no
+# second split); unigram and bigram counts are two hash aggregates.
+# The vocabulary tables are broadcast to the bigram side (vocab ≪
+# corpus — the standard skew of natural language), and the two corpus
+# totals derive from the aggregates themselves, so they go through
+# attach_global_scalar. The PMI expression is written with the same
+# association order on both engines: IEEE double products are
+# deterministic, so only ln()'s last ulp can differ — absorbed by the
+# round-6 rule.
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+def _bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = t.documents.select(F.split("text", " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = attach_global_scalar(uni, F.sum("c").alias("n1"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    # the probability denominator counts ALL bigrams, so the scalar
+    # attaches BEFORE the min-count filter
+    bi = attach_global_scalar(bi, F.sum("c_ab").alias("n2")).filter(
+        F.col("c_ab") >= PMI_MIN_COUNT
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"), "n1")
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bi.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n1")
+                    * F.col("n1")
+                    / (F.col("n2").cast("double") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(PMI_TOP)
+    )
+
+
+_BIGRAM_PMI_SQL = f"""
+WITH toks AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+  WHERE len(string_split(text, ' ')) >= 2
+),
+uc AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM toks)
+  GROUP BY w
+),
+bc AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT CAST((SELECT sum(c) FROM uc) AS BIGINT) AS n1,
+         CAST((SELECT sum(c_ab) FROM bc) AS BIGINT) AS n2
+)
+SELECT b.w1, b.w2, b.c_ab,
+       round(ln(CAST(b.c_ab AS DOUBLE) * t.n1 * t.n1
+                / (CAST(t.n2 AS DOUBLE) * ua.c * ub.c)), 6) AS pmi
+FROM bc b
+JOIN uc ua ON ua.w = b.w1
+JOIN uc ub ON ub.w = b.w2
+CROSS JOIN totals t
+WHERE b.c_ab >= {PMI_MIN_COUNT}
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT {PMI_TOP}
+"""
+
+
+# --- Q: vocab_growth — Heaps-law vocabulary curve ---------------------
+# New distinct terms per 50-document window of the corpus, with the
+# running vocabulary size. "First occurrence" is min(doc_id) per term —
+# one hash aggregate over the exploded tokens; the cumulative sum runs
+# over the ~(n_docs/50)-row aggregate, so the unpartitioned window is
+# driver-bounded, not data-bounded.
+
+VOCAB_BUCKET_DOCS = 50
+
+
+def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    first_seen = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    per_bucket = (
+        first_seen.groupBy(
+            (F.col("first_doc") - F.col("first_doc") % VOCAB_BUCKET_DOCS).alias("doc_bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("new_terms"))
+    )
+    w = Window.orderBy("doc_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.withColumn("vocab_size", F.sum("new_terms").over(w))
+        .orderBy("doc_bucket")
+    )
+
+
+_VOCAB_GROWTH_SQL = f"""
+WITH first_seen AS (
+  SELECT w, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY w
+),
+per_bucket AS (
+  SELECT first_doc - first_doc % {VOCAB_BUCKET_DOCS} AS doc_bucket,
+         CAST(count(*) AS BIGINT) AS new_terms
+  FROM first_seen
+  GROUP BY doc_bucket
+)
+SELECT doc_bucket, new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY doc_bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+FROM per_bucket
+ORDER BY doc_bucket
+"""
+
+
+# --- Q: containment_pairs — asymmetric n-gram containment -------------
+# |shingles(A) ∩ shingles(B)| / |shingles(A)|: catches quotes and
+# subset documents that symmetric Jaccard under-scores (a doc fully
+# contained in a much larger one has low Jaccard but containment 1).
+# Same bounded-verifier posture as near_dup_pairs (documents.py:37):
+# candidates come from the shingle equi-join, directional pairs kept
+# both ways. Scale path: run it on the LSH candidate set instead of
+# the bounded corpus.
+
+CONTAIN_DOC_LIMIT = 300
+CONTAIN_THRESHOLD = 0.5
+
+
+def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < CONTAIN_DOC_LIMIT)
+    sh = docs.select(
+        "doc_id", word_shingles(F.trim(F.col("text")), 3).alias("shingles")
+    )
+    sized = sh.select("doc_id", F.size("shingles").alias("n"))
+    e = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    common = (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sized.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .filter(F.col("common") * 2 >= F.col("n"))  # containment >= 0.5 in exact ints
+        .select(
+            "id_a",
+            "id_b",
+            "common",
+            F.round(F.col("common") / F.col("n"), 6).alias("containment"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_CONTAINMENT_PAIRS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < {CONTAIN_DOC_LIMIT}
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+), sized AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       round(common * 1.0 / sa.n, 6) AS containment
+FROM pairs
+JOIN sized sa ON sa.doc_id = id_a
+WHERE common * 2 >= sa.n
+ORDER BY id_a, id_b
+"""
+
+
+# --- Q: gopher_quality_flags — rule-gate pass rates -------------------
+# Gopher/C4-style document quality rules as pure column expressions
+# (token-count band, mean word length band, lexical diversity), rolled
+# up to per-source pass rates — the health dashboard of an ingest
+# pipeline. One projection pass + one tiny aggregate; mean word length
+# uses the separator identity (chars - n_tok + 1) / n_tok instead of a
+# second tokenization.
+
+QF_MIN_TOK, QF_MAX_TOK = 60, 1000
+QF_MIN_WL, QF_MAX_WL = 3.5, 6.5
+QF_MIN_DIVERSITY = 0.3
+
+
+def _gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.split("text", " ")
+    scored = t.documents.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.length("text").alias("n_chars"),
+    )
+    mean_wl = (F.col("n_chars") - F.col("n_tok") + 1) / F.col("n_tok")
+    passed = (
+        F.col("n_tok").between(QF_MIN_TOK, QF_MAX_TOK)
+        & (mean_wl >= QF_MIN_WL)
+        & (mean_wl <= QF_MAX_WL)
+        & (F.col("n_distinct") >= F.col("n_tok") * QF_MIN_DIVERSITY)
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(passed.cast("bigint")).alias("n_pass"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_pass",
+            F.round(F.col("n_pass") / F.col("n_docs"), 6).alias("pass_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_GOPHER_QUALITY_SQL = f"""
+WITH scored AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_tok BETWEEN {QF_MIN_TOK} AND {QF_MAX_TOK}
+                      AND (n_chars - n_tok + 1) * 1.0 / n_tok >= {QF_MIN_WL}
+                      AND (n_chars - n_tok + 1) * 1.0 / n_tok <= {QF_MAX_WL}
+                      AND n_distinct >= n_tok * {QF_MIN_DIVERSITY}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       round(sum(CASE WHEN n_tok BETWEEN {QF_MIN_TOK} AND {QF_MAX_TOK}
+                       AND (n_chars - n_tok + 1) * 1.0 / n_tok >= {QF_MIN_WL}
+                       AND (n_chars - n_tok + 1) * 1.0 / n_tok <= {QF_MAX_WL}
+                       AND n_distinct >= n_tok * {QF_MIN_DIVERSITY}
+                      THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS pass_rate
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- Q: source_pareto — token concentration curve ---------------------
+# Per-source token totals with share and cumulative share in
+# descending-volume order: "what fraction of the budget do the top k
+# sources hold". The totals aggregate is the only big shuffle; the
+# scalar goes through attach_global_scalar (it derives from the
+# aggregate) and the cumulative window runs over n_sources rows.
+
+def _source_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    per_source = (
+        t.documents.select("source", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    per_source = attach_global_scalar(per_source, F.sum("tokens").alias("total"))
+    w = Window.orderBy(F.desc("tokens"), "source").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_source.withColumn("cum_tokens", F.sum("tokens").over(w))
+        .select(
+            "source",
+            "tokens",
+            F.round(F.col("tokens") / F.col("total"), 6).alias("share"),
+            F.round(F.col("cum_tokens") / F.col("total"), 6).alias("cum_share"),
+        )
+        .orderBy(F.desc("tokens"), "source")
+    )
+
+
+_SOURCE_PARETO_SQL = """
+WITH per_source AS (
+  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents
+  GROUP BY source
+),
+total AS (SELECT CAST(sum(tokens) AS BIGINT) AS total FROM per_source)
+SELECT p.source, p.tokens,
+       round(p.tokens * 1.0 / t.total, 6) AS share,
+       round(sum(p.tokens) OVER (ORDER BY p.tokens DESC, p.source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / t.total, 6) AS cum_share
+FROM per_source p CROSS JOIN total t
+ORDER BY p.tokens DESC, p.source
+"""
+
+
+# --- Q: event_transitions — Markov transition matrix ------------------
+# P(next event type | current): lag over (user, time) then one tiny
+# aggregate. The lag window partitions by user_id — shuffles once on
+# the natural key, each partition sorted locally; the share window
+# runs over the 25-row transition matrix. Tie-break on event_id makes
+# the sequence (and thus the matrix) engine-independent.
+
+def _event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_w = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn("row_total", F.sum("n").over(row_w))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("p_next"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p_next
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
+# --- Q: retention_cohorts — weekly retention triangle -----------------
+# Users grouped by first-seen week; for each later week, how many came
+# back. One min-over-user window (single shuffle on user_id), distinct
+# (user, week-offset), then the triangle aggregate. Weeks are
+# date_trunc('week') on both engines (ISO Monday start); the offset is
+# an exact day-diff DIV 7.
+
+def _retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id")
+    weekly = t.events.select(
+        "user_id",
+        F.date_trunc("week", "ts").alias("week"),
+    ).withColumn("cohort", F.min("week").over(w))
+    return (
+        weekly.select(
+            "user_id",
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("week", "cohort") / 7).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_RETENTION_COHORTS_SQL = """
+WITH weekly AS (
+  SELECT user_id,
+         date_trunc('week', ts) AS week,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort
+  FROM events
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, week) // 7 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM (SELECT DISTINCT user_id, week, cohort FROM weekly)
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+# --- Q: click_attribution — in-window behavioral join -----------------
+# Attribute each purchase to the same user's clicks in the preceding
+# hour — the batch twin of the streaming stream-stream join
+# (streaming/events.py::stream_stream_click_attribution), sharing its
+# join predicate. Catalyst executes it as an equi-join on user_id with
+# the time-range as join filter; the gap math is integer microseconds
+# end-to-end (engine-independent past 2^53).
+
+ATTRIBUTION_WINDOW_US = 3600 * 1_000_000
+
+
+def _click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.unix_micros("click_ts")
+            >= F.unix_micros("purchase_ts") - F.lit(ATTRIBUTION_WINDOW_US)
+        )
+    )
+    return (
+        purchases.join(clicks, cond, "inner")
+        .groupBy("purchase_id", "purchase_ts")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.max("click_ts").alias("last_click"),
+        )
+        .select(
+            "purchase_id",
+            "n_clicks",
+            (
+                (F.unix_micros("purchase_ts") - F.unix_micros("last_click"))
+                / 1_000_000
+            ).cast("bigint").alias("gap_seconds"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+_CLICK_ATTRIBUTION_SQL = f"""
+SELECT p.event_id AS purchase_id,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST((epoch_us(p.ts) - epoch_us(max(c.ts))) // 1000000 AS BIGINT) AS gap_seconds
+FROM events p
+JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts
+ AND epoch_us(c.ts) >= epoch_us(p.ts) - {ATTRIBUTION_WINDOW_US}
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id, p.ts
+ORDER BY purchase_id
+"""
+
+
+# --- Q: grouping_sets_mix — explicit GROUPING SETS --------------------
+# The third grouping-set form beside cube_quantity and
+# rollup_quantity: an explicit, non-hierarchical set list with
+# grouping() flags, in the ANSI intersection so the identical text
+# runs on both engines (C9 pattern).
+
+_GROUPING_SETS_QUERY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def _grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_GROUPING_SETS_QUERY)
+
+
+SPECS = [
+    QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
+    QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
+    QuerySpec("containment_pairs", "asymmetric n-gram containment pairs (quote/subset dedup)", _containment_pairs, _CONTAINMENT_PAIRS_SQL, tags=("text", "dedup")),
+    QuerySpec("gopher_quality_flags", "rule-based quality gate pass rates per source", _gopher_quality_flags, _GOPHER_QUALITY_SQL, tags=("text", "agg")),
+    QuerySpec("source_pareto", "token-budget concentration (Pareto) curve across sources", _source_pareto, _SOURCE_PARETO_SQL, tags=("text", "agg", "window")),
+    QuerySpec("event_transitions", "event-type Markov transition matrix", _event_transitions, _EVENT_TRANSITIONS_SQL, tags=("events", "window")),
+    QuerySpec("retention_cohorts", "weekly cohort retention triangle", _retention_cohorts, _RETENTION_COHORTS_SQL, tags=("events", "window")),
+    QuerySpec("click_attribution", "in-window click->purchase attribution (streaming twin)", _click_attribution, _CLICK_ATTRIBUTION_SQL, tags=("events", "join")),
+    QuerySpec("grouping_sets_mix", "explicit GROUPING SETS with grouping() flags", _grouping_sets_mix, _GROUPING_SETS_QUERY, tags=("agg",)),
+]
