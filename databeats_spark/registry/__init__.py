@@ -36,34 +36,33 @@ class QuerySpec:
 
 # The driver's CORRECTNESS gate checks ``registry()[:50]`` only, so the
 # front-50 is curated each round by scripts/rotation_report.py: every
-# query that has never earned a driver row (oracle-carrying first, then
-# rows-only) ahead of the bench headliners, with already-verified
-# queries last (their green rows from prior rounds stay on record).
-# Round-2 window = the 44 queries with no CORRECTNESS_r01 row + 6 of
-# this round's new shapes queries (also never verified). The bench
-# headliners displaced by those six (pricing_summary, filter_project,
-# top_customers, revenue_by_nation, weekly_chart_streak, cosine_topk)
-# keep their green CORRECTNESS_r01 rows on record. Queries added
-# mid-round land after the window and rotate in next round.
+# query that has never earned a CLEAN driver row (errors/mismatches
+# re-enter until green; oracle-carrying before rows-only) ahead of the
+# bench headliners, with already-verified queries last (their green
+# rows from prior rounds stay on record). Round-3 window = the two r2
+# hard-failures (the TIMESTAMP_NTZ regression, fixed in
+# sources/tables.py), the 7 queries added after the r2 window froze,
+# the 19 round-3 additions (decision.py + mining.py), then the bench
+# headliners and the oldest-verified overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
+    "value_histogram", "sliding_event_stats", "rare_trigram_stats",
+    "length_band_outliers", "per_source_quota", "recursive_week_spine",
+    "variant_props_stats", "pipe_syntax_returns", "collated_type_counts",
+    "shipping_priority", "local_supplier_volume", "forecast_revenue",
+    "cross_nation_volume", "product_profit", "returned_item_losses",
+    "lateness_priority_mix", "part_supplier_kinds", "bracket_revenue",
+    "dominant_suppliers", "bigram_pmi", "vocab_growth",
+    "containment_pairs", "gopher_quality_flags", "source_pareto",
+    "event_transitions", "retention_cohorts", "click_attribution",
+    "grouping_sets_mix", "top_terms", "rolling_7d_spend",
+    "minhash_near_dups", "cosine_topk", "pricing_summary",
+    "filter_project", "top_customers", "revenue_by_nation",
+    "weekly_chart_streak", "sessionization", "asof_purchase_value",
+    "dedup_exact_docs", "text_stats", "near_dup_pairs",
     "part_name_features", "math_scalar_features", "calendar_features",
     "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
-    "repeat_customers", "priority_flags", "open_only_customers",
-    "price_quantiles", "order_gaps", "above_average_customers",
-    "top_terms", "embedding_near_dups", "value_histogram",
-    "lineitem_profile", "regex_extract_ids", "null_safe_compare",
-    "rolling_7d_spend", "sliding_event_stats", "order_priority_paths",
-    "cube_quantity", "customer_deciles", "order_status_mix",
-    "exact_moment_stats", "fuzzy_part_names", "large_volume_orders",
-    "order_nav", "unpivot_part_metrics", "revenue_share",
-    "spend_percentiles", "embedding_stats", "canonical_docs",
-    "repetition_stats", "pii_scrub", "benchmark_decontam",
-    "shared_shingle_stats", "token_budget_pack", "mix_rebalance",
-    "approx_distinct_parts", "lsh_cosine_topk", "ivf_cosine_topk",
-    "minhash_near_dups", "simhash_near_dups", "min_cost_supplier",
-    "important_parts", "order_count_histogram", "top_supplier_revenue",
-    "small_qty_revenue", "idle_high_balance",
+    "repeat_customers", "priority_flags",
 )
 
 

@@ -31,10 +31,16 @@ def main() -> None:
         data = json.load(open(path))
         rows = data.get("queries", data)
         for name, row in rows.items():
-            ok = row.get("match", row.get("ok", row.get("pass"))) if isinstance(row, dict) else None
-            # count any recorded row as a driver signal; a hard failure
-            # would have been fixed in its round
-            verified.add(name) if ok is not False else None
+            if not isinstance(row, dict):
+                continue
+            # a row only counts as a driver signal when it is clean:
+            # hard errors (err carries a traceback) and explicit
+            # mismatches must re-enter the window until green
+            if row.get("err") not in (None, "no_oracle"):
+                continue
+            if False in (row.get("rows_match"), row.get("schema_match"), row.get("hash_match")):
+                continue
+            verified.add(name)
         print(f"{os.path.basename(path)}: {len(rows)} rows")
 
     specs = list(registry())
