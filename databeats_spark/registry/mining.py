@@ -135,14 +135,17 @@ LIMIT {PMI_TOP}
 # --- Q: vocab_growth — Heaps-law vocabulary curve ---------------------
 # New distinct terms per 50-document window of the corpus, with the
 # running vocabulary size. "First occurrence" is min(doc_id) per term —
-# one hash aggregate over the exploded tokens; the cumulative sum runs
-# over the ~(n_docs/50)-row aggregate, so the unpartitioned window is
-# driver-bounded, not data-bounded.
+# one hash aggregate over the exploded tokens. The cumulative sum runs
+# through the distributed prefix-sum operator: the bucket axis grows
+# with the corpus (n_docs / 50), so a naive global window would funnel
+# it through one task at scale.
 
 VOCAB_BUCKET_DOCS = 50
 
 
 def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
     t = load_tables(spark, sf_dir, ["documents"])
     first_seen = (
         t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -155,11 +158,9 @@ def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("new_terms"))
     )
-    w = Window.orderBy("doc_bucket").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        per_bucket.withColumn("vocab_size", F.sum("new_terms").over(w))
-        .orderBy("doc_bucket")
-    )
+    return partitioned_running_total(
+        per_bucket, [F.col("doc_bucket")], "new_terms", "vocab_size"
+    ).orderBy("doc_bucket")
 
 
 _VOCAB_GROWTH_SQL = f"""

@@ -36,12 +36,16 @@ BOUNDED_JOIN_OK = {
     "important_parts": "1-row total/count scalar over the checkpointed per-part agg",
     "idle_high_balance": "1-row positive-balance avg scalar broadcast",
     "rare_trigram_stats": "1-row corpus doc-count scalar broadcast",
+    "bigram_pmi": "1-row corpus-total scalars (n1/n2) over checkpointed aggregates",
+    "source_pareto": "1-row corpus token-total scalar broadcast",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
 UNPARTITIONED_WINDOW_OK = {
     "token_budget_pack": "prefix over per-partition subtotals (#partitions rows)",
     "customer_deciles": "prefix over per-partition subtotals (#partitions rows)",
+    "vocab_growth": "prefix over per-partition subtotals (#partitions rows)",
+    "source_pareto": "cumulative share over the per-source aggregate (#sources rows — a catalog, not a data axis)",
 }
 
 _WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
