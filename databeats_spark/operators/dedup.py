@@ -315,3 +315,53 @@ def simhash_near_duplicates(
         .filter(F.col("hamming") <= hamming_max)
     )
     return pairs
+
+
+def semantic_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the
+    embedding space (distributed KMeans), then compare pairs only
+    WITHIN a cluster (Abbas et al. 2023, arXiv:2303.09540 — the
+    semantic dedup used for LAION/web-scale corpora).
+
+    Scale shape: the candidate join key is ``centroid_id``, so the
+    shuffle co-locates each cluster and the pair blow-up is bounded by
+    the largest cluster, never the corpus (all-pairs within k balanced
+    clusters is n²/k comparisons — tune ``n_lists`` with corpus size).
+    Precision is exact by construction (every emitted pair carries its
+    true cosine); recall misses only pairs that straddle a cluster
+    boundary — the documented SemDeDup trade-off
+    (tests/test_near_dup.py pins a recall floor against the exact
+    brute-force pairs).
+
+    Reuses the IVF index's seeded KMeans assignment (ml/ann.py), so a
+    corpus written with ``IVFIndex.write_partitioned`` dedups with
+    zero extra clustering cost.
+    """
+    from databeats_spark.functions.similarity import cosine
+    from databeats_spark.ml.ann import IVFIndex
+
+    idx = IVFIndex.fit(embeddings, id_col, vec_col, n_lists=n_lists, seed=seed)
+    e = idx.assigned.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "centroid_id"
+    )
+    return (
+        e.alias("a")
+        .join(
+            e.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

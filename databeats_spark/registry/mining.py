@@ -553,6 +553,197 @@ def _grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_QUERY)
 
 
+# --- Q: weighted_sample — deterministic weighted sampling (A-ES) ------
+# Efraimidis-Spirakis weighted reservoir sampling, derandomized: the
+# per-row uniform comes from an md5 content hash (13 hex chars = 52
+# bits, exact in a double), so the SAME k documents are selected on
+# any engine, any partitioning, any run — deterministic_sample's
+# auditability property, extended to weight-proportional selection
+# (weight = document length: longer docs carry more of the token
+# budget). key = -ln(u) / w; keep the k smallest keys. One projection
+# + one global top-k (TakeOrderedAndProject — no full sort).
+
+WEIGHTED_SAMPLE_K = 100
+_HASH_DENOM = float(1 << 52)
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+    u = (v + 1) / F.lit(_HASH_DENOM)  # (0, 1] — ln never sees 0
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        t.documents.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(key, 6).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key"), "doc_id")
+        .limit(WEIGHTED_SAMPLE_K)
+    )
+
+
+_WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS weight,
+       round(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) + 1)
+                 / {_HASH_DENOM!r}) / n_chars, 6) AS sample_key
+FROM documents
+ORDER BY sample_key, doc_id
+LIMIT {WEIGHTED_SAMPLE_K}
+"""
+
+
+# --- Q: trimmed_price_stats — robust (trimmed) group statistics -------
+# Per-brand retail-price mean with the tails dropped by rank
+# (percent_rank outside [0.05, 0.95] excluded) beside the raw mean —
+# the outlier-robust aggregate a quality pipeline reports. Rank-based
+# trimming (not interpolated-quantile clipping) keeps every kept value
+# an original DECIMAL, so the trimmed sum stays exact; percent_rank is
+# the same closed form (rank-1)/(n-1) on both engines. One window
+# shuffle on the brand key, then one aggregate.
+
+TRIM_LO, TRIM_HI = 0.05, 0.95
+
+
+def _trimmed_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.registry.relational import dec
+
+    t = load_tables(spark, sf_dir, ["part"])
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    ranked = t.part.select(
+        "p_brand",
+        dec("p_retailprice").alias("price"),
+        F.percent_rank().over(w).alias("pr"),
+    )
+    kept = (F.col("pr") >= TRIM_LO) & (F.col("pr") <= TRIM_HI)
+    # means as exact-decimal sums divided in double (same expression
+    # on both engines) — avg(decimal) returns engine-specific types
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum("price").alias("__sum_all"),
+            F.sum(F.when(kept, F.col("price"))).alias("__sum_kept"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            "n_kept",
+            F.round(F.col("__sum_all").cast("double") / F.col("n_parts"), 6).alias("raw_mean"),
+            F.round(F.col("__sum_kept").cast("double") / F.col("n_kept"), 6).alias("trimmed_mean"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_TRIMMED_PRICE_STATS_SQL = f"""
+WITH ranked AS (
+  SELECT p_brand,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price,
+         percent_rank() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice, p_partkey) AS pr
+  FROM part
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN pr >= {TRIM_LO} AND pr <= {TRIM_HI} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(price) AS DOUBLE) / count(*), 6) AS raw_mean,
+       round(CAST(sum(CASE WHEN pr >= {TRIM_LO} AND pr <= {TRIM_HI} THEN price END) AS DOUBLE)
+             / sum(CASE WHEN pr >= {TRIM_LO} AND pr <= {TRIM_HI} THEN 1 ELSE 0 END), 6) AS trimmed_mean
+FROM ranked
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
+# --- Q: incremental_corpus_dups — dedup against a previous snapshot ---
+# The crawl-over-crawl question: which NEW documents near-duplicate
+# the EXISTING corpus? Candidates only cross the old/new boundary
+# (old x old and new x new pairs are excluded in the join condition),
+# so re-ingesting a snapshot costs old x new, never (old+new)². Same
+# bounded-verifier posture as near_dup_pairs; the full-corpus scale
+# path is minhash banding with a side tag on the band join.
+
+INC_SPLIT = 250  # doc_id < INC_SPLIT = old snapshot, >= = new crawl
+INC_LIMIT = 500
+INC_THRESHOLD = 0.5
+
+
+def _incremental_corpus_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < INC_LIMIT)
+    sh = docs.select(
+        "doc_id", word_shingles(F.trim(F.col("text")), 3).alias("shingles")
+    )
+    sized = sh.select("doc_id", F.size("shingles").alias("n"))
+    e = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    old = e.filter(F.col("doc_id") < INC_SPLIT)
+    new = e.filter(F.col("doc_id") >= INC_SPLIT)
+    common = (
+        old.alias("a")
+        .join(new.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .groupBy(F.col("a.doc_id").alias("old_id"), F.col("b.doc_id").alias("new_id"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sized.select(F.col("doc_id").alias("old_id"), F.col("n").alias("n_old")),
+            "old_id",
+        )
+        .join(
+            sized.select(F.col("doc_id").alias("new_id"), F.col("n").alias("n_new")),
+            "new_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_old") + F.col("n_new") - F.col("common")), 6
+            ),
+        )
+        .filter(
+            F.col("common") * (1 + INC_THRESHOLD)
+            >= (F.col("n_old") + F.col("n_new")) * INC_THRESHOLD
+        )
+        .select("new_id", "old_id", F.col("common").alias("common"), "jaccard")
+        .orderBy("new_id", "old_id")
+    )
+
+
+_INCREMENTAL_CORPUS_DUPS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < {INC_LIMIT}
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+), sized AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), pairs AS (
+  SELECT a.doc_id AS old_id, b.doc_id AS new_id, CAST(count(*) AS BIGINT) AS common
+  FROM e a JOIN e b ON a.sh = b.sh
+  WHERE a.doc_id < {INC_SPLIT} AND b.doc_id >= {INC_SPLIT}
+  GROUP BY 1, 2
+)
+SELECT new_id, old_id, common,
+       round(common * 1.0 / (so.n + sn.n - common), 6) AS jaccard
+FROM pairs
+JOIN sized so ON so.doc_id = old_id
+JOIN sized sn ON sn.doc_id = new_id
+WHERE common * (1 + {INC_THRESHOLD}) >= (so.n + sn.n) * {INC_THRESHOLD}
+ORDER BY new_id, old_id
+"""
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -563,4 +754,7 @@ SPECS = [
     QuerySpec("retention_cohorts", "weekly cohort retention triangle", _retention_cohorts, _RETENTION_COHORTS_SQL, tags=("events", "window")),
     QuerySpec("click_attribution", "in-window click->purchase attribution (streaming twin)", _click_attribution, _CLICK_ATTRIBUTION_SQL, tags=("events", "join")),
     QuerySpec("grouping_sets_mix", "explicit GROUPING SETS with grouping() flags", _grouping_sets_mix, _GROUPING_SETS_QUERY, tags=("agg",)),
+    QuerySpec("weighted_sample", "deterministic weighted sampling (derandomized A-ES)", _weighted_sample, _WEIGHTED_SAMPLE_SQL, tags=("sampling",)),
+    QuerySpec("trimmed_price_stats", "rank-trimmed robust group means", _trimmed_price_stats, _TRIMMED_PRICE_STATS_SQL, tags=("agg", "window")),
+    QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
 ]

@@ -102,6 +102,22 @@ def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: KMeans-clustered embedding space, pairs compared only
+    # within a cluster (operators/dedup.py::semantic_near_duplicates).
+    # Rows-only: the seeded KMeans fit is not SQL-expressible; the
+    # recall floor vs exact brute force is pinned in test_near_dup.py.
+    from databeats_spark.operators.dedup import semantic_near_duplicates
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    out = semantic_near_duplicates(
+        t.embeddings, "vec_id", "embedding", n_lists=8, threshold=0.4
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    ).orderBy("id_a", "id_b")
+
+
 def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array-function surface over the vector column: elementwise
     # aggregates in double precision, sequential fold order on both
@@ -268,5 +284,6 @@ SPECS = [
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
+    QuerySpec("semdedup_near_dups", "SemDeDup: within-KMeans-cluster cosine near-dup pairs", _semdedup_near_dups, None, tags=("dedup", "similarity", "approx")),
     QuerySpec("canonical_docs", "end-to-end fuzzy dedup: pairs → star-alternation components → canonical rows", _canonical_docs, _canonical_docs_sql(), tags=("dedup", "graph")),
 ]

@@ -75,3 +75,37 @@ def test_lsh_cosine_recall(spark):
     # for hyperplane LSH); 6 planes × 8 tables + multiprobe measured
     # 0.89 — gate leaves slack for plane-seed sensitivity
     assert mean_recall >= 0.6, f"LSH cosine recall collapsed: {mean_recall}"
+
+
+def test_semdedup_precision_and_recall(spark):
+    from databeats_spark.operators.dedup import semantic_near_duplicates
+    from databeats_spark.functions.similarity import cosine
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"]).embeddings.cache()
+    # exact all-pairs ground truth: brute force (bounded smoke corpus)
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    exact = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .toPandas()
+    )
+    sem = semantic_near_duplicates(
+        emb, "vec_id", "embedding", n_lists=8, threshold=0.4
+    ).toPandas()
+    sem_pairs = set(zip(sem["id_a"], sem["id_b"]))
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    # precision is exact by construction: every emitted pair's cosine
+    # is computed, so no pair outside the ground truth can appear
+    assert sem_pairs <= exact_pairs
+    assert len(exact_pairs) > 0
+    # recall loses only cluster-straddling pairs (the SemDeDup
+    # trade-off); with 8 clusters over this corpus a material fraction
+    # of the weakly-similar (0.4) pairs must still co-cluster
+    recall = len(sem_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.3, f"semdedup recall collapsed: {recall}"
