@@ -190,3 +190,85 @@ def dedup_keep_canonical(
     return joined.filter(
         F.col("component").isNull() | (F.col(key) == F.col("component"))
     ).drop("component")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 15,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """Distributed PageRank by power iteration over the edge list —
+    the centrality pass a dedup/link-graph pipeline runs to pick
+    authoritative representatives (e.g. rank pages inside a near-dup
+    cluster before choosing the canonical one).
+
+    Semantics: directed graph, standard damping with uniform
+    teleport 1/N, and dangling-node mass redistributed uniformly each
+    round so ranks always sum to 1. Returns (node, rank).
+
+    Scale shape: each round is one equi-join (ranks x out-edges on the
+    source key) + one hash aggregate on dst — the contribution shuffle
+    moves (edge, rank/degree) pairs, never adjacency lists, and no
+    driver-side graph exists. ``localCheckpoint`` per round keeps the
+    plan from growing linearly with iterations (the classic iterative-
+    DataFrame trap). Convergence is an L1 delta against the previous
+    round — one extra join on the node key; pass ``tol=None`` to run
+    exactly ``max_iter`` rounds with no per-round driver action.
+    """
+    out_edges = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    nodes = (
+        out_edges.select(F.col("e_src").alias("node"))
+        .union(out_edges.select(F.col("e_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # one scalar; fixed for the whole run
+    degrees = out_edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
+    # pre-join degree onto edges ONCE: the per-round join then carries
+    # rank/deg without re-aggregating degrees every iteration
+    withdeg = out_edges.join(degrees, "e_src").localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(max_iter):
+        contribs = (
+            withdeg.join(ranks, withdeg["e_src"] == ranks["node"])
+            .select(F.col("e_dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling mass = 1 - sum of flowing rank (nodes with no
+        # out-edges leak their rank; give it back uniformly)
+        flowing = ranks.join(degrees, ranks["node"] == degrees["e_src"], "left_semi")
+        scalars = flowing.agg(F.sum("rank").alias("flow_sum"))
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(scalars))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + (F.lit(1.0) - F.col("flow_sum")) / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        new_ranks = new_ranks.localCheckpoint()
+        if tol is not None:
+            delta = (
+                new_ranks.withColumnRenamed("rank", "new_rank")
+                .join(ranks, "node")
+                .agg(F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("d"))
+                .collect()[0]["d"]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+    return ranks.select("node", "rank")

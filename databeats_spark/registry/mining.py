@@ -744,6 +744,36 @@ ORDER BY new_id, old_id
 """
 
 
+# --- Q: pagerank_docs — centrality over the near-dup graph ------------
+# PageRank over the bounded near-dup candidate graph (edges = doc
+# pairs with 3-gram Jaccard >= 0.2, both directions): the centrality
+# signal for picking the authoritative representative inside each
+# boilerplate cluster. Rows-only: iterative power iteration is not
+# SQL-expressible; operator semantics are pinned against a dense
+# numpy power iteration in tests/test_graph.py.
+
+PAGERANK_DOC_LIMIT = 300
+PAGERANK_EDGE_THRESHOLD = 0.2
+
+
+def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.operators.graph import pagerank
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAGERANK_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=PAGERANK_EDGE_THRESHOLD
+    ).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    out = pagerank(edges, "id_a", "id_b", max_iter=10, tol=None)
+    return out.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "doc_id")
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -757,4 +787,5 @@ SPECS = [
     QuerySpec("weighted_sample", "deterministic weighted sampling (derandomized A-ES)", _weighted_sample, _WEIGHTED_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("trimmed_price_stats", "rank-trimmed robust group means", _trimmed_price_stats, _TRIMMED_PRICE_STATS_SQL, tags=("agg", "window")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
+    QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
 ]

@@ -87,3 +87,61 @@ def test_alternating_converges_logarithmically_on_long_chain(spark):
     got = comp_map(alternating_components(edges_df(spark, chain), max_iter=12))
     assert len(got) == 201
     assert set(got.values()) == {0}
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    from databeats_spark.operators.graph import pagerank
+
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges_df(spark, [(1, 2), (2, 3), (3, 1)]), max_iter=20).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    for v in ranks.values():
+        assert abs(v - 1 / 3) < 1e-9
+
+
+def test_pagerank_star_center_dominates(spark):
+    from databeats_spark.operators.graph import pagerank
+
+    # 4 leaves all pointing at node 0; 0 is dangling (mass recycles)
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges_df(spark, [(1, 0), (2, 0), (3, 0), (4, 0)]), max_iter=30).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[0] == max(ranks.values())
+    leaf = [v for k, v in ranks.items() if k != 0]
+    assert max(leaf) - min(leaf) < 1e-12  # symmetry
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from databeats_spark.operators.graph import pagerank
+
+    rng = np.random.default_rng(7)
+    n = 12
+    pairs = sorted({(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2)) if a != b})
+    d = 0.85
+    iters = 25
+    # reference dense power iteration with identical dangling handling
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    out_deg = np.zeros(m)
+    for a, _ in pairs:
+        out_deg[idx[a]] += 1
+    r = np.full(m, 1 / m)
+    for _ in range(iters):
+        inflow = np.zeros(m)
+        for a, b in pairs:
+            inflow[idx[b]] += r[idx[a]] / out_deg[idx[a]]
+        flow_sum = sum(r[i] for i in range(m) if out_deg[i] > 0)
+        r = (1 - d) / m + d * (inflow + (1 - flow_sum) / m)
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(edges_df(spark, pairs), damping=d, max_iter=iters, tol=None).collect()
+    }
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, (v, got[v], r[idx[v]])

@@ -38,6 +38,7 @@ BOUNDED_JOIN_OK = {
     "rare_trigram_stats": "1-row corpus doc-count scalar broadcast",
     "bigram_pmi": "1-row corpus-total scalars (n1/n2) over checkpointed aggregates",
     "source_pareto": "1-row corpus token-total scalar broadcast",
+    "pagerank_docs": "1-row flowing-rank-sum scalar broadcast per power iteration",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
