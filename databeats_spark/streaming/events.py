@@ -151,3 +151,35 @@ def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = 
     )
     q.awaitTermination()
     return q
+
+
+def user_value_segments(events: DataFrame) -> DataFrame:
+    """Batch-computed per-user dimension for stream enrichment: total
+    purchase value bucketed into named tiers. This is the static side
+    of :func:`stream_static_enrichment` — recomputed on a batch
+    cadence, joined into the live stream."""
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("total_spend"))
+    )
+    return per_user.select(
+        "user_id",
+        F.when(F.col("total_spend") >= 1000, "whale")
+        .when(F.col("total_spend") >= 100, "regular")
+        .otherwise("light")
+        .alias("segment"),
+    )
+
+
+def stream_static_enrichment(
+    events_stream: DataFrame, user_segments: DataFrame
+) -> DataFrame:
+    """Stream-static join: attach a batch-maintained dimension to the
+    live stream. Spark re-plans the static side each micro-batch, so a
+    dimension refreshed by a batch job is picked up without restarting
+    the query; the broadcast hint keeps the per-batch join shuffle-free
+    (dimension tables are small relative to the stream). Unmatched
+    events keep NULL segment (left join) rather than being dropped —
+    an enrichment must never filter the stream."""
+    return events_stream.join(F.broadcast(user_segments), "user_id", "left")

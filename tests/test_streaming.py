@@ -130,3 +130,38 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     got_pairs = set(map(tuple, got[key].values.tolist()))
     exp_pairs = set(map(tuple, exp[key].values.tolist()))
     assert got_pairs == exp_pairs
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    import shutil
+
+    from databeats_spark.sources.tables import load_tables
+    from databeats_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+        stream_static_enrichment,
+        user_value_segments,
+    )
+
+    d = tmp_path / "events_in"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    batch = load_tables(spark, SF_SMOKE, ["events"]).events
+    segments = user_value_segments(batch)
+
+    enriched = stream_static_enrichment(stream_events(spark, str(d)), segments)
+    q = run_available_now(
+        enriched.select("event_id", "user_id", "segment"), "enrich_test"
+    )
+    got = spark.table("enrich_test").toPandas().sort_values("event_id").reset_index(drop=True)
+    q.stop()
+
+    want = (
+        stream_static_enrichment(batch, segments)
+        .select("event_id", "user_id", "segment")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
