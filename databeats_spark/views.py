@@ -21,7 +21,15 @@ from databeats_spark.sources.tables import register_views
 # propagation, KMeans training, corpus-count scalars) — excluded by
 # default so opening the dashboard stays instant; pass them in
 # ``names`` explicitly to pay their cost.
-EAGER_QUERIES = frozenset({"dedup_components", "ivf_cosine_topk", "tf_idf_terms"})
+EAGER_QUERIES = frozenset(
+    {
+        "dedup_components",
+        "ivf_cosine_topk",
+        "tf_idf_terms",
+        "semdedup_near_dups",  # KMeans fit at build
+        "pagerank_docs",  # per-round checkpoints at build
+    }
+)
 
 
 def create_dashboard_views(
