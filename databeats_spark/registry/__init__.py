@@ -55,14 +55,14 @@ _WINDOW = (
     "dominant_suppliers", "bigram_pmi", "vocab_growth",
     "containment_pairs", "gopher_quality_flags", "source_pareto",
     "event_transitions", "retention_cohorts", "click_attribution",
-    "grouping_sets_mix", "top_terms", "rolling_7d_spend",
-    "minhash_near_dups", "cosine_topk", "pricing_summary",
-    "filter_project", "top_customers", "revenue_by_nation",
-    "weekly_chart_streak", "sessionization", "asof_purchase_value",
-    "dedup_exact_docs", "text_stats", "near_dup_pairs",
-    "part_name_features", "math_scalar_features", "calendar_features",
-    "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
-    "repeat_customers", "priority_flags",
+    "grouping_sets_mix", "weighted_sample", "trimmed_price_stats",
+    "incremental_corpus_dups", "semdedup_near_dups", "pagerank_docs",
+    "top_terms", "rolling_7d_spend", "minhash_near_dups",
+    "cosine_topk", "pricing_summary", "filter_project",
+    "top_customers", "revenue_by_nation", "weekly_chart_streak",
+    "sessionization", "asof_purchase_value", "dedup_exact_docs",
+    "text_stats", "near_dup_pairs", "part_name_features",
+    "math_scalar_features", "calendar_features",
 )
 
 
