@@ -774,6 +774,151 @@ def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank"), "doc_id")
 
 
+# --- Q: value_outliers — exact-moment z-score anomalies ---------------
+# Events whose value sits more than 3 sigma from their type's mean.
+# Moments come from exact decimal sums (order-independent), variance
+# is the closed form (ssq - s^2/n)/(n-1) evaluated in double with the
+# same expression tree on both engines; the per-type moment table is a
+# broadcast dim re-attach, so the detector is one scan + one tiny agg.
+
+OUTLIER_Z = 3.0
+
+
+def _value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    v = F.col("value").cast("decimal(18,2)")
+    moments = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s"),
+        F.sum(v * v).alias("ssq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ssq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = moments.select(
+        "event_type", mean.alias("mu"), F.sqrt(var).alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        t.events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > OUTLIER_Z)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("z_score"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_VALUE_OUTLIERS_SQL = f"""
+WITH moments AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(value AS DECIMAL(18,2))) AS s,
+         sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS ssq
+  FROM events
+  GROUP BY event_type
+),
+stats AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS mu,
+         sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS sigma
+  FROM moments
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - st.mu) / st.sigma, 6) AS z_score
+FROM events e
+JOIN stats st ON st.event_type = e.event_type
+WHERE abs((e.value - st.mu) / st.sigma) > {OUTLIER_Z}
+ORDER BY e.event_id
+"""
+
+
+# --- Q: funnel_stages — ordered multi-step conversion funnel ----------
+# How many users progress signup -> view -> click -> purchase IN ORDER
+# (each stage's first event must follow the previous stage's). Four
+# chained per-user aggregates, every join on the same user key (one
+# partitioning reused end to end); the final rollup is four conditional
+# counts over one row per user.
+
+def _funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    base = t.events.select("user_id", "event_type", "ts")
+    s1 = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        base.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        base.filter(F.col("event_type") == "click")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    s4 = (
+        base.filter(F.col("event_type") == "purchase")
+        .join(s3, "user_id")
+        .filter(F.col("ts") > F.col("t3"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t4"))
+    )
+    per_user = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+        F.count("t2").alias("n_view"),
+        F.count("t3").alias("n_click"),
+        F.count("t4").alias("n_purchase"),
+    )
+
+
+_FUNNEL_STAGES_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t2
+  GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, min(e.ts) AS t4
+  FROM events e JOIN s3 ON s3.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_signup,
+       CAST(count(s2.t2) AS BIGINT) AS n_view,
+       CAST(count(s3.t3) AS BIGINT) AS n_click,
+       CAST(count(s4.t4) AS BIGINT) AS n_purchase
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+LEFT JOIN s4 ON s4.user_id = s1.user_id
+"""
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -788,4 +933,6 @@ SPECS = [
     QuerySpec("trimmed_price_stats", "rank-trimmed robust group means", _trimmed_price_stats, _TRIMMED_PRICE_STATS_SQL, tags=("agg", "window")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
+    QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
+    QuerySpec("funnel_stages", "ordered signup->view->click->purchase funnel", _funnel_stages, _FUNNEL_STAGES_SQL, tags=("events", "join", "agg")),
 ]
