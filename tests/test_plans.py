@@ -132,3 +132,33 @@ def test_length_band_windows_run_on_histogram(spark):
     assert "Window" in plan
     win_pos = plan.index("Window")
     assert "HashAggregate" in plan[win_pos:], plan
+
+
+def test_q5_join_chain_never_sort_merges(spark):
+    plan = formatted_plan(spark, "local_supplier_volume")
+    # all five dims/filters broadcast around the single fact shuffle
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_q3_pushes_date_filters_and_takes_top10(spark):
+    plan = formatted_plan(spark, "shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-10, no full sort
+    # both date predicates reach the parquet readers
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "GreaterThan(l_shipdate" in plan
+    assert "LessThan(o_orderdate" in plan
+
+
+def test_q19_disjunction_is_one_scan(spark):
+    plan = formatted_plan(spark, "bracket_revenue")
+    # the OR-of-ANDs must NOT union three scans of lineitem; formatted
+    # output lists each scan twice (tree + details), so 2 scans = 4 hits
+    assert plan.count("Scan parquet") <= 4  # lineitem + part, once each
+    assert "Union" not in plan
+
+
+def test_incremental_dups_single_shingle_source(spark):
+    plan = formatted_plan(spark, "incremental_corpus_dups")
+    # old/new sides are filters over ONE shingle explode, and the
+    # boundary predicate keeps old x old / new x new out of the join
+    assert "Union" not in plan
