@@ -149,9 +149,35 @@ ORDER BY p_type
 """
 
 
+# --- Q: try_cast_group_all — error-tolerant casts + GROUP/ORDER BY ALL ----
+# The modern convenience surface in the ANSI intersection: TRY_CAST
+# (NULL on failure instead of an ANSI runtime error — the
+# schema-on-read hygiene primitive for dirty inputs) plus
+# GROUP BY ALL / ORDER BY ALL, one identical text on both engines
+# (C9 pattern). The bogus cast column pins the failure path: every
+# segment name fails the numeric cast on both engines the same way.
+
+_TRY_CAST_GROUP_ALL_SQL = """
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(TRY_CAST(substr(c_name, 10) AS BIGINT)) AS BIGINT) AS parsed_ids,
+       CAST(count(TRY_CAST(c_mktsegment AS BIGINT)) AS BIGINT) AS bogus_casts,
+       CAST(min(TRY_CAST(substr(c_name, 10) AS BIGINT)) AS BIGINT) AS min_id
+FROM customer
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+
+def _try_cast_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_TRY_CAST_GROUP_ALL_SQL)
+
+
 SPECS = [
     QuerySpec("recursive_week_spine", "WITH RECURSIVE calendar spine, identical ANSI on both engines", _recursive_week_spine, _RECURSIVE_WEEK_SPINE_SQL, tags=("sql", "timeseries")),
     QuerySpec("variant_props_stats", "VARIANT parse_json + variant_get typed extraction", _variant_props_stats, _VARIANT_PROPS_STATS_SQL, tags=("sql", "scalar")),
     QuerySpec("pipe_syntax_returns", "SQL pipe syntax (|>) filter+aggregate vs classic ANSI oracle", _pipe_syntax_returns, _PIPE_SYNTAX_ORACLE, tags=("sql", "agg")),
     QuerySpec("collated_type_counts", "COLLATE UTF8_LCASE case-insensitive grouping vs lower() oracle", _collated_type_counts, _COLLATED_TYPE_COUNTS_SQL, tags=("sql", "scalar")),
+    QuerySpec("try_cast_group_all", "TRY_CAST failure audit + GROUP BY ALL / ORDER BY ALL", _try_cast_group_all, _TRY_CAST_GROUP_ALL_SQL, tags=("sql", "scalar", "agg")),
 ]
