@@ -613,6 +613,109 @@ ORDER BY c_mktsegment, c_custkey
 """
 
 
+# --- Q: interpolated_daily_spend — gap-fill + linear interpolation --------
+# The hypertable-style resample: per-user daily spend with missing
+# days LINEARLY interpolated between the neighboring observed days
+# (weekly_resample's zero-fill sibling, for quantities where zero is
+# wrong — sensor readings, balances, rates). Shape: per-user date
+# spine (sequence bounded by each user's observed span — the spine is
+# data-bounded, never a global calendar blow-up), left join of the
+# exact-decimal daily totals, then four IGNORE NULLS navigation
+# windows (prev/next value and day) over the user partition — one
+# shuffle on user_id serves spine, join and windows. The fractional
+# mix runs in double with the identical expression tree on both
+# engines; observed days pass through exactly.
+
+def _interpolated_daily_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    daily = (
+        t.events.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(dec("value")).alias("total"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi")).alias("d"),
+        )
+    )
+    j = spine.join(daily, ["user_id", "d"], "left")
+    back = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fwd = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_day = F.when(F.col("total").isNotNull(), F.col("d"))
+    w = (
+        j.withColumn("pv", F.last("total", ignorenulls=True).over(back))
+        .withColumn("pd", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("nv", F.first("total", ignorenulls=True).over(fwd))
+        .withColumn("nd", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    interp = (
+        F.col("pv").cast("double")
+        + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+        * F.datediff("d", "pd")
+        / F.datediff("nd", "pd")
+    )
+    return w.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("total").isNotNull().alias("observed"),
+        F.round(
+            F.when(F.col("total").isNotNull(), F.col("total").cast("double")).otherwise(interp),
+            6,
+        ).alias("spend"),
+    ).orderBy("user_id", "day")
+
+
+_INTERPOLATED_DAILY_SPEND_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         sum(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events
+  GROUP BY user_id, d
+),
+bounds AS (
+  SELECT user_id, min(d) AS lo, max(d) AS hi FROM daily GROUP BY user_id
+),
+spine AS (
+  SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+  FROM bounds
+),
+j AS (
+  SELECT s.user_id, s.d, daily.total
+  FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+),
+w AS (
+  SELECT user_id, d, total,
+         last_value(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN total IS NOT NULL THEN d END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         first_value(total IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN total IS NOT NULL THEN d END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT user_id,
+       strftime(d, '%Y-%m-%d') AS day,
+       total IS NOT NULL AS observed,
+       round(CASE WHEN total IS NOT NULL THEN CAST(total AS DOUBLE)
+                  ELSE CAST(pv AS DOUBLE)
+                       + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                         * date_diff('day', pd, d) / date_diff('day', pd, nd)
+             END, 6) AS spend
+FROM w
+ORDER BY user_id, day
+"""
+
+
 SPECS = [
     QuerySpec("rolling_7d_spend", "value-RANGE rolling window frame (7-day spend)", _rolling_7d_spend, _ROLLING_7D_SPEND_SQL, bench=True, tags=("window", "frame")),
     QuerySpec("sliding_event_stats", "hopping windows (1h window / 30m slide) vs closed-form oracle", _sliding_event_stats, _SLIDING_EVENT_STATS_SQL, tags=("window", "timeseries")),
@@ -627,4 +730,5 @@ SPECS = [
     QuerySpec("unpivot_part_metrics", "wide-to-long unpivot/melt (inverse of pivot)", _unpivot_part_metrics, _UNPIVOT_PART_METRICS_SQL, tags=("reshape",)),
     QuerySpec("revenue_share", "percent-of-total window over the aggregated table", _revenue_share, _REVENUE_SHARE_SQL, tags=("window", "agg")),
     QuerySpec("spend_percentiles", "percent_rank + cume_dist distribution ranks per segment", _spend_percentiles, _SPEND_PERCENTILES_SQL, tags=("window",)),
+    QuerySpec("interpolated_daily_spend", "gap-filled linear interpolation over per-user date spine", _interpolated_daily_spend, _INTERPOLATED_DAILY_SPEND_SQL, tags=("window", "timeseries")),
 ]
