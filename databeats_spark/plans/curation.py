@@ -1,0 +1,152 @@
+"""End-to-end corpus curation plan — the training-data pipeline the
+individual operators exist FOR, composed as one flow:
+
+    raw documents
+      → quality gate        (Gopher-style column rules, no UDF)
+      → exact dedup         (md5 fingerprint hash-agg)
+      → near-dup collapse   (MinHash+LSH pairs → connected components
+                             → keep canonical min-id doc per cluster)
+      → decontamination     (4-gram overlap vs the eval set, broadcast)
+      → mix rebalance       (per-source hash-downsample to the
+                             smallest surviving source)
+      → token budget        (distributed prefix sum; keep documents
+                             until the budget is spent)
+
+Each stage consumes the previous stage's DataFrame — lazy end to end
+except the connected-components rounds (bounded by near-dup cluster
+diameter). A user of the reference who curates corpora by hand-chained
+pandas steps runs this as one call; at 100 TB every stage is the
+shuffle-conscious operator form (bucketed candidate joins, broadcast
+eval shingles, no global windows).
+
+The stage-count funnel (``curation_report``) is the pipeline's audit
+artifact: how many documents each gate removed. Registry exposes it
+rows-only (MinHash/CC are not SQL-expressible); the monotone-decrease
+property and end-to-end determinism are pinned in
+tests/test_curation_plan.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.text import fingerprint, word_shingles
+from databeats_spark.operators.dedup import minhash_near_duplicates
+from databeats_spark.operators.graph import connected_components, dedup_keep_canonical
+from databeats_spark.operators.scale import attach_global_scalar, partitioned_running_total
+from databeats_spark.sources.tables import load_tables
+
+# quality-gate bands (see registry/mining.py gopher_quality_flags)
+MIN_TOK, MAX_TOK = 40, 5000
+MIN_DIVERSITY = 0.2
+# near-dup collapse
+NEAR_DUP_THRESHOLD = 0.5
+# decontamination (see registry/documents.py benchmark_decontam)
+DECONTAM_N = 4
+DECONTAM_EVAL_MOD = 20
+DECONTAM_MAX_OVERLAP = 0.05
+# Knuth multiplicative hash for the rebalance keep-rule
+_KNUTH = 2654435761 % 65536
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Drop documents outside the token-count band or below the
+    lexical-diversity floor. Pure column expressions — one scan."""
+    toks = F.split("text", " ")
+    scored = docs.withColumn("n_tok", F.size(toks)).withColumn(
+        "n_distinct", F.size(F.array_distinct(toks))
+    )
+    return (
+        scored.filter(
+            F.col("n_tok").between(MIN_TOK, MAX_TOK)
+            & (F.col("n_distinct") >= F.col("n_tok") * MIN_DIVERSITY)
+        )
+        .drop("n_distinct")
+    )
+
+
+def exact_dedup_stage(docs: DataFrame) -> DataFrame:
+    """Keep the min-id document per exact content fingerprint."""
+    fp = docs.withColumn("__fp", fingerprint(F.col("text")))
+    keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def near_dup_stage(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """MinHash+LSH candidate pairs → connected components → keep the
+    canonical (min-id) document of every near-dup cluster."""
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=NEAR_DUP_THRESHOLD,
+        num_partitions=spark.sparkContext.defaultParallelism,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    return dedup_keep_canonical(docs, comps, "doc_id")
+
+
+def decontam_stage(docs: DataFrame) -> DataFrame:
+    """Drop documents whose 4-gram overlap with the eval slice exceeds
+    the contamination bound. Eval shingles broadcast — the corpus side
+    never shuffles through the join (benchmark-sized at any scale)."""
+    sh = docs.select("doc_id", word_shingles("text", n=DECONTAM_N).alias("sh"))
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
+    overlap = (
+        sh.filter(~is_eval)
+        .select("doc_id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "n_sh")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") > F.col("n_sh") * DECONTAM_MAX_OVERLAP)
+        .select("doc_id")
+    )
+    # eval docs themselves leave the training corpus too
+    return docs.filter(~is_eval).join(overlap, "doc_id", "left_anti")
+
+
+def rebalance_stage(docs: DataFrame) -> DataFrame:
+    """Hash-downsample every source to the smallest surviving source's
+    size (deterministic Knuth keep-rule, pure integers)."""
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    sized = attach_global_scalar(counts, F.min("n_docs").alias("min_docs"))
+    bucket = F.pmod(F.col("doc_id") * F.lit(_KNUTH), F.lit(65536))
+    return docs.join(F.broadcast(sized), "source").filter(
+        bucket * F.col("n_docs") < F.lit(65536) * F.col("min_docs")
+    ).drop("n_docs", "min_docs")
+
+
+def budget_stage(docs: DataFrame, token_budget: int) -> DataFrame:
+    """Keep documents (in deterministic md5 order) until the token
+    budget is spent — the distributed prefix sum, never a global
+    window."""
+    ordered = docs.withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+    packed = partitioned_running_total(
+        ordered, [F.col("__h")], "n_tok", "cum_tok"
+    )
+    return packed.filter(F.col("cum_tok") <= token_budget).drop("__h", "cum_tok")
+
+
+def curate_corpus(
+    spark: SparkSession, sf_dir: str | None = None, token_budget: int = 30_000
+) -> dict[str, DataFrame]:
+    """Run the full curation flow; returns every stage's DataFrame so
+    callers can audit, persist or branch at any point."""
+    docs = load_tables(spark, sf_dir, ["documents"]).documents
+    stages: dict[str, DataFrame] = {"raw": docs}
+    stages["quality"] = quality_gate(docs)
+    stages["exact_dedup"] = exact_dedup_stage(stages["quality"])
+    stages["near_dup"] = near_dup_stage(stages["exact_dedup"], spark)
+    stages["decontam"] = decontam_stage(stages["near_dup"])
+    stages["rebalance"] = rebalance_stage(stages["decontam"])
+    stages["budget"] = budget_stage(stages["rebalance"], token_budget)
+    return stages
+
+
+def curation_report(
+    spark: SparkSession, sf_dir: str | None = None, token_budget: int = 30_000
+) -> DataFrame:
+    """The stage-count funnel: one row per stage with the surviving
+    document count — the audit artifact of a curation run."""
+    stages = curate_corpus(spark, sf_dir, token_budget)
+    rows = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
+    return spark.createDataFrame(rows, "stage_idx: long, stage: string, n_docs: long")

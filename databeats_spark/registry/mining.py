@@ -919,6 +919,20 @@ LEFT JOIN s4 ON s4.user_id = s1.user_id
 """
 
 
+# --- Q: curation_funnel — end-to-end pipeline stage counts ------------
+# The audit artifact of the full curation plan (plans/curation.py):
+# quality gate -> exact dedup -> near-dup collapse -> decontam ->
+# rebalance -> token budget, one row per stage with survivors.
+# Rows-only: MinHash banding and connected components are not
+# SQL-expressible; stage semantics, monotonicity and determinism are
+# pinned in tests/test_curation_plan.py.
+
+def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.plans.curation import curation_report
+
+    return curation_report(spark, sf_dir, token_budget=30_000)
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -935,4 +949,5 @@ SPECS = [
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
     QuerySpec("funnel_stages", "ordered signup->view->click->purchase funnel", _funnel_stages, _FUNNEL_STAGES_SQL, tags=("events", "join", "agg")),
+    QuerySpec("curation_funnel", "end-to-end curation pipeline stage counts", _curation_funnel, None, tags=("text", "dedup", "sampling", "pipeline")),
 ]

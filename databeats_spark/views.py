@@ -28,6 +28,7 @@ EAGER_QUERIES = frozenset(
         "tf_idf_terms",
         "semdedup_near_dups",  # KMeans fit at build
         "pagerank_docs",  # per-round checkpoints at build
+        "curation_funnel",  # full pipeline run at build
     }
 )
 
