@@ -539,6 +539,94 @@ ORDER BY suppkey
 """
 
 
+# --- Q: yoy_revenue_growth — year-over-year growth self-join ----------
+# The TPC-DS-flavored trend shape: yearly revenue joined to itself at
+# year-1 with the growth ratio. Both sides come from ONE aggregate
+# (years are a bounded axis, so the self-join is broadcast); ratio in
+# double, round-6.
+
+def _yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    yearly = (
+        t.lineitem.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(F.sum(_net()).alias("rev"))
+    )
+    prev = yearly.select(
+        (F.col("ship_year") + 1).alias("ship_year"), F.col("rev").alias("prev_rev")
+    )
+    return (
+        yearly.join(F.broadcast(prev), "ship_year")
+        .select(
+            "ship_year",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("prev_rev").cast("double").alias("prev_revenue"),
+            F.round(F.col("rev").cast("double") / F.col("prev_rev").cast("double"), 6).alias("growth"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+_YOY_REVENUE_GROWTH_SQL = """
+WITH yearly AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+  FROM lineitem
+  GROUP BY ship_year
+)
+SELECT c.ship_year,
+       CAST(c.rev AS DOUBLE) AS revenue,
+       CAST(p.rev AS DOUBLE) AS prev_revenue,
+       round(CAST(c.rev AS DOUBLE) / CAST(p.rev AS DOUBLE), 6) AS growth
+FROM yearly c
+JOIN yearly p ON p.ship_year = c.ship_year - 1
+ORDER BY c.ship_year
+"""
+
+
+# --- Q: dq_violations — declarative data-quality expectations ---------
+# Deequ-style check pass (operators/quality.py): six rules over
+# lineitem evaluated in ONE partial->final aggregate — never a job per
+# rule. The oracle spells each rule as a conditional count.
+
+def _dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.quality import expect
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return expect(
+        t.lineitem,
+        {
+            "discount_band": F.col("l_discount").between(0.0, 0.1),
+            "flag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "price_positive": F.col("l_extendedprice") > 0,
+            "qty_in_range": F.col("l_quantity").between(1, 50),
+            "ship_in_horizon": F.col("l_shipdate") >= "1995-01-01",
+            "tax_not_null": F.col("l_tax").isNotNull(),
+        },
+    )
+
+
+_DQ_VIOLATIONS_SQL = """
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v_discount_band,
+         CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS BIGINT) AS v_flag_domain,
+         CAST(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v_price_positive,
+         CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v_qty_in_range,
+         CAST(sum(CASE WHEN l_shipdate >= '1995-01-01' THEN 0 ELSE 1 END) AS BIGINT) AS v_ship_in_horizon,
+         CAST(sum(CASE WHEN l_tax IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_tax_not_null
+  FROM lineitem
+)
+SELECT 'discount_band' AS rule, n_rows, v_discount_band AS n_violations, round(v_discount_band * 1.0 / n_rows, 6) AS violation_rate FROM agg
+UNION ALL SELECT 'flag_domain', n_rows, v_flag_domain, round(v_flag_domain * 1.0 / n_rows, 6) FROM agg
+UNION ALL SELECT 'price_positive', n_rows, v_price_positive, round(v_price_positive * 1.0 / n_rows, 6) FROM agg
+UNION ALL SELECT 'qty_in_range', n_rows, v_qty_in_range, round(v_qty_in_range * 1.0 / n_rows, 6) FROM agg
+UNION ALL SELECT 'ship_in_horizon', n_rows, v_ship_in_horizon, round(v_ship_in_horizon * 1.0 / n_rows, 6) FROM agg
+UNION ALL SELECT 'tax_not_null', n_rows, v_tax_not_null, round(v_tax_not_null * 1.0 / n_rows, 6) FROM agg
+ORDER BY rule
+"""
+
+
 SPECS = [
     QuerySpec("shipping_priority", "Q3 shape: segment top-10 unshipped revenue", _shipping_priority, _SHIPPING_PRIORITY_SQL, tags=("join", "agg")),
     QuerySpec("local_supplier_volume", "Q5 shape: 6-way join, same-nation customer/supplier", _local_supplier_volume, _LOCAL_SUPPLIER_VOLUME_SQL, tags=("join", "agg")),
@@ -550,4 +638,6 @@ SPECS = [
     QuerySpec("part_supplier_kinds", "Q16 shape: distinct-supplier counts with NOT IN exclusion", _part_supplier_kinds, _PART_SUPPLIER_KINDS_SQL, tags=("join", "agg", "subquery")),
     QuerySpec("bracket_revenue", "Q19 shape: disjunctive OR-of-ANDs bracket revenue", _bracket_revenue, _BRACKET_REVENUE_SQL, tags=("join", "agg")),
     QuerySpec("dominant_suppliers", "Q20 shape: nested per-pair vs per-part aggregates", _dominant_suppliers, _DOMINANT_SUPPLIERS_SQL, tags=("join", "agg", "subquery")),
+    QuerySpec("yoy_revenue_growth", "year-over-year growth self-join on the yearly aggregate", _yoy_revenue_growth, _YOY_REVENUE_GROWTH_SQL, tags=("agg", "join")),
+    QuerySpec("dq_violations", "Deequ-style expectations: N rules in one aggregate pass", _dq_violations, _DQ_VIOLATIONS_SQL, tags=("profiling", "agg")),
 ]
