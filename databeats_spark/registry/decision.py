@@ -550,6 +550,10 @@ def _yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     yearly = (
         t.lineitem.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(F.sum(_net()).alias("rev"))
+        # both join sides read this tiny aggregate: materialize it once
+        # (AQE does not reuse the shared exchange under a broadcast
+        # side — same posture as attach_global_scalar)
+        .localCheckpoint()
     )
     prev = yearly.select(
         (F.col("ship_year") + 1).alias("ship_year"), F.col("rev").alias("prev_rev")
