@@ -716,6 +716,33 @@ ORDER BY user_id, day
 """
 
 
+# --- Q: top_prices_with_ties — rank() keep-ties top-N per group -----------
+# The ties-kept sibling of top_orders_per_customer (row_number drops
+# ties deterministically; rank keeps ALL rows sharing a kept price —
+# "top 3 prices" not "3 rows"). Same WindowGroupLimit map-side
+# partial-top-k plan; group sizes stay bounded because ranks, not
+# rows, are capped.
+
+def _top_prices_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        t.part.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+        .orderBy("p_brand", "rnk", "p_partkey")
+    )
+
+
+_TOP_PRICES_WITH_TIES_SQL = """
+SELECT p_brand, p_partkey, p_retailprice,
+       CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS BIGINT) AS rnk
+FROM part
+QUALIFY rnk <= 3
+ORDER BY p_brand, rnk, p_partkey
+"""
+
+
 SPECS = [
     QuerySpec("rolling_7d_spend", "value-RANGE rolling window frame (7-day spend)", _rolling_7d_spend, _ROLLING_7D_SPEND_SQL, bench=True, tags=("window", "frame")),
     QuerySpec("sliding_event_stats", "hopping windows (1h window / 30m slide) vs closed-form oracle", _sliding_event_stats, _SLIDING_EVENT_STATS_SQL, tags=("window", "timeseries")),
@@ -731,4 +758,5 @@ SPECS = [
     QuerySpec("revenue_share", "percent-of-total window over the aggregated table", _revenue_share, _REVENUE_SHARE_SQL, tags=("window", "agg")),
     QuerySpec("spend_percentiles", "percent_rank + cume_dist distribution ranks per segment", _spend_percentiles, _SPEND_PERCENTILES_SQL, tags=("window",)),
     QuerySpec("interpolated_daily_spend", "gap-filled linear interpolation over per-user date spine", _interpolated_daily_spend, _INTERPOLATED_DAILY_SPEND_SQL, tags=("window", "timeseries")),
+    QuerySpec("top_prices_with_ties", "rank() keep-ties top-N per group (row_number sibling)", _top_prices_with_ties, _TOP_PRICES_WITH_TIES_SQL, tags=("window",)),
 ]
