@@ -13,6 +13,14 @@ snapshots can't express:
 - click_attribution:   in-window click->purchase attribution (batch twin
                        of streaming/events.py::stream_stream_click_attribution)
 - grouping_sets_mix:   explicit GROUPING SETS in the ANSI intersection
+- weighted_sample:     derandomized Efraimidis-Spirakis weighted sampling
+- trimmed_price_stats: rank-trimmed robust group means
+- incremental_corpus_dups: new-vs-previous-snapshot near-dup detection
+- pagerank_docs:       PageRank centrality over the near-dup graph
+- value_outliers:      z-score anomalies from exact decimal moments
+- funnel_stages:       ordered signup->view->click->purchase funnel
+- curation_funnel:     end-to-end curation pipeline stage counts
+                       (plans/curation.py)
 
 Reference parity: the reference's corpus ops stop at playlist joins
 (SURVEY §2); these are the standard LLM-curation completions (PMI
