@@ -201,7 +201,7 @@ ORDER BY doc_bucket
 # the bounded corpus.
 
 CONTAIN_DOC_LIMIT = 300
-CONTAIN_THRESHOLD = 0.5
+# containment >= 1/2, expressed as 2*common >= n in exact integers below
 
 
 def _containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
