@@ -941,6 +941,27 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_report(spark, sf_dir, token_budget=30_000)
 
 
+# --- Q: bpe_merges — distributed BPE vocabulary training --------------
+# The first merge rules an LLM tokenizer would learn from this corpus
+# (ml/bpe.py::train_bpe — one corpus pass to the word-frequency table,
+# then driver-bounded merge rounds over the vocabulary). Rows-only:
+# the merge loop is iterative; semantics are pinned exactly against a
+# pure-Python Sennrich-style reference in tests/test_bpe.py.
+
+BPE_N_MERGES = 10
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.ml.bpe import train_bpe
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    merges, _ = train_bpe(t.documents, BPE_N_MERGES)
+    rows = [(i, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank: long, left: string, right: string, merged: string"
+    )
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -958,4 +979,5 @@ SPECS = [
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
     QuerySpec("funnel_stages", "ordered signup->view->click->purchase funnel", _funnel_stages, _FUNNEL_STAGES_SQL, tags=("events", "join", "agg")),
     QuerySpec("curation_funnel", "end-to-end curation pipeline stage counts", _curation_funnel, None, tags=("text", "dedup", "sampling", "pipeline")),
+    QuerySpec("bpe_merges", "distributed BPE vocabulary training (first merge rules)", _bpe_merges, None, tags=("text", "ml", "pipeline")),
 ]

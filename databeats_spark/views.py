@@ -29,6 +29,7 @@ EAGER_QUERIES = frozenset(
         "semdedup_near_dups",  # KMeans fit at build
         "pagerank_docs",  # per-round checkpoints at build
         "curation_funnel",  # full pipeline run at build
+        "bpe_merges",  # merge-loop driver rounds at build
     }
 )
 

@@ -1,0 +1,64 @@
+"""Distributed BPE vs a pure-Python reference implementation."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from databeats_spark.ml.bpe import apply_bpe, train_bpe
+from databeats_spark.sources.tables import load_tables
+from tests.conftest import SF_SMOKE
+
+
+def _ref_bpe(texts: list[str], n_merges: int):
+    """Sennrich-style reference: dict-of-words, greedy re.sub merge."""
+    vocab = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                vocab[" ".join(list(w) + ["</w>"])] += 1
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            toks = syms.split(" ")
+            for x, y in zip(toks, toks[1:]):
+                pairs[(x, y)] += freq
+        if not pairs:
+            break
+        # max by (count, then LOWEST (a,b)) — mirror orderBy(desc(n), a, b)
+        n_max = max(pairs.values())
+        if n_max < 2:
+            break
+        a, b = min(p for p, n in pairs.items() if n == n_max)
+        merges.append((a, b))
+        pat = re.compile(rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)")
+        vocab = Counter({pat.sub(a + b, syms): f for syms, f in vocab.items()})
+    return merges, vocab
+
+
+def test_merges_match_reference(spark):
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(50)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    ref_merges, ref_vocab = _ref_bpe(texts, 12)
+    got_merges, got_vocab = train_bpe(docs, 12)
+    assert got_merges == ref_merges
+    got = {r["w"]: r["syms"] for r in got_vocab.collect()}
+    want = {}
+    for syms, _ in ref_vocab.items():
+        w = syms.replace(" ", "").replace("</w>", "")
+        want[w] = syms
+    assert got == want
+
+
+def test_apply_bpe_segments_every_word(spark):
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(50)
+    merges, _ = train_bpe(docs, 8)
+    assert len(merges) == 8
+    pieces = apply_bpe(docs.select("text"), merges)
+    rows = pieces.collect()
+    assert len(rows) > 0
+    for r in rows:
+        # round-trip: pieces concatenate back to word + terminator
+        assert "".join(r["pieces"]) == r["w"] + "</w>"
+        assert r["n_pieces"] >= 1
