@@ -162,3 +162,8 @@ def test_incremental_dups_single_shingle_source(spark):
     # old/new sides are filters over ONE shingle explode, and the
     # boundary predicate keeps old x old / new x new out of the join
     assert "Union" not in plan
+
+
+def test_weighted_sample_is_global_topk_not_full_sort(spark):
+    plan = formatted_plan(spark, "weighted_sample")
+    assert "TakeOrderedAndProject" in plan  # k smallest keys, no global sort
