@@ -962,6 +962,47 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: price_mad — median absolute deviation per group ---------------
+# The robust scale estimate beside trimmed_price_stats' robust
+# location: MAD = median(|x - median(x)|). Two passes over the same
+# grouped data — medians first (tiny per-group table, broadcast back),
+# then the deviation median. Exact interpolated percentile on both
+# engines (percentile == quantile_cont), round-6 on output.
+
+def _price_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["part"])
+    med = t.part.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("med")
+    )
+    return (
+        t.part.join(F.broadcast(med), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.first("med"), 6).alias("median_price"),
+            F.round(
+                F.expr("percentile(abs(p_retailprice - med), 0.5)"), 6
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_PRICE_MAD_SQL = """
+WITH med AS (
+  SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS med
+  FROM part GROUP BY p_brand
+)
+SELECT p.p_brand,
+       round(any_value(m.med), 6) AS median_price,
+       round(quantile_cont(abs(p.p_retailprice - m.med), 0.5), 6) AS mad,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM part p JOIN med m ON m.p_brand = p.p_brand
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -974,6 +1015,7 @@ SPECS = [
     QuerySpec("grouping_sets_mix", "explicit GROUPING SETS with grouping() flags", _grouping_sets_mix, _GROUPING_SETS_QUERY, tags=("agg",)),
     QuerySpec("weighted_sample", "deterministic weighted sampling (derandomized A-ES)", _weighted_sample, _WEIGHTED_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("trimmed_price_stats", "rank-trimmed robust group means", _trimmed_price_stats, _TRIMMED_PRICE_STATS_SQL, tags=("agg", "window")),
+    QuerySpec("price_mad", "median absolute deviation (robust scale) per group", _price_mad, _PRICE_MAD_SQL, tags=("agg",)),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
