@@ -1003,6 +1003,41 @@ ORDER BY p.p_brand
 """
 
 
+# --- Q: qty_width_buckets — equi-width histogram via width_bucket -----
+# The ANSI width_bucket builtin (equi-WIDTH sibling of
+# value_histogram's hand-rolled buckets and customer_deciles'
+# equi-DEPTH ntile), one hash aggregate. DuckDB has no width_bucket,
+# so the oracle spells the ANSI definition arithmetically (below-range
+# -> 0, above-range -> n+1, else floor((v-lo)/w)+1) — quantities are
+# integral doubles, so the bucket arithmetic is exact on both engines.
+
+def _qty_width_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.registry.relational import money_sum
+
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    bucket = F.width_bucket(F.col("l_quantity"), F.lit(1), F.lit(51), F.lit(10))
+    return (
+        t.lineitem.groupBy(bucket.cast("bigint").alias("qty_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            money_sum("l_extendedprice").alias("revenue"),
+        )
+        .orderBy("qty_bucket")
+    )
+
+
+_QTY_WIDTH_BUCKETS_SQL = """
+SELECT CAST(CASE WHEN l_quantity < 1 THEN 0
+                 WHEN l_quantity >= 51 THEN 11
+                 ELSE floor((l_quantity - 1) / 5.0) + 1 END AS BIGINT) AS qty_bucket,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY qty_bucket
+ORDER BY qty_bucket
+"""
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -1016,6 +1051,7 @@ SPECS = [
     QuerySpec("weighted_sample", "deterministic weighted sampling (derandomized A-ES)", _weighted_sample, _WEIGHTED_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("trimmed_price_stats", "rank-trimmed robust group means", _trimmed_price_stats, _TRIMMED_PRICE_STATS_SQL, tags=("agg", "window")),
     QuerySpec("price_mad", "median absolute deviation (robust scale) per group", _price_mad, _PRICE_MAD_SQL, tags=("agg",)),
+    QuerySpec("qty_width_buckets", "equi-width histogram via the ANSI width_bucket builtin", _qty_width_buckets, _QTY_WIDTH_BUCKETS_SQL, tags=("agg",)),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
