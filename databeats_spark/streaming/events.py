@@ -183,3 +183,35 @@ def stream_static_enrichment(
     events keep NULL segment (left join) rather than being dropped —
     an enrichment must never filter the stream."""
     return events_stream.join(F.broadcast(user_segments), "user_id", "left")
+
+
+def event_type_moments(events: DataFrame) -> DataFrame:
+    """Batch-computed per-type moments (exact decimal sums → mean and
+    sigma) — the static side of :func:`streaming_anomalies`, refreshed
+    on a batch cadence like :func:`user_value_segments`."""
+    v = F.col("value").cast("decimal(18,2)")
+    moments = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(v).alias("s"), F.sum(v * v).alias("ssq")
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ssq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    return moments.select("event_type", mean.alias("mu"), F.sqrt(var).alias("sigma"))
+
+
+def streaming_anomalies(
+    events_stream: DataFrame, moments: DataFrame, z_threshold: float = 3.0
+) -> DataFrame:
+    """Streaming z-score anomaly detection: score the live stream
+    against batch-maintained per-type moments (broadcast stream-static
+    join — re-planned each micro-batch, so refreshed moments are
+    picked up without restart). The streaming twin of the batch
+    value_outliers registry query."""
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events_stream.join(F.broadcast(moments), "event_type")
+        .withColumn("z_score", z)
+        .filter(F.abs(F.col("z_score")) > z_threshold)
+        .select("event_id", "event_type", "value", F.round("z_score", 6).alias("z_score"))
+    )

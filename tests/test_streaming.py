@@ -165,3 +165,36 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
     )
     assert len(got) == len(want) > 0
     assert got.equals(want)
+
+
+def test_streaming_anomalies_match_batch_outliers(spark, tmp_path):
+    import shutil
+
+    from databeats_spark.sources.tables import load_tables
+    from databeats_spark.streaming.events import (
+        event_type_moments,
+        run_available_now,
+        stream_events,
+        streaming_anomalies,
+    )
+
+    d = tmp_path / "events_anom"
+    d.mkdir()
+    shutil.copy(f"{SF_SMOKE}/events.parquet", d / "part-000.parquet")
+    batch = load_tables(spark, SF_SMOKE, ["events"]).events
+    moments = event_type_moments(batch)
+
+    q = run_available_now(
+        streaming_anomalies(stream_events(spark, str(d)), moments), "anom_test"
+    )
+    got = spark.table("anom_test").toPandas().sort_values("event_id").reset_index(drop=True)
+    q.stop()
+
+    want = (
+        streaming_anomalies(batch, moments)
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert got.equals(want)
