@@ -1038,6 +1038,72 @@ ORDER BY qty_bucket
 """
 
 
+# --- Q: sequence_packing — fixed-length training-sequence bins --------
+# The GPT-style data-loader layout: documents concatenated in a
+# deterministic (md5) order and cut into fixed-length sequences;
+# report per-bin document counts, token mass and boundary-straddling
+# docs. token_budget_pack's sibling: budget CAP there, fixed-length
+# BINS here. The cumulative offset comes from the distributed prefix
+# sum (never a global window); the bin arithmetic is exact integers.
+
+SEQ_LEN = 512
+SEQ_BIN_LIMIT = 200
+
+
+def _sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("__h"),
+    )
+    packed = partitioned_running_total(docs, [F.col("__h")], "n_tok", "cum_tok")
+    start = F.col("cum_tok") - F.col("n_tok")
+    start_bin = F.floor(start / SEQ_LEN).cast("bigint")
+    end_bin = F.floor((F.col("cum_tok") - 1) / SEQ_LEN).cast("bigint")
+    return (
+        packed.select(
+            start_bin.alias("bin"),
+            F.col("n_tok"),
+            (end_bin > start_bin).cast("bigint").alias("straddles"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_started"),
+            F.sum("straddles").alias("n_straddling"),
+        )
+        .orderBy("bin")
+        .limit(SEQ_BIN_LIMIT)
+    )
+
+
+_SEQUENCE_PACKING_SQL = f"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+packed AS (
+  SELECT n_tok,
+         sum(n_tok) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM docs
+)
+SELECT CAST((cum_tok - n_tok) // {SEQ_LEN} AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_started,
+       CAST(sum(CASE WHEN (cum_tok - 1) // {SEQ_LEN} > (cum_tok - n_tok) // {SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling
+FROM packed
+GROUP BY bin
+ORDER BY bin
+LIMIT {SEQ_BIN_LIMIT}
+"""
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -1052,6 +1118,7 @@ SPECS = [
     QuerySpec("trimmed_price_stats", "rank-trimmed robust group means", _trimmed_price_stats, _TRIMMED_PRICE_STATS_SQL, tags=("agg", "window")),
     QuerySpec("price_mad", "median absolute deviation (robust scale) per group", _price_mad, _PRICE_MAD_SQL, tags=("agg",)),
     QuerySpec("qty_width_buckets", "equi-width histogram via the ANSI width_bucket builtin", _qty_width_buckets, _QTY_WIDTH_BUCKETS_SQL, tags=("agg",)),
+    QuerySpec("sequence_packing", "fixed-length training-sequence bin layout (GPT packing)", _sequence_packing, _SEQUENCE_PACKING_SQL, tags=("text", "sampling", "scale")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
