@@ -46,6 +46,7 @@ UNPARTITIONED_WINDOW_OK = {
     "token_budget_pack": "prefix over per-partition subtotals (#partitions rows)",
     "customer_deciles": "prefix over per-partition subtotals (#partitions rows)",
     "vocab_growth": "prefix over per-partition subtotals (#partitions rows)",
+    "sequence_packing": "prefix over per-partition subtotals (#partitions rows)",
     "source_pareto": "cumulative share over the per-source aggregate (#sources rows — a catalog, not a data axis)",
 }
 
