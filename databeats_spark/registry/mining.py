@@ -1104,6 +1104,68 @@ LIMIT {SEQ_BIN_LIMIT}
 """
 
 
+# --- Q: length_drift_ks — two-sample KS drift statistic ---------------
+# Kolmogorov-Smirnov distance between the length distributions of two
+# corpus slices (even vs odd doc_id standing in for two snapshots) —
+# the data-drift gate a pipeline runs between crawls. Exact ECDFs from
+# the (n_chars) histogram: the value domain is bounded (document
+# lengths), so the cumulative window runs over the compact histogram,
+# never the corpus (length_band_outliers' posture); slice totals
+# derive from the histogram via attach_global_scalar. ECDF gaps are
+# exact rationals evaluated identically in double on both engines.
+
+def _length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    hist = (
+        t.documents.groupBy(F.col("n_chars").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    hist = attach_global_scalar(
+        hist, F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n0",
+        "n1",
+        F.sum("c0").over(w).alias("cum0"),
+        F.sum("c1").over(w).alias("cum1"),
+    )
+    gap = F.abs(
+        F.col("cum0").cast("double") / F.col("n0")
+        - F.col("cum1").cast("double") / F.col("n1")
+    )
+    return cum.agg(
+        F.round(F.max(gap), 6).alias("ks_stat"),
+        F.first("n0").cast("bigint").alias("n_even"),
+        F.first("n1").cast("bigint").alias("n_odd"),
+    )
+
+
+_LENGTH_DRIFT_KS_SQL = """
+WITH hist AS (
+  SELECT n_chars AS v,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM documents
+  GROUP BY v
+),
+tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM hist),
+cum AS (
+  SELECT sum(c0) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+         sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+  FROM hist
+)
+SELECT round(max(abs(CAST(cum0 AS DOUBLE) / t.n0 - CAST(cum1 AS DOUBLE) / t.n1)), 6) AS ks_stat,
+       CAST(any_value(t.n0) AS BIGINT) AS n_even,
+       CAST(any_value(t.n1) AS BIGINT) AS n_odd
+FROM cum, tot t
+GROUP BY t.n0, t.n1
+"""
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -1119,6 +1181,7 @@ SPECS = [
     QuerySpec("price_mad", "median absolute deviation (robust scale) per group", _price_mad, _PRICE_MAD_SQL, tags=("agg",)),
     QuerySpec("qty_width_buckets", "equi-width histogram via the ANSI width_bucket builtin", _qty_width_buckets, _QTY_WIDTH_BUCKETS_SQL, tags=("agg",)),
     QuerySpec("sequence_packing", "fixed-length training-sequence bin layout (GPT packing)", _sequence_packing, _SEQUENCE_PACKING_SQL, tags=("text", "sampling", "scale")),
+    QuerySpec("length_drift_ks", "two-sample KS drift statistic from compact histograms", _length_drift_ks, _LENGTH_DRIFT_KS_SQL, tags=("text", "profiling", "agg")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),

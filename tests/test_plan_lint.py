@@ -39,6 +39,7 @@ BOUNDED_JOIN_OK = {
     "bigram_pmi": "1-row corpus-total scalars (n1/n2) over checkpointed aggregates",
     "source_pareto": "1-row corpus token-total scalar broadcast",
     "pagerank_docs": "1-row flowing-rank-sum scalar broadcast per power iteration",
+    "length_drift_ks": "1-row slice-total scalars over the checkpointed histogram",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
@@ -47,6 +48,7 @@ UNPARTITIONED_WINDOW_OK = {
     "customer_deciles": "prefix over per-partition subtotals (#partitions rows)",
     "vocab_growth": "prefix over per-partition subtotals (#partitions rows)",
     "sequence_packing": "prefix over per-partition subtotals (#partitions rows)",
+    "length_drift_ks": "ECDF window over the bounded (n_chars) histogram — a length domain, not a data axis",
     "source_pareto": "cumulative share over the per-source aggregate (#sources rows — a catalog, not a data axis)",
 }
 
