@@ -1166,6 +1166,59 @@ GROUP BY t.n0, t.n1
 """
 
 
+# --- Q: length_drift_psi — population stability index -----------------
+# The banded drift sibling of length_drift_ks: PSI = sum over bands of
+# (p - q) * ln(p / q), on the same even/odd snapshot split, with
+# fixed-width length bands and add-one smoothing so empty bands stay
+# finite. Band counts are one hash aggregate; shares are exact
+# rationals; ln evaluated on identical doubles (round-6 absorbs the
+# last ulp).
+
+PSI_BAND = 50
+
+
+def _length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    band = (F.col("n_chars") - F.col("n_chars") % PSI_BAND).alias("band")
+    hist = t.documents.groupBy(band).agg(
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c1"),
+    )
+    hist = attach_global_scalar(
+        hist,
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # add-one smoothing: p = (c + 1) / (n + k)
+    p = (F.col("c0") + 1).cast("double") / (F.col("n0") + F.col("k"))
+    q = (F.col("c1") + 1).cast("double") / (F.col("n1") + F.col("k"))
+    term = (p - q) * F.log(p / q)
+    return hist.agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        F.count(F.lit(1)).alias("n_bands"),
+    )
+
+
+_LENGTH_DRIFT_PSI_SQL = f"""
+WITH hist AS (
+  SELECT n_chars - n_chars % {PSI_BAND} AS band,
+         sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c0,
+         sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c1
+  FROM documents
+  GROUP BY band
+),
+tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) AS k FROM hist)
+SELECT round(sum(
+         (CAST(c0 + 1 AS DOUBLE) / (t.n0 + t.k) - CAST(c1 + 1 AS DOUBLE) / (t.n1 + t.k))
+         * ln((CAST(c0 + 1 AS DOUBLE) / (t.n0 + t.k)) / (CAST(c1 + 1 AS DOUBLE) / (t.n1 + t.k)))
+       ), 6) AS psi,
+       CAST(count(*) AS BIGINT) AS n_bands
+FROM hist, tot t
+GROUP BY t.n0, t.n1, t.k
+"""
+
+
 SPECS = [
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
@@ -1182,6 +1235,7 @@ SPECS = [
     QuerySpec("qty_width_buckets", "equi-width histogram via the ANSI width_bucket builtin", _qty_width_buckets, _QTY_WIDTH_BUCKETS_SQL, tags=("agg",)),
     QuerySpec("sequence_packing", "fixed-length training-sequence bin layout (GPT packing)", _sequence_packing, _SEQUENCE_PACKING_SQL, tags=("text", "sampling", "scale")),
     QuerySpec("length_drift_ks", "two-sample KS drift statistic from compact histograms", _length_drift_ks, _LENGTH_DRIFT_KS_SQL, tags=("text", "profiling", "agg")),
+    QuerySpec("length_drift_psi", "population stability index with add-one smoothing", _length_drift_psi, _LENGTH_DRIFT_PSI_SQL, tags=("text", "profiling", "agg")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),

@@ -40,6 +40,7 @@ BOUNDED_JOIN_OK = {
     "source_pareto": "1-row corpus token-total scalar broadcast",
     "pagerank_docs": "1-row flowing-rank-sum scalar broadcast per power iteration",
     "length_drift_ks": "1-row slice-total scalars over the checkpointed histogram",
+    "length_drift_psi": "1-row slice-total scalars over the checkpointed histogram",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
