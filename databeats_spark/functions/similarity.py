@@ -187,16 +187,15 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 42,
-    dim: int | None = None,
+    *,
+    dim: int,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs via LSH bucketing: pairs sharing
     a hyperplane bucket with cosine ≥ threshold. (id_a < id_b).
 
-    Pass ``dim`` explicitly (like ``lsh_cosine_top_k``/``ivf``) — the
-    fallback inference costs a driver round-trip per call.
+    ``dim`` is required (like ``lsh_cosine_top_k``/``ivf``) — inferring
+    it would cost a driver round-trip per call.
     """
-    if dim is None:
-        dim = _infer_dim(embeddings, vec_col)
     sig = hyperplane_signature(vec_col, dim, n_planes, seed)
     e = embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig.alias("__bucket"))
     return (
@@ -212,8 +211,3 @@ def embedding_near_duplicates(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
-
-
-def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(row["d"])

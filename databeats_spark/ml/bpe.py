@@ -34,6 +34,16 @@ from pyspark.sql import DataFrame, functions as F
 _CHECKPOINT_EVERY = 8
 
 
+def _literal_repl(s: str) -> str:
+    """Escape a regexp_replace REPLACEMENT string. Java's
+    Matcher.replaceAll treats ``$`` (group reference) and ``\\``
+    specially; a merged symbol containing ``$1`` would substitute a
+    capture group — or throw — instead of the literal token, diverging
+    from the Python re.sub reference pinned in tests/test_bpe.py.
+    Equivalent to java.util.regex.Matcher.quoteReplacement."""
+    return s.replace("\\", "\\\\").replace("$", "\\$")
+
+
 def _word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One corpus pass: space-tokenize, count word frequencies, and
     seed each word's symbol string (chars + </w> terminator)."""
@@ -89,7 +99,7 @@ def train_bpe(
         # merge " a b " -> " ab " with boundary anchors; regexp_replace
         # scans left-to-right non-overlapping — BPE's greedy pass
         pat = rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)"
-        merged = F.regexp_replace(F.col("syms"), pat, a + b)
+        merged = F.regexp_replace(F.col("syms"), pat, _literal_repl(a + b))
         vocab = vocab.withColumn("syms", merged)
         if (i + 1) % _CHECKPOINT_EVERY == 0:
             vocab = vocab.localCheckpoint()
@@ -106,7 +116,7 @@ def apply_bpe(
     syms = F.col("syms")
     for a, b in merges:
         pat = rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)"
-        syms = F.regexp_replace(syms, pat, a + b)
+        syms = F.regexp_replace(syms, pat, _literal_repl(a + b))
     return vocab.select(
         "w", F.split(syms, " ").alias("pieces"), F.size(F.split(syms, " ")).alias("n_pieces")
     )

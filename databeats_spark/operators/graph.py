@@ -32,7 +32,7 @@ Two interchangeable algorithms, same (node, component) contract:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -215,8 +215,10 @@ def pagerank(
     driver-side graph exists. ``localCheckpoint`` per round keeps the
     plan from growing linearly with iterations (the classic iterative-
     DataFrame trap). Convergence is an L1 delta against the previous
-    round — one extra join on the node key; pass ``tol=None`` to run
-    exactly ``max_iter`` rounds with no per-round driver action.
+    round, computed via ``observe()`` INSIDE the same checkpoint job
+    that materializes the new ranks — one action per round, no second
+    pass over the rank table; pass ``tol=None`` to run exactly
+    ``max_iter`` rounds.
     """
     out_edges = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     nodes = (
@@ -243,11 +245,17 @@ def pagerank(
         # out-edges leak their rank; give it back uniformly)
         flowing = ranks.join(degrees, ranks["node"] == degrees["e_src"], "left_semi")
         scalars = flowing.agg(F.sum("rank").alias("flow_sum"))
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
+        # join the OLD rank table (same node set as nodes) so the
+        # update row carries (old, new) side by side — the convergence
+        # delta then rides the checkpoint job as an observed metric
+        # instead of a second join+aggregate pass
+        updated = (
+            ranks.withColumnRenamed("rank", "old_rank")
+            .join(contribs, "node", "left")
             .crossJoin(F.broadcast(scalars))
             .select(
                 "node",
+                "old_rank",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -258,17 +266,15 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new_ranks = new_ranks.localCheckpoint()
         if tol is not None:
-            delta = (
-                new_ranks.withColumnRenamed("rank", "new_rank")
-                .join(ranks, "node")
-                .agg(F.sum(F.abs(F.col("new_rank") - F.col("rank"))).alias("d"))
-                .collect()[0]["d"]
+            obs = Observation()
+            ranks = (
+                updated.observe(obs, F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("d"))
+                .select("node", "rank")
+                .localCheckpoint()  # eager: the one action of the round
             )
-            ranks = new_ranks
-            if delta < tol:
+            if obs.get["d"] < tol:
                 break
         else:
-            ranks = new_ranks
+            ranks = updated.select("node", "rank").localCheckpoint()
     return ranks.select("node", "rank")

@@ -39,30 +39,32 @@ class QuerySpec:
 # query that has never earned a CLEAN driver row (errors/mismatches
 # re-enter until green; oracle-carrying before rows-only) ahead of the
 # bench headliners, with already-verified queries last (their green
-# rows from prior rounds stay on record). Round-3 window = the two r2
-# hard-failures (the TIMESTAMP_NTZ regression, fixed in
-# sources/tables.py), the 7 queries added after the r2 window froze,
-# the 19 round-3 additions (decision.py + mining.py), then the bench
-# headliners and the oldest-verified overflow.
+# rows from prior rounds stay on record). Round-4 window = the 14
+# round-3 queries that landed after the r3 window froze (never
+# driver-verified: 12 oracle-carrying + curation_funnel/bpe_merges
+# rows-only), then the bench headliners, then the oldest-verified
+# overflow. Queries added during round 4 are appended to the FRONT of
+# this tuple as they land (they are the only ones with no driver row),
+# displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    "value_histogram", "sliding_event_stats", "rare_trigram_stats",
-    "length_band_outliers", "per_source_quota", "recursive_week_spine",
-    "variant_props_stats", "pipe_syntax_returns", "collated_type_counts",
-    "shipping_priority", "local_supplier_volume", "forecast_revenue",
-    "cross_nation_volume", "product_profit", "returned_item_losses",
-    "lateness_priority_mix", "part_supplier_kinds", "bracket_revenue",
-    "dominant_suppliers", "bigram_pmi", "vocab_growth",
-    "containment_pairs", "gopher_quality_flags", "source_pareto",
-    "event_transitions", "retention_cohorts", "click_attribution",
-    "grouping_sets_mix", "weighted_sample", "trimmed_price_stats",
-    "incremental_corpus_dups", "semdedup_near_dups", "pagerank_docs",
+    "interpolated_daily_spend", "top_prices_with_ties",
+    "try_cast_group_all", "yoy_revenue_growth", "dq_violations",
+    "price_mad", "qty_width_buckets", "sequence_packing",
+    "length_drift_ks", "length_drift_psi", "value_outliers",
+    "funnel_stages", "curation_funnel", "bpe_merges",
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
     "top_customers", "revenue_by_nation", "weekly_chart_streak",
     "sessionization", "asof_purchase_value", "dedup_exact_docs",
-    "text_stats", "near_dup_pairs", "part_name_features",
-    "math_scalar_features", "calendar_features",
+    "text_stats", "near_dup_pairs", "value_histogram",
+    "sliding_event_stats", "rare_trigram_stats", "length_band_outliers",
+    "per_source_quota", "recursive_week_spine", "variant_props_stats",
+    "pipe_syntax_returns", "collated_type_counts", "shipping_priority",
+    "local_supplier_volume", "forecast_revenue", "cross_nation_volume",
+    "product_profit", "returned_item_losses", "lateness_priority_mix",
+    "part_supplier_kinds", "bracket_revenue", "dominant_suppliers",
+    "bigram_pmi", "vocab_growth", "containment_pairs",
 )
 
 

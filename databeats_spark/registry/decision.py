@@ -552,8 +552,10 @@ def _yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_net()).alias("rev"))
         # both join sides read this tiny aggregate: materialize it once
         # (AQE does not reuse the shared exchange under a broadcast
-        # side — same posture as attach_global_scalar)
-        .localCheckpoint()
+        # side — same posture as attach_global_scalar). eager=False so
+        # BUILDING the query stays free — the scan+agg job runs at
+        # first action, not at create_dashboard_views() time.
+        .localCheckpoint(eager=False)
     )
     prev = yearly.select(
         (F.col("ship_year") + 1).alias("ship_year"), F.col("rev").alias("prev_rev")

@@ -32,8 +32,12 @@ def _ref_bpe(texts: list[str], n_merges: int):
             break
         a, b = min(p for p, n in pairs.items() if n == n_max)
         merges.append((a, b))
+        # callable replacement: literal, no template escapes (re.sub's
+        # string replacement would turn '\a' into BEL, mirroring the
+        # Java $-group bug the engine escapes against)
         pat = re.compile(rf"(?<!\S){re.escape(a)} {re.escape(b)}(?!\S)")
-        vocab = Counter({pat.sub(a + b, syms): f for syms, f in vocab.items()})
+        merged = a + b
+        vocab = Counter({pat.sub(lambda _: merged, syms): f for syms, f in vocab.items()})
     return merges, vocab
 
 
@@ -49,6 +53,24 @@ def test_merges_match_reference(spark):
         w = syms.replace(" ", "").replace("</w>", "")
         want[w] = syms
     assert got == want
+
+
+def test_merges_with_regex_special_symbols(spark):
+    """Merged symbols containing $ / \\ must be treated literally in the
+    replacement (Java replaceAll group-reference semantics): '$1 $1 x'
+    learns the ('$','1</w>')-family merges, whose replacement strings
+    contain '$' followed by a digit."""
+    texts = ["$1 $1 $1 \\a \\a x$2 x$2"] * 3
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    ref_merges, ref_vocab = _ref_bpe(texts, 6)
+    got_merges, got_vocab = train_bpe(docs, 6)
+    assert got_merges == ref_merges
+    got = {r["w"]: r["syms"] for r in got_vocab.collect()}
+    want = {s.replace(" ", "").replace("</w>", ""): s for s in ref_vocab}
+    assert got == want
+    pieces = apply_bpe(docs, got_merges)
+    for r in pieces.collect():
+        assert "".join(r["pieces"]) == r["w"] + "</w>"
 
 
 def test_apply_bpe_segments_every_word(spark):

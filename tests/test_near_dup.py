@@ -77,6 +77,38 @@ def test_lsh_cosine_recall(spark):
     assert mean_recall >= 0.6, f"LSH cosine recall collapsed: {mean_recall}"
 
 
+def test_embedding_lsh_near_dup_precision(spark):
+    from databeats_spark.functions.similarity import cosine, embedding_near_duplicates
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"]).embeddings.cache()
+    got = embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.3, n_planes=2, dim=64
+    ).toPandas()
+    # precision is exact by construction (cosine computed per emitted pair)
+    assert (got["cos_sim"] >= 0.3).all()
+    assert (got["id_a"] < got["id_b"]).all()
+    # recall floor vs brute force: single-table collision probability
+    # is (1 - theta/pi)^n_planes ~= 0.36 at cos 0.3 with 2 planes
+    e = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    exact = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+        .toPandas()
+    )
+    assert len(exact) > 0
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    assert got_pairs <= exact_pairs
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.2, f"hyperplane-bucket recall collapsed: {recall}"
+
+
 def test_semdedup_precision_and_recall(spark):
     from databeats_spark.operators.dedup import semantic_near_duplicates
     from databeats_spark.functions.similarity import cosine
