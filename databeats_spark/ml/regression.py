@@ -15,8 +15,10 @@ cell-11) and the BigQueryHook NameError (ml_training_dag.py:31).
 
 from __future__ import annotations
 
+import itertools
 import math
 import random
+from collections import Counter
 from dataclasses import dataclass
 
 from pyspark.ml import Pipeline, PipelineModel
@@ -116,6 +118,60 @@ def random_param_maps(space: dict, n_iter: int, seed: int) -> list[dict]:
     return maps
 
 
+def tpe_param_maps(
+    space: dict,
+    history: list[tuple[dict, float]],
+    n_iter: int,
+    seed: int = 42,
+    gamma: float = 0.5,
+) -> list[dict]:
+    """Model-based continuation of a random search — the adaptive half
+    of the reference's ``BayesSearchCV``/``fmin(tpe)`` loops (reference
+    ml_training_dag.py:66-98; Prediction_Model.ipynb cell-11).
+
+    TPE over categorical dimensions (Bergstra et al., NIPS 2011): split
+    the evaluated configs into good/bad at the ``gamma`` metric
+    quantile (metric minimized), estimate per-axis densities
+    l(v)=P(v|good) and g(v)=P(v|bad) with add-one smoothing, and return
+    the ``n_iter`` UNSEEN configs maximizing Σ log l − Σ log g.
+    Deterministic: the discrete space is ranked exhaustively when small
+    (a seeded sample pool otherwise), ties broken by value tuple.
+    """
+    if n_iter <= 0 or not history:
+        return []
+    keys = list(space)
+    ranked = sorted(history, key=lambda h: h[1])
+    n_good = max(1, math.ceil(gamma * len(ranked)))
+    good, bad = ranked[:n_good], ranked[n_good:]
+
+    def dens(subset: list[tuple[dict, float]]) -> dict:
+        out = {}
+        for k in keys:
+            if subset:
+                cnt = Counter(m[k] for m, _ in subset)
+                tot = len(subset) + len(space[k])
+                out[k] = {v: (cnt.get(v, 0) + 1) / tot for v in space[k]}
+            else:  # no bad half yet: uniform, ratio reduces to l alone
+                out[k] = {v: 1.0 / len(space[k]) for v in space[k]}
+        return out
+
+    l, g = dens(good), dens(bad)
+    seen = {tuple(m[k] for k in keys) for m, _ in history}
+    total = math.prod(len(space[k]) for k in keys)
+    if total <= 20_000:
+        pool = itertools.product(*[space[k] for k in keys])
+    else:  # seeded candidate pool for combinatorially large spaces
+        rng = random.Random(seed)
+        pool = {tuple(rng.choice(space[k]) for k in keys) for _ in range(5_000)}
+    scored = [
+        (sum(math.log(g[k][v]) - math.log(l[k][v]) for k, v in zip(keys, tup)), tup)
+        for tup in pool
+        if tup not in seen
+    ]
+    scored.sort(key=lambda t: (t[0], tuple(map(str, t[1]))))
+    return [dict(zip(keys, tup)) for _, tup in scored[:n_iter]]
+
+
 def _search_space(est, algo: str) -> dict:
     """The wide space the random search samples from — the analog of
     the reference's 288-candidate grid / skopt search dimensions."""
@@ -161,7 +217,11 @@ def train_popularity_model(
     ``search="grid"`` exhausts the small curated grid (M5, reference
     GridSearchCV); ``search="random"`` samples ``n_iter`` configs from
     the wide space (M2/M4, reference BayesSearchCV/TPE ``n_iter``
-    semantics — a fixed fit budget over a large space).
+    semantics — a fixed fit budget over a large space);
+    ``search="adaptive"`` spends half the budget on a random warm-up
+    and the rest on TPE-guided configs (:func:`tpe_param_maps`) — the
+    reference's actually-adaptive BayesSearchCV behavior at the same
+    total fit count.
 
     Returns the fitted pipeline and held-out RMSE. Mirrors the
     reference flow: split → cv-fit on train → refit pipeline scores the
@@ -172,26 +232,42 @@ def train_popularity_model(
     train, test = data.randomSplit([train_frac, 1 - train_frac], seed=seed)
 
     est, grid_fn = _estimator(algo, seed)
-    if search == "random":
-        space_algo = "gbt" if algo == "xgb" and isinstance(est, GBTRegressor) else algo
-        param_maps = random_param_maps(_search_space(est, space_algo), n_iter, seed)
-    elif search == "grid":
-        param_maps = grid_fn(est)
-    else:
-        raise ValueError(f"unknown search {search!r}")
     pipe = Pipeline(
         stages=[VectorAssembler(inputCols=list(feature_cols), outputCol="features"), est]
     )
     evaluator = RegressionEvaluator(labelCol=LABEL, metricName="rmse")
-    cv = CrossValidator(
-        estimator=pipe,
-        estimatorParamMaps=param_maps,
-        evaluator=evaluator,
-        numFolds=cv_folds,
-        seed=seed,
-        parallelism=4,
-    )
-    fitted = cv.fit(train)
+
+    def cv_fit(maps):
+        cv = CrossValidator(
+            estimator=pipe,
+            estimatorParamMaps=maps,
+            evaluator=evaluator,
+            numFolds=cv_folds,
+            seed=seed,
+            parallelism=4,
+        )
+        return cv.fit(train)
+
+    space_algo = "gbt" if algo == "xgb" and isinstance(est, GBTRegressor) else algo
+    if search == "adaptive":
+        space = _search_space(est, space_algo)
+        warmup = random_param_maps(space, max(2, n_iter - n_iter // 2), seed)
+        fitted = cv_fit(warmup)
+        guided = tpe_param_maps(
+            space, list(zip(warmup, fitted.avgMetrics)), n_iter - len(warmup), seed
+        )
+        if guided:
+            fitted2 = cv_fit(guided)
+            if min(fitted2.avgMetrics) < min(fitted.avgMetrics):
+                fitted = fitted2
+    else:
+        if search == "random":
+            param_maps = random_param_maps(_search_space(est, space_algo), n_iter, seed)
+        elif search == "grid":
+            param_maps = grid_fn(est)
+        else:
+            raise ValueError(f"unknown search {search!r}")
+        fitted = cv_fit(param_maps)
     rmse = evaluator.evaluate(fitted.bestModel.transform(test))
     return TrainedModel(model=fitted.bestModel, rmse=float(rmse), algo=algo)
 

@@ -228,6 +228,10 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()  # one scalar; fixed for the whole run
+    if n == 0:
+        # empty graph (e.g. a corpus slice with no near-dup edges):
+        # no nodes, no ranks — not a division by zero
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     degrees = out_edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
     # pre-join degree onto edges ONCE: the per-round join then carries
     # rank/deg without re-aggregating degrees every iteration

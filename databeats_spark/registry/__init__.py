@@ -48,6 +48,10 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
+    # round-4 additions (no driver row yet) — keep at the very front
+    "doc_chunks", "unigram_doc_logprob", "doc_entropy", "zipf_slope",
+    "top_terms_per_source", "peak_concurrency",
+    # round-3 post-window queries (never driver-verified before r4)
     "interpolated_daily_spend", "top_prices_with_ties",
     "try_cast_group_all", "yoy_revenue_growth", "dq_violations",
     "price_mad", "qty_width_buckets", "sequence_packing",
@@ -72,12 +76,12 @@ def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
         curation, decision, documents, events, extended, frames, mining, modern,
-        relational, shapes, vectors,
+        relational, shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
-                curation, modern, decision, mining):
+                curation, modern, decision, mining, signals):
         all_specs.extend(mod.SPECS)
     names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"

@@ -753,25 +753,28 @@ ORDER BY new_id, old_id
 
 
 # --- Q: pagerank_docs — centrality over the near-dup graph ------------
-# PageRank over the bounded near-dup candidate graph (edges = doc
-# pairs with 3-gram Jaccard >= 0.2, both directions): the centrality
-# signal for picking the authoritative representative inside each
-# boilerplate cluster. Rows-only: iterative power iteration is not
-# SQL-expressible; operator semantics are pinned against a dense
-# numpy power iteration in tests/test_graph.py.
+# PageRank over the near-dup graph of the WHOLE corpus (edges =
+# MinHash-LSH verified pairs at Jaccard >= 0.2, both directions): the
+# centrality signal for picking the authoritative representative
+# inside each boilerplate cluster. The edge generator is the LSH scale
+# path — banded bucket join, candidate-only verify — not the bounded
+# all-pairs verifier, so the same query shape holds at 100 TB (and at
+# sf0.1, where the planted near-dups sit outside the first 300 ids
+# the old bounded slice scanned — an empty-graph bench signal).
+# Rows-only: iterative power iteration is not SQL-expressible;
+# operator semantics are pinned against a dense numpy power iteration
+# in tests/test_graph.py.
 
-PAGERANK_DOC_LIMIT = 300
 PAGERANK_EDGE_THRESHOLD = 0.2
 
 
 def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.operators.dedup import minhash_near_duplicates
     from databeats_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf_dir, ["documents"])
-    docs = t.documents.filter(F.col("doc_id") < PAGERANK_DOC_LIMIT)
-    pairs = ngram_jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=PAGERANK_EDGE_THRESHOLD
+    pairs = minhash_near_duplicates(
+        t.documents, "doc_id", "text", threshold=PAGERANK_EDGE_THRESHOLD
     ).select("id_a", "id_b")
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

@@ -107,6 +107,67 @@ def test_random_search_matches_grid_at_half_fits(spark, corpus):
     assert rand_rmse <= grid_rmse * 1.05, (rand_rmse, grid_rmse)
 
 
+def test_tpe_param_maps_prefers_good_region_and_skips_seen():
+    """Unit: TPE continuation proposes unseen configs concentrated on
+    the axis values the good half of history used, deterministically."""
+    from databeats_spark.ml.regression import tpe_param_maps
+
+    space = {"depth": [2, 4, 8, 12], "trees": [10, 50, 100]}
+    # low metric (good) configs all sit at depth>=8, trees>=50
+    history = [
+        ({"depth": 8, "trees": 100}, 1.0),
+        ({"depth": 12, "trees": 50}, 1.1),
+        ({"depth": 2, "trees": 10}, 9.0),
+        ({"depth": 4, "trees": 10}, 8.0),
+    ]
+    # exactly 2 unseen configs exist in the good region (depth>=8 AND
+    # trees>=50 minus the 2 already-evaluated) — ask for exactly those
+    got = tpe_param_maps(space, history, n_iter=2, seed=0)
+    assert got == tpe_param_maps(space, history, n_iter=2, seed=0)  # deterministic
+    seen = {(m["depth"], m["trees"]) for m, _ in history}
+    assert all((m["depth"], m["trees"]) not in seen for m in got)
+    # every proposal lands in the good region on both axes
+    assert all(m["depth"] >= 8 and m["trees"] >= 50 for m in got), got
+    assert tpe_param_maps(space, [], 3, seed=0) == []
+    assert tpe_param_maps(space, history, 0, seed=0) == []
+
+
+def test_adaptive_search_at_least_random_quality(spark, corpus):
+    """M2/M4 adaptivity: at the SAME total fit budget, the TPE-guided
+    second half finds a config at least as good as pure random search
+    (both share the identical seeded warm-up prefix)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+    from pyspark.ml.tuning import CrossValidator
+    from databeats_spark.ml.regression import random_param_maps, tpe_param_maps
+    from databeats_spark.schemas import AUDIO_FEATURE_COLS
+
+    _, _, merged = corpus
+    data = merged.select("popularity", *AUDIO_FEATURE_COLS).na.drop().cache()
+    est = RandomForestRegressor(labelCol="popularity", seed=42)
+    space = {est.maxDepth: [2, 4, 8, 12], est.numTrees: [10, 20, 60, 100]}
+    pipe = Pipeline(stages=[VectorAssembler(inputCols=list(AUDIO_FEATURE_COLS), outputCol="features"), est])
+    ev = RegressionEvaluator(labelCol="popularity", metricName="rmse")
+
+    def cv_metrics(maps):
+        cv = CrossValidator(estimator=pipe, estimatorParamMaps=maps, evaluator=ev,
+                            numFolds=2, seed=42, parallelism=4)
+        return list(cv.fit(data).avgMetrics)
+
+    warmup = random_param_maps(space, 4, seed=7)
+    warm_metrics = cv_metrics(warmup)
+    # pure random at budget 8 shares the first 4 samples (same seed)
+    rand8 = random_param_maps(space, 8, seed=7)
+    assert rand8[:4] == warmup
+    rand_best = min(warm_metrics + cv_metrics(rand8[4:]))
+    guided = tpe_param_maps(space, list(zip(warmup, warm_metrics)), 4, seed=7)
+    assert len(guided) == 4
+    adaptive_best = min(warm_metrics + cv_metrics(guided))
+    assert adaptive_best <= rand_best * 1.02, (adaptive_best, rand_best)
+
+
 def test_rfe_feature_selection(spark, corpus):
     """M3: iterative drop-by-featureImportances to 10 features keeps
     the planted signal and the linear model stays in its RMSE band."""

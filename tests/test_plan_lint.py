@@ -41,6 +41,7 @@ BOUNDED_JOIN_OK = {
     "pagerank_docs": "1-row flowing-rank-sum scalar broadcast per power iteration",
     "length_drift_ks": "1-row slice-total scalars over the checkpointed histogram",
     "length_drift_psi": "1-row slice-total scalars over the checkpointed histogram",
+    "unigram_doc_logprob": "1-row corpus-token-total scalar over the checkpointed vocab agg",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
@@ -51,6 +52,8 @@ UNPARTITIONED_WINDOW_OK = {
     "sequence_packing": "prefix over per-partition subtotals (#partitions rows)",
     "length_drift_ks": "ECDF window over the bounded (n_chars) histogram — a length domain, not a data axis",
     "source_pareto": "cumulative share over the per-source aggregate (#sources rows — a catalog, not a data axis)",
+    "zipf_slope": "rank window over the TakeOrderedAndProject'd top-1000 head, bounded by construction",
+    "peak_concurrency": "prefix over per-partition subtotals (#partitions rows)",
 }
 
 _WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
