@@ -49,6 +49,10 @@ class QuerySpec:
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
     # round-4 additions (no driver row yet) — keep at the very front
+    "span_dedup_docs", "prefix_dup_groups", "badword_doc_flags",
+    "idf_doc_score", "cross_source_dups", "dup_graph_degree",
+    "dup_triangles", "lateral_top_orders", "multiset_order_overlap",
+    "embedding_quantization",
     "doc_chunks", "unigram_doc_logprob", "doc_entropy", "zipf_slope",
     "top_terms_per_source", "peak_concurrency",
     # round-3 post-window queries (never driver-verified before r4)
@@ -75,13 +79,13 @@ _WINDOW = (
 def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
-        curation, decision, documents, events, extended, frames, mining, modern,
-        relational, shapes, signals, vectors,
+        corpus, curation, decision, documents, events, extended, frames, mining,
+        modern, relational, shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
-                curation, modern, decision, mining, signals):
+                curation, modern, decision, mining, signals, corpus):
         all_specs.extend(mod.SPECS)
     names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"

@@ -1,0 +1,390 @@
+"""Corpus-hygiene shapes (round-4b batch) — the duplicate-structure and
+blocklist signals a curation pipeline runs between near-dup detection
+and mix rebalancing:
+
+- span_dedup_docs:    C4-style duplicate-span accounting: fixed 8-token
+                      non-overlapping spans, global first-occurrence
+                      keep, per-doc kept fraction
+- prefix_dup_groups:  exact leading-prefix dedup groups (templated
+                      boilerplate openers share their first-12-token
+                      prefix even when tails diverge)
+- badword_doc_flags:  blocklist filter rates per source (the C4
+                      badwords gate, mechanics over a tiny lit list)
+- idf_doc_score:      per-document mean inverse document frequency —
+                      the rare-term-heaviness twin of the
+                      unigram_doc_logprob common-token signal
+- cross_source_dups:  near-dup pair counts by (source, source) — which
+                      sources copy from which (provenance/licensing)
+- dup_graph_degree:   degree histogram of the near-dup graph (how
+                      duplicated is the duplicated part of the corpus)
+- dup_triangles:      triangle/edge/node counts of the near-dup graph
+                      (clustering density — triangles mean dup CLUSTERS,
+                      bare edges mean isolated pairs)
+
+Reference parity: the reference has no text surface beyond equality
+joins (SURVEY §2.9); this extends the training-data north star in the
+same spirit as the round-3 mining batch. Oracle parity per the registry
+recipe: BIGINT counts, round(…, 6) ratio doubles, total-order sorts,
+md5 fingerprints compared as strings.
+
+Scale notes: span/prefix/badword/idf queries are scans plus key-
+partitioned hash aggregates or key-partitioned windows (the span
+first-keep window partitions by the span value itself — never a global
+sort). The three graph queries reuse the bounded exact-Jaccard pair
+slice (PAIR_DOC_LIMIT) as their edge list — the same bounded-verifier
+posture as near_dup_pairs; at corpus scale the edge list comes from
+minhash_near_dups instead and the downstream shapes are unchanged
+(equi-joins and hash aggregates on ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.text import tokens
+from databeats_spark.operators.dedup import ngram_jaccard_pairs
+from databeats_spark.registry import QuerySpec
+from databeats_spark.registry.documents import (
+    JACCARD_THRESHOLD,
+    PAIR_DOC_LIMIT,
+    _PAIRS_CTES,
+)
+from databeats_spark.sources.tables import load_tables
+
+
+# --- Q: span_dedup_docs — C4-style duplicate-span accounting ----------
+# Fixed 8-token non-overlapping spans (C4 removes duplicate three-
+# sentence spans; the synthetic corpus has no sentence boundaries, so
+# the span unit is a token window incl. the trailing partial span).
+# Global first-occurrence keep = row_number() == 1 over a window
+# PARTITIONED BY the span value — key-partitioned, never a global
+# sort; the (doc_id, span_idx) tie-break is a total order.
+
+SPAN_TOKENS = 8
+
+
+def _span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+
+    def spans_of(tk):
+        starts = F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(SPAN_TOKENS))
+        return F.transform(starts, lambda i: F.array_join(F.slice(tk, i, SPAN_TOKENS), " "))
+
+    # bind the token array once as a HOF variable (no CSE inside lambdas)
+    spans = F.element_at(F.transform(F.array(tokens("text")), spans_of), 1)
+    exploded = (
+        t.documents.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+        .filter(F.col("span") != "")
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
+    kept = exploded.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_spans"), 6).alias("kept_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN_DEDUP_DOCS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sp AS (
+  SELECT doc_id, (i - 1) // {SPAN_TOKENS} AS span_idx,
+         array_to_string(toks[i:i+{SPAN_TOKENS - 1}], ' ') AS span
+  FROM t, LATERAL (
+    SELECT unnest(range(1, greatest(len(toks), 1) + 1, {SPAN_TOKENS})) AS i
+  ) r
+), k AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM sp WHERE span <> ''
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(sum(keep) * 1.0 / count(*), 6) AS kept_frac
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# --- Q: prefix_dup_groups — exact leading-prefix dedup groups ---------
+# Templated/boilerplate openers share their first-12-token prefix even
+# when tails diverge (symmetric Jaccard under-scores them; containment
+# catches subsets but not shared openers). One scan, one hash
+# aggregate on the prefix fingerprint; whole corpus, no slice.
+
+PREFIX_TOKENS = 12
+
+
+def _prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    prefix = F.array_join(F.slice(tokens("text"), 1, PREFIX_TOKENS), " ")
+    return (
+        t.documents.select("doc_id", F.md5(prefix).alias("prefix_md5"))
+        .groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix_md5")
+    )
+
+
+_PREFIX_DUP_GROUPS_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:{PREFIX_TOKENS}], ' ')) AS prefix_md5
+  FROM documents
+)
+SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM p GROUP BY prefix_md5
+HAVING count(*) >= 2
+ORDER BY n_docs DESC, prefix_md5
+"""
+
+
+# --- Q: badword_doc_flags — blocklist filter rates per source ---------
+# The C4 badwords gate: a document is flagged when ANY token hits the
+# blocklist. The list is a broadcast-literal IN — bounded by the list,
+# not the corpus — and the per-token test runs inside the array filter
+# (codegen, no explode, no join). Output is the per-source audit a
+# curation run reports before dropping documents.
+
+BADWORDS = ("merge", "hash", "spark")
+
+
+def _badword_doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    n_bad = F.size(F.filter(tokens("text"), lambda x: x.isin(*BADWORDS)))
+    return (
+        t.documents.select("source", n_bad.alias("n_bad"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_bad") > 0).cast("int")).cast("bigint").alias("n_flagged"),
+            F.sum("n_bad").cast("bigint").alias("n_bad_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            "n_bad_tokens",
+            F.round(F.col("n_flagged") / F.col("n_docs"), 6).alias("flag_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_BADWORDS_IN = ", ".join(f"'{w}'" for w in BADWORDS)
+
+_BADWORD_DOC_FLAGS_SQL = f"""
+WITH d AS (
+  SELECT source,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x IN ({_BADWORDS_IN}))) AS n_bad
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       CAST(sum(n_bad) AS BIGINT) AS n_bad_tokens,
+       round(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS flag_rate
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+# --- Q: idf_doc_score — per-doc mean inverse document frequency -------
+# avg ln(N/df) over a document's DISTINCT terms: high = rare-term-heavy
+# (jargon/garble), low = stopword soup. The doc-frequency table is
+# Heaps-law small so its re-attach broadcasts; N is a scalar over the
+# raw exploded scan, so it stays a naive broadcast (re-scanning parquet
+# beats materializing — the repo's derived-scalar rule).
+
+def _idf_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = (
+        t.documents.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+        ).filter(F.col("w") != "")
+    )
+    n = words.agg(F.count_distinct("doc_id").cast("bigint").alias("n_docs"))
+    dfreq = words.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        words.crossJoin(F.broadcast(n))
+        .join(F.broadcast(dfreq), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(
+                F.avg(F.log(F.col("n_docs").cast("double") / F.col("df"))), 6
+            ).alias("avg_idf"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_IDF_DOC_SCORE_SQL = """
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+  WHERE w <> ''
+),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM words),
+dfreq AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM words GROUP BY w)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(avg(ln(CAST(n.n_docs AS DOUBLE) / f.df)), 6) AS avg_idf
+FROM words d
+JOIN dfreq f USING (w)
+CROSS JOIN n
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --- shared edge list: the bounded exact-Jaccard near-dup graph -------
+# Same slice + threshold as near_dup_pairs (the bounded verifier); at
+# corpus scale the edge list is minhash_near_dups output and every
+# shape below is unchanged (id equi-joins + hash aggregates).
+
+def _dup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b", "jaccard")
+
+
+_EDGES_SQL = f"""{_PAIRS_CTES}, edges AS (
+  SELECT id_a, id_b, common * 1.0 / (sa.n + sb.n - common) AS jaccard
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+)"""
+
+
+# --- Q: cross_source_dups — near-dup pair counts by source pair -------
+# Which sources copy from which: the provenance/licensing report a
+# curation run publishes next to its dedup counts. Dimension re-attach
+# is two broadcast joins on the bounded doc slice.
+
+def _cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    src = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT).select("doc_id", "source")
+    e = _dup_edges(spark, sf_dir)
+    return (
+        e.join(F.broadcast(src).withColumnsRenamed({"doc_id": "id_a", "source": "src_a"}), "id_a")
+        .join(F.broadcast(src).withColumnsRenamed({"doc_id": "id_b", "source": "src_b"}), "id_b")
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_CROSS_SOURCE_DUPS_SQL = f"""
+WITH {_EDGES_SQL}
+SELECT da.source AS src_a, db.source AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(jaccard), 6) AS avg_jaccard
+FROM edges
+JOIN documents da ON da.doc_id = id_a
+JOIN documents db ON db.doc_id = id_b
+GROUP BY da.source, db.source
+ORDER BY src_a, src_b
+"""
+
+
+# --- Q: dup_graph_degree — degree histogram of the near-dup graph -----
+# How duplicated is the duplicated part: count-of-counts over node
+# degrees (the dedup analogue of the Q13 order-count histogram).
+
+def _dup_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _dup_edges(spark, sf_dir)
+    nodes = e.select(F.col("id_a").alias("id")).unionByName(
+        e.select(F.col("id_b").alias("id"))
+    )
+    deg = nodes.groupBy("id").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+_DUP_GRAPH_DEGREE_SQL = f"""
+WITH {_EDGES_SQL}, nodes AS (
+  SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges
+), deg AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS degree FROM nodes GROUP BY id
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM deg GROUP BY degree ORDER BY degree
+"""
+
+
+# --- Q: dup_triangles — clustering density of the near-dup graph ------
+# Triangles mean dup CLUSTERS (transitive copies), bare edges mean
+# isolated pairs — the signal that decides whether component collapse
+# (connected_components) is worth running. Canonical a<b<c triangle
+# enumeration: two id equi-joins over the edge list, then three 1-row
+# summary scalars (graph is the bounded verifier slice).
+
+def _dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _dup_edges(spark, sf_dir).select("id_a", "id_b")
+    e1 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    nodes = e.select(F.col("id_a").alias("id")).unionByName(
+        e.select(F.col("id_b").alias("id"))
+    )
+    n_nodes = nodes.agg(F.count_distinct("id").cast("bigint").alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_nodes.crossJoin(F.broadcast(n_edges)).crossJoin(F.broadcast(tri))
+
+
+_DUP_TRIANGLES_SQL = f"""
+WITH {_EDGES_SQL}, ed AS (
+  SELECT id_a, id_b FROM edges
+), tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM ed e1
+  JOIN ed e2 ON e1.id_b = e2.id_a
+  JOIN ed e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), nn AS (
+  SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_nodes
+  FROM (SELECT id_a AS id FROM ed UNION ALL SELECT id_b FROM ed)
+), ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed
+)
+SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri
+"""
+
+
+SPECS = [
+    QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
+    QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),
+    QuerySpec("badword_doc_flags", "blocklist filter rates per source (C4 badwords gate)", _badword_doc_flags, _BADWORD_DOC_FLAGS_SQL, tags=("text", "agg")),
+    QuerySpec("idf_doc_score", "per-document mean inverse document frequency", _idf_doc_score, _IDF_DOC_SCORE_SQL, tags=("text", "agg")),
+    QuerySpec("cross_source_dups", "near-dup pair counts by source pair (provenance report)", _cross_source_dups, _CROSS_SOURCE_DUPS_SQL, tags=("dedup", "graph")),
+    QuerySpec("dup_graph_degree", "degree histogram of the near-dup graph", _dup_graph_degree, _DUP_GRAPH_DEGREE_SQL, tags=("dedup", "graph")),
+    QuerySpec("dup_triangles", "triangle/edge/node counts of the near-dup graph", _dup_triangles, _DUP_TRIANGLES_SQL, tags=("dedup", "graph")),
+]

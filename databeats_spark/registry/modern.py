@@ -174,10 +174,69 @@ def _try_cast_group_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRY_CAST_GROUP_ALL_SQL)
 
 
+# --- Q: lateral_top_orders — correlated LATERAL subquery (round 4) ----
+# Per-customer top-3 orders via a correlated LATERAL derived table with
+# ORDER BY + LIMIT inside — the ANSI form of the per-group top-K that
+# per_parent_limit expresses with a window. The IDENTICAL text runs on
+# both engines. Spark decorrelates the LIMIT-inside-LATERAL into a
+# per-key window (no per-row re-execution); money compares in
+# DECIMAL(18,2) and every ordering carries the o_orderkey tie-break.
+
+_LATERAL_TOP_ORDERS_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.price
+FROM customer c, LATERAL (
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+  LIMIT 3
+) o
+ORDER BY c.c_custkey, o.price DESC, o.o_orderkey
+"""
+
+
+def _lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_LATERAL_TOP_ORDERS_SQL)
+
+
+# --- Q: multiset_order_overlap — INTERSECT ALL / EXCEPT ALL (round 4) -
+# Bag semantics the DISTINCT set ops can't express: per customer, how
+# many order-status multiplicities survive INTERSECT ALL (min(m, n))
+# and EXCEPT ALL (m − n clamped at 0) between the open and finished
+# order streams. The IDENTICAL text runs on both engines; the final
+# aggregate makes the multiset deterministic row data.
+
+_MULTISET_ORDER_OVERLAP_SQL = """
+WITH open_keys AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+), done_keys AS (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+), both_ms AS (
+  SELECT o_custkey FROM open_keys INTERSECT ALL SELECT o_custkey FROM done_keys
+), open_only_ms AS (
+  SELECT o_custkey FROM open_keys EXCEPT ALL SELECT o_custkey FROM done_keys
+)
+SELECT 'both' AS side, o_custkey, CAST(count(*) AS BIGINT) AS n
+FROM both_ms GROUP BY o_custkey
+UNION ALL
+SELECT 'open_only' AS side, o_custkey, CAST(count(*) AS BIGINT) AS n
+FROM open_only_ms GROUP BY o_custkey
+ORDER BY side, o_custkey
+"""
+
+
+def _multiset_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_MULTISET_ORDER_OVERLAP_SQL)
+
+
 SPECS = [
     QuerySpec("recursive_week_spine", "WITH RECURSIVE calendar spine, identical ANSI on both engines", _recursive_week_spine, _RECURSIVE_WEEK_SPINE_SQL, tags=("sql", "timeseries")),
     QuerySpec("variant_props_stats", "VARIANT parse_json + variant_get typed extraction", _variant_props_stats, _VARIANT_PROPS_STATS_SQL, tags=("sql", "scalar")),
     QuerySpec("pipe_syntax_returns", "SQL pipe syntax (|>) filter+aggregate vs classic ANSI oracle", _pipe_syntax_returns, _PIPE_SYNTAX_ORACLE, tags=("sql", "agg")),
     QuerySpec("collated_type_counts", "COLLATE UTF8_LCASE case-insensitive grouping vs lower() oracle", _collated_type_counts, _COLLATED_TYPE_COUNTS_SQL, tags=("sql", "scalar")),
     QuerySpec("try_cast_group_all", "TRY_CAST failure audit + GROUP BY ALL / ORDER BY ALL", _try_cast_group_all, _TRY_CAST_GROUP_ALL_SQL, tags=("sql", "scalar", "agg")),
+    QuerySpec("lateral_top_orders", "correlated LATERAL derived table with ORDER BY + LIMIT, identical ANSI", _lateral_top_orders, _LATERAL_TOP_ORDERS_SQL, tags=("sql", "window")),
+    QuerySpec("multiset_order_overlap", "INTERSECT ALL / EXCEPT ALL bag semantics, identical ANSI", _multiset_order_overlap, _MULTISET_ORDER_OVERLAP_SQL, tags=("sql", "setop")),
 ]

@@ -276,10 +276,90 @@ ORDER BY d.doc_id
 """
 
 
+# --- Q: embedding_quantization — int8 scalar quantization audit -------
+# The storage path a 100 TB embedding table actually ships: per-vector
+# min/max scalar quantization to 8-bit codes (256 levels) plus the
+# reconstruction-error audit that decides whether int8 recall is
+# acceptable before swapping the float column out. Pure elementwise
+# array expressions — codes and error terms are computed in ONE
+# transform over the double-cast vector with the identical IEEE
+# operation order on both engines (floor/least are exact, so the only
+# rounding is the final round(…, 6) on the two error metrics);
+# code_sum is an exact integer pin of the quantizer itself.
+
+Q_LEVELS = 256  # 8-bit codes
+
+
+def _embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lo, hi = F.col("lo"), F.col("hi")
+
+    def code(x):
+        return F.least(F.lit(255), F.floor((x - lo) / (hi - lo) * Q_LEVELS))
+
+    def err(x):
+        dq = lo + (code(x) + F.lit(0.5)) * (hi - lo) / Q_LEVELS
+        return (x - dq) * (x - dq)
+
+    base = (
+        t.embeddings.select("vec_id", e.alias("e"))
+        .withColumn("lo", F.array_min("e"))
+        .withColumn("hi", F.array_max("e"))
+        .filter(hi > lo)
+        .select(
+            "vec_id",
+            F.size("e").cast("bigint").alias("dim"),
+            F.aggregate(
+                F.transform("e", code), F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("code_sum"),
+            F.transform("e", err).alias("errs"),
+        )
+    )
+    return base.select(
+        "vec_id",
+        "dim",
+        "code_sum",
+        F.round(
+            F.sqrt(
+                F.aggregate("errs", F.lit(0.0), lambda a, x: a + x) / F.col("dim")
+            ),
+            6,
+        ).alias("rmse"),
+        F.round(F.sqrt(F.array_max("errs")), 6).alias("max_abs_err"),
+    ).orderBy("vec_id")
+
+
+# the error term spells the code expression out twice because HOF
+# lambdas get no CSE on either engine — duplication keeps the IEEE
+# operation sequence literally identical on both sides
+_EMBEDDING_QUANTIZATION_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings
+), b AS (
+  SELECT vec_id, e, list_aggregate(e, 'min') AS lo, list_aggregate(e, 'max') AS hi FROM v
+), q AS (
+  SELECT vec_id, len(e) AS dim,
+         list_transform(e, x -> least(255, floor((x - lo) / (hi - lo) * {Q_LEVELS}))) AS codes,
+         list_transform(e, x ->
+           (x - (lo + (least(255, floor((x - lo) / (hi - lo) * {Q_LEVELS})) + 0.5) * (hi - lo) / {Q_LEVELS}))
+           * (x - (lo + (least(255, floor((x - lo) / (hi - lo) * {Q_LEVELS})) + 0.5) * (hi - lo) / {Q_LEVELS}))
+         ) AS errs
+  FROM b WHERE hi > lo
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       round(sqrt(list_sum(errs) / dim), 6) AS rmse,
+       round(sqrt(list_max(errs)), 6) AS max_abs_err
+FROM q ORDER BY vec_id
+"""
+
+
 SPECS = [
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
+    QuerySpec("embedding_quantization", "int8 scalar quantization codes + reconstruction-error audit", _embedding_quantization, _EMBEDDING_QUANTIZATION_SQL, tags=("similarity", "scalar")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),

@@ -42,6 +42,8 @@ BOUNDED_JOIN_OK = {
     "length_drift_ks": "1-row slice-total scalars over the checkpointed histogram",
     "length_drift_psi": "1-row slice-total scalars over the checkpointed histogram",
     "unigram_doc_logprob": "1-row corpus-token-total scalar over the checkpointed vocab agg",
+    "idf_doc_score": "1-row corpus doc-count scalar broadcast (raw-scan scalar stays naive)",
+    "dup_triangles": "1-row graph summary scalars (n_nodes/n_edges/n_triangles over the bounded verifier slice)",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
