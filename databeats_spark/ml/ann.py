@@ -36,9 +36,21 @@ class IVFIndex:
         vec_col: str = "embedding",
         n_lists: int = 16,
         seed: int = 42,
+        max_iter: int = 20,
     ) -> "IVFIndex":
-        vecs = embeddings.withColumn("__v", array_to_vector(F.col(vec_col)))
-        km = KMeans(k=n_lists, seed=seed, featuresCol="__v", predictionCol="centroid_id").fit(vecs)
+        # KMeans is compute-bound: a single-file parquet scan arrives as
+        # one partition and serializes the fit — spread() no-ops when the
+        # scan already has parallelism (the real-scale case)
+        from databeats_spark.sources.tables import spread
+
+        vecs = spread(
+            embeddings.withColumn("__v", array_to_vector(F.col(vec_col))),
+            embeddings.sparkSession,
+        )
+        km = KMeans(
+            k=n_lists, seed=seed, maxIter=max_iter,
+            featuresCol="__v", predictionCol="centroid_id",
+        ).fit(vecs)
         assigned = km.transform(vecs).select(id_col, vec_col, "centroid_id")
         return cls(km, assigned, id_col, vec_col)
 

@@ -321,7 +321,7 @@ def semantic_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
     threshold: float = 0.95,
     seed: int = 42,
 ) -> DataFrame:
@@ -333,7 +333,14 @@ def semantic_near_duplicates(
     Scale shape: the candidate join key is ``centroid_id``, so the
     shuffle co-locates each cluster and the pair blow-up is bounded by
     the largest cluster, never the corpus (all-pairs within k balanced
-    clusters is n²/k comparisons — tune ``n_lists`` with corpus size).
+    clusters is n²/k comparisons). ``n_lists=None`` (default) scales k
+    with the corpus — max(8, n // 400), one cheap count over the input
+    — keeping the per-cluster pair budget roughly constant as the
+    corpus grows (a FIXED k would make total comparisons quadratic
+    again at scale; the SemDeDup paper's k likewise grows with n).
+    The bucketing KMeans runs a bounded maxIter=8: cluster assignment
+    only gates candidate generation, so tight convergence buys recall
+    nothing measurable while costing a full corpus pass per iteration.
     Precision is exact by construction (every emitted pair carries its
     true cosine); recall misses only pairs that straddle a cluster
     boundary — the documented SemDeDup trade-off
@@ -347,10 +354,14 @@ def semantic_near_duplicates(
     from databeats_spark.functions.similarity import cosine
     from databeats_spark.ml.ann import IVFIndex
 
-    idx = IVFIndex.fit(embeddings, id_col, vec_col, n_lists=n_lists, seed=seed)
+    if n_lists is None:
+        n_lists = max(8, embeddings.count() // 400)
+    idx = IVFIndex.fit(embeddings, id_col, vec_col, n_lists=n_lists, seed=seed, max_iter=8)
+    # pin the assignment once: both sides of the self-join read the same
+    # blocks instead of re-running the KMeans transform + scan twice
     e = idx.assigned.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "centroid_id"
-    )
+    ).localCheckpoint(eager=False)
     return (
         e.alias("a")
         .join(

@@ -221,9 +221,16 @@ def pagerank(
     ``max_iter`` rounds.
     """
     out_edges = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+    degrees = out_edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
+    # pre-join degree onto edges ONCE and checkpoint FIRST: this is the
+    # single materialization of the (possibly expensive) edge-generator
+    # subtree — nodes, the per-round contribution join AND the per-round
+    # dangling-mass semi-join all read these blocks, so an LSH/candidate
+    # pipeline upstream runs exactly once, not once per iteration
+    withdeg = out_edges.join(degrees, "e_src").localCheckpoint()
     nodes = (
-        out_edges.select(F.col("e_src").alias("node"))
-        .union(out_edges.select(F.col("e_dst").alias("node")))
+        withdeg.select(F.col("e_src").alias("node"))
+        .union(withdeg.select(F.col("e_dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
@@ -232,10 +239,6 @@ def pagerank(
         # empty graph (e.g. a corpus slice with no near-dup edges):
         # no nodes, no ranks — not a division by zero
         return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
-    degrees = out_edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
-    # pre-join degree onto edges ONCE: the per-round join then carries
-    # rank/deg without re-aggregating degrees every iteration
-    withdeg = out_edges.join(degrees, "e_src").localCheckpoint()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(max_iter):
@@ -246,8 +249,11 @@ def pagerank(
             .agg(F.sum("c").alias("inflow"))
         )
         # dangling mass = 1 - sum of flowing rank (nodes with no
-        # out-edges leak their rank; give it back uniformly)
-        flowing = ranks.join(degrees, ranks["node"] == degrees["e_src"], "left_semi")
+        # out-edges leak their rank; give it back uniformly). Semi-join
+        # against the CHECKPOINTED edge table (dupes are fine for a
+        # semi-join) — never the raw degrees lineage, which would
+        # re-execute the edge generator every round
+        flowing = ranks.join(withdeg, ranks["node"] == withdeg["e_src"], "left_semi")
         scalars = flowing.agg(F.sum("rank").alias("flow_sum"))
         # join the OLD rank table (same node set as nodes) so the
         # update row carries (old, new) side by side — the convergence

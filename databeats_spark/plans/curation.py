@@ -127,18 +127,32 @@ def budget_stage(docs: DataFrame, token_budget: int) -> DataFrame:
 
 
 def curate_corpus(
-    spark: SparkSession, sf_dir: str | None = None, token_budget: int = 30_000
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    token_budget: int = 30_000,
+    pin_stages: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full curation flow; returns every stage's DataFrame so
-    callers can audit, persist or branch at any point."""
+    callers can audit, persist or branch at any point.
+
+    ``pin_stages=True`` inserts a lazy ``localCheckpoint`` between
+    stages so a caller that ACTIONS every stage (the funnel report)
+    materializes each one exactly once — without it, counting stage k
+    re-executes stages 1..k-1, and the expensive middle (shingling,
+    MinHash) runs once per downstream stage instead of once. Callers
+    that only consume the final DataFrame keep the default single
+    lazy plan (nothing materialized twice either way). At cluster
+    scale the same seam is where a production run would persist each
+    stage to reliable storage instead of executor-local blocks."""
     docs = load_tables(spark, sf_dir, ["documents"]).documents
-    stages: dict[str, DataFrame] = {"raw": docs}
-    stages["quality"] = quality_gate(docs)
-    stages["exact_dedup"] = exact_dedup_stage(stages["quality"])
-    stages["near_dup"] = near_dup_stage(stages["exact_dedup"], spark)
-    stages["decontam"] = decontam_stage(stages["near_dup"])
-    stages["rebalance"] = rebalance_stage(stages["decontam"])
-    stages["budget"] = budget_stage(stages["rebalance"], token_budget)
+    pin = (lambda df: df.localCheckpoint(eager=False)) if pin_stages else (lambda df: df)
+    stages: dict[str, DataFrame] = {"raw": pin(docs)}
+    stages["quality"] = pin(quality_gate(stages["raw"]))
+    stages["exact_dedup"] = pin(exact_dedup_stage(stages["quality"]))
+    stages["near_dup"] = pin(near_dup_stage(stages["exact_dedup"], spark))
+    stages["decontam"] = pin(decontam_stage(stages["near_dup"]))
+    stages["rebalance"] = pin(rebalance_stage(stages["decontam"]))
+    stages["budget"] = pin(budget_stage(stages["rebalance"], token_budget))
     return stages
 
 
@@ -146,7 +160,9 @@ def curation_report(
     spark: SparkSession, sf_dir: str | None = None, token_budget: int = 30_000
 ) -> DataFrame:
     """The stage-count funnel: one row per stage with the surviving
-    document count — the audit artifact of a curation run."""
-    stages = curate_corpus(spark, sf_dir, token_budget)
+    document count — the audit artifact of a curation run. Stages are
+    pinned so the seven counts execute the pipeline once end-to-end,
+    not once per stage."""
+    stages = curate_corpus(spark, sf_dir, token_budget, pin_stages=True)
     rows = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
     return spark.createDataFrame(rows, "stage_idx: long, stage: string, n_docs: long")

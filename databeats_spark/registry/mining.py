@@ -773,8 +773,13 @@ def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databeats_spark.operators.graph import pagerank
 
     t = load_tables(spark, sf_dir, ["documents"])
+    # same num_partitions as the headline minhash call: the shingle set
+    # is compute-bound (spread the single-file scan) AND the identical
+    # lineage hits the operator's bounded shingle cache when both run
+    # in one session (bench, dashboards)
     pairs = minhash_near_duplicates(
-        t.documents, "doc_id", "text", threshold=PAGERANK_EDGE_THRESHOLD
+        t.documents, "doc_id", "text", threshold=PAGERANK_EDGE_THRESHOLD,
+        num_partitions=spark.sparkContext.defaultParallelism,
     ).select("id_a", "id_b")
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))

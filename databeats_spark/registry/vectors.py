@@ -110,8 +110,10 @@ def _semdedup_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databeats_spark.operators.dedup import semantic_near_duplicates
 
     t = load_tables(spark, sf_dir, ["embeddings"])
+    # n_lists=None → auto max(8, n // 400): constant per-cluster pair
+    # budget as the corpus grows (fixed k re-quadratizes at scale)
     out = semantic_near_duplicates(
-        t.embeddings, "vec_id", "embedding", n_lists=8, threshold=0.4
+        t.embeddings, "vec_id", "embedding", n_lists=None, threshold=0.4
     )
     return out.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
