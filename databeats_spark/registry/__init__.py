@@ -49,6 +49,7 @@ class QuerySpec:
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
     # round-4 additions (no driver row yet) — keep at the very front
+    "lang_mix_flags", "oov_rate", "interleave_layout", "exposure_cap",
     "span_dedup_docs", "prefix_dup_groups", "badword_doc_flags",
     "idf_doc_score", "cross_source_dups", "dup_graph_degree",
     "dup_triangles", "lateral_top_orders", "multiset_order_overlap",

@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from databeats_spark.functions.text import tokens
+from databeats_spark.functions.text import LANG_MARKERS, tokens
 from databeats_spark.operators.dedup import ngram_jaccard_pairs
 from databeats_spark.registry import QuerySpec
 from databeats_spark.registry.documents import (
@@ -379,6 +379,233 @@ SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri
 """
 
 
+# --- Q: lang_mix_flags — code-switching / language-mixing detector ----
+# Documents whose tokens hit the marker sets of TWO OR MORE languages
+# (each with >= 2 marker tokens) are mixed-language — a quality gate
+# lang_id's single-best-guess can't express. The token array binds
+# ONCE as a HOF variable and all four marker counts evaluate inside
+# the same lambda (no CSE across lambdas otherwise); the marker sets
+# are literal INs, bounded by the list not the corpus.
+
+_MIX_LANGS = ("en", "es", "fr", "de")
+_MIX_MIN_HITS = 2
+
+
+def _lang_mix_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+
+    def counts(tk):
+        return F.struct(
+            *[
+                F.size(F.filter(tk, lambda x: x.isin(*LANG_MARKERS[lang]))).alias(f"n_{lang}")
+                for lang in _MIX_LANGS
+            ]
+        )
+
+    c = F.element_at(F.transform(F.array(tokens("text")), counts), 1)
+    scored = t.documents.select("doc_id", "lang", c.alias("c")).select(
+        "doc_id",
+        "lang",
+        *[F.col(f"c.n_{lang}").cast("bigint").alias(f"n_{lang}") for lang in _MIX_LANGS],
+    )
+    n_langs = sum(
+        (F.col(f"n_{lang}") >= _MIX_MIN_HITS).cast("int") for lang in _MIX_LANGS
+    ).cast("bigint")
+    return (
+        scored.withColumn("n_langs", n_langs)
+        .withColumn("mixed", F.col("n_langs") >= 2)
+        .orderBy("doc_id")
+    )
+
+
+_LANG_MIX_COLS = ",\n         ".join(
+    "len(list_filter(toks, x -> x IN ({}))) AS n_{}".format(
+        ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]), lang
+    )
+    for lang in _MIX_LANGS
+)
+
+_LANG_MIX_FLAGS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, lang,
+         {_LANG_MIX_COLS}
+  FROM t
+)
+SELECT doc_id, lang,
+       {", ".join(f"CAST(n_{lang} AS BIGINT) AS n_{lang}" for lang in _MIX_LANGS)},
+       CAST({" + ".join(f"(CASE WHEN n_{lang} >= {_MIX_MIN_HITS} THEN 1 ELSE 0 END)" for lang in _MIX_LANGS)} AS BIGINT) AS n_langs,
+       ({" + ".join(f"(CASE WHEN n_{lang} >= {_MIX_MIN_HITS} THEN 1 ELSE 0 END)" for lang in _MIX_LANGS)}) >= 2 AS mixed
+FROM c
+ORDER BY doc_id
+"""
+
+
+# --- Q: oov_rate — out-of-vocabulary fraction vs the corpus head ------
+# Per-document fraction of tokens outside the top-2000 corpus
+# vocabulary — the cheap garble/jargon detector a perplexity filter
+# approximates. The vocabulary cut is a TakeOrderedAndProject (bounded
+# head, total-order tie-break) and re-attaches as a broadcast; the
+# per-doc side is one explode + hash aggregate.
+
+OOV_VOCAB_K = 2000
+
+
+def _oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = _doc_words_corpus(t.documents)
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(OOV_VOCAB_K)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tok",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tok"), 6).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _doc_words_corpus(docs: DataFrame) -> DataFrame:
+    """Exploded non-empty word stream with doc_id (corpus.py twin of
+    signals._doc_words — kept local so the modules stay independent)."""
+    return docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+_OOV_RATE_SQL = f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+  WHERE w <> ''
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM words GROUP BY w ORDER BY c DESC, w LIMIT {OOV_VOCAB_K}
+  )
+)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+FROM words d LEFT JOIN vocab v USING (w)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# --- Q: interleave_layout — deterministic source round-robin order ----
+# The training-mix data ORDER: documents interleave across sources in
+# deterministic md5 sequence (position = (per-source rank − 1) ×
+# n_sources + source index), so a loader streams a stable shuffled mix
+# without a global sort over the data axis. Per-source ranks are
+# key-partitioned windows; the source index is a window over the
+# bounded source CATALOG (a ~20-row aggregate), and n_sources rides
+# the same tiny table.
+
+def _interleave_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    src_idx = (
+        t.documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "source",
+            F.row_number().over(Window.orderBy("source")).cast("bigint").alias("src_idx"),
+        )
+    )
+    src_idx = attach_n_sources(src_idx)
+    per_src = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = t.documents.select(
+        "doc_id", "source", F.row_number().over(per_src).cast("bigint").alias("r")
+    )
+    return (
+        ranked.join(F.broadcast(src_idx), "source")
+        .select(
+            "doc_id",
+            "source",
+            "src_idx",
+            "r",
+            ((F.col("r") - 1) * F.col("n_sources") + F.col("src_idx") - 1).alias("pos"),
+        )
+        .orderBy("pos", "doc_id")
+    )
+
+
+def attach_n_sources(src_idx: DataFrame) -> DataFrame:
+    """n_sources as a column on the bounded source-catalog table."""
+    return src_idx.crossJoin(
+        F.broadcast(src_idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources")))
+    )
+
+
+_INTERLEAVE_LAYOUT_SQL = """
+WITH src AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx,
+         CAST(count(*) OVER () AS BIGINT) AS n_sources
+  FROM (SELECT source FROM documents GROUP BY source)
+), ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS BIGINT) AS r
+  FROM documents
+)
+SELECT d.doc_id, d.source, s.src_idx, d.r,
+       (d.r - 1) * s.n_sources + s.src_idx - 1 AS pos
+FROM ranked d JOIN src s USING (source)
+ORDER BY pos, doc_id
+"""
+
+
+# --- Q: exposure_cap — keep at most K copies per exact content --------
+# The epoch-exposure rule from the deduplication literature: exact
+# duplicates are capped at K occurrences rather than collapsed to one
+# (controlled repetition can be a curriculum choice; unbounded
+# repetition is memorization risk). Window partitioned by the content
+# fingerprint — key-partitioned, deterministic min-doc_id order.
+
+EXPOSURE_MAX_COPIES = 2
+
+
+def _exposure_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        t.documents.select("doc_id", F.md5(F.col("text")).alias("fp"))
+        .withColumn("copy_idx", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("copy_idx") <= EXPOSURE_MAX_COPIES)
+        .select("doc_id", "fp", "copy_idx")
+        .orderBy("doc_id")
+    )
+
+
+_EXPOSURE_CAP_SQL = f"""
+SELECT doc_id, fp, copy_idx
+FROM (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS BIGINT) AS copy_idx
+  FROM documents
+)
+WHERE copy_idx <= {EXPOSURE_MAX_COPIES}
+ORDER BY doc_id
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),
@@ -387,4 +614,8 @@ SPECS = [
     QuerySpec("cross_source_dups", "near-dup pair counts by source pair (provenance report)", _cross_source_dups, _CROSS_SOURCE_DUPS_SQL, tags=("dedup", "graph")),
     QuerySpec("dup_graph_degree", "degree histogram of the near-dup graph", _dup_graph_degree, _DUP_GRAPH_DEGREE_SQL, tags=("dedup", "graph")),
     QuerySpec("dup_triangles", "triangle/edge/node counts of the near-dup graph", _dup_triangles, _DUP_TRIANGLES_SQL, tags=("dedup", "graph")),
+    QuerySpec("lang_mix_flags", "code-switching detector: per-language marker counts + mixed flag", _lang_mix_flags, _LANG_MIX_FLAGS_SQL, tags=("text", "scalar")),
+    QuerySpec("oov_rate", "per-doc out-of-vocabulary fraction vs the top-2000 corpus head", _oov_rate, _OOV_RATE_SQL, tags=("text", "agg")),
+    QuerySpec("interleave_layout", "deterministic source round-robin training-mix order", _interleave_layout, _INTERLEAVE_LAYOUT_SQL, tags=("text", "sampling", "window")),
+    QuerySpec("exposure_cap", "keep at most K copies per exact content fingerprint", _exposure_cap, _EXPOSURE_CAP_SQL, tags=("dedup", "window")),
 ]

@@ -44,6 +44,7 @@ BOUNDED_JOIN_OK = {
     "unigram_doc_logprob": "1-row corpus-token-total scalar over the checkpointed vocab agg",
     "idf_doc_score": "1-row corpus doc-count scalar broadcast (raw-scan scalar stays naive)",
     "dup_triangles": "1-row graph summary scalars (n_nodes/n_edges/n_triangles over the bounded verifier slice)",
+    "interleave_layout": "1-row n_sources scalar over the bounded source catalog",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
@@ -56,6 +57,7 @@ UNPARTITIONED_WINDOW_OK = {
     "source_pareto": "cumulative share over the per-source aggregate (#sources rows — a catalog, not a data axis)",
     "zipf_slope": "rank window over the TakeOrderedAndProject'd top-1000 head, bounded by construction",
     "peak_concurrency": "prefix over per-partition subtotals (#partitions rows)",
+    "interleave_layout": "source-index window over the bounded source catalog (~#sources rows — a catalog, not a data axis)",
 }
 
 _WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
