@@ -37,14 +37,20 @@ def asof_join(
     by: Sequence[str],
     value_cols: Sequence[str],
     right_tie_breakers: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward inclusive as-of join.
+    """Inclusive as-of join, backward (default) or forward.
 
     ``on``: the ordering column (same name both sides, e.g. event time);
     ``by``: equi-join keys; ``value_cols``: right-side columns to carry;
     ``right_tie_breakers``: makes the pick deterministic when multiple
-    right rows share (by, on) — the LAST row in this order wins.
+    right rows share (by, on) — the LAST row in this order wins;
+    ``direction``: "backward" picks the most recent right row with
+    right.on <= left.on, "forward" the nearest with right.on >= left.on
+    (the mirror image: identical union + running-last plan, just with
+    the ``on`` ordering reversed — no second code path to maintain).
     """
+    assert direction in ("backward", "forward"), direction
     by = list(by)
     lcols = [c for c in left.columns]
     l_tagged = left.select(
@@ -65,10 +71,12 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    # right rows sort BEFORE left rows at equal ts (inclusive <=);
+    # right rows sort BEFORE left rows at equal ts (inclusive pick);
     # among right rows at the same instant, tie-breakers order the
-    # winner last so running-last picks it deterministically
-    order: list[Column] = [F.col("__on"), F.col("__is_r").desc()]
+    # winner last so running-last picks it deterministically. Forward
+    # = the same running-last walk over the REVERSED on-ordering.
+    on_order = F.col("__on") if direction == "backward" else F.col("__on").desc()
+    order: list[Column] = [on_order, F.col("__is_r").desc()]
     order += [F.col(f"__t_{t}") for t in right_tie_breakers]
     w = (
         Window.partitionBy(*by)

@@ -49,6 +49,8 @@ class QuerySpec:
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
     # round-4 additions (no driver row yet) — keep at the very front
+    "snapshot_user_diff", "user_erasure_audit", "rolling_7d_active_users",
+    "event_cooccurrence_lift", "asof_next_purchase",
     "lang_mix_flags", "oov_rate", "interleave_layout", "exposure_cap",
     "span_dedup_docs", "prefix_dup_groups", "badword_doc_flags",
     "idf_doc_score", "cross_source_dups", "dup_graph_degree",
@@ -80,13 +82,13 @@ _WINDOW = (
 def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
-        corpus, curation, decision, documents, events, extended, frames, mining,
-        modern, relational, shapes, signals, vectors,
+        corpus, curation, decision, documents, events, extended, frames,
+        lifecycle, mining, modern, relational, shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
-                curation, modern, decision, mining, signals, corpus):
+                curation, modern, decision, mining, signals, corpus, lifecycle):
         all_specs.extend(mod.SPECS)
     names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"

@@ -1,0 +1,337 @@
+"""Data-lifecycle and activity shapes (round-4c batch) — the CDC /
+compliance / engagement operators a production table owner runs beside
+the analytics queries:
+
+- snapshot_user_diff:      CDC-style snapshot compare of a derived
+                           dimension (latest event value per user) at
+                           two as-of instants: added / changed rows
+- user_erasure_audit:      GDPR right-to-be-forgotten blast radius —
+                           rows per table an erasure set would delete,
+                           cascaded through the key graph
+- rolling_7d_active_users: sliding-window DISTINCT users per day via
+                           bounded cover-day explode (the windowed
+                           countDistinct no window frame can express)
+- event_cooccurrence_lift: market-basket lift between event types at
+                           the user level (P(a,b) / P(a)P(b))
+- asof_next_purchase:      FORWARD as-of join — each click enriched
+                           with the user's next (at-or-after) purchase
+                           (operators/joins.asof_join direction-mirror;
+                           DuckDB native forward ASOF is the oracle)
+
+Reference parity: the reference has no CDC/compliance surface; these
+extend SURVEY §2's join/window families the same way the as-of and
+range joins did (north-star batch). Oracle parity per the registry
+recipe: BIGINT counts, round(…, 6) ratio doubles, integer-microsecond
+time math, ISO-string dates, total-order sorts.
+
+Scale notes: snapshot diff is one full-outer equi-join of two keyed
+aggregates; erasure audit is semi-join cascades on the key columns
+(never row comparisons); the rolling-distinct explode is bounded at
+7 rows per (user, day) pair — the windowed-distinct blowup is the
+window length, not the data; co-occurrence pairs explode per-user
+type SETS (bounded by the event-type catalog squared); the forward
+as-of is the identical union + running-last plan as the backward one
+with the ordering reversed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from databeats_spark.registry import QuerySpec
+from databeats_spark.sources.tables import load_tables
+
+# snapshot-compare as-of instants (events span 2024-01)
+SNAP_T1 = "2024-01-15"
+SNAP_T2 = "2024-01-25"
+# erasure set: every 97th customer key
+ERASURE_MOD = 97
+
+
+# --- Q: snapshot_user_diff — CDC compare of a derived dimension -------
+# "Latest event value per user" materialized at two as-of instants,
+# then diffed: users new since T1 are `added`, users whose latest
+# value moved are `changed` (unchanged rows drop out — CDC emits
+# deltas). One window per snapshot (key-partitioned on user_id) and
+# one full-outer equi-join on the key; row hashes never cross the
+# network, only (key, value).
+
+def _latest_value_before(events: DataFrame, cutoff: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        events.filter(F.col("us") < F.unix_micros(F.to_timestamp(F.lit(cutoff))))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.round("value", 6).alias("value"))
+    )
+
+
+def _snapshot_user_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.select("user_id", "event_id", F.unix_micros("ts").alias("us"), "value")
+    old = _latest_value_before(ev, SNAP_T1).withColumnRenamed("value", "old_value")
+    new = _latest_value_before(ev, SNAP_T2).withColumnRenamed("value", "new_value")
+    joined = old.join(new, "user_id", "full_outer")
+    change = (
+        F.when(F.col("old_value").isNull(), F.lit("added"))
+        .when(F.col("new_value").isNull(), F.lit("removed"))
+        .when(F.col("old_value") != F.col("new_value"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select("user_id", "change_type", "old_value", "new_value")
+        .orderBy("user_id")
+    )
+
+
+_SNAPSHOT_USER_DIFF_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+), old AS (
+  SELECT user_id, round(value, 6) AS old_value
+  FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+    FROM ev WHERE us < epoch_us(TIMESTAMP '{SNAP_T1}')
+  ) WHERE rn = 1
+), new AS (
+  SELECT user_id, round(value, 6) AS new_value
+  FROM (
+    SELECT user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+    FROM ev WHERE us < epoch_us(TIMESTAMP '{SNAP_T2}')
+  ) WHERE rn = 1
+), joined AS (
+  SELECT coalesce(old.user_id, new.user_id) AS user_id, old_value, new_value,
+         CASE WHEN old_value IS NULL THEN 'added'
+              WHEN new_value IS NULL THEN 'removed'
+              WHEN old_value <> new_value THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM old FULL OUTER JOIN new ON old.user_id = new.user_id
+)
+SELECT user_id, change_type, old_value, new_value
+FROM joined WHERE change_type <> 'unchanged'
+ORDER BY user_id
+"""
+
+
+# --- Q: user_erasure_audit — right-to-be-forgotten blast radius -------
+# Given an erasure key set (every 97th customer), count the rows each
+# table loses: customers directly, orders via custkey, lineitems via
+# the orderkeys of those orders. Pure key-column semi-join cascades —
+# the audit never touches payload columns, and each count is one
+# hash aggregate. The three counts union into rows (no scalar
+# cross-joins).
+
+def _user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    keys = t.customer.filter(F.col("c_custkey") % ERASURE_MOD == 0).select("c_custkey")
+    orders = t.orders.join(
+        keys.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    lineitems = t.lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_semi"
+    )
+    count = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("entity"), F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    return (
+        count(keys, "customer")
+        .unionByName(count(orders, "orders"))
+        .unionByName(count(lineitems, "lineitem"))
+        .orderBy("entity")
+    )
+
+
+_USER_ERASURE_AUDIT_SQL = f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % {ERASURE_MOD} = 0
+), ords AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM keys)
+), li AS (
+  SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+)
+SELECT entity, n_rows FROM (
+  SELECT 'customer' AS entity, CAST(count(*) AS BIGINT) AS n_rows FROM keys
+  UNION ALL
+  SELECT 'orders', CAST(count(*) AS BIGINT) FROM ords
+  UNION ALL
+  SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM li
+)
+ORDER BY entity
+"""
+
+
+# --- Q: rolling_7d_active_users — sliding-window distinct count -------
+# Distinct users over the trailing 7 days, per day. No window frame
+# can deduplicate inside a sliding range, so the scale shape is the
+# bounded cover-day explode: each (user, active-day) pair covers the 7
+# calendar days it counts toward — the blowup is the WINDOW LENGTH
+# (7×), never the data — then one countDistinct hash aggregate per
+# cover day, reported only for days that actually had events.
+
+ROLLING_DAYS = 7
+
+
+def _rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    user_days = t.events.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    cover = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), ROLLING_DAYS - 1))
+        ).alias("cover_d"),
+    )
+    actual_days = user_days.select(F.col("d").alias("cover_d")).distinct()
+    return (
+        cover.join(actual_days, "cover_d", "left_semi")
+        .groupBy("cover_d")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active_7d"))
+        .select(F.date_format("cover_d", "yyyy-MM-dd").alias("day"), "n_active_7d")
+        .orderBy("day")
+    )
+
+
+_ROLLING_7D_ACTIVE_USERS_SQL = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), cover AS (
+  SELECT user_id, CAST(unnest(generate_series(d, d + INTERVAL {ROLLING_DAYS - 1} DAY, INTERVAL 1 DAY)) AS DATE) AS cover_d
+  FROM user_days
+), actual AS (
+  SELECT DISTINCT d AS cover_d FROM user_days
+)
+SELECT strftime(cover_d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+FROM cover
+WHERE cover_d IN (SELECT cover_d FROM actual)
+GROUP BY cover_d
+ORDER BY day
+"""
+
+
+# --- Q: event_cooccurrence_lift — market-basket lift at user level ----
+# For every pair of event types, how much more often do they co-occur
+# in one user's history than independence predicts: lift =
+# P(a,b) / (P(a) · P(b)) over users. The per-user type SET is bounded
+# by the event-type catalog, so the within-user pair explode is
+# catalog², never events². The user total is a scalar over the raw
+# scan (naive broadcast per the derived-scalar rule).
+
+def _event_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ut = t.events.select("user_id", "event_type").distinct()
+    n_users = t.events.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("pair_users"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n_type").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n_type").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "pair_users",
+            F.round(
+                (F.col("pair_users").cast("double") * F.col("n_users"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_EVENT_COOCCURRENCE_LIFT_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), n AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events
+), singles AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_type FROM ut GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS pair_users
+  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.pair_users,
+       round((CAST(p.pair_users AS DOUBLE) * n.n_users) / (sa.n_type * sb.n_type), 6) AS lift
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN n
+ORDER BY p.type_a, p.type_b
+"""
+
+
+# --- Q: asof_next_purchase — FORWARD as-of join -----------------------
+# Each click enriched with the user's NEXT (at-or-after, inclusive)
+# purchase value — the attribution mirror of asof_purchase_value.
+# Spark side is the same union + running-last window with the on-
+# ordering reversed (operators/joins.asof_join direction="forward");
+# DuckDB's native forward ASOF (l.ts <= r.ts) is the oracle.
+
+def _asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.dedup import dedup_first
+    from databeats_spark.operators.joins import asof_join
+
+    t = load_tables(spark, sf_dir, ["events"])
+    clicks = t.events.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    # one purchase per (user, instant): exact-tie picks are otherwise
+    # engine-arbitrary on both sides (same rule as the backward query)
+    purchases = dedup_first(purchases, ["user_id", "ts"], [F.col("value").desc()])
+    out = asof_join(
+        clicks, purchases, on="ts", by=["user_id"], value_cols=["value"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value").alias("next_purchase_value"),
+    ).orderBy("event_id")
+
+
+_ASOF_NEXT_PURCHASE_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts ORDER BY value DESC) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       p.value AS next_purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY c.event_id
+"""
+
+
+SPECS = [
+    QuerySpec("snapshot_user_diff", "CDC snapshot compare of the latest-value-per-user dimension", _snapshot_user_diff, _SNAPSHOT_USER_DIFF_SQL, tags=("join", "cdc")),
+    QuerySpec("user_erasure_audit", "GDPR erasure blast radius: rows per table via key-cascade semi joins", _user_erasure_audit, _USER_ERASURE_AUDIT_SQL, tags=("join", "compliance")),
+    QuerySpec("rolling_7d_active_users", "sliding-window distinct users via bounded cover-day explode", _rolling_7d_active_users, _ROLLING_7D_ACTIVE_USERS_SQL, tags=("window", "timeseries")),
+    QuerySpec("event_cooccurrence_lift", "market-basket lift between event types at user level", _event_cooccurrence_lift, _EVENT_COOCCURRENCE_LIFT_SQL, tags=("agg", "events")),
+    QuerySpec("asof_next_purchase", "forward as-of join (direction mirror; DuckDB forward ASOF oracle)", _asof_next_purchase, _ASOF_NEXT_PURCHASE_SQL, tags=("join", "asof")),
+]

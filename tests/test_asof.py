@@ -83,3 +83,53 @@ def test_randomized_vs_pandas_merge_asof(spark):
     for lid in exp.index:
         e, g = exp[lid], out[lid]
         assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)
+
+
+def test_forward_inclusive(spark):
+    got = _run(
+        spark,
+        [("a", 10, 1), ("a", 20, 2), ("a", 30, 3)],
+        [("a", 10, 100), ("a", 25, 200)],
+        direction="forward",
+    )
+    # ts=10 matches the equal-instant right row (inclusive);
+    # ts=20 looks AHEAD to ts=25; ts=30 has no following purchase
+    assert got == {1: 100, 2: 200, 3: None}
+
+
+def test_randomized_forward_vs_pandas_merge_asof(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 80),
+            "ts": rng.choice(np.arange(0, 1000), 80, replace=False).astype(int),
+        }
+    ).assign(lid=range(80))
+    right = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 40),
+            "ts": rng.choice(np.arange(0, 1000), 40, replace=False).astype(int),
+            "val": rng.integers(0, 1000, 40),
+        }
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts"),
+        on="ts",
+        by="k",
+        direction="forward",
+        allow_exact_matches=True,
+    ).set_index("lid")["val"]
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    out = (
+        asof_join(sl, sr, on="ts", by=["k"], value_cols=["val"], direction="forward")
+        .toPandas()
+        .set_index("lid")["val"]
+    )
+    for lid in exp.index:
+        e, g = exp[lid], out[lid]
+        assert (pd.isna(e) and pd.isna(g)) or e == g, (lid, e, g)

@@ -45,6 +45,7 @@ BOUNDED_JOIN_OK = {
     "idf_doc_score": "1-row corpus doc-count scalar broadcast (raw-scan scalar stays naive)",
     "dup_triangles": "1-row graph summary scalars (n_nodes/n_edges/n_triangles over the bounded verifier slice)",
     "interleave_layout": "1-row n_sources scalar over the bounded source catalog",
+    "event_cooccurrence_lift": "1-row distinct-user-count scalar broadcast (raw-scan scalar stays naive)",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
