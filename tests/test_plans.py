@@ -167,3 +167,30 @@ def test_incremental_dups_single_shingle_source(spark):
 def test_weighted_sample_is_global_topk_not_full_sort(spark):
     plan = formatted_plan(spark, "weighted_sample")
     assert "TakeOrderedAndProject" in plan  # k smallest keys, no global sort
+
+
+def test_span_dedup_window_is_key_partitioned(spark):
+    # the first-occurrence-keep window must partition by the span value
+    # (key-partitioned shuffle); a global-sort window over the exploded
+    # span stream would serialize the corpus through one task
+    plan = formatted_plan(spark, "span_dedup_docs")
+    assert "hashpartitioning(span" in plan, plan
+
+
+def test_oov_vocab_is_topk_and_broadcast(spark):
+    # the top-2000 vocabulary cut must be TakeOrderedAndProject
+    # (map-side partial top-K, no full sort) and re-attach as a
+    # broadcast — the exploded corpus side never shuffles through it
+    plan = formatted_plan(spark, "oov_rate")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rolling_distinct_explodes_before_aggregate(spark):
+    # the sliding-distinct shape: Generate (the bounded cover-day
+    # explode) feeds hash aggregates — no window frame over the event
+    # axis exists anywhere in the plan
+    plan = formatted_plan(spark, "rolling_7d_active_users")
+    assert "Generate" in plan, plan
+    assert "Window" not in plan.replace("WindowGroupLimit", ""), plan
