@@ -134,6 +134,95 @@ def _minhash_signature(
     return sig.select(id_col, F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"))
 
 
+def _shingled_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One row per doc with its distinct shingle set, through the
+    bounded single-entry cache. Repeated invocations over the same
+    corpus (bench best-of-3, interactive re-runs, guard epochs) build a
+    semantically identical plan — reuse the pinned blocks instead of
+    recomputing; a different corpus/params evicts the previous entry
+    first, so at most one shingle cache lives at a time (unpersist is
+    async; an in-flight prior job still finishes)."""
+    # shingling is compute-bound: when the source collapses to few
+    # input splits (small files), spread it before the heavy expression
+    if num_partitions:
+        df = df.repartition(num_partitions)
+    shingled = df.select(
+        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__shingles")
+    ).filter(F.size("__shingles") > 0)
+    sh_hash = shingled.semanticHash()
+    cached = next(
+        (d for h, d in _SHINGLE_CACHE if h == sh_hash and d.sameSemantics(shingled)), None
+    )
+    if cached is not None:
+        return cached
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.pop()[1].unpersist(blocking=False)
+    shingled = shingled.persist()
+    _SHINGLE_CACHE.append((sh_hash, shingled))
+    return shingled
+
+
+def _signatures_from_shingled(shingled: DataFrame, num_hashes: int, seed: int) -> DataFrame:
+    exploded = shingled.select(
+        "__id", F.explode("__shingles").alias("__sh")
+    ).withColumn("__h", F.abs(F.xxhash64("__sh")))
+    return _minhash_signature(exploded, "__id", "__h", num_hashes, seed)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-document MinHash signature table (__id, signature) — the
+    compact sketch an ingest guard persists instead of text: estimated
+    Jaccard between two docs is the fraction of agreeing signature
+    positions (see :func:`signature_jaccard`)."""
+    shingled = _shingled_docs(df, id_col, text_col, shingle_n, num_partitions)
+    return _signatures_from_shingled(shingled, num_hashes, seed)
+
+
+def lsh_band_keys(sig: DataFrame, num_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """Explode a signature table to (__id, band, key) LSH bucket rows —
+    the banded candidate-generation key (band key = hash of the
+    signature slice)."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    r = num_hashes // bands
+    return sig.select(
+        "__id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.concat_ws(",", F.transform(
+                        F.slice("signature", bi * r + 1, r), lambda v: v.cast("string")
+                    ))).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def signature_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Estimated Jaccard from two equal-length MinHash signatures: the
+    fraction of agreeing positions (the standard unbiased estimator).
+    Pure array expressions — usable on persisted signature sketches
+    with no access to the original text."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda b: b))
+    return agree / F.size(sig_a)
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -157,57 +246,11 @@ def minhash_near_duplicates(
 
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
-    r = num_hashes // bands
-
-    # shingling is compute-bound: when the source collapses to few
-    # input splits (small files), spread it before the heavy expression
-    if num_partitions:
-        df = df.repartition(num_partitions)
-    # one row per doc with its distinct shingle set — computed once,
-    # reused by both the signature build and the exact verification
-    shingled = df.select(
-        F.col(id_col).alias("__id"), word_shingles(text_col, shingle_n).alias("__shingles")
-    ).filter(F.size("__shingles") > 0)
-    # Bounded single-entry shingle cache. Repeated invocations over the
-    # same corpus (bench best-of-3, interactive re-runs) build a
-    # semantically identical plan — reuse the pinned blocks instead of
-    # recomputing; a different corpus/params evicts the previous entry
-    # first, so at most one shingle cache lives at a time (unpersist is
-    # async; an in-flight prior job still finishes).
-    sh_hash = shingled.semanticHash()
-    cached = next(
-        (df for h, df in _SHINGLE_CACHE if h == sh_hash and df.sameSemantics(shingled)), None
-    )
-    if cached is not None:
-        shingled = cached
-    else:
-        while _SHINGLE_CACHE:
-            _SHINGLE_CACHE.pop()[1].unpersist(blocking=False)
-        shingled = shingled.persist()
-        _SHINGLE_CACHE.append((sh_hash, shingled))
-
-    exploded = shingled.select(
-        "__id", F.explode("__shingles").alias("__sh")
-    ).withColumn("__h", F.abs(F.xxhash64("__sh")))
-
-    sig = _minhash_signature(exploded, "__id", "__h", num_hashes, seed)
-
-    # band key = hash of the signature slice; explode to (id, band, key)
-    band_rows = sig.select(
-        "__id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(F.concat_ws(",", F.transform(
-                        F.slice("signature", bi * r + 1, r), lambda v: v.cast("string")
-                    ))).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("__id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # shared LSH front half (shingle cache + signatures + band keys):
+    # the streaming ingest guard reuses exactly these pieces
+    shingled = _shingled_docs(df, id_col, text_col, shingle_n, num_partitions)
+    sig = _signatures_from_shingled(shingled, num_hashes, seed)
+    band_rows = lsh_band_keys(sig, num_hashes=num_hashes, bands=bands)
 
     cand = (
         band_rows.alias("a")

@@ -1,0 +1,174 @@
+"""Streaming near-duplicate ingest guard — dedup-at-ingest for a
+document feed (the streaming completion of the corpus-dedup ladder:
+exact streaming dedup already exists as streaming_dedup in
+streaming/events.py; this is the NEAR-dup tier).
+
+Design (foreachBatch incremental, same pattern as streaming/chart.py):
+every micro-batch of documents is MinHash-signed and LSH-banded with
+the batch operators (operators/dedup.py — identical sketch parameters,
+so batch and stream agree on what "near-duplicate" means). A document
+is rejected when
+
+  1. one of its band keys collides with the ACCEPTED corpus's band
+     index AND the signature-estimated Jaccard vs the colliding
+     accepted doc clears the threshold, or
+  2. it near-duplicates an EARLIER document of the same batch (same
+     rule, min-id first-wins).
+
+Accepted docs append to the corpus; only their (band, key) rows and
+16-long signatures enter the state — the guard state is a SKETCH
+index (≈100 bytes/doc), never text, so it stays executor-readable at
+any corpus scale and the per-batch work is bounded by batch × matching
+buckets, not batch × corpus.
+
+Idempotency: every state write is partitioned by epoch_id with dynamic
+partition overwrite, and the guard excludes the CURRENT epoch's rows
+when loading the index — a replayed epoch re-derives exactly the same
+accept set against exactly the pre-epoch state and overwrites its own
+partition (exactly-once under checkpointing, like the chart sink).
+
+Semantic note vs batch dedup: the guard is FIRST-ARRIVAL-WINS and
+does not transitively collapse chains (if A≈B and B≈C but A≉C, B is
+rejected against A, then C is compared against A only — B's sketch
+never enters the index — so C is accepted). Batch connected-components
+would collapse all three. That is the standard ingest-time trade-off:
+the guard bounds state and latency; a periodic batch
+minhash+components pass remains the ground truth compaction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from databeats_spark.operators.dedup import (
+    lsh_band_keys,
+    minhash_signatures,
+    signature_jaccard,
+)
+
+_SIG_SCHEMA = "doc_id BIGINT, signature ARRAY<BIGINT>, epoch BIGINT"
+_BAND_SCHEMA = "doc_id BIGINT, band INT, key BIGINT, epoch BIGINT"
+
+
+def _read_state(spark: SparkSession, path: str, schema: str, current_epoch: int) -> DataFrame:
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+    # replay safety: a re-run epoch must see exactly the pre-epoch state
+    return df.filter(F.col("epoch") != current_epoch)
+
+
+def dedup_guard_sink(
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+):
+    """foreachBatch sink: near-dup-gate the micro-batch against the
+    accepted-corpus sketch index, append survivors + their sketches."""
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+        sig = minhash_signatures(
+            batch_df, id_col, text_col, shingle_n=shingle_n,
+            num_hashes=num_hashes,
+        ).withColumnRenamed("__id", "doc_id").localCheckpoint()
+        band = lsh_band_keys(
+            sig.select(F.col("doc_id").alias("__id"), "signature"),
+            num_hashes=num_hashes, bands=bands,
+        ).withColumnRenamed("__id", "doc_id")
+
+        prev_sig = _read_state(spark, f"{state_dir}/sigs", _SIG_SCHEMA, epoch_id)
+        prev_band = _read_state(spark, f"{state_dir}/bands", _BAND_SCHEMA, epoch_id)
+
+        # tier 1: batch vs accepted corpus — bucket collision, then
+        # signature-estimated Jaccard on the (small) candidate set
+        corpus_cand = (
+            band.join(
+                prev_band.select("band", "key", F.col("doc_id").alias("acc_id")),
+                ["band", "key"],
+            )
+            .select("doc_id", "acc_id")
+            .distinct()
+        )
+        corpus_rejects = (
+            corpus_cand.join(sig, "doc_id")
+            .join(
+                prev_sig.select(F.col("doc_id").alias("acc_id"), F.col("signature").alias("acc_sig")),
+                "acc_id",
+            )
+            .filter(signature_jaccard(F.col("signature"), F.col("acc_sig")) >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+
+        # tier 2: within-batch, earlier (min-id) doc wins; later dup
+        # rejected by the same estimator
+        in_batch_cand = (
+            band.alias("a")
+            .join(
+                band.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("early_id"), F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        in_batch_rejects = (
+            in_batch_cand.join(sig, "doc_id")
+            .join(
+                sig.select(F.col("doc_id").alias("early_id"), F.col("signature").alias("early_sig")),
+                "early_id",
+            )
+            .filter(signature_jaccard(F.col("signature"), F.col("early_sig")) >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+
+        rejects = corpus_rejects.unionByName(in_batch_rejects).distinct().localCheckpoint()
+        accepted_ids = sig.select("doc_id").join(rejects, "doc_id", "left_anti")
+
+        ep = F.lit(int(epoch_id)).cast("long")
+        accepted_docs = batch_df.join(accepted_ids, batch_df[id_col] == accepted_ids["doc_id"], "left_semi")
+        accepted_docs.withColumn("epoch", ep).write.mode("overwrite").partitionBy(
+            "epoch"
+        ).parquet(f"{state_dir}/accepted")
+        sig.join(accepted_ids, "doc_id", "left_semi").withColumn("epoch", ep).write.mode(
+            "overwrite"
+        ).partitionBy("epoch").parquet(f"{state_dir}/sigs")
+        band.join(accepted_ids, "doc_id", "left_semi").withColumn("epoch", ep).write.mode(
+            "overwrite"
+        ).partitionBy("epoch").parquet(f"{state_dir}/bands")
+
+    return merge
+
+
+def run_ingest_guard(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    state_dir: str,
+    **guard_kwargs,
+) -> StreamingQuery:
+    """Drain all available document files through the near-dup guard."""
+    q = (
+        docs_stream.writeStream.foreachBatch(dedup_guard_sink(state_dir, **guard_kwargs))
+        .option("checkpointLocation", state_dir + "/_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def accepted_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The guard's survivor table across all drained epochs."""
+    return spark.read.parquet(f"{state_dir}/accepted")
