@@ -49,6 +49,8 @@ class QuerySpec:
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
     # round-4 additions (no driver row yet) — keep at the very front
+    "key_skew_profile", "ri_violations", "debounced_events",
+    "stratified_split_counts", "class_weights",
     "snapshot_user_diff", "user_erasure_audit", "rolling_7d_active_users",
     "event_cooccurrence_lift", "asof_next_purchase",
     "lang_mix_flags", "oov_rate", "interleave_layout", "exposure_cap",

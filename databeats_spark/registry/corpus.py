@@ -606,6 +606,60 @@ ORDER BY doc_id
 """
 
 
+# --- Q: stratified_split_counts — deterministic train/val/test --------
+# 80/10/10 split WITHIN each language stratum, assigned by md5 order
+# with pure-integer thresholds (rn·10 ≤ n·8 → train, ≤ n·9 → val) —
+# engine-, partitioning- and run-invariant, and exactly proportional
+# per stratum by construction. Both windows are key-partitioned on the
+# stratum; output is the per-(lang, split) audit table.
+
+def _stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = t.documents.select(
+        "lang",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    split = (
+        F.when(F.col("rn") * 10 <= F.col("n") * 8, "train")
+        .when(F.col("rn") * 10 <= F.col("n") * 9, "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .withColumn(
+            "ratio",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy("lang")), 6),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_STRATIFIED_SPLIT_COUNTS_SQL = """
+WITH ranked AS (
+  SELECT lang,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+), tagged AS (
+  SELECT lang,
+         CASE WHEN rn * 10 <= n * 8 THEN 'train'
+              WHEN rn * 10 <= n * 9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+       round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY lang), 6) AS ratio
+FROM tagged
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),
@@ -618,4 +672,5 @@ SPECS = [
     QuerySpec("oov_rate", "per-doc out-of-vocabulary fraction vs the top-2000 corpus head", _oov_rate, _OOV_RATE_SQL, tags=("text", "agg")),
     QuerySpec("interleave_layout", "deterministic source round-robin training-mix order", _interleave_layout, _INTERLEAVE_LAYOUT_SQL, tags=("text", "sampling", "window")),
     QuerySpec("exposure_cap", "keep at most K copies per exact content fingerprint", _exposure_cap, _EXPOSURE_CAP_SQL, tags=("dedup", "window")),
+    QuerySpec("stratified_split_counts", "deterministic per-stratum 80/10/10 split audit (integer thresholds)", _stratified_split_counts, _STRATIFIED_SPLIT_COUNTS_SQL, tags=("sampling", "window")),
 ]

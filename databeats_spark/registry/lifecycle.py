@@ -328,10 +328,154 @@ ORDER BY c.event_id
 """
 
 
+# --- Q: key_skew_profile — join-key skew diagnosis --------------------
+# The query an engineer runs BEFORE deciding to salt a join: the top-20
+# heaviest join keys with per-key share and cumulative share of all
+# rows. Per-key counts are one hash aggregate; the head is a
+# TakeOrderedAndProject and only those 20 rows pass through the rank /
+# cumulative window (bounded by construction, zipf_slope's pattern);
+# the row total rides attach_global_scalar on the checkpointed counts.
+
+SKEW_TOP_K = 20
+
+
+def _key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    counts = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    counts = attach_global_scalar(counts, F.sum("n_rows").cast("bigint").alias("n_total"))
+    head = counts.orderBy(F.desc("n_rows"), "o_custkey").limit(SKEW_TOP_K)
+    w = Window.orderBy(F.desc("n_rows"), "o_custkey")
+    return (
+        head.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "cum_rows",
+            F.sum("n_rows").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+        .select(
+            "rank",
+            "o_custkey",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.round(F.col("n_rows") / F.col("n_total"), 6).alias("share"),
+            F.round(F.col("cum_rows") / F.col("n_total"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+_KEY_SKEW_PROFILE_SQL = f"""
+WITH counts AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_rows FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS n_total FROM counts
+), head AS (
+  SELECT o_custkey, n_rows FROM counts ORDER BY n_rows DESC, o_custkey LIMIT {SKEW_TOP_K}
+)
+SELECT CAST(row_number() OVER w AS BIGINT) AS rank,
+       o_custkey, n_rows,
+       round(n_rows * 1.0 / t.n_total, 6) AS share,
+       round(sum(n_rows) OVER (ORDER BY n_rows DESC, o_custkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / t.n_total, 6) AS cum_share
+FROM head CROSS JOIN tot t
+WINDOW w AS (ORDER BY n_rows DESC, o_custkey)
+ORDER BY rank
+"""
+
+
+# --- Q: ri_violations — referential-integrity audit -------------------
+# Cross-table dq_violations: orphaned lineitems (no parent order),
+# orphaned orders (no parent customer), duplicate customer keys. Each
+# check is one anti-join count or one duplicate-group aggregate on the
+# KEY columns only; the three counts union into rows. Zero counts are
+# the healthy (and asserted) answer — the audit's value is running
+# cheaply enough to gate every load.
+
+def _ri_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
+    orphan_li = t.lineitem.select("l_orderkey").join(
+        t.orders.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+    )
+    orphan_o = t.orders.select("o_custkey").join(
+        t.customer.select(F.col("c_custkey").alias("o_custkey")), "o_custkey", "left_anti"
+    )
+    dup_cust = (
+        t.customer.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+    count = lambda df, name: df.agg(  # noqa: E731
+        F.lit(name).alias("check_name"), F.count(F.lit(1)).cast("bigint").alias("n_violations")
+    )
+    return (
+        count(orphan_li, "lineitem_orphans")
+        .unionByName(count(orphan_o, "order_orphans"))
+        .unionByName(count(dup_cust, "duplicate_customer_keys"))
+        .orderBy("check_name")
+    )
+
+
+_RI_VIOLATIONS_SQL = """
+SELECT class AS check_name, n_violations FROM (
+  SELECT 'lineitem_orphans' AS class, CAST(count(*) AS BIGINT) AS n_violations
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'order_orphans', CAST(count(*) AS BIGINT)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+  UNION ALL
+  SELECT 'duplicate_customer_keys', CAST(count(*) AS BIGINT)
+  FROM (SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+)
+ORDER BY check_name
+"""
+
+
+# --- Q: debounced_events — chain-debounce rapid-fire repeats ----------
+# Telemetry debounce: within each (user, event_type) stream, a burst
+# of events closer than the threshold collapses to its FIRST event.
+# Gaps-and-islands identity: an island starts exactly where the raw
+# gap exceeds the threshold, and chain-debounce keeps exactly the
+# island heads — so one key-partitioned lag window IS the whole
+# operator (no iterative "distance to last kept" state needed).
+
+DEBOUNCE_US = 43_200_000_000  # 12 h (the synthetic feed has no sub-second bursts; 12 h makes the gate bite on ~20% of rows)
+
+
+def _debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    return (
+        ev.withColumn("keep", F.lag("ts_us").over(w).isNull() | (gap > DEBOUNCE_US))
+        .filter(F.col("keep"))
+        .select("event_id", "user_id", "event_type", "ts_us")
+        .orderBy("event_id")
+    )
+
+
+_DEBOUNCED_EVENTS_SQL = f"""
+SELECT event_id, user_id, event_type, ts_us
+FROM (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+           ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events
+)
+WHERE prev_us IS NULL OR ts_us - prev_us > {DEBOUNCE_US}
+ORDER BY event_id
+"""
+
+
 SPECS = [
     QuerySpec("snapshot_user_diff", "CDC snapshot compare of the latest-value-per-user dimension", _snapshot_user_diff, _SNAPSHOT_USER_DIFF_SQL, tags=("join", "cdc")),
     QuerySpec("user_erasure_audit", "GDPR erasure blast radius: rows per table via key-cascade semi joins", _user_erasure_audit, _USER_ERASURE_AUDIT_SQL, tags=("join", "compliance")),
     QuerySpec("rolling_7d_active_users", "sliding-window distinct users via bounded cover-day explode", _rolling_7d_active_users, _ROLLING_7D_ACTIVE_USERS_SQL, tags=("window", "timeseries")),
     QuerySpec("event_cooccurrence_lift", "market-basket lift between event types at user level", _event_cooccurrence_lift, _EVENT_COOCCURRENCE_LIFT_SQL, tags=("agg", "events")),
     QuerySpec("asof_next_purchase", "forward as-of join (direction mirror; DuckDB forward ASOF oracle)", _asof_next_purchase, _ASOF_NEXT_PURCHASE_SQL, tags=("join", "asof")),
+    QuerySpec("key_skew_profile", "join-key skew diagnosis: top-20 heaviest keys + cumulative share", _key_skew_profile, _KEY_SKEW_PROFILE_SQL, tags=("agg", "scale")),
+    QuerySpec("ri_violations", "referential-integrity audit: orphan/duplicate-key counts per check", _ri_violations, _RI_VIOLATIONS_SQL, tags=("join", "quality")),
+    QuerySpec("debounced_events", "chain-debounce rapid-fire repeats via island heads (lag window)", _debounced_events, _DEBOUNCED_EVENTS_SQL, tags=("events", "window")),
 ]

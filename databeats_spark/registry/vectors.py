@@ -357,11 +357,53 @@ FROM q ORDER BY vec_id
 """
 
 
+# --- Q: class_weights — inverse-frequency label balancing -------------
+# The sklearn-style "balanced" class-weight table: weight(label) =
+# n_total / (n_classes · n_label), computed from one hash aggregate on
+# the label column; totals ride attach_global_scalar on the
+# checkpointed counts (no second scan). The table a trainer broadcasts
+# to reweight a skewed label distribution.
+
+def _class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    counts = t.embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    counts = attach_global_scalar(
+        counts,
+        F.sum("n_vecs").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+    )
+    return counts.select(
+        F.col("label").cast("bigint").alias("label"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round(
+            F.col("n_total") / (F.col("n_classes") * F.col("n_vecs").cast("double")), 6
+        ).alias("weight"),
+    ).orderBy("label")
+
+
+_CLASS_WEIGHTS_SQL = """
+WITH counts AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label
+), tot AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_classes
+  FROM counts
+)
+SELECT CAST(label AS BIGINT) AS label, n_vecs,
+       round(t.n_total / (t.n_classes * CAST(n_vecs AS DOUBLE)), 6) AS weight
+FROM counts CROSS JOIN tot t
+ORDER BY label
+"""
+
+
 SPECS = [
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
     QuerySpec("embedding_quantization", "int8 scalar quantization codes + reconstruction-error audit", _embedding_quantization, _EMBEDDING_QUANTIZATION_SQL, tags=("similarity", "scalar")),
+    QuerySpec("class_weights", "inverse-frequency balanced class-weight table", _class_weights, _CLASS_WEIGHTS_SQL, tags=("agg", "ml")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),

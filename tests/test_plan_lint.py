@@ -46,6 +46,8 @@ BOUNDED_JOIN_OK = {
     "dup_triangles": "1-row graph summary scalars (n_nodes/n_edges/n_triangles over the bounded verifier slice)",
     "interleave_layout": "1-row n_sources scalar over the bounded source catalog",
     "event_cooccurrence_lift": "1-row distinct-user-count scalar broadcast (raw-scan scalar stays naive)",
+    "key_skew_profile": "1-row row-total scalar over the checkpointed per-key counts",
+    "class_weights": "1-row total/class-count scalars over the checkpointed label counts",
 }
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts
@@ -59,6 +61,7 @@ UNPARTITIONED_WINDOW_OK = {
     "zipf_slope": "rank window over the TakeOrderedAndProject'd top-1000 head, bounded by construction",
     "peak_concurrency": "prefix over per-partition subtotals (#partitions rows)",
     "interleave_layout": "source-index window over the bounded source catalog (~#sources rows — a catalog, not a data axis)",
+    "key_skew_profile": "rank/cumulative window over the TakeOrderedAndProject'd top-20 head, bounded by construction",
 }
 
 _WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
