@@ -35,7 +35,7 @@ from databeats_spark.functions.text import fingerprint, word_shingles
 from databeats_spark.operators.dedup import minhash_near_duplicates
 from databeats_spark.operators.graph import connected_components, dedup_keep_canonical
 from databeats_spark.operators.scale import attach_global_scalar, partitioned_running_total
-from databeats_spark.sources.tables import load_tables
+from databeats_spark.sources.tables import load_tables, spread
 
 # quality-gate bands (see registry/mining.py gopher_quality_flags)
 MIN_TOK, MAX_TOK = 40, 5000
@@ -144,7 +144,10 @@ def curate_corpus(
     lazy plan (nothing materialized twice either way). At cluster
     scale the same seam is where a production run would persist each
     stage to reliable storage instead of executor-local blocks."""
-    docs = load_tables(spark, sf_dir, ["documents"]).documents
+    # the whole flow is compute-bound (shingling, signatures, quality
+    # expressions): spread a few-split scan once at the head and every
+    # stage inherits the parallelism (no-op when the scan has splits)
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
     pin = (lambda df: df.localCheckpoint(eager=False)) if pin_stages else (lambda df: df)
     stages: dict[str, DataFrame] = {"raw": pin(docs)}
     stages["quality"] = pin(quality_gate(stages["raw"]))
