@@ -90,6 +90,9 @@ def main() -> None:
     _MINING = [
         "bigram_pmi", "incremental_corpus_dups", "sequence_packing",
         "semdedup_near_dups", "pagerank_docs", "curation_funnel",
+        # r4 mid-round additions (extend the section BEFORE the r4
+        # baseline records, so r5 compares like-for-like per query)
+        "span_dedup_docs", "oov_rate",
     ]
     reg = all_queries()
     mining: dict[str, float] = {}

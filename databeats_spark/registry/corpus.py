@@ -50,7 +50,7 @@ from databeats_spark.registry.documents import (
     PAIR_DOC_LIMIT,
     _PAIRS_CTES,
 )
-from databeats_spark.sources.tables import load_tables
+from databeats_spark.sources.tables import load_tables, spread
 
 
 # --- Q: span_dedup_docs — C4-style duplicate-span accounting ----------
@@ -66,6 +66,9 @@ SPAN_TOKENS = 8
 
 def _span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
+    # span construction is compute-bound: spread a few-split scan before
+    # the heavy HOF (no-op when the scan already has parallelism)
+    docs = spread(t.documents, spark)
 
     def spans_of(tk):
         starts = F.sequence(F.lit(1), F.greatest(F.size(tk), F.lit(1)), F.lit(SPAN_TOKENS))
@@ -74,7 +77,7 @@ def _span_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bind the token array once as a HOF variable (no CSE inside lambdas)
     spans = F.element_at(F.transform(F.array(tokens("text")), spans_of), 1)
     exploded = (
-        t.documents.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
+        docs.select("doc_id", F.posexplode(spans).alias("span_idx", "span"))
         .filter(F.col("span") != "")
     )
     w = Window.partitionBy("span").orderBy("doc_id", "span_idx")
