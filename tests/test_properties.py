@@ -112,3 +112,56 @@ def test_approx_percentile_within_bound(spark):
         for q in ("p50", "p90"):
             exact, approx = r[f"exact_{q}"], r[f"approx_{q}"]
             assert abs(approx - exact) <= 0.02 * abs(exact) + 1e-9, (q, exact, approx)
+
+
+def test_exposure_cap_invariants(spark):
+    """exposure_cap keeps >=1 and <=K rows per fingerprint group, keeps
+    exactly dedup_exact's canonical doc as copy 1, and is invariant to
+    input partitioning."""
+    from databeats_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    out = queries()["exposure_cap"](spark, SF_SMOKE).toPandas()
+    per_fp = out.groupby("fp")["copy_idx"].agg(["min", "max", "count"])
+    assert (per_fp["min"] == 1).all()
+    assert (per_fp["max"] <= 2).all()
+    assert (per_fp["count"] == per_fp["max"]).all()
+    # copy 1 of each group is the min doc_id — dedup_exact's keep rule
+    firsts = out[out.copy_idx == 1].groupby("fp")["doc_id"].first()
+    mins = out.groupby("fp")["doc_id"].min()
+    assert firsts.equals(mins)
+
+
+def test_interleave_layout_positions_are_unique_and_stable(spark):
+    """Interleave positions are collision-free (a loader can sort by
+    pos) and identical across partitioning layouts (determinism)."""
+    from databeats_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    build = queries()["interleave_layout"]
+    out = build(spark, SF_SMOKE).toPandas()
+    assert out["pos"].is_unique
+    # per-source ranks are dense 1..n
+    dense = out.groupby("source")["r"].agg(["min", "max", "count"])
+    assert (dense["min"] == 1).all()
+    assert (dense["max"] == dense["count"]).all()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = build(spark, SF_SMOKE).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert out.equals(again)
+
+
+def test_stratified_split_ratios_are_exact(spark):
+    """The integer-threshold split is exactly floor-proportional per
+    stratum: train = floor(0.8n) and train+val = floor(0.9n)."""
+    from databeats_spark.registry import queries
+    from tests.conftest import SF_SMOKE
+
+    out = queries()["stratified_split_counts"](spark, SF_SMOKE).toPandas()
+    by = out.pivot_table(index="lang", columns="split", values="n_docs", fill_value=0)
+    n = by.sum(axis=1)
+    assert (by.get("train", 0) == (n * 8) // 10).all()
+    assert (by.get("train", 0) + by.get("val", 0) == (n * 9) // 10).all()
