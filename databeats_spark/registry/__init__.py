@@ -49,6 +49,7 @@ class QuerySpec:
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
     # round-4 additions (no driver row yet) — keep at the very front
+    "json_key_stats", "bitmap_distinct_orders", "hll_distinct_users",
     "key_skew_profile", "ri_violations", "debounced_events",
     "stratified_split_counts", "class_weights",
     "snapshot_user_diff", "user_erasure_audit", "rolling_7d_active_users",

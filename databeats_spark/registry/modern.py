@@ -231,6 +231,92 @@ def _multiset_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_MULTISET_ORDER_OVERLAP_SQL)
 
 
+# --- Q: json_key_stats — schema discovery over a JSON column ----------
+# Which keys exist in the semi-structured props column, how often, and
+# how many distinct values each carries — the profiling query run
+# before promoting JSON paths to real columns. The Spark side parses
+# once into MAP<string,string> and explodes the entries (the map-type
+# surface); the oracle unnests json_keys and extracts each key's value
+# with a computed path.
+
+def _json_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    m = F.from_json("props", "map<string,string>")
+    return (
+        t.events.select(F.explode(m).alias("key", "value"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.count_distinct("value").cast("bigint").alias("n_values"),
+        )
+        .orderBy("key")
+    )
+
+
+_JSON_KEY_STATS_SQL = """
+SELECT key,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT json_extract_string(props, '$.' || key)) AS BIGINT) AS n_values
+FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+GROUP BY key
+ORDER BY key
+"""
+
+
+# --- Q: bitmap_distinct_orders — exact distinct via bitmap rollup -----
+# Spark 3.5 bitmap functions: per (month, bucket) the partial aggregate
+# is a fixed 4 KB bitmap, so the distinct count becomes an ADDITIVE
+# two-level rollup — the exact-distinct pattern that scales where a
+# plain countDistinct would re-shuffle raw keys (and the exactness the
+# HLL sketch variant trades away). The oracle is plain COUNT(DISTINCT):
+# bitmap counting is exact, so the results hash-match.
+
+def _bitmap_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    per_bucket = (
+        t.orders.select(month, F.col("o_custkey"))
+        .groupBy("month", F.bitmap_bucket_number("o_custkey").alias("bucket"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("o_custkey")).alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("month")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_customers"))
+        .orderBy("month")
+    )
+
+
+_BITMAP_DISTINCT_ORDERS_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+GROUP BY month
+ORDER BY month
+"""
+
+
+# --- Q: hll_distinct_users — mergeable-sketch distinct estimates ------
+# The Apache DataSketches HLL surface (Spark 3.5): per-day user
+# estimates from hll_sketch_agg — the partial sketches are mergeable
+# across partitions/days (hll_union_agg), which is what makes distinct
+# counting incremental at scale. Estimates are sketch-implementation-
+# specific, so no SQL oracle exists (rows-only); the exact twin rides
+# along and tests/test_properties pins the relative error bound.
+
+def _hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        t.events.select(day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_users"),
+            F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+        )
+        .orderBy("day")
+    )
+
+
 SPECS = [
     QuerySpec("recursive_week_spine", "WITH RECURSIVE calendar spine, identical ANSI on both engines", _recursive_week_spine, _RECURSIVE_WEEK_SPINE_SQL, tags=("sql", "timeseries")),
     QuerySpec("variant_props_stats", "VARIANT parse_json + variant_get typed extraction", _variant_props_stats, _VARIANT_PROPS_STATS_SQL, tags=("sql", "scalar")),
@@ -239,4 +325,7 @@ SPECS = [
     QuerySpec("try_cast_group_all", "TRY_CAST failure audit + GROUP BY ALL / ORDER BY ALL", _try_cast_group_all, _TRY_CAST_GROUP_ALL_SQL, tags=("sql", "scalar", "agg")),
     QuerySpec("lateral_top_orders", "correlated LATERAL derived table with ORDER BY + LIMIT, identical ANSI", _lateral_top_orders, _LATERAL_TOP_ORDERS_SQL, tags=("sql", "window")),
     QuerySpec("multiset_order_overlap", "INTERSECT ALL / EXCEPT ALL bag semantics, identical ANSI", _multiset_order_overlap, _MULTISET_ORDER_OVERLAP_SQL, tags=("sql", "setop")),
+    QuerySpec("json_key_stats", "JSON schema discovery: key frequencies via json_object_keys", _json_key_stats, _JSON_KEY_STATS_SQL, tags=("sql", "scalar")),
+    QuerySpec("bitmap_distinct_orders", "exact distinct-count rollup via bitmap partial aggregates", _bitmap_distinct_orders, _BITMAP_DISTINCT_ORDERS_SQL, tags=("agg", "scale")),
+    QuerySpec("hll_distinct_users", "DataSketches HLL distinct estimates beside the exact twin", _hll_distinct_users, None, tags=("agg", "approx")),
 ]

@@ -165,3 +165,16 @@ def test_stratified_split_ratios_are_exact(spark):
     n = by.sum(axis=1)
     assert (by.get("train", 0) == (n * 8) // 10).all()
     assert (by.get("train", 0) + by.get("val", 0) == (n * 9) // 10).all()
+
+
+def test_hll_estimate_within_relative_error(spark):
+    """The HLL sketch estimate must sit within the standard relative
+    error of lgK=12 (~1.6%, gated at 5%) of the exact distinct count
+    for every day."""
+    from databeats_spark.registry import queries
+    from tests.conftest import SF_CORRECT
+
+    out = queries()["hll_distinct_users"](spark, SF_CORRECT).toPandas()
+    assert len(out) > 0
+    rel = (out["est_users"] - out["exact_users"]).abs() / out["exact_users"]
+    assert (rel <= 0.05).all(), out[rel > 0.05]
