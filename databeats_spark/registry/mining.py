@@ -784,7 +784,10 @@ def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    out = pagerank(edges, "id_a", "id_b", max_iter=10, tol=None)
+    # tol early-stop: the near-dup graph is many SMALL components, so
+    # the L1 delta crosses 1e-6 after 1-2 rounds — fixed 10 rounds was
+    # paying ~8 no-op iterations (observe() keeps it one action/round)
+    out = pagerank(edges, "id_a", "id_b", max_iter=10, tol=1e-6)
     return out.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), "doc_id")
