@@ -530,7 +530,7 @@ def _interleave_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("source")).cast("bigint").alias("src_idx"),
         )
     )
-    src_idx = attach_n_sources(src_idx)
+    src_idx = _attach_n_sources(src_idx)
     per_src = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
     ranked = t.documents.select(
         "doc_id", "source", F.row_number().over(per_src).cast("bigint").alias("r")
@@ -548,7 +548,7 @@ def _interleave_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def attach_n_sources(src_idx: DataFrame) -> DataFrame:
+def _attach_n_sources(src_idx: DataFrame) -> DataFrame:
     """n_sources as a column on the bounded source-catalog table."""
     return src_idx.crossJoin(
         F.broadcast(src_idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources")))
