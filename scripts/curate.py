@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Run the end-to-end corpus curation pipeline from the command line —
+the engine's answer to triggering the reference's Airflow DAG by hand:
+
+    python scripts/curate.py --sf-dir /root/testdata/sf0.01 \
+        --out /tmp/curated --token-budget 30000
+
+Writes:
+    <out>/corpus/   the curated documents (parquet)
+    <out>/funnel/   the stage-count audit table (parquet)
+and prints the funnel as one JSON line (machine-parseable, like
+bench.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--token-budget", type=int, default=30_000)
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    args = ap.parse_args()
+
+    from databeats_spark.plans.curation import curate_corpus
+    from databeats_spark.session import get_spark
+
+    spark = get_spark(app_name="databeats_curate")
+    stages = curate_corpus(spark, args.sf_dir, args.token_budget, pin_stages=True)
+
+    # counts first (each stage materializes once via the pinned chain),
+    # then persist the final corpus from the same pinned blocks
+    funnel = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
+    stages["budget"].write.mode("overwrite").parquet(f"{args.out}/corpus")
+    spark.createDataFrame(
+        funnel, "stage_idx: long, stage: string, n_docs: long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{args.out}/funnel")
+
+    print(json.dumps({"sf_dir": args.sf_dir, "out": args.out,
+                      "funnel": {name: n for _, name, n in funnel}}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    main()
