@@ -39,6 +39,30 @@ def cosine(a: str | Column, b: str | Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def sq8_dequantize(a: str | Column, levels: int = 256) -> Column:
+    """Simulate int8 scalar-quantized storage: per-vector min/max
+    quantization to ``levels`` codes, decoded back to bucket midpoints
+    (array<double>). The quantization arithmetic matches the
+    embedding_quantization registry audit (registry/vectors.py) bit for
+    bit; searching over this column measures exactly the recall a
+    corpus stored as codes+(lo,hi) would see, without needing a binary
+    codec in the pipeline. Degenerate constant vectors pass through
+    unchanged (hi == lo carries no quantization error)."""
+    v = F.transform(_c(a), lambda x: x.cast("double"))
+
+    def dq(arr):
+        lo, hi = F.array_min(arr), F.array_max(arr)
+
+        def decode(x):
+            code = F.least(F.lit(levels - 1), F.floor((x - lo) / (hi - lo) * levels))
+            return lo + (code + F.lit(0.5)) * (hi - lo) / levels
+
+        return F.when(hi > lo, F.transform(arr, decode)).otherwise(arr)
+
+    # bind the double array once as a HOF variable (no CSE inside lambdas)
+    return F.element_at(F.transform(F.array(v), dq), 1)
+
+
 def cosine_top_k(
     embeddings: DataFrame,
     queries: DataFrame,

