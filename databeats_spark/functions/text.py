@@ -102,19 +102,36 @@ def lang_scores(text: str | Column) -> dict[str, Column]:
 def lang_guess(text: str | Column) -> Column:
     """Argmax language by marker count; ties and zero-evidence fall back
     to 'und' → deterministic. (An n-gram-frequency language IDer
-    distilled to something a SQL oracle can replicate.)"""
-    scores = lang_scores(text)
-    # build: the lang with the strictly-highest score, first-wins in
-    # fixed key order for ties handled by > comparison chain
-    langs = list(scores)
-    best = F.lit("und")
-    best_score = F.lit(0)
-    for lang in langs:
-        s = scores[lang]
-        cond = s > best_score
-        best = F.when(cond, F.lit(lang)).otherwise(best)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best
+    distilled to something a SQL oracle can replicate.)
+
+    Shape note: the obvious when-chain accumulator nests ``best_score``
+    into BOTH branches of every later when(), so each earlier language's
+    marker-filter expression is duplicated ~2^k times and codegen
+    re-evaluates every copy (measured ~7 s for one sf0.1 pass). Folding
+    an array of (score, lang) structs instead evaluates each filter
+    exactly once — fold variables are bound values, not expressions —
+    with identical first-wins strictly-greater semantics."""
+
+    def from_tokens(tk):
+        entries = [
+            F.struct(
+                F.size(
+                    F.filter(tk, lambda t: F.array_contains(F.array(*[F.lit(m) for m in marks]), t))
+                ).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, marks in LANG_MARKERS.items()
+        ]
+        zero = F.struct(F.lit(0).alias("score"), F.lit("und").alias("lang"))
+        best = F.aggregate(
+            F.array(*entries),
+            zero,
+            lambda acc, e: F.when(e["score"] > acc["score"], e).otherwise(acc),
+        )
+        return best["lang"]
+
+    # bind the token array once as a HOF variable (single tokenization)
+    return F.element_at(F.transform(F.array(tokens(text)), from_tokens), 1)
 
 
 def normalized(text: str | Column) -> Column:

@@ -30,7 +30,7 @@ from databeats_spark.functions.text import (
 )
 from databeats_spark.operators.dedup import dedup_exact, ngram_jaccard_pairs
 from databeats_spark.registry import QuerySpec
-from databeats_spark.sources.tables import load_tables
+from databeats_spark.sources.tables import load_tables, spread
 
 # brute-force pair queries are bounded to this many docs — the exact
 # O(n²) verifier; the LSH operators handle the full corpus.
@@ -124,6 +124,9 @@ ORDER BY doc_id
 
 def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
+    # marker scoring is compute-bound (one array filter per language):
+    # spread a few-split scan before the heavy expressions
+    t.documents = spread(t.documents, spark)
     return (
         t.documents.select("doc_id", F.col("lang").alias("labeled_lang"), lang_guess("text").alias("lang_guess"))
         .orderBy("doc_id")
@@ -658,7 +661,10 @@ SHARED_SHINGLE_N = 5
 
 def _shared_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    docs = t.documents.select("doc_id", word_shingles("text", n=SHARED_SHINGLE_N).alias("sh"))
+    # 5-gram shingling is compute-bound: spread the few-split scan
+    docs = spread(t.documents, spark).select(
+        "doc_id", word_shingles("text", n=SHARED_SHINGLE_N).alias("sh")
+    )
     ex = docs.select("doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("shingle"))
     df_tbl = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
