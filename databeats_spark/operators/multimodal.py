@@ -74,13 +74,15 @@ def decode_image_features(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # zip the two columns directly — iterrows() builds a Series
+            # per row and dominates the batch cost; the codec call is
+            # per-payload either way
             recs = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col]
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 fmt, w, h = _fake_decode(payload)
                 recs.append(
                     {
-                        "doc_id": row[id_col],
+                        "doc_id": doc_id,
                         "byte_len": len(payload),
                         "format": fmt,
                         "width": w,

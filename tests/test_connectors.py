@@ -276,3 +276,37 @@ def test_rotating_credentials_assign_one_lane_per_partition(spark):
     # appears exactly once (no double-fetch across lanes)
     ids = [r["id"] for r in rows]
     assert len(ids) == len(set(ids))
+
+
+def test_media_features_plug_into_ann_and_dedup(spark):
+    """The multimodal story end-to-end: binary payload -> mapInPandas
+    feature extraction -> the SAME ANN / semantic-dedup operators the
+    text embeddings use. Exact-duplicate payloads land at cosine 1.0
+    and are caught by SemDeDup over the media embedding column."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.functions.similarity import cosine_top_k
+    from databeats_spark.operators.dedup import semantic_near_duplicates
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(120)
+    # plant two exact payload duplicates of doc 0
+    dups = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    feats = decode_image_features(attach_payload(docs.unionByName(dups))).localCheckpoint()
+
+    # ANN: doc 0's top neighbor (excluding itself) is its payload twin
+    q = feats.filter(F.col("doc_id") == 0).select("doc_id", "embedding")
+    top = cosine_top_k(
+        feats.select("doc_id", "embedding"), q, id_col="doc_id", vec_col="embedding", k=2
+    ).toPandas()
+    twin = top[top.neighbor_id != 0].iloc[0]
+    assert twin["neighbor_id"] == 100000 and abs(twin["cos_sim"] - 1.0) < 1e-9
+
+    # semantic dedup over the media embeddings finds the planted pair
+    pairs = semantic_near_duplicates(
+        feats, "doc_id", "embedding", n_lists=4, threshold=0.999
+    ).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 100000)).any(), pairs
