@@ -172,3 +172,35 @@ def run_ingest_guard(
 def accepted_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     """The guard's survivor table across all drained epochs."""
     return spark.read.parquet(f"{state_dir}/accepted")
+
+
+def compact_state(spark: SparkSession, state_dir: str, epoch_floor: int = -1) -> None:
+    """Fold all epoch partitions at or below ``epoch_floor`` (default:
+    every epoch) into a single consolidated partition per state table.
+
+    Thousands of drained epochs mean thousands of tiny parquet files
+    per table — the classic streaming small-file problem — and every
+    micro-batch re-lists them. Compaction rewrites the affected epochs
+    under one reserved partition (epoch = -1, below any real epoch id,
+    so replay exclusion of a live epoch never touches consolidated
+    rows). Run it from maintenance, never concurrently with a drain
+    (same single-writer rule as any table compaction)."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    for table in ("accepted", "sigs", "bands"):
+        path = f"{state_dir}/{table}"
+        df = spark.read.parquet(path)
+        old = df.filter(F.col("epoch") <= epoch_floor) if epoch_floor >= 0 else df
+        keep = (
+            df.filter(F.col("epoch") > epoch_floor)
+            if epoch_floor >= 0
+            else df.filter(F.lit(False))
+        )
+        merged = (
+            keep.unionByName(old.withColumn("epoch", F.lit(-1).cast("long")))
+            .coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
+        )
+        # full rewrite via staging (read-modify-write on the same path)
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").partitionBy("epoch").option(
+            "partitionOverwriteMode", "static"
+        ).parquet(path)

@@ -92,3 +92,34 @@ def test_guard_matches_batch_semantics_on_exact_dups(spark, staged):
 
     ids = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
     assert ids == [0, 1, 4], ids
+
+
+def test_compact_state_preserves_decisions(spark, staged, tmp_path):
+    """Compaction folds the epoch partitions into one consolidated
+    partition without changing a single accept/reject decision: the
+    corpus is identical before/after, and a post-compaction drain still
+    rejects duplicates of pre-compaction documents."""
+    import os
+
+    from databeats_spark.streaming.ingest_guard import compact_state
+
+    incoming, state = staged
+    _write_drop(spark, f"{incoming}/d1.parquet", list(enumerate(_NOVEL[:3])))
+    run_ingest_guard(spark, _stream(spark, incoming), state)
+    _write_drop(spark, f"{incoming}/d2.parquet", [(10, _NOVEL[3])])
+    run_ingest_guard(spark, _stream(spark, incoming), state)
+
+    before = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
+    compact_state(spark, state)
+    after = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
+    assert before == after == [0, 1, 2, 10]
+    # every table folded to the single reserved partition
+    for table in ("accepted", "sigs", "bands"):
+        parts = [p for p in os.listdir(f"{state}/{table}") if p.startswith("epoch=")]
+        assert parts == ["epoch=-1"], parts
+
+    # the consolidated index still rejects dups of old docs
+    _write_drop(spark, f"{incoming}/d3.parquet", [(20, _NOVEL[0]), (21, _NOVEL[4])])
+    run_ingest_guard(spark, _stream(spark, incoming), state)
+    final = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
+    assert final == [0, 1, 2, 10, 21], final
