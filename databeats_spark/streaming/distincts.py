@@ -19,6 +19,7 @@ event volume.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -41,7 +42,12 @@ def daily_sketch_sink(state_path: str):
                 .groupBy("day")
                 .agg(F.hll_union_agg("sketch").alias("sketch"))
             )
-        except Exception:
+        except AnalysisException as exc:
+            # only "no state yet" starts fresh; a corrupt/unreadable
+            # state table must fail the micro-batch (checkpoint retries)
+            # rather than silently wiping all prior days
+            if exc.getCondition() != "PATH_NOT_FOUND":
+                raise
             merged = batch_sk
         # day axis is calendar-bounded: the overwrite is a tiny table.
         # Materialize BEFORE overwriting — the plan reads the old state.

@@ -30,14 +30,23 @@ partition (exactly-once under checkpointing, like the chart sink).
 Semantic note vs batch dedup: the guard is FIRST-ARRIVAL-WINS and
 does not transitively collapse chains (if A≈B and B≈C but A≉C, B is
 rejected against A, then C is compared against A only — B's sketch
-never enters the index — so C is accepted). Batch connected-components
-would collapse all three. That is the standard ingest-time trade-off:
-the guard bounds state and latency; a periodic batch
-minhash+components pass remains the ground truth compaction.
+never enters the index — so C is accepted). This holds regardless of
+micro-batch boundaries: within-batch rejection is resolved to a
+fixpoint so an already-rejected doc never serves as a rejector, giving
+the same accept set whether A, B, C arrive in one batch or three.
+Batch connected-components would collapse all three. That is the
+standard ingest-time trade-off: the guard bounds state and latency; a
+periodic batch minhash+components pass remains the ground truth
+compaction.
+
+Docs too short to produce even one shingle are ACCEPTED (they cannot
+near-duplicate anything under the sketch definition) and contribute no
+sketch state — novel data is never silently dropped at ingest.
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -55,8 +64,13 @@ _BAND_SCHEMA = "doc_id BIGINT, band INT, key BIGINT, epoch BIGINT"
 def _read_state(spark: SparkSession, path: str, schema: str, current_epoch: int) -> DataFrame:
     try:
         df = spark.read.parquet(path)
-    except Exception:
-        return spark.createDataFrame([], schema)
+    except AnalysisException as exc:
+        # only "state not created yet" means empty state; a corrupt or
+        # unreadable table must FAIL the micro-batch so the checkpoint
+        # retries instead of silently resetting the dedup index
+        if exc.getCondition() == "PATH_NOT_FOUND":
+            return spark.createDataFrame([], schema)
+        raise
     # replay safety: a re-run epoch must see exactly the pre-epoch state
     return df.filter(F.col("epoch") != current_epoch)
 
@@ -75,7 +89,6 @@ def dedup_guard_sink(
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
         sig = minhash_signatures(
             batch_df, id_col, text_col, shingle_n=shingle_n,
@@ -108,11 +121,15 @@ def dedup_guard_sink(
             .filter(signature_jaccard(F.col("signature"), F.col("acc_sig")) >= threshold)
             .select("doc_id")
             .distinct()
+            .localCheckpoint()
         )
 
-        # tier 2: within-batch, earlier (min-id) doc wins; later dup
-        # rejected by the same estimator
-        in_batch_cand = (
+        # tier 2: within-batch, earlier (min-id) doc wins — resolved to a
+        # FIXPOINT so a doc rejected (by the corpus or by an even earlier
+        # doc) never itself rejects: the chain A~B, B~C, A!~C accepts
+        # A and C whether the three arrive in one batch or three, matching
+        # the docstring's cross-batch semantics.
+        in_batch_pairs = (
             band.alias("a")
             .join(
                 band.alias("b"),
@@ -122,32 +139,74 @@ def dedup_guard_sink(
             )
             .select(F.col("a.doc_id").alias("early_id"), F.col("b.doc_id").alias("doc_id"))
             .distinct()
-        )
-        in_batch_rejects = (
-            in_batch_cand.join(sig, "doc_id")
+            .join(sig, "doc_id")
             .join(
                 sig.select(F.col("doc_id").alias("early_id"), F.col("signature").alias("early_sig")),
                 "early_id",
             )
             .filter(signature_jaccard(F.col("signature"), F.col("early_sig")) >= threshold)
-            .select("doc_id")
-            .distinct()
+            .select("early_id", "doc_id")
+            .localCheckpoint()
         )
 
-        rejects = corpus_rejects.unionByName(in_batch_rejects).distinct().localCheckpoint()
-        accepted_ids = sig.select("doc_id").join(rejects, "doc_id", "left_anti")
+        # iterate over the (candidate-bounded) verified pair list: each
+        # round decides every doc whose earlier contenders are all
+        # decided, so rounds are bounded by the longest dup chain in the
+        # batch — the same bounded-driver-loop posture as pagerank.
+        rejects = corpus_rejects
+        pairs = in_batch_pairs
+        while True:
+            pairs = (
+                pairs
+                # target already rejected: pair is moot
+                .join(rejects, "doc_id", "left_anti")
+                # rejector itself rejected: pair can never fire
+                .join(rejects.select(F.col("doc_id").alias("early_id")), "early_id", "left_anti")
+                .localCheckpoint()
+            )
+            if pairs.isEmpty():
+                break
+            # a pair fires when its rejector is final-accepted (nothing
+            # earlier still contests it); the minimal live early_id is
+            # always uncontested, so progress is guaranteed
+            contested = pairs.select(F.col("doc_id").alias("early_id")).distinct()
+            fired = (
+                pairs.join(contested, "early_id", "left_anti")
+                .select("doc_id")
+                .distinct()
+                .localCheckpoint()
+            )
+            if fired.isEmpty():
+                break
+            rejects = rejects.unionByName(fired).distinct().localCheckpoint()
 
+        # the accept set derives from the BATCH ids, not the signature
+        # table: docs too short to shingle can never be near-dups, so
+        # they pass (they simply contribute no sketch state).
+        accepted_ids = (
+            batch_df.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .join(rejects, "doc_id", "left_anti")
+        )
+
+        # dynamic overwrite is set PER-WRITE (never session-wide): only
+        # this epoch's partition is replaced, and unrelated writes in the
+        # same session keep static-overwrite semantics.
         ep = F.lit(int(epoch_id)).cast("long")
         accepted_docs = batch_df.join(accepted_ids, batch_df[id_col] == accepted_ids["doc_id"], "left_semi")
-        accepted_docs.withColumn("epoch", ep).write.mode("overwrite").partitionBy(
-            "epoch"
-        ).parquet(f"{state_dir}/accepted")
+        accepted_docs.withColumn("epoch", ep).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("epoch").parquet(f"{state_dir}/accepted")
         sig.join(accepted_ids, "doc_id", "left_semi").withColumn("epoch", ep).write.mode(
             "overwrite"
-        ).partitionBy("epoch").parquet(f"{state_dir}/sigs")
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("epoch").parquet(
+            f"{state_dir}/sigs"
+        )
         band.join(accepted_ids, "doc_id", "left_semi").withColumn("epoch", ep).write.mode(
             "overwrite"
-        ).partitionBy("epoch").parquet(f"{state_dir}/bands")
+        ).option("partitionOverwriteMode", "dynamic").partitionBy("epoch").parquet(
+            f"{state_dir}/bands"
+        )
 
     return merge
 
@@ -185,7 +244,6 @@ def compact_state(spark: SparkSession, state_dir: str, epoch_floor: int = -1) ->
     so replay exclusion of a live epoch never touches consolidated
     rows). Run it from maintenance, never concurrently with a drain
     (same single-writer rule as any table compaction)."""
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     for table in ("accepted", "sigs", "bands"):
         path = f"{state_dir}/{table}"
         df = spark.read.parquet(path)

@@ -31,7 +31,7 @@ def main() -> None:
     from databeats_spark.plans.curation import curate_corpus
     from databeats_spark.session import get_spark
 
-    spark = get_spark(app_name="databeats_curate")
+    spark = get_spark(app_name="databeats_curate", master=f"local[{args.cpus}]")
     stages = curate_corpus(spark, args.sf_dir, args.token_budget, pin_stages=True)
 
     # counts first (each stage materializes once via the pinned chain),

@@ -123,3 +123,59 @@ def test_compact_state_preserves_decisions(spark, staged, tmp_path):
     run_ingest_guard(spark, _stream(spark, incoming), state)
     final = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
     assert final == [0, 1, 2, 10, 21], final
+
+def test_guard_accepts_docs_too_short_to_shingle(spark, staged):
+    """Docs with fewer than shingle_n tokens can never be near-dups, so
+    the guard must ACCEPT and write them (they contribute no sketch
+    state) — novel data is never silently dropped at ingest."""
+    incoming, state = staged
+    _write_drop(
+        spark,
+        f"{incoming}/d1.parquet",
+        [(0, _NOVEL[0]), (1, "hi"), (2, "ok then"), (3, _NOVEL[1])],
+    )
+    run_ingest_guard(spark, _stream(spark, incoming), state)
+    ids = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
+    assert ids == [0, 1, 2, 3], ids
+
+    # and short docs still don't shield later near-dups from rejection
+    _write_drop(spark, f"{incoming}/d2.parquet", [(4, "hi"), (5, _NOVEL[0])])
+    run_ingest_guard(spark, _stream(spark, incoming), state)
+    ids = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
+    assert ids == [0, 1, 2, 3, 4], ids
+
+
+# chain triple: A≈B and B≈C under the guard's seeded sketch (band
+# collision + est Jaccard ≥ 0.5) but A≉C (0.4375, no shared bucket) —
+# probed against the actual minhash_signatures/lsh_band_keys output.
+_CHAIN_A = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+_CHAIN_B = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu red orange yellow green cyan blue violet"
+_CHAIN_C = "one two epsilon zeta eta theta iota kappa lam mu nu red orange yellow green cyan blue violet"
+
+
+def test_guard_in_batch_chain_matches_cross_batch(spark, staged, tmp_path):
+    """A~B, B~C, A!~C must resolve the same whether the three docs
+    arrive in one micro-batch or three: B rejected against A, C ACCEPTED
+    (its only near-dup, B, was itself rejected and never enters the
+    index). In-batch rejection iterates to a fixpoint so a rejected doc
+    never serves as a rejector."""
+    # one batch
+    incoming, state = staged
+    _write_drop(
+        spark,
+        f"{incoming}/d1.parquet",
+        [(0, _CHAIN_A), (1, _CHAIN_B), (2, _CHAIN_C)],
+    )
+    run_ingest_guard(spark, _stream(spark, incoming), state)
+    one_batch = sorted(r.doc_id for r in accepted_corpus(spark, state).select("doc_id").collect())
+
+    # three batches, same docs, fresh state
+    incoming2 = tmp_path / "incoming2"
+    incoming2.mkdir()
+    state2 = str(tmp_path / "guard_state2")
+    for i, text in enumerate((_CHAIN_A, _CHAIN_B, _CHAIN_C)):
+        _write_drop(spark, f"{incoming2}/d{i}.parquet", [(i, text)])
+        run_ingest_guard(spark, _stream(spark, str(incoming2)), state2)
+    cross_batch = sorted(r.doc_id for r in accepted_corpus(spark, state2).select("doc_id").collect())
+
+    assert one_batch == cross_batch == [0, 2], (one_batch, cross_batch)
