@@ -48,7 +48,15 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # round-4 additions (no driver row yet) — keep at the very front
+    # r5 rotation (rotation_report, zero backlog): bench headliners
+    # first so BENCH and CORRECTNESS cover the same queries, then the
+    # oldest-verified for re-verification. PREPEND new r5 queries here
+    # as they land.
+    "top_terms", "rolling_7d_spend", "minhash_near_dups",
+    "cosine_topk", "pricing_summary", "filter_project",
+    "top_customers", "revenue_by_nation", "weekly_chart_streak",
+    "sessionization", "asof_purchase_value", "dedup_exact_docs",
+    "text_stats", "near_dup_pairs",
     "json_key_stats", "bitmap_distinct_orders", "hll_distinct_users",
     "key_skew_profile", "ri_violations", "debounced_events",
     "stratified_split_counts", "class_weights",
@@ -61,24 +69,8 @@ _WINDOW = (
     "embedding_quantization",
     "doc_chunks", "unigram_doc_logprob", "doc_entropy", "zipf_slope",
     "top_terms_per_source", "peak_concurrency",
-    # round-3 post-window queries (never driver-verified before r4)
     "interpolated_daily_spend", "top_prices_with_ties",
-    "try_cast_group_all", "yoy_revenue_growth", "dq_violations",
-    "price_mad", "qty_width_buckets", "sequence_packing",
-    "length_drift_ks", "length_drift_psi", "value_outliers",
-    "funnel_stages", "curation_funnel", "bpe_merges",
-    "top_terms", "rolling_7d_spend", "minhash_near_dups",
-    "cosine_topk", "pricing_summary", "filter_project",
-    "top_customers", "revenue_by_nation", "weekly_chart_streak",
-    "sessionization", "asof_purchase_value", "dedup_exact_docs",
-    "text_stats", "near_dup_pairs", "value_histogram",
-    "sliding_event_stats", "rare_trigram_stats", "length_band_outliers",
-    "per_source_quota", "recursive_week_spine", "variant_props_stats",
-    "pipe_syntax_returns", "collated_type_counts", "shipping_priority",
-    "local_supplier_volume", "forecast_revenue", "cross_nation_volume",
-    "product_profit", "returned_item_losses", "lateness_priority_mix",
-    "part_supplier_kinds", "bracket_revenue", "dominant_suppliers",
-    "bigram_pmi", "vocab_growth", "containment_pairs",
+    "try_cast_group_all",
 )
 
 
