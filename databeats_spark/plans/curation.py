@@ -126,6 +126,21 @@ def budget_stage(docs: DataFrame, token_budget: int) -> DataFrame:
     return packed.filter(F.col("cum_tok") <= token_budget).drop("__h", "cum_tok")
 
 
+def stage_builders(spark: SparkSession, token_budget: int):
+    """The curation stages as an ordered (name, prev_df -> df) list —
+    the single definition both the lazy flow (curate_corpus) and a
+    per-stage-timed runner (scripts/curate.py --stage-times) iterate,
+    so a timed run measures exactly the production stages."""
+    return [
+        ("quality", quality_gate),
+        ("exact_dedup", exact_dedup_stage),
+        ("near_dup", lambda df: near_dup_stage(df, spark)),
+        ("decontam", decontam_stage),
+        ("rebalance", rebalance_stage),
+        ("budget", lambda df: budget_stage(df, token_budget)),
+    ]
+
+
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str | None = None,
@@ -150,12 +165,9 @@ def curate_corpus(
     docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
     pin = (lambda df: df.localCheckpoint(eager=False)) if pin_stages else (lambda df: df)
     stages: dict[str, DataFrame] = {"raw": pin(docs)}
-    stages["quality"] = pin(quality_gate(stages["raw"]))
-    stages["exact_dedup"] = pin(exact_dedup_stage(stages["quality"]))
-    stages["near_dup"] = pin(near_dup_stage(stages["exact_dedup"], spark))
-    stages["decontam"] = pin(decontam_stage(stages["near_dup"]))
-    stages["rebalance"] = pin(rebalance_stage(stages["decontam"]))
-    stages["budget"] = pin(budget_stage(stages["rebalance"], token_budget))
+    prev = stages["raw"]
+    for name, build in stage_builders(spark, token_budget):
+        prev = stages[name] = pin(build(prev))
     return stages
 
 

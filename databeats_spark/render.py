@@ -20,6 +20,7 @@ import html
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MAX_ROWS = 100  # presentation cap: charts/tables never pull more
 
@@ -31,6 +32,9 @@ th, td { border: 1px solid #ccc; padding: 0.25rem 0.6rem; text-align: left; }
 th { background: #f0f0f0; }
 .bar { fill: #7f1d1d; }  /* the reference's maroon barh */
 .lbl { font-size: 11px; } .val { font-size: 11px; fill: #555; }
+.box { fill: #7f1d1d; fill-opacity: 0.35; stroke: #7f1d1d; }
+.whisk { stroke: #7f1d1d; } .med { stroke: #7f1d1d; stroke-width: 2; }
+.dot { fill: #555; }
 """
 
 
@@ -80,6 +84,80 @@ def bar_chart_svg(
     return "\n".join(parts)
 
 
+_DIST_QS = [0.0, 0.1, 0.2, 0.25, 0.3, 0.4, 0.5, 0.6, 0.7, 0.75, 0.8, 0.9, 1.0]
+_Q25, _Q50, _Q75 = _DIST_QS.index(0.25), _DIST_QS.index(0.5), _DIST_QS.index(0.75)
+
+
+def distribution_strip_svg(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    title: str,
+    width: int = 640,
+) -> str:
+    """Per-group distribution strip — the render-tier equivalent of the
+    reference's RainCloud feature-comparison panel (app.py:93-97): one
+    horizontal strip per group with a 25-75% box, a median tick,
+    min-max whiskers and decile dots (the 'rain'). The distribution is
+    summarized SPARK-SIDE with one percentile_approx aggregation, so
+    the driver collect is one row per group regardless of input size —
+    the same presentation-tier posture as the bar charts."""
+    agg = (
+        df.groupBy(group_col)
+        .agg(
+            F.percentile_approx(value_col, _DIST_QS, 10_000).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(group_col)
+    )
+    rows = _rows(agg, MAX_ROWS)
+    if not rows:
+        return f"<h2>{html.escape(title)}</h2><p>(no rows)</p>"
+    lo = min(float(r["q"][0]) for r in rows)
+    hi = max(float(r["q"][-1]) for r in rows)
+    span = (hi - lo) or 1.0
+    strip_h, gap, label_w, pad_r = 34, 10, 220, 70
+    plot_w = width - label_w - pad_r
+
+    def x(v: float) -> float:
+        return label_w + plot_w * (float(v) - lo) / span
+
+    height = len(rows) * (strip_h + gap) + 30
+    parts = [
+        f"<h2>{html.escape(title)}</h2>",
+        f'<svg width="{width}" height="{height}" role="img" aria-label="{html.escape(title)}">',
+    ]
+    for i, r in enumerate(rows):
+        y = 12 + i * (strip_h + gap)
+        mid = y + strip_h / 2
+        q = [float(v) for v in r["q"]]
+        label = html.escape(str(r[group_col]))[:30]
+        parts.append(
+            f'<text class="lbl" x="{label_w - 6}" y="{mid + 4:.0f}" text-anchor="end">'
+            f"{label} (n={int(r['n'])})</text>"
+            # min-max whisker
+            f'<line class="whisk" x1="{x(q[0]):.1f}" y1="{mid:.1f}" '
+            f'x2="{x(q[-1]):.1f}" y2="{mid:.1f}"/>'
+            # 25-75% box
+            f'<rect class="box" x="{x(q[_Q25]):.1f}" y="{y + 6:.1f}" '
+            f'width="{max(1.0, x(q[_Q75]) - x(q[_Q25])):.1f}" height="{strip_h - 12}"/>'
+            # median tick
+            f'<line class="med" x1="{x(q[_Q50]):.1f}" y1="{y + 3:.1f}" '
+            f'x2="{x(q[_Q50]):.1f}" y2="{y + strip_h - 3:.1f}"/>'
+        )
+        # decile dots (the rain), below the box
+        parts.extend(
+            f'<circle class="dot" cx="{x(v):.1f}" cy="{y + strip_h - 3:.1f}" r="2"/>'
+            for v in q
+        )
+        parts.append(
+            f'<text class="val" x="{x(q[-1]) + 6:.1f}" y="{mid + 4:.0f}">'
+            f"{q[_Q50]:,.2f} med</text>"
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
 def table_html(df: DataFrame, title: str, max_rows: int = MAX_ROWS) -> str:
     """Plain HTML table of an (already small) result DataFrame."""
     rows = _rows(df, max_rows)
@@ -122,6 +200,18 @@ def render_dashboard(
              "<h1>databeats-spark dashboard</h1>"]
     for name, label_col, value_col, title in specs:
         parts.append(bar_chart_svg(reg[name](spark, sf_dir), label_col, value_col, title))
+    # the reference's fifth panel: a per-group feature DISTRIBUTION
+    # (audio_dashboard's RainCloud, app.py:93-97) — document length by
+    # source here; the strip aggregates Spark-side (one row per source)
+    from databeats_spark.sources.tables import load_tables
+
+    docs = load_tables(spark, sf_dir, ["documents"]).documents
+    parts.append(
+        distribution_strip_svg(
+            docs.select("source", F.size(F.split("text", " ")).alias("n_tok")),
+            "source", "n_tok", "Document length distribution by source",
+        )
+    )
     parts.append(table_html(reg["pricing_summary"](spark, sf_dir), "Pricing summary"))
     parts.append("</body></html>")
     out = "\n".join(parts)

@@ -26,24 +26,57 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--token-budget", type=int, default=30_000)
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "*"))
+    ap.add_argument(
+        "--stage-times", action="store_true",
+        help="time each pinned stage's materialization and report the "
+        "per-stage split in the JSON line (stages are checkpointed, so "
+        "each count pays only its own stage's incremental cost)",
+    )
     args = ap.parse_args()
 
-    from databeats_spark.plans.curation import curate_corpus
+    from databeats_spark.plans.curation import curate_corpus, stage_builders
     from databeats_spark.session import get_spark
 
     spark = get_spark(app_name="databeats_curate", master=f"local[{args.cpus}]")
-    stages = curate_corpus(spark, args.sf_dir, args.token_budget, pin_stages=True)
 
-    # counts first (each stage materializes once via the pinned chain),
-    # then persist the final corpus from the same pinned blocks
-    funnel = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
-    stages["budget"].write.mode("overwrite").parquet(f"{args.out}/corpus")
+    if args.stage_times:
+        # per-stage timing needs EAGER materialization inside each
+        # timed block — near_dup's connected-components rounds run at
+        # plan-build time, so the lazy flow would attribute them to
+        # whichever later action happens first
+        import time
+
+        from databeats_spark.sources.tables import load_tables, spread
+
+        t0 = time.perf_counter()
+        prev = spread(
+            load_tables(spark, args.sf_dir, ["documents"]).documents, spark
+        ).localCheckpoint(eager=True)
+        funnel = [(0, "raw", prev.count())]
+        stage_sec = {"raw": round(time.perf_counter() - t0, 4)}
+        for i, (name, build) in enumerate(stage_builders(spark, args.token_budget), 1):
+            t0 = time.perf_counter()
+            prev = build(prev).localCheckpoint(eager=True)
+            funnel.append((i, name, prev.count()))
+            stage_sec[name] = round(time.perf_counter() - t0, 4)
+        final = prev
+    else:
+        stages = curate_corpus(spark, args.sf_dir, args.token_budget, pin_stages=True)
+        # counts first (each stage materializes once via the pinned
+        # chain), then persist the final corpus from the same blocks
+        funnel = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
+        stage_sec = {}
+        final = stages["budget"]
+    final.write.mode("overwrite").parquet(f"{args.out}/corpus")
     spark.createDataFrame(
         funnel, "stage_idx: long, stage: string, n_docs: long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{args.out}/funnel")
 
-    print(json.dumps({"sf_dir": args.sf_dir, "out": args.out,
-                      "funnel": {name: n for _, name, n in funnel}}))
+    record = {"sf_dir": args.sf_dir, "out": args.out,
+              "funnel": {name: n for _, name, n in funnel}}
+    if args.stage_times:
+        record["stage_sec"] = stage_sec
+    print(json.dumps(record))
     spark.stop()
 
 

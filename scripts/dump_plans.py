@@ -37,6 +37,64 @@ FLAGSHIPS = {
 }
 
 
+# Hand-maintained measured-evidence section (preserved across plan
+# regeneration because this script rewrites PLANS.md wholesale).
+# Refresh the numbers with scripts/scale_curve.py and
+# scripts/curate.py --stage-times.
+SCALE_EVIDENCE = """\
+## Measured scale evidence (round 5)
+
+Scale curve for the heavy mining queries — `scripts/scale_curve.py`,
+one session, full JIT pass at sf0.001 first, then a single timed run
+per query per scale factor (bench.py mining methodology). Data grows
+10x between sf0.01 and sf0.1; two samples on different loads:
+
+| query | sf0.01 s | sf0.1 s | runtime ratio (10x data) |
+|---|---|---|---|
+| minhash_near_dups | 1.45 / 1.25 | 2.44 / 1.93 | 1.69 / 1.55 |
+| semdedup_near_dups | 2.46 / 2.30 | 12.56 / 3.16 | 5.11 / 1.37 |
+| pagerank_docs | 2.86 / 2.66 | 5.05 / 3.57 | 1.77 / 1.34 |
+| curation_funnel | 8.33 / 7.20 | 12.64 / 10.44 | 1.52 / 1.45 |
+
+Every ratio is far below the 10x data ratio: at these scale factors
+the runtimes are dominated by the FIXED round/iteration structure
+(LSH band join rounds, CC rounds bounded by cluster diameter, KMeans
+iterations, per-stage actions) while the per-row work parallelizes —
+exactly the profile the bounded-candidate designs predict. Nothing
+re-quadratizes (the semdedup 5.11 first sample is the same VM noise
+documented in README's variance note; its second sample is 1.37, and
+its pair budget is constant per cluster by construction, n_lists =
+n//400).
+
+## curation_funnel stage breakdown (sf0.1)
+
+`scripts/curate.py --stage-times` (eager per-stage materialization —
+the lazy flow would attribute near_dup's CC rounds, which run at plan
+build time, to a later action). Cold = fresh session; warm = second
+pass in the same session (JVM/codegen warmed; README variance note):
+
+| stage | cold s | warm s |
+|---|---|---|
+| raw (scan+spread) | 4.01 | — |
+| quality | 1.04 | 0.18 |
+| exact_dedup | 3.03 | 0.40 |
+| near_dup | 14.14 | 7.43 |
+| decontam | 1.41 | 1.23 |
+| rebalance | 0.45 | 0.33 |
+| budget | 1.14 | 0.64 |
+
+near_dup dominates (56% cold / 72% warm). Its internal split (warm):
+MinHash+LSH pair generation 1.9 s, connected components 1.3 s over
+157 pairs, keep-canonical 0.2 s — the CC cost is pure fixed
+round-overhead (~3 rounds x join+agg+checkpoint actions), not data
+volume. This is a documented floor, not a scale risk: the round count
+is bounded by near-dup cluster diameter (constant in practice), so at
+100 TB the same ~15 actions orchestrate arbitrarily wide stages while
+per-round work scales out — consistent with the funnel's measured
+1.45x runtime for 10x data above.
+"""
+
+
 def main() -> None:
     from databeats_spark.registry import queries
     from databeats_spark.session import get_spark
@@ -51,6 +109,7 @@ def main() -> None:
         "scale-critical properties asserted in tests/test_plans.py are",
         "annotated per query.",
         "",
+        SCALE_EVIDENCE,
     ]
     for name, note in FLAGSHIPS.items():
         df = q[name](spark, "/root/testdata/sf0.01")
