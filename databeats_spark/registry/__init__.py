@@ -52,6 +52,7 @@ _WINDOW = (
     # first so BENCH and CORRECTNESS cover the same queries, then the
     # oldest-verified for re-verification. PREPEND new r5 queries here
     # as they land.
+    "revenue_share",  # r5: rebuilt on attach_global_scalar (provable scalar side)
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
     "top_customers", "revenue_by_nation", "weekly_chart_streak",

@@ -486,12 +486,16 @@ FROM part WHERE p_partkey < {UNPIVOT_PART_LIMIT}"""
 ) + " ORDER BY p_partkey, metric"
 
 
-# --- Q: revenue_share — percent-of-total window over an aggregate ---------
-# Window-over-everything on the AGGREGATED table (25 nations), not the
-# fact table — the single-partition window is safe precisely because
-# the groupBy shrank the data first.
+# --- Q: revenue_share — percent-of-total over an aggregate ----------------
+# The total rides attach_global_scalar (provably-1-row broadcast side,
+# single materialization of the shuffled aggregate) instead of an
+# unpartitioned window — same result, no single-partition exchange,
+# and the plan lint PROVES the bounded side instead of trusting an
+# allowlist comment.
 
 def _revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
     t = load_tables(spark, sf_dir, ["orders", "customer", "nation"])
     rev = (
         t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -499,12 +503,12 @@ def _revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(money_sum("o_totalprice").alias("revenue"))
     )
-    total = Window.partitionBy()
+    sized = attach_global_scalar(rev, F.sum("revenue").alias("__total"))
     return (
-        rev.select(
+        sized.select(
             "n_name",
             "revenue",
-            F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias("share"),
+            F.round(F.col("revenue") / F.col("__total"), 6).alias("share"),
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )

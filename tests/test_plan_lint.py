@@ -3,10 +3,12 @@ sweep. test_plans.py pins the flagship plans in detail; this walks
 EVERY registry query's plan and rejects the three classic scale
 killers unless the query is on the justified allowlist:
 
-- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: only legitimate
-  when the build side is a 1-row scalar aggregate or a bounded small
-  relation (broadcast query set, week grid) — each allowlisted name
-  documents its bounded side;
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin``: auto-accepted
+  when the build side is PROVABLY at most one row — a grouping-keyless
+  aggregate, or a join of such (checked structurally on the plan tree,
+  not trusted from a comment). Everything else needs an allowlist
+  entry documenting its bounded-but-unprovable side (a broadcast query
+  set, a calendar grid);
 - ``BatchEvalPython``: a row-at-a-time Python UDF in ANY plan is a
   bug, full stop (Arrow paths — ArrowEvalPython / MapInPandas /
   FlatMapGroupsInPandas — remain allowed);
@@ -19,69 +21,124 @@ from __future__ import annotations
 
 import contextlib
 import io
-import re
+import json
 
 from databeats_spark.registry import registry
 from tests.conftest import SF_SMOKE
 
-# BNLJ/cartesian allowlist: name -> the bounded build side
+# BNLJ/cartesian allowlist: name -> the bounded-but-not-provably-1-row
+# build side. Scalar attaches (keyless aggregates) no longer need
+# entries — the lint PROVES those from the plan tree.
 BOUNDED_JOIN_OK = {
-    "above_average_customers": "1-row scalar AVG subquery broadcast",
     "cosine_topk": "broadcast query-vector set (bounded by n_queries, not corpus)",
-    "ivf_cosine_topk": "broadcast probe-list ids + 1-row centroid stats",
-    "embedding_near_dups": "1-row dim/threshold scalar broadcast",
+    "ivf_cosine_topk": "broadcast probe-list ids (bounded by n_probes x n_queries)",
+    "embedding_near_dups": "broadcast probe-vector set (bounded sample, not corpus)",
     "weekly_resample": "bounded week x user grid (weeks are a calendar, not data, axis)",
-    "mix_rebalance": "1-row min(source count) scalar broadcast",
-    "customer_deciles": "1-row total-count scalar for the ntile closed form",
-    "important_parts": "1-row total/count scalar over the checkpointed per-part agg",
-    "idle_high_balance": "1-row positive-balance avg scalar broadcast",
-    "rare_trigram_stats": "1-row corpus doc-count scalar broadcast",
-    "bigram_pmi": "1-row corpus-total scalars (n1/n2) over checkpointed aggregates",
-    "source_pareto": "1-row corpus token-total scalar broadcast",
-    "pagerank_docs": "1-row flowing-rank-sum scalar broadcast per power iteration",
-    "length_drift_ks": "1-row slice-total scalars over the checkpointed histogram",
-    "length_drift_psi": "1-row slice-total scalars over the checkpointed histogram",
-    "unigram_doc_logprob": "1-row corpus-token-total scalar over the checkpointed vocab agg",
-    "idf_doc_score": "1-row corpus doc-count scalar broadcast (raw-scan scalar stays naive)",
-    "dup_triangles": "1-row graph summary scalars (n_nodes/n_edges/n_triangles over the bounded verifier slice)",
-    "interleave_layout": "1-row n_sources scalar over the bounded source catalog",
-    "event_cooccurrence_lift": "1-row distinct-user-count scalar broadcast (raw-scan scalar stays naive)",
-    "key_skew_profile": "1-row row-total scalar over the checkpointed per-key counts",
-    "class_weights": "1-row total/class-count scalars over the checkpointed label counts",
 }
 
-# unpartitioned-window allowlist: name -> the tiny relation it sorts
+# ≤1-row-preserving plan nodes the scalar-side proof may walk through
+_AGG_NODES = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
+_UNARY_ROW_SAFE = (
+    "ProjectExec", "FilterExec", "BroadcastExchangeExec", "ShuffleExchangeExec",
+    "AQEShuffleReadExec", "WholeStageCodegenExec", "InputAdapter",
+    "ColumnarToRowExec", "RowToColumnarExec", "SortExec", "CoalesceExec",
+    "GlobalLimitExec", "LocalLimitExec", "TakeOrderedAndProjectExec",
+)
+_JOIN_NODES = (
+    "BroadcastNestedLoopJoinExec", "CartesianProductExec", "BroadcastHashJoinExec",
+    "SortMergeJoinExec", "ShuffledHashJoinExec",
+)
+
+
+def _build_tree(nodes: list[dict], i: int = 0) -> tuple[dict, int]:
+    """Rebuild the plan tree from TreeNode.toJSON's pre-order flat list."""
+    node = dict(nodes[i])
+    kids = []
+    j = i + 1
+    for _ in range(node.get("num-children", 0)):
+        child, j = _build_tree(nodes, j)
+        kids.append(child)
+    node["kids"] = kids
+    return node, j
+
+
+def _cls(node: dict) -> str:
+    return node["class"].rsplit(".", 1)[-1]
+
+
+def _provably_scalar(node: dict) -> bool:
+    """True when the subtree provably yields at most ONE row: a
+    grouping-keyless aggregate, a join of two such, or either behind
+    row-count-preserving unary nodes."""
+    while True:
+        c = _cls(node)
+        if c in _AGG_NODES:
+            return node.get("groupingExpressions", []) == []
+        if c in _JOIN_NODES and len(node["kids"]) == 2:
+            return _provably_scalar(node["kids"][0]) and _provably_scalar(node["kids"][1])
+        if c in _UNARY_ROW_SAFE and len(node["kids"]) == 1:
+            node = node["kids"][0]
+            continue
+        return False
+
+
+_LIMIT_NODES = ("GlobalLimitExec", "LocalLimitExec", "TakeOrderedAndProjectExec")
+_WINDOW_NODES = ("WindowExec", "WindowGroupLimitExec")
+
+
+def _behind_limit(node: dict) -> bool:
+    """True when every row reaching this subtree's output passed an
+    explicit LIMIT — the window input is bounded by construction."""
+    while True:
+        c = _cls(node)
+        if c in _LIMIT_NODES:
+            return True
+        if (c in _UNARY_ROW_SAFE or c in _WINDOW_NODES) and len(node["kids"]) == 1:
+            node = node["kids"][0]
+            continue
+        return False
+
+
+def _plan_tree(df) -> dict:
+    nodes = json.loads(df._jdf.queryExecution().sparkPlan().toJSON())
+    root, _ = _build_tree(nodes)
+    return root
+
+
+def _tree_violations(df) -> list[str]:
+    """Unprovable scale killers from the physical-plan tree: BNLJ or
+    cartesian whose bounded side cannot be proven ≤1 row, and
+    unpartitioned window operators not behind an explicit limit —
+    each requires an allowlist entry naming its bounded relation."""
+    bad, stack = [], [_plan_tree(df)]
+    while stack:
+        n = stack.pop()
+        c = _cls(n)
+        if c == "BroadcastNestedLoopJoinExec":
+            build = n["kids"][1] if "BuildRight" in str(n.get("buildSide", "")) else n["kids"][0]
+            if not _provably_scalar(build):
+                bad.append("bnlj")
+        elif c == "CartesianProductExec":
+            if not any(_provably_scalar(k) for k in n["kids"]):
+                bad.append("cartesian")
+        elif c in _WINDOW_NODES and n.get("partitionSpec", []) == []:
+            if not _behind_limit(n["kids"][0]):
+                bad.append("unpartitioned-window")
+        stack.extend(n["kids"])
+    return bad
+
+# unpartitioned-window allowlist: name -> the tiny relation it sorts.
+# Windows behind an explicit limit (TakeOrderedAndProject/GlobalLimit)
+# are auto-proved bounded and need no entry.
 UNPARTITIONED_WINDOW_OK = {
     "token_budget_pack": "prefix over per-partition subtotals (#partitions rows)",
-    "customer_deciles": "prefix over per-partition subtotals (#partitions rows)",
     "vocab_growth": "prefix over per-partition subtotals (#partitions rows)",
     "sequence_packing": "prefix over per-partition subtotals (#partitions rows)",
     "length_drift_ks": "ECDF window over the bounded (n_chars) histogram — a length domain, not a data axis",
     "source_pareto": "cumulative share over the per-source aggregate (#sources rows — a catalog, not a data axis)",
-    "zipf_slope": "rank window over the TakeOrderedAndProject'd top-1000 head, bounded by construction",
     "peak_concurrency": "prefix over per-partition subtotals (#partitions rows)",
     "interleave_layout": "source-index window over the bounded source catalog (~#sources rows — a catalog, not a data axis)",
-    "key_skew_profile": "rank/cumulative window over the TakeOrderedAndProject'd top-20 head, bounded by construction",
 }
-
-_WINDOW_RE = re.compile(r"windowspecdefinition\(([^)]*?)specifiedwindowframe")
-
-
-def _violations(plan: str) -> list[str]:
-    v = []
-    if "CartesianProduct" in plan:
-        v.append("cartesian")
-    if "BroadcastNestedLoopJoin" in plan:
-        v.append("bnlj")
-    if "BatchEvalPython" in plan:
-        v.append("row-at-a-time-python")
-    for m in _WINDOW_RE.finditer(plan):
-        first = m.group(1).split(",")[0]
-        if " ASC" in first or " DESC" in first:
-            v.append("unpartitioned-window")
-            break
-    return v
-
 
 def test_every_registry_plan_is_scale_clean(spark):
     offenders: dict[str, list[str]] = {}
@@ -90,12 +147,12 @@ def test_every_registry_plan_is_scale_clean(spark):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        v = _violations(buf.getvalue())
-        if "row-at-a-time-python" in v:
-            offenders[spec.name] = v
+        if "BatchEvalPython" in buf.getvalue():
+            offenders[spec.name] = ["row-at-a-time-python"]
             continue
-        if ("cartesian" in v or "bnlj" in v) and spec.name not in BOUNDED_JOIN_OK:
-            offenders.setdefault(spec.name, []).append("unjustified bounded join")
+        v = _tree_violations(df)
+        if ("bnlj" in v or "cartesian" in v) and spec.name not in BOUNDED_JOIN_OK:
+            offenders.setdefault(spec.name, []).append("unproven unbounded join")
         if "unpartitioned-window" in v and spec.name not in UNPARTITIONED_WINDOW_OK:
             offenders.setdefault(spec.name, []).append("unjustified global window")
     assert not offenders, f"scale-lint violations: {offenders}"
@@ -103,8 +160,21 @@ def test_every_registry_plan_is_scale_clean(spark):
 
 def test_allowlists_stay_minimal(spark):
     """The allowlists must not rot: every allowlisted name still exists
-    AND still needs its exemption (drop the entry when the plan
-    improves, so the lint stays strict)."""
-    names = {s.name for s in registry()}
-    stale = (set(BOUNDED_JOIN_OK) | set(UNPARTITIONED_WINDOW_OK)) - names
+    AND (for the join list) still needs its exemption — an entry whose
+    plan no longer contains an unprovable join must be deleted so the
+    lint stays strict."""
+    by_name = {s.name: s for s in registry()}
+    stale = (set(BOUNDED_JOIN_OK) | set(UNPARTITIONED_WINDOW_OK)) - set(by_name)
     assert not stale, f"allowlisted queries no longer in registry: {stale}"
+    no_longer_needed = []
+    for name, kinds in (
+        (BOUNDED_JOIN_OK, ("bnlj", "cartesian")),
+        (UNPARTITIONED_WINDOW_OK, ("unpartitioned-window",)),
+    ):
+        for q in name:
+            v = _tree_violations(by_name[q].build(spark, SF_SMOKE))
+            if not any(k in v for k in kinds):
+                no_longer_needed.append(q)
+    assert not no_longer_needed, (
+        f"allowlist entries whose plans are now clean (delete them): {no_longer_needed}"
+    )
