@@ -192,6 +192,37 @@ def dedup_keep_canonical(
     ).drop("component")
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    components: DataFrame,
+    key: str,
+    order_cols: list,
+) -> DataFrame:
+    """Collapse each near-dup cluster to its BEST row under an explicit
+    quality order (e.g. longest text, highest quality score) instead of
+    :func:`dedup_keep_canonical`'s arbitrary min-id — the survivor
+    policy production curation pipelines actually run (keep the best
+    copy, drop the rest). ``order_cols`` must end in a total-order
+    tie-break (typically the key itself) so the survivor is
+    deterministic.
+
+    Scale shape: one left equi-join against the component map plus a
+    row_number window partitioned by ``coalesce(component, key)`` —
+    singletons each form their own one-row partition (never a shared
+    NULL partition), so the window is key-partitioned end to end."""
+    from pyspark.sql import Window
+
+    comp = components.withColumnRenamed("node", key)
+    joined = df.join(comp, key, "left")
+    grp = F.coalesce(F.col("component"), F.col(key))
+    w = Window.partitionBy(grp).orderBy(*order_cols)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "component")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

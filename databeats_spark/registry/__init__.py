@@ -52,6 +52,9 @@ _WINDOW = (
     # first so BENCH and CORRECTNESS cover the same queries, then the
     # oldest-verified for re-verification. PREPEND new r5 queries here
     # as they land.
+    # r5 audit batch (never driver-verified — front of the window):
+    "split_leakage_pairs", "lexical_diversity", "dup_cluster_sizes",
+    "canonical_best_docs",
     "revenue_share",  # r5: rebuilt on attach_global_scalar (provable scalar side)
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
@@ -78,13 +81,14 @@ _WINDOW = (
 def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
-        corpus, curation, decision, documents, events, extended, frames,
+        audits, corpus, curation, decision, documents, events, extended, frames,
         lifecycle, mining, modern, relational, shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
-                curation, modern, decision, mining, signals, corpus, lifecycle):
+                curation, modern, decision, mining, signals, corpus, lifecycle,
+                audits):
         all_specs.extend(mod.SPECS)
     names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"

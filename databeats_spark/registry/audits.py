@@ -1,0 +1,347 @@
+"""Corpus QA / audit shapes (round-5 batch) — the checks a
+training-data team runs BEFORE a corpus ships, on top of the r3/r4
+dedup + hygiene signals:
+
+- split_leakage_pairs: near-dup pairs that CROSS a deterministic
+                       train/val split — the contamination audit that
+                       catches eval leakage exact-hash splits miss
+                       (near-dups of a val doc sitting in train)
+- lexical_diversity:   per-source type-token ratios, both doc-pooled
+                       and source-global — the collapsed-diversity
+                       signal (templated/spun text scores low)
+- dup_cluster_sizes:   histogram of near-dup cluster sizes — the shape
+                       of the duplication (many pairs vs few giant
+                       clusters changes the dedup strategy)
+- canonical_best_docs: quality-aware survivor selection — keep the
+                       LONGEST doc per near-dup cluster (tie: min id)
+                       instead of canonical_docs' arbitrary min-id
+
+Reference parity: the reference's dedup surface is exact
+drop_duplicates (SURVEY §2.5 A2/A3); these extend the same
+training-data north star as the r3 mining and r4 corpus batches.
+Oracle parity per the registry recipe: BIGINT counts, round(…, 6)
+ratio doubles, total-order sorts; ratios are computed as ONE division
+of two exact integer sums so no float-summation order exists.
+
+Scale notes: leakage + cluster-size + survivor queries reuse the
+bounded exact-Jaccard pair slice as their edge list (the bounded-
+verifier posture of near_dup_pairs — at corpus scale the edge list
+comes from minhash_near_dups and the downstream shapes are
+unchanged). lexical_diversity is two hash aggregates keyed by source
+joined on the 5-row source catalog. The survivor window partitions by
+coalesce(component, doc_id) — key-partitioned; singletons never pool
+into a NULL partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databeats_spark.functions.text import tokens
+from databeats_spark.operators.dedup import ngram_jaccard_pairs
+from databeats_spark.operators.graph import connected_components, dedup_keep_best
+from databeats_spark.registry import QuerySpec
+from databeats_spark.registry.documents import (
+    JACCARD_THRESHOLD,
+    PAIR_DOC_LIMIT,
+    _PAIRS_CTES,
+)
+from databeats_spark.sources.tables import load_tables, spread
+
+
+# --- Q: split_leakage_pairs — near-dup contamination across a split ------
+# The split is the md5-threshold rule (deterministic_sample's
+# auditability argument: same membership on any engine / partitioning),
+# NOT seeded RNG. A pair with split_a != split_b is a leak: training on
+# one side memorizes the other side's eval doc.
+
+SPLIT_HEX_THRESHOLD = "8000"  # md5 prefix < this => train (~50%)
+
+
+def _split_of(c):
+    return F.when(
+        F.substring(F.md5(c.cast("string")), 1, 4) < SPLIT_HEX_THRESHOLD, "train"
+    ).otherwise("val")
+
+
+def _split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(F.col("jaccard"), 6).alias("jaccard"),
+            _split_of(F.col("id_a")).alias("split_a"),
+            _split_of(F.col("id_b")).alias("split_b"),
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SPLIT_LEAKAGE_PAIRS_SQL = f"""
+WITH {_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b,
+         round(common * 1.0 / (sa.n + sb.n - common), 6) AS jaccard
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+),
+tagged AS (
+  SELECT id_a, id_b, jaccard,
+         CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 4) < '{SPLIT_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'val' END AS split_a,
+         CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 4) < '{SPLIT_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'val' END AS split_b
+  FROM qual
+)
+SELECT id_a, id_b, jaccard, split_a, split_b
+FROM tagged
+WHERE split_a <> split_b
+ORDER BY id_a, id_b
+"""
+
+
+# --- Q: lexical_diversity — type-token ratios per source -----------------
+# Both ratios divide EXACT integer sums once (no float accumulation):
+# doc_ttr pools per-doc distinct counts; source_ttr counts distinct
+# tokens across the whole source (the stricter global vocabulary view).
+
+def _lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+    toked = docs.select(
+        "source",
+        tokens("text").alias("__toks"),
+    ).select(
+        "source",
+        F.size("__toks").alias("__n"),
+        F.size(F.array_distinct("__toks")).alias("__t"),
+        F.col("__toks"),
+    )
+    per_doc = toked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.sum("__t").cast("bigint").alias("n_doc_types"),
+    )
+    global_types = (
+        toked.select("source", F.explode("__toks").alias("__tok"))
+        .groupBy("source")
+        .agg(F.count_distinct("__tok").cast("bigint").alias("n_source_types"))
+    )
+    return (
+        per_doc.join(global_types, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_doc_types",
+            F.round(F.col("n_doc_types") / F.col("n_tokens"), 6).alias("doc_ttr"),
+            "n_source_types",
+            F.round(F.col("n_source_types") / F.col("n_tokens"), 6).alias("source_ttr"),
+        )
+        .orderBy("source")
+    )
+
+
+_LEXICAL_DIVERSITY_SQL = r"""
+WITH toked AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         CAST(sum(len(list_distinct(toks))) AS BIGINT) AS n_doc_types
+  FROM toked
+  GROUP BY source
+), global_types AS (
+  SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS n_source_types
+  FROM (SELECT source, unnest(toks) AS tok FROM toked)
+  GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_tokens, p.n_doc_types,
+       round(p.n_doc_types * 1.0 / p.n_tokens, 6) AS doc_ttr,
+       g.n_source_types,
+       round(g.n_source_types * 1.0 / p.n_tokens, 6) AS source_ttr
+FROM per_doc p JOIN global_types g USING (source)
+ORDER BY p.source
+"""
+
+
+# --- Q: dup_cluster_sizes — near-dup cluster-size histogram --------------
+# Wider slice + lower threshold than the pair queries so the histogram
+# has structure (clusters beyond bare pairs); the recursive-CTE oracle
+# recomputes the same transitive closure exactly.
+
+DUP_HIST_DOC_LIMIT = 500
+DUP_HIST_THRESHOLD = 0.35
+
+_HIST_PAIRS_CTES = f"""t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE doc_id < {DUP_HIST_DOC_LIMIT}
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+), sized AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+def _dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < DUP_HIST_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=DUP_HIST_THRESHOLD)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+        )
+        .select(F.col("cluster_size").cast("bigint").alias("cluster_size"), "n_clusters", "n_docs")
+        .orderBy("cluster_size")
+    )
+
+
+_DUP_CLUSTER_SIZES_SQL = f"""
+WITH RECURSIVE {_HIST_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {DUP_HIST_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM qual
+  UNION
+  SELECT id_b, id_a FROM qual
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+),
+sizes AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sizes
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
+# --- Q: canonical_best_docs — quality-aware survivor selection -----------
+# Same bounded pair slice + transitive closure as canonical_docs, but
+# the survivor is the LONGEST doc (tie: min doc_id) — the policy real
+# curation pipelines run (keep the best copy, not an arbitrary one).
+
+def _canonical_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.graph import alternating_components
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    comps = alternating_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    kept = dedup_keep_best(
+        docs, comps, "doc_id", [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    return kept.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+_CANONICAL_BEST_DOCS_SQL = f"""
+WITH RECURSIVE {_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM qual
+  UNION
+  SELECT id_b, id_a FROM qual
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (
+           PARTITION BY coalesce(c.component, d.doc_id)
+           ORDER BY d.n_chars DESC, d.doc_id
+         ) AS rn
+  FROM documents d
+  LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE d.doc_id < {PAIR_DOC_LIMIT}
+)
+SELECT doc_id, lang, n_chars
+FROM ranked
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "split_leakage_pairs",
+        "near-dup pairs crossing a deterministic train/val split (eval-leakage audit)",
+        _split_leakage_pairs,
+        _SPLIT_LEAKAGE_PAIRS_SQL,
+        tags=("dedup", "sampling", "audit"),
+    ),
+    QuerySpec(
+        "lexical_diversity",
+        "per-source type-token ratios, doc-pooled and source-global",
+        _lexical_diversity,
+        _LEXICAL_DIVERSITY_SQL,
+        tags=("text", "agg", "audit"),
+    ),
+    QuerySpec(
+        "dup_cluster_sizes",
+        "near-dup cluster-size histogram (shape of the duplication)",
+        _dup_cluster_sizes,
+        _DUP_CLUSTER_SIZES_SQL,
+        tags=("dedup", "graph", "audit"),
+    ),
+    QuerySpec(
+        "canonical_best_docs",
+        "quality-aware survivor selection: keep the longest doc per near-dup cluster",
+        _canonical_best_docs,
+        _CANONICAL_BEST_DOCS_SQL,
+        tags=("dedup", "graph", "audit"),
+    ),
+]

@@ -52,6 +52,24 @@ def test_dedup_keep_canonical_keeps_min_and_singletons(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 9]
 
 
+def test_dedup_keep_best_keeps_quality_winner_and_singletons(spark):
+    from databeats_spark.operators.graph import dedup_keep_best
+
+    rows = spark.createDataFrame(
+        [(1, 10, "short"), (2, 90, "the long best copy"), (3, 90, "tied length"),
+         (9, 5, "singleton")],
+        "doc_id: long, n_chars: long, text: string",
+    )
+    comps = connected_components(edges_df(spark, [(1, 2), (2, 3)]))
+    kept = dedup_keep_best(
+        rows, comps, "doc_id", [F.col("n_chars").desc(), F.col("doc_id").asc()]
+    )
+    # winner = longest (2 beats 1), tie broken by min id (2 beats 3);
+    # the singleton survives untouched
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 9]
+    assert "component" not in kept.columns
+
+
 def test_registry_components_cover_all_pair_endpoints(spark):
     from databeats_spark.registry import queries
     from tests.conftest import SF_SMOKE
