@@ -315,7 +315,67 @@ ORDER BY doc_id
 """
 
 
+# --- Q: near_dup_threshold_sweep — pair counts by Jaccard band -----------
+# The tuning curve for the dedup threshold: how many candidate pairs
+# fire in each similarity band. Runs the candidate generator with NO
+# threshold (every pair sharing ≥1 shingle) over the bounded verifier
+# slice and buckets exact Jaccard into 0.05-wide bands. Both engines
+# compute the identical double from the identical integer triple, so
+# floor(j*20) lands in the same band bit-for-bit.
+
+def _near_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 20).cast("bigint").alias("band"),
+            "jaccard",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jaccard"),
+            F.round(F.max("jaccard"), 6).alias("max_jaccard"),
+        )
+        .select(
+            "band",
+            F.round(F.col("band") / 20.0, 6).alias("band_lo"),
+            "n_pairs",
+            "min_jaccard",
+            "max_jaccard",
+        )
+        .orderBy("band")
+    )
+
+
+_NEAR_DUP_THRESHOLD_SWEEP_SQL = f"""
+WITH {_PAIRS_CTES},
+j AS (
+  SELECT common * 1.0 / (sa.n + sb.n - common) AS jac
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+)
+SELECT CAST(floor(jac * 20) AS BIGINT) AS band,
+       round(CAST(floor(jac * 20) AS BIGINT) / 20.0, 6) AS band_lo,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(jac), 6) AS min_jaccard,
+       round(max(jac), 6) AS max_jaccard
+FROM j
+GROUP BY 1
+ORDER BY band
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "near_dup_threshold_sweep",
+        "candidate-pair counts by Jaccard band (dedup threshold tuning curve)",
+        _near_dup_threshold_sweep,
+        _NEAR_DUP_THRESHOLD_SWEEP_SQL,
+        tags=("dedup", "audit"),
+    ),
     QuerySpec(
         "split_leakage_pairs",
         "near-dup pairs crossing a deterministic train/val split (eval-leakage audit)",
