@@ -37,6 +37,7 @@ class IVFIndex:
         n_lists: int = 16,
         seed: int = 42,
         max_iter: int = 20,
+        init_mode: str = "k-means||",
     ) -> "IVFIndex":
         # KMeans is compute-bound: a single-file parquet scan arrives as
         # one partition and serializes the fit — spread() no-ops when the
@@ -48,7 +49,7 @@ class IVFIndex:
             embeddings.sparkSession,
         )
         km = KMeans(
-            k=n_lists, seed=seed, maxIter=max_iter,
+            k=n_lists, seed=seed, maxIter=max_iter, initMode=init_mode,
             featuresCol="__v", predictionCol="centroid_id",
         ).fit(vecs)
         assigned = km.transform(vecs).select(id_col, vec_col, "centroid_id")
