@@ -1,0 +1,107 @@
+"""Cross-query invariants for the r5 corpus-audit batch — the
+oracle differential (test_differential) proves engine parity; these
+prove the queries are consistent with EACH OTHER and with the
+operators they reuse."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from databeats_spark.operators.graph import connected_components, dedup_keep_best
+from tests.conftest import SF_SMOKE
+
+SETTINGS = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(lambda p: p[0] != p[1]),
+        min_size=0,
+        max_size=12,
+    ),
+    quality=st.lists(st.integers(0, 100), min_size=10, max_size=10),
+)
+@settings(**SETTINGS)
+def test_dedup_keep_best_picks_max_quality_per_component(spark, edges, quality):
+    rows = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(quality)], "id: long, q: long"
+    )
+    comps = connected_components(
+        spark.createDataFrame(edges, "src: long, dst: long")
+        if edges
+        else spark.createDataFrame([], "src: long, dst: long")
+    )
+    kept = dedup_keep_best(rows, comps, "id", [F.col("q").desc(), F.col("id").asc()])
+    got = {r["id"] for r in kept.collect()}
+
+    comp_of = {r["node"]: r["component"] for r in comps.collect()}
+    clusters: dict[int, list[int]] = {}
+    for i in range(10):
+        clusters.setdefault(comp_of.get(i, i), []).append(i)
+    want = {
+        min(members, key=lambda i: (-quality[i], i)) for members in clusters.values()
+    }
+    assert got == want
+
+
+def test_threshold_sweep_is_consistent_with_near_dup_pairs(spark):
+    """The bands at or above 0.5 must sum to exactly near_dup_pairs's
+    row count: floor(j*20) >= 10 iff j >= 0.5, same slice, same
+    shingle definition."""
+    from databeats_spark.registry import queries
+
+    sweep = queries()["near_dup_threshold_sweep"](spark, SF_SMOKE).toPandas()
+    pairs = queries()["near_dup_pairs"](spark, SF_SMOKE).toPandas()
+    assert sweep[sweep.band >= 10].n_pairs.sum() == len(pairs)
+    # band bounds actually bound the band's observed jaccard range
+    assert (sweep.min_jaccard >= sweep.band_lo - 1e-9).all()
+    assert (sweep.max_jaccard < sweep.band_lo + 0.05 + 1e-9).all()
+
+
+def test_split_leakage_is_the_cross_split_subset_of_near_dup_pairs(spark):
+    from databeats_spark.registry import queries
+
+    leak = queries()["split_leakage_pairs"](spark, SF_SMOKE).toPandas()
+    pairs = queries()["near_dup_pairs"](spark, SF_SMOKE).toPandas()
+
+    def split(doc_id: int) -> str:
+        return "train" if hashlib.md5(str(doc_id).encode()).hexdigest()[:4] < "8000" else "val"
+
+    want = {
+        (a, b)
+        for a, b in zip(pairs.id_a, pairs.id_b)
+        if split(a) != split(b)
+    }
+    assert set(zip(leak.id_a, leak.id_b)) == want
+    for r in leak.itertuples():
+        assert r.split_a == split(r.id_a) and r.split_b == split(r.id_b)
+        assert r.split_a != r.split_b
+
+
+def test_dup_cluster_sizes_histogram_is_internally_consistent(spark):
+    from databeats_spark.registry import queries
+
+    hist = queries()["dup_cluster_sizes"](spark, SF_SMOKE).toPandas()
+    # every cluster in the histogram is a real cluster (>= 2 members)
+    assert (hist.cluster_size >= 2).all()
+    # n_docs is exactly cluster_size x n_clusters per band
+    assert (hist.n_docs == hist.cluster_size * hist.n_clusters).all()
+
+
+def test_canonical_best_keeps_no_fewer_and_no_shorter_than_min_id_policy(spark):
+    """Both survivor policies keep exactly one doc per cluster plus all
+    singletons — same cardinality — and the best-policy survivor set's
+    total n_chars is >= the min-id policy's (it keeps the longest)."""
+    from databeats_spark.registry import queries
+
+    best = queries()["canonical_best_docs"](spark, SF_SMOKE).toPandas()
+    minid = queries()["canonical_docs"](spark, SF_SMOKE).toPandas()
+    assert len(best) == len(minid)
+    assert best.n_chars.sum() >= minid.n_chars.sum()
