@@ -121,6 +121,46 @@ def test_partitioned_running_total_avoids_single_partition_window(spark):
     assert "__sub" in single[0], f"SinglePartition exchange carries main data:\n{single[0]}"
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """A selective dim-side filter must inject a runtime bloom filter
+    into the FACT side's scan condition (might_contain over the join
+    key) so the big scan pre-prunes rows before the shuffle join — the
+    row-level twin of partition pruning at 100 TB. Local sf files sit
+    below the production size thresholds, so the test lowers them to
+    make the optimizer see 'cluster-scale' relations; at real scale the
+    DEFAULT thresholds (10 GB application-side scan) fire on their own.
+    Broadcast is disabled because a broadcast join already ships the
+    keys — the bloom filter is the SHUFFLE-join path's pruning tool."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        t = load_tables(spark, SF_SMOKE, ["orders", "lineitem"])
+        sel = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            t.lineitem.join(sel, t.lineitem["l_orderkey"] == sel["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+        # the filter must guard the LINEITEM (fact) scan's key column
+        cond = [l for l in plan.splitlines() if "might_contain" in l]
+        assert any("l_orderkey" in l for l in cond), plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_attach_global_scalar_materializes_base_once(spark):
     """The scalar crossJoin must not re-execute the shared aggregate:
     after execution the plan reads checkpointed blocks (ExistingRDD)
