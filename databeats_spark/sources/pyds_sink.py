@@ -19,7 +19,10 @@ for overwrite, removes the old generation). A failed/speculated task's
 staging is dropped by ``abort`` — half-written tasks can never be
 observed by readers. The per-task unit is a stream of bounded batches
 (the Mongo ``insert_many``/BQ load-job shape), never a whole-partition
-buffer, so executor memory stays flat at any partition size.
+buffer, so executor memory stays flat at any partition size. Rows
+cross the JVM→Python boundary as Arrow RecordBatches
+(``DataSourceArrowWriter``) — no per-row Python objects on the Spark
+side; each Arrow batch is re-chunked to the transport bound.
 
 No network in this container, so the built-in ``send_batch`` writes
 durable JSONL into the staging area (the injectable-transport stand-in,
@@ -47,8 +50,8 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -100,23 +103,21 @@ class _StagedBatchWriter:
                 f.write(json.dumps(doc, default=str) + "\n")
 
     def write(self, iterator: Iterator) -> CollectionCommit:
+        """Arrow path: rows arrive as RecordBatches (zero per-row
+        Python objects on the Spark side); each is re-chunked to the
+        transport's ``batch_size`` bound — memory stays one Arrow
+        batch + one transport chunk regardless of partition size."""
         os.makedirs(self.staging_dir, exist_ok=True)
         staged = os.path.join(self.staging_dir, f"task-{uuid.uuid4().hex}.jsonl")
         # create the file even for an empty partition so commit counts match
         open(staged, "a", encoding="utf-8").close()
-        batch: list[dict] = []
         n_rows = n_batches = 0
-        for row in iterator:
-            batch.append(row.asDict())
-            if len(batch) >= self.batch_size:
-                self.send_batch(staged, batch)
-                n_rows += len(batch)
+        for rb in iterator:
+            for start in range(0, rb.num_rows, self.batch_size):
+                chunk = rb.slice(start, self.batch_size).to_pylist()
+                self.send_batch(staged, chunk)
+                n_rows += len(chunk)
                 n_batches += 1
-                batch = []
-        if batch:
-            self.send_batch(staged, batch)
-            n_rows += len(batch)
-            n_batches += 1
         return CollectionCommit(staged_file=staged, n_rows=n_rows, n_batches=n_batches)
 
     # driver-side helpers -------------------------------------------------
@@ -144,7 +145,7 @@ class _StagedBatchWriter:
                 os.remove(m.staged_file)
 
 
-class CollectionWriter(_StagedBatchWriter, DataSourceWriter):
+class CollectionWriter(_StagedBatchWriter, DataSourceArrowWriter):
     def __init__(self, options: dict, overwrite: bool) -> None:
         super().__init__(options)
         self.overwrite = overwrite
@@ -167,7 +168,7 @@ class CollectionWriter(_StagedBatchWriter, DataSourceWriter):
         self._drop_staged(messages)
 
 
-class CollectionStreamWriter(_StagedBatchWriter, DataSourceStreamWriter):
+class CollectionStreamWriter(_StagedBatchWriter, DataSourceStreamArrowWriter):
     """Per-epoch promotion: epoch=<id>/ directories, replay-idempotent
     (a retried epoch overwrites its own directory and nothing else)."""
 

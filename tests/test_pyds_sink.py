@@ -71,9 +71,11 @@ def test_batches_are_bounded_by_batch_size(spark, tmp_path):
 
 
 def test_abort_drops_staged_files(spark, tmp_path):
+    import pyarrow as pa
+
     out = str(tmp_path / "aborted")
     w = CollectionWriter({"path": out, "batch_size": "5"}, overwrite=False)
-    msg = w.write(iter(spark.createDataFrame([(i,) for i in range(12)], "id: long").collect()))
+    msg = w.write(iter([pa.RecordBatch.from_pylist([{"id": i} for i in range(12)])]))
     assert os.path.exists(msg.staged_file)
     assert msg.n_rows == 12 and msg.n_batches == 3  # 5 + 5 + 2
     w.abort([msg])
