@@ -101,6 +101,19 @@ def main() -> None:
         reg[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         mining[name] = round(time.perf_counter() - t0, 4)
 
+    # additive section (round 5+): the corpus QA / audit batch. Single
+    # timed run each, same rationale as the mining section (the CC
+    # closure inside dup_cluster_sizes is iterative).
+    _AUDIT = [
+        "near_dup_threshold_sweep", "split_leakage_pairs",
+        "lexical_diversity", "dup_cluster_sizes", "canonical_best_docs",
+    ]
+    audit: dict[str, float] = {}
+    for name in _AUDIT:
+        t0 = time.perf_counter()
+        reg[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        audit[name] = round(time.perf_counter() - t0, 4)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_runtime",
@@ -109,6 +122,8 @@ def main() -> None:
         "queries": timings,
         "mining_queries_total_runtime": round(sum(mining.values()), 4),
         "mining_queries": mining,
+        "audit_queries_total_runtime": round(sum(audit.values()), 4),
+        "audit_queries": audit,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
