@@ -53,7 +53,7 @@ _WINDOW = (
     # oldest-verified for re-verification. PREPEND new r5 queries here
     # as they land.
     # r5 audit batch (never driver-verified — front of the window):
-    "near_dup_threshold_sweep",
+    "token_budget_allocation", "near_dup_threshold_sweep",
     "split_leakage_pairs", "lexical_diversity", "dup_cluster_sizes",
     "canonical_best_docs",
     "revenue_share",  # r5: rebuilt on attach_global_scalar (provable scalar side)

@@ -368,7 +368,135 @@ ORDER BY band
 """
 
 
+# --- Q: token_budget_allocation — water-filling mix under a budget ------
+# The training-mix planning move: given a total token budget (60% of
+# the corpus here), allocate per-source quotas so no source exceeds
+# its own supply and all surplus is shared EQUALLY among the larger
+# sources — the classic water-filling closed form. Small sources are
+# fully taken (capped); the rest all receive the same water level L
+# with sum(alloc) = budget.
+#
+# Exactness engineering: budget and every comparison are pure BIGINT
+# arithmetic (cap*(remaining) < budget-prefix is the capped test —
+# monotone in the cap-ascending order, so the capped set is a prefix);
+# only the final level L is a double, divided once and rounded. The
+# per-source table is explicitly .limit()-bounded (a catalog, not a
+# data axis) so the rank/prefix windows are provably bounded — no
+# allowlist entry; the two global scalars ride attach_global_scalar
+# per the derived-scalar rule.
+
+BUDGET_FRACTION_NUM, BUDGET_FRACTION_DEN = 3, 5  # 60%, exact integers
+SOURCE_CATALOG_BOUND = 100_000  # documented max distinct sources
+
+
+def _token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    per_src = (
+        spread(t.documents, spark)
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).cast("bigint").alias("cap_tokens"))
+    )
+    sized = attach_global_scalar(
+        per_src,
+        F.sum("cap_tokens").cast("bigint").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    ).limit(SOURCE_CATALOG_BOUND)
+
+    w = Window.orderBy("cap_tokens", "source")
+    flagged = (
+        sized.select(
+            "source",
+            "cap_tokens",
+            "__n",
+            F.expr(
+                f"CAST((__total * {BUDGET_FRACTION_NUM}) DIV {BUDGET_FRACTION_DEN} AS BIGINT)"
+            ).alias("__budget"),
+            F.row_number().over(w).cast("bigint").alias("__i"),
+            F.coalesce(
+                F.sum("cap_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__p"),
+        )
+        .withColumn(
+            "is_capped",
+            (F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1))
+            < (F.col("__budget") - F.col("__p")),
+        )
+    )
+    alloc = attach_global_scalar(
+        flagged,
+        F.sum(F.when(F.col("is_capped"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("__k"),
+        F.sum(F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("__pk"),
+    )
+    level = (F.col("__budget") - F.col("__pk")) / (F.col("__n") - F.col("__k"))
+    allocated = F.when(
+        F.col("is_capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(level)
+    return alloc.select(
+        "source",
+        "cap_tokens",
+        "is_capped",
+        F.round(allocated, 6).alias("allocated_tokens"),
+        F.round(allocated / F.col("__budget"), 6).alias("budget_share"),
+    ).orderBy("source")
+
+
+_TOKEN_BUDGET_ALLOCATION_SQL = rf"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS cap_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(cap_tokens) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS n
+  FROM per_src
+), ranked AS (
+  SELECT p.source, p.cap_tokens, t.n,
+         CAST((t.total * {BUDGET_FRACTION_NUM}) // {BUDGET_FRACTION_DEN} AS BIGINT) AS budget,
+         CAST(row_number() OVER (ORDER BY p.cap_tokens, p.source) AS BIGINT) AS i,
+         CAST(coalesce(sum(p.cap_tokens) OVER (
+           ORDER BY p.cap_tokens, p.source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+  FROM per_src p, tot t
+), flagged AS (
+  SELECT *, (cap_tokens * (n - i + 1)) < (budget - pfx) AS is_capped
+  FROM ranked
+), scal AS (
+  SELECT CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) AS BIGINT) AS k,
+         CAST(sum(CASE WHEN is_capped THEN cap_tokens ELSE 0 END) AS BIGINT) AS pk
+  FROM flagged
+), final AS (
+  SELECT f.source, f.cap_tokens, f.is_capped, f.budget,
+         CASE WHEN f.is_capped THEN CAST(f.cap_tokens AS DOUBLE)
+              ELSE (f.budget - s.pk) * 1.0 / (f.n - s.k) END AS alloc
+  FROM flagged f, scal s
+)
+SELECT source, cap_tokens, is_capped,
+       round(alloc, 6) AS allocated_tokens,
+       round(alloc / budget, 6) AS budget_share
+FROM final
+ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "token_budget_allocation",
+        "water-filling per-source quotas under a 60% total token budget",
+        _token_budget_allocation,
+        _TOKEN_BUDGET_ALLOCATION_SQL,
+        tags=("sampling", "window", "audit"),
+    ),
     QuerySpec(
         "near_dup_threshold_sweep",
         "candidate-pair counts by Jaccard band (dedup threshold tuning curve)",

@@ -95,6 +95,24 @@ def test_dup_cluster_sizes_histogram_is_internally_consistent(spark):
     assert (hist.n_docs == hist.cluster_size * hist.n_clusters).all()
 
 
+def test_token_budget_allocation_is_exact_water_filling(spark):
+    """sum(alloc) equals the budget (to rounding), no source exceeds
+    its cap, capped sources are exactly the prefix in cap-ascending
+    order, and every uncapped source gets the same level."""
+    from databeats_spark.registry import queries
+
+    out = queries()["token_budget_allocation"](spark, SF_SMOKE).toPandas()
+    caps = dict(zip(out.source, out.cap_tokens))
+    budget = int(sum(caps.values()) * 3 // 5)
+    assert abs(out.allocated_tokens.sum() - budget) < 1e-3
+    assert (out.allocated_tokens <= out.cap_tokens + 1e-9).all()
+    levels = out[~out.is_capped].allocated_tokens.unique()
+    assert len(levels) == 1
+    # capped iff cap below the shared level
+    assert ((out.cap_tokens < levels[0] - 1e-9) == out.is_capped).all()
+    assert abs(out.budget_share.sum() - 1.0) < 1e-4
+
+
 def test_canonical_best_keeps_no_fewer_and_no_shorter_than_min_id_policy(spark):
     """Both survivor policies keep exactly one doc per cluster plus all
     singletons — same cardinality — and the best-policy survivor set's
