@@ -107,6 +107,7 @@ def main() -> None:
     _AUDIT = [
         "near_dup_threshold_sweep", "split_leakage_pairs",
         "lexical_diversity", "dup_cluster_sizes", "canonical_best_docs",
+        "token_budget_allocation",
     ]
     audit: dict[str, float] = {}
     for name in _AUDIT:
