@@ -15,6 +15,10 @@ dedup + hygiene signals:
 - canonical_best_docs: quality-aware survivor selection — keep the
                        LONGEST doc per near-dup cluster (tie: min id)
                        instead of canonical_docs' arbitrary min-id
+- near_dup_threshold_sweep: candidate-pair counts by 0.05 Jaccard
+                       band — the curve that picks the dedup threshold
+- token_budget_allocation: water-filling per-source quotas under a
+                       total token budget — the training-mix planner
 
 Reference parity: the reference's dedup surface is exact
 drop_duplicates (SURVEY §2.5 A2/A3); these extend the same

@@ -34,6 +34,7 @@ FLAGSHIPS = {
     "span_dedup_docs": "C4 span dedup: first-keep window PARTITIONED BY the span value (key-partitioned, no global sort)",
     "oov_rate": "vocab head via TakeOrderedAndProject, broadcast re-attach; one explode + hash agg on the corpus side",
     "rolling_7d_active_users": "sliding distinct: bounded cover-day explode (blowup = window length) + per-day hash agg",
+    "token_budget_allocation": "water-filling: BIGINT capped-prefix test; windows over the limit-bounded source catalog; scalars via checkpointed attach",
 }
 
 
@@ -51,20 +52,30 @@ per query per scale factor (bench.py mining methodology). Data grows
 
 | query | sf0.01 s | sf0.1 s | runtime ratio (10x data) |
 |---|---|---|---|
-| minhash_near_dups | 1.45 / 1.25 | 2.44 / 1.93 | 1.69 / 1.55 |
-| semdedup_near_dups | 2.46 / 2.30 | 12.56 / 3.16 | 5.11 / 1.37 |
-| pagerank_docs | 2.86 / 2.66 | 5.05 / 3.57 | 1.77 / 1.34 |
-| curation_funnel | 8.33 / 7.20 | 12.64 / 10.44 | 1.52 / 1.45 |
+| minhash_near_dups | 1.45 / 1.25 / 1.57 | 2.44 / 1.93 / 2.84 | 1.69 / 1.55 / 1.81 |
+| semdedup_near_dups | 2.46 / 2.30 / 2.25 | 12.56 / 3.16 / 25.39* | 5.11 / 1.37 / 11.31* |
+| pagerank_docs | 2.86 / 2.66 / 3.25 | 5.05 / 3.57 / 4.73 | 1.77 / 1.34 / 1.46 |
+| curation_funnel | 8.33 / 7.20 / 8.84 | 12.64 / 10.44 / 12.03 | 1.52 / 1.45 / 1.36 |
+| lexical_diversity (r5) | 0.68 | 0.85 | 1.25 |
+| token_budget_allocation (r5) | 0.84 | 0.75 | 0.89 |
 
 Every ratio is far below the 10x data ratio: at these scale factors
 the runtimes are dominated by the FIXED round/iteration structure
 (LSH band join rounds, CC rounds bounded by cluster diameter, KMeans
 iterations, per-stage actions) while the per-row work parallelizes —
 exactly the profile the bounded-candidate designs predict. Nothing
-re-quadratizes (the semdedup 5.11 first sample is the same VM noise
-documented in README's variance note; its second sample is 1.37, and
-its pair budget is constant per cluster by construction, n_lists =
-n//400).
+re-quadratizes; the pair budget is constant per cluster by
+construction, n_lists = n//400.
+
+*The semdedup sf0.1 spikes (12.56, 25.39) are external host steal,
+not a plan property: the third sample's run landed on a day README's
+variance note documents (host load ~10 with zero local processes),
+and four consecutive sf0.1 runs of the identical query in one session
+immediately after measured 6.43 / 3.54 / 2.86 / 4.39 s — steady state
+~3-4 s (the first run pays whole-stage-codegen for the larger plan).
+With the r5 random-init maxIter-4 bucketing fit, steady state is
+BELOW the 5.05 s the r4 driver recorded. The two r5 audit additions
+scale essentially flat: both are one scan + catalog-bounded windows.
 
 ## curation_funnel stage breakdown (sf0.1)
 

@@ -28,6 +28,11 @@ HEAVIES = [
     "semdedup_near_dups",
     "pagerank_docs",
     "curation_funnel",
+    # r5 full-corpus audit queries (the bounded-slice audit queries —
+    # cluster sizes, keep-best — deliberately do NOT scale with sf and
+    # would make the curve meaningless)
+    "lexical_diversity",
+    "token_budget_allocation",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
