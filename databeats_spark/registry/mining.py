@@ -348,7 +348,12 @@ def _source_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("n_tok").alias("tokens"))
     )
-    per_source = attach_global_scalar(per_source, F.sum("tokens").alias("total"))
+    # explicit catalog bound: sources are a catalog, not a data axis;
+    # the limit is a semantic no-op that lets the plan lint PROVE the
+    # cumulative window bounded instead of trusting an allowlist entry
+    per_source = attach_global_scalar(per_source, F.sum("tokens").alias("total")).limit(
+        100_000
+    )
     w = Window.orderBy(F.desc("tokens"), "source").rowsBetween(
         Window.unboundedPreceding, 0
     )
