@@ -32,6 +32,12 @@ def main() -> None:
         "per-stage split in the JSON line (stages are checkpointed, so "
         "each count pays only its own stage's incremental cost)",
     )
+    ap.add_argument(
+        "--audit", action="store_true",
+        help="run the corpus QA battery over the input tables (threshold "
+        "sweep, split leakage, cluster sizes, diversity, budget "
+        "allocation) and fold the summaries into the JSON line",
+    )
     args = ap.parse_args()
 
     from databeats_spark.plans.curation import curate_corpus, stage_builders
@@ -76,6 +82,25 @@ def main() -> None:
               "funnel": {name: n for _, name, n in funnel}}
     if args.stage_times:
         record["stage_sec"] = stage_sec
+    if args.audit:
+        # every audit output is catalog/band/pair-slice bounded, so the
+        # driver-side pulls are small by construction
+        from databeats_spark.registry import queries as all_queries
+
+        reg = all_queries()
+        sweep = reg["near_dup_threshold_sweep"](spark, args.sf_dir).toPandas()
+        leak = reg["split_leakage_pairs"](spark, args.sf_dir).toPandas()
+        sizes = reg["dup_cluster_sizes"](spark, args.sf_dir).toPandas()
+        div = reg["lexical_diversity"](spark, args.sf_dir).toPandas()
+        alloc = reg["token_budget_allocation"](spark, args.sf_dir).toPandas()
+        record["audit"] = {
+            "jaccard_bands": {str(r.band_lo): int(r.n_pairs) for r in sweep.itertuples()},
+            "split_leakage_pairs": len(leak),
+            "dup_cluster_sizes": {str(r.cluster_size): int(r.n_clusters) for r in sizes.itertuples()},
+            "sources": len(div),
+            "source_ttr_range": [float(div.source_ttr.min()), float(div.source_ttr.max())],
+            "budget_capped_sources": int(alloc.is_capped.sum()),
+        }
     print(json.dumps(record))
     spark.stop()
 
