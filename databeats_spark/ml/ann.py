@@ -68,7 +68,11 @@ class IVFIndex:
         for ci, c in enumerate(centers):
             rows.append((ci, [float(x) for x in c]))
         spark = queries.sparkSession
-        cdf = spark.createDataFrame(rows, ["centroid_id", "center"])
+        # .limit(n_lists) is a semantic no-op on the literal centroid
+        # table (Python createDataFrame plans as an RDD scan, which a
+        # plan lint cannot prove bounded) — it makes the broadcast
+        # side's bound explicit in the plan itself
+        cdf = spark.createDataFrame(rows, ["centroid_id", "center"]).limit(len(rows))
         q = queries.select(
             F.col(self.id_col).alias("query_id"), F.col(self.vec_col).alias("__qv")
         )

@@ -55,6 +55,7 @@ _WINDOW = (
     # r5 audit batch (never driver-verified — front of the window):
     "token_budget_allocation", "near_dup_threshold_sweep",
     "source_pareto",  # r5: catalog window restructured behind explicit limit
+    "embedding_near_dups",  # r5: verifier slice restructured behind explicit limit
     "split_leakage_pairs", "lexical_diversity", "dup_cluster_sizes",
     "canonical_best_docs",
     "revenue_share",  # r5: rebuilt on attach_global_scalar (provable scalar side)

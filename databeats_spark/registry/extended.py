@@ -322,8 +322,13 @@ EMBED_DUP_THRESHOLD = 0.4
 
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    e = t.embeddings.filter(F.col("vec_id") < EMBED_PAIR_LIMIT).select(
-        "vec_id", "embedding"
+    # the trailing .limit is a semantic no-op (ids below the bound
+    # number at most the bound) that lets the plan lint PROVE the
+    # verifier slice bounded instead of trusting an allowlist entry
+    e = (
+        t.embeddings.filter(F.col("vec_id") < EMBED_PAIR_LIMIT)
+        .select("vec_id", "embedding")
+        .limit(EMBED_PAIR_LIMIT)
     )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))

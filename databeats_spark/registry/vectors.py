@@ -24,7 +24,10 @@ EMBED_DIM = 64
 
 def _cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
-    q = t.embeddings.filter(F.col("vec_id") < N_QUERY_VECS)
+    # the trailing .limit is a semantic no-op (ids below N_QUERY_VECS
+    # number at most N_QUERY_VECS) that lets the plan lint PROVE the
+    # broadcast side bounded instead of trusting an allowlist entry
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS)
     out = cosine_top_k(t.embeddings, q, k=TOP_K)
     return out.select(
         "query_id",
@@ -72,7 +75,8 @@ def _ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["embeddings"])
     emb = t.embeddings
     idx = IVFIndex.fit(emb, n_lists=8)
-    q = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    # no-op bound, provable broadcast side (see _cosine_topk)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS)
     out = idx.search(q, k=TOP_K, n_probe=4)
     return out.select(
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),

@@ -30,11 +30,12 @@ from tests.conftest import SF_SMOKE
 # build side. Scalar attaches (keyless aggregates) no longer need
 # entries — the lint PROVES those from the plan tree.
 BOUNDED_JOIN_OK = {
-    "cosine_topk": "broadcast query-vector set (bounded by n_queries, not corpus)",
-    "ivf_cosine_topk": "broadcast probe-list ids (bounded by n_probes x n_queries)",
-    "embedding_near_dups": "broadcast probe-vector set (bounded sample, not corpus)",
     "weekly_resample": "bounded week x user grid (weeks are a calendar, not data, axis)",
 }
+# (cosine_topk, ivf_cosine_topk and embedding_near_dups left this list
+# in r5: their broadcast sides now sit behind explicit semantic-no-op
+# .limit()s — or are centroid-literal local relations — so
+# _provably_bounded proves them.)
 
 # ≤1-row-preserving plan nodes the scalar-side proof may walk through
 _AGG_NODES = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
@@ -99,6 +100,28 @@ def _behind_limit(node: dict) -> bool:
         return False
 
 
+def _provably_bounded(node: dict) -> bool:
+    """True when the subtree's row count is provably bounded by
+    CONSTRUCTION, independent of data volume: behind an explicit
+    LIMIT, a literal local relation (a broadcast constant table such
+    as KMeans centroids), or provably ≤1 row. This is the structural
+    form of every historical join-allowlist justification ('bounded by
+    n_queries', 'centroid literals') — a bound the plan enforces
+    instead of a comment asserting it."""
+    if _provably_scalar(node) or _behind_limit(node):
+        return True
+    while True:
+        c = _cls(node)
+        # NOTE: RDDScan/ExistingRDD (localCheckpoint output) is NOT
+        # bounded — checkpointed relations carry arbitrary data volume
+        if c in ("LocalTableScanExec", "EmptyRelationExec"):
+            return True
+        if c in _UNARY_ROW_SAFE and len(node["kids"]) == 1:
+            node = node["kids"][0]
+            continue
+        return False
+
+
 def _plan_tree(df) -> dict:
     nodes = json.loads(df._jdf.queryExecution().sparkPlan().toJSON())
     root, _ = _build_tree(nodes)
@@ -116,10 +139,10 @@ def _tree_violations(df) -> list[str]:
         c = _cls(n)
         if c == "BroadcastNestedLoopJoinExec":
             build = n["kids"][1] if "BuildRight" in str(n.get("buildSide", "")) else n["kids"][0]
-            if not _provably_scalar(build):
+            if not _provably_bounded(build):
                 bad.append("bnlj")
         elif c == "CartesianProductExec":
-            if not any(_provably_scalar(k) for k in n["kids"]):
+            if not any(_provably_bounded(k) for k in n["kids"]):
                 bad.append("cartesian")
         elif c in _WINDOW_NODES and n.get("partitionSpec", []) == []:
             if not _behind_limit(n["kids"][0]):
