@@ -9,6 +9,7 @@ import json
 import os
 
 from databeats_spark.sources.pyds_sink import (
+    CollectionStreamWriter,
     CollectionWriter,
     register,
 )
@@ -81,6 +82,32 @@ def test_abort_drops_staged_files(spark, tmp_path):
     w.abort([msg])
     assert not os.path.exists(msg.staged_file)
     assert _rows_on_disk(out) == 0  # nothing promoted
+
+
+def test_stream_epoch_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (same batchId after a checkpoint retry)
+    re-promotes its OWN epoch directory wholesale — row count stays
+    flat, other epochs untouched."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "coll")
+    w = CollectionStreamWriter({"path": out, "batch_size": "10"})
+    batch = [pa.RecordBatch.from_pylist([{"id": i} for i in range(25)])]
+    w.commit([w.write(iter(batch))], batchId=0)
+    w.commit([w.write(iter(batch))], batchId=1)
+
+    def n_rows(epoch):
+        return sum(
+            1
+            for f in glob.glob(os.path.join(out, f"epoch={epoch}", "part-*.jsonl"))
+            for _ in open(f, encoding="utf-8")
+        )
+
+    assert n_rows(0) == 25 and n_rows(1) == 25
+    # retry of epoch 1: fresh staging, same batchId
+    w.commit([w.write(iter(batch))], batchId=1)
+    assert n_rows(1) == 25, "replayed epoch duplicated rows"
+    assert n_rows(0) == 25, "replay touched a foreign epoch"
 
 
 def test_streaming_sink_promotes_per_epoch(spark, tmp_path):
