@@ -53,6 +53,7 @@ _WINDOW = (
     # oldest-verified for re-verification. PREPEND new r5 queries here
     # as they land.
     # r5 audit batch (never driver-verified — front of the window):
+    "dup_rate_by_source",
     "token_budget_allocation", "near_dup_threshold_sweep",
     "source_pareto",  # r5: catalog window restructured behind explicit limit
     "embedding_near_dups",  # r5: verifier slice restructured behind explicit limit

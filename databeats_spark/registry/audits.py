@@ -19,6 +19,8 @@ dedup + hygiene signals:
                        band — the curve that picks the dedup threshold
 - token_budget_allocation: water-filling per-source quotas under a
                        total token budget — the training-mix planner
+- dup_rate_by_source:  per-source near-dup membership rate — the
+                       provenance pollution chart, release over release
 
 Reference parity: the reference's dedup surface is exact
 drop_duplicates (SURVEY §2.5 A2/A3); these extend the same
@@ -255,6 +257,61 @@ SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
 FROM sizes
 GROUP BY cluster_size
 ORDER BY cluster_size
+"""
+
+
+# --- Q: dup_rate_by_source — per-source duplication rate -----------------
+# Which sources are polluted: the fraction of each source's docs (in
+# the bounded verifier slice) that belong to ANY near-dup cluster.
+# cross_source_dups counts pairs BETWEEN sources; this is the
+# per-source membership rate — the provenance chart a curation team
+# watches release over release. One exact integer ratio per source.
+
+def _dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    members = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.join(members, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("bigint").alias("n_dup_members"),
+        )
+        .withColumn("dup_rate", F.round(F.col("n_dup_members") / F.col("n_docs"), 6))
+        .orderBy("source")
+    )
+
+
+_DUP_RATE_BY_SOURCE_SQL = f"""
+WITH {_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+),
+members AS (
+  SELECT id_a AS doc_id FROM qual
+  UNION
+  SELECT id_b FROM qual
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_members,
+       round(sum(CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END) * 1.0 / count(*), 6) AS dup_rate
+FROM documents d
+LEFT JOIN members m ON d.doc_id = m.doc_id
+WHERE d.doc_id < {PAIR_DOC_LIMIT}
+GROUP BY d.source
+ORDER BY d.source
 """
 
 
@@ -528,6 +585,13 @@ SPECS = [
         _dup_cluster_sizes,
         _DUP_CLUSTER_SIZES_SQL,
         tags=("dedup", "graph", "audit"),
+    ),
+    QuerySpec(
+        "dup_rate_by_source",
+        "per-source near-dup membership rate (provenance pollution chart)",
+        _dup_rate_by_source,
+        _DUP_RATE_BY_SOURCE_SQL,
+        tags=("dedup", "agg", "audit"),
     ),
     QuerySpec(
         "canonical_best_docs",
