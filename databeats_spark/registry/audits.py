@@ -461,11 +461,29 @@ def _token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum(F.size(tokens("text"))).cast("bigint").alias("cap_tokens"))
     )
-    sized = attach_global_scalar(
-        per_src,
-        F.sum("cap_tokens").cast("bigint").alias("__total"),
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-    ).limit(SOURCE_CATALOG_BOUND)
+    # The trailing .limit is the lint's boundedness proof; the guard
+    # makes it LOUD: if the catalog ever reaches the bound, every row
+    # fails the assert (one job, plan-side, no extra action) instead of
+    # the limit silently truncating rows while __total/__n still
+    # reflect the full catalog (a wrong allocation + oracle divergence).
+    sized = (
+        attach_global_scalar(
+            per_src,
+            F.sum("cap_tokens").cast("bigint").alias("__total"),
+            F.count(F.lit(1)).cast("bigint").alias("__n"),
+        )
+        .where(
+            F.assert_true(
+                F.col("__n") < F.lit(SOURCE_CATALOG_BOUND),
+                F.lit(
+                    "token_budget_allocation: source catalog reached "
+                    "SOURCE_CATALOG_BOUND — raise the bound; refusing to "
+                    "truncate silently"
+                ),
+            ).isNull()
+        )
+        .limit(SOURCE_CATALOG_BOUND)
+    )
 
     w = Window.orderBy("cap_tokens", "source")
     flagged = (

@@ -350,9 +350,24 @@ def _source_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # explicit catalog bound: sources are a catalog, not a data axis;
     # the limit is a semantic no-op that lets the plan lint PROVE the
-    # cumulative window bounded instead of trusting an allowlist entry
-    per_source = attach_global_scalar(per_source, F.sum("tokens").alias("total")).limit(
-        100_000
+    # cumulative window bounded instead of trusting an allowlist entry.
+    # The assert makes the bound loud: if the catalog ever reaches it,
+    # the query fails instead of the limit silently truncating rows
+    # while `total` still reflects the full catalog.
+    per_source = (
+        attach_global_scalar(
+            per_source,
+            F.sum("tokens").alias("total"),
+            F.count(F.lit(1)).cast("bigint").alias("__n_src"),
+        )
+        .where(
+            F.assert_true(
+                F.col("__n_src") < F.lit(100_000),
+                F.lit("source_pareto: catalog reached its documented bound"),
+            ).isNull()
+        )
+        .limit(100_000)
+        .drop("__n_src")
     )
     w = Window.orderBy(F.desc("tokens"), "source").rowsBetween(
         Window.unboundedPreceding, 0

@@ -8,8 +8,13 @@ the BigQuery TRUNCATE+APPEND snapshot (K2/K3) — as a first-class
 ``df.write.format("collection_append")`` target with both semantics:
 
 - ``mode("append")``  → append new part files (K1 history append);
-- ``mode("overwrite")`` → commit-time truncate of prior parts, then
-  append (K2/K3 snapshot), atomically with the new data's promotion.
+- ``mode("overwrite")`` → commit-time snapshot swap (K2/K3): the new
+  generation is PROMOTED FIRST, then prior generations (parts,
+  manifests, epoch dirs) are removed. The swap is not atomic on a
+  plain filesystem — a driver crash between promote and cleanup
+  leaves BOTH generations on disk, never zero — so readers must key
+  off the latest manifest generation; a production subclass swaps in
+  the store's atomic truncate+load primitive here.
 
 The scale/correctness contract is two-phase commit: every task streams
 its rows in ``batch_size`` chunks through the ``send_batch`` transport
@@ -28,7 +33,7 @@ No network in this container, so the built-in ``send_batch`` writes
 durable JSONL into the staging area (the injectable-transport stand-in,
 same pattern as pyds.py's ``fetch_page``). A production subclass
 overrides ``send_batch`` with an idempotent bulk-write client and
-``_promote``/``_truncate`` with the store's commit primitives; the
+``_promote``/``_truncate_prior`` with the store's commit primitives; the
 two-phase structure, batching, option plumbing, and abort path are the
 real, tested parts.
 
@@ -122,10 +127,29 @@ class _StagedBatchWriter:
 
     # driver-side helpers -------------------------------------------------
 
-    def _truncate(self) -> None:
+    def _truncate_prior(self, keep_generation: str) -> None:
+        """Remove every artifact of prior generations: part files and
+        manifests whose generation differs from ``keep_generation``,
+        plus any streaming ``epoch=*`` directories — so row totals
+        derived from manifests never double-count after an overwrite."""
+        keep_part = f"part-{keep_generation}-"
+        keep_manifest = f"_manifest-{keep_generation}.json"
         for name in os.listdir(self.path):
+            full = os.path.join(self.path, name)
             if name.startswith("part-") and name.endswith(".jsonl"):
-                os.remove(os.path.join(self.path, name))
+                if not name.startswith(keep_part):
+                    os.remove(full)
+            elif name.startswith("_manifest-") and name != keep_manifest:
+                os.remove(full)
+            elif name.startswith("epoch=") and os.path.isdir(full):
+                shutil.rmtree(full)
+
+    def _sweep_staging(self) -> None:
+        """Drop orphaned staged files left by failed or speculated task
+        attempts whose commit message never reached the driver (the
+        winning attempt's file was already moved out by ``_promote``)."""
+        if os.path.isdir(self.staging_dir):
+            shutil.rmtree(self.staging_dir, ignore_errors=True)
 
     def _promote(self, messages, dest_dir: str, generation: str) -> int:
         os.makedirs(dest_dir, exist_ok=True)
@@ -151,9 +175,9 @@ class CollectionWriter(_StagedBatchWriter, DataSourceArrowWriter):
         self.overwrite = overwrite
 
     def commit(self, messages) -> None:
+        # Promote the NEW generation first so a crash mid-commit leaves
+        # both generations (recoverable via latest manifest), never none.
         gen = uuid.uuid4().hex[:8]
-        if self.overwrite:
-            self._truncate()
         total = self._promote(messages, self.path, gen)
         manifest = {
             "generation": gen,
@@ -163,6 +187,9 @@ class CollectionWriter(_StagedBatchWriter, DataSourceArrowWriter):
         }
         with open(os.path.join(self.path, f"_manifest-{gen}.json"), "w") as f:
             json.dump(manifest, f)
+        if self.overwrite:
+            self._truncate_prior(gen)
+        self._sweep_staging()
 
     def abort(self, messages) -> None:
         self._drop_staged(messages)
@@ -177,6 +204,9 @@ class CollectionStreamWriter(_StagedBatchWriter, DataSourceStreamArrowWriter):
         if os.path.isdir(epoch_dir):
             shutil.rmtree(epoch_dir)  # replay: re-promote the same epoch
         self._promote(messages, epoch_dir, f"e{int(batchId)}")
+        # epochs commit sequentially, so any file still staged belongs
+        # to a lost attempt of THIS epoch — safe to sweep
+        self._sweep_staging()
 
     def abort(self, messages, batchId: int) -> None:
         self._drop_staged(messages)

@@ -53,6 +53,42 @@ def test_overwrite_truncates_prior_generation(spark, tmp_path):
     for _ in range(2):  # snapshot twice: count must stay flat (K2/K3)
         docs.write.format("collection_append").option("path", out).mode("overwrite").save()
     assert _rows_on_disk(out) == n
+    # prior-generation manifests are removed too, so manifest-derived
+    # row totals never double-count after an overwrite
+    assert len(glob.glob(os.path.join(out, "_manifest-*.json"))) == 1
+    assert _manifest_totals(out) == n
+
+
+def test_overwrite_clears_stale_epoch_dirs(spark, tmp_path):
+    """A batch overwrite snapshot supersedes prior streaming epochs:
+    epoch=* directories from an earlier streaming run are part of the
+    prior generation and must not survive the swap."""
+    register(spark)
+    out = str(tmp_path / "snap")
+    os.makedirs(os.path.join(out, "epoch=0"))
+    with open(os.path.join(out, "epoch=0", "part-e0-00000.jsonl"), "w") as f:
+        f.write('{"doc_id": "stale"}\n')
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id")
+    docs.write.format("collection_append").option("path", out).mode("overwrite").save()
+    assert glob.glob(os.path.join(out, "epoch=*")) == []
+    assert _rows_on_disk(out) == docs.count()
+
+
+def test_commit_sweeps_orphaned_task_attempts(tmp_path):
+    """A failed/speculated attempt stages a file but its commit message
+    never reaches the driver (the retry's does). commit() must sweep
+    the orphan so staging never accumulates."""
+    import pyarrow as pa
+
+    out = str(tmp_path / "coll")
+    w = CollectionWriter({"path": out, "batch_size": "10"}, overwrite=False)
+    batch = lambda: iter([pa.RecordBatch.from_pylist([{"id": i} for i in range(4)])])
+    orphan = w.write(batch())  # lost attempt — message never delivered
+    winner = w.write(batch())  # winning retry of the same task
+    w.commit([winner])
+    assert _rows_on_disk(out) == 4
+    assert glob.glob(os.path.join(out, "_staging", "*")) == []
+    assert not os.path.exists(orphan.staged_file)
 
 
 def test_batches_are_bounded_by_batch_size(spark, tmp_path):
