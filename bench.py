@@ -101,6 +101,16 @@ def main() -> None:
         reg[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         mining[name] = round(time.perf_counter() - t0, 4)
 
+    # per-round wall seconds of pagerank's power iteration (populated
+    # during the pagerank_docs build above): the steal-vs-plan
+    # diagnostic the r5 verdict asked for — uniform per-round inflation
+    # on a driver run means external CPU steal, a single slow round
+    # means a plan problem. Rounds alternate lazy/eager (check_every=2),
+    # so even-indexed entries are expected to look near-free.
+    from databeats_spark.registry.mining import PAGERANK_ROUND_TIMINGS
+
+    pagerank_rounds = list(PAGERANK_ROUND_TIMINGS)
+
     # additive section (round 5+): the corpus QA / audit batch. Single
     # timed run each, same rationale as the mining section (the CC
     # closure inside dup_cluster_sizes is iterative).
@@ -123,6 +133,7 @@ def main() -> None:
         "queries": timings,
         "mining_queries_total_runtime": round(sum(mining.values()), 4),
         "mining_queries": mining,
+        "pagerank_rounds": pagerank_rounds,
         "audit_queries_total_runtime": round(sum(audit.values()), 4),
         "audit_queries": audit,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

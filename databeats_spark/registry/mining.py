@@ -787,6 +787,14 @@ ORDER BY new_id, old_id
 
 PAGERANK_EDGE_THRESHOLD = 0.2
 
+# per-round wall seconds of the LAST _pagerank_docs build (the power
+# iteration runs its driver-coordinated rounds AT build time, so the
+# list is complete when the builder returns). bench.py publishes it in
+# the mining section so a driver-run bench carries its own
+# steal-vs-plan diagnosis: uniform inflation across rounds = external
+# CPU steal; one slow round = a plan problem.
+PAGERANK_ROUND_TIMINGS: list = []
+
 
 def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from databeats_spark.operators.dedup import minhash_near_duplicates
@@ -806,8 +814,15 @@ def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tol early-stop: the near-dup graph is many SMALL components, so
     # the L1 delta crosses 1e-6 after 1-2 rounds — fixed 10 rounds was
-    # paying ~8 no-op iterations (observe() keeps it one action/round)
-    out = pagerank(edges, "id_a", "id_b", max_iter=10, tol=1e-6)
+    # paying ~8 no-op iterations. The delta check runs every 2nd round
+    # (r6: intermediate rounds checkpoint lazily — two rounds per
+    # driver action — and the dangling-mass scalar is fused into the
+    # contribution aggregate, removing the per-round edge semi-join).
+    PAGERANK_ROUND_TIMINGS.clear()
+    out = pagerank(
+        edges, "id_a", "id_b", max_iter=10, tol=1e-6,
+        round_timings=PAGERANK_ROUND_TIMINGS,
+    )
     return out.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
     ).orderBy(F.desc("rank"), "doc_id")
