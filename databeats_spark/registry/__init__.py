@@ -48,37 +48,38 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r5 rotation (rotation_report, zero backlog): bench headliners
-    # first so BENCH and CORRECTNESS cover the same queries, then the
-    # oldest-verified for re-verification. PREPEND new r5 queries here
-    # as they land.
-    # r5 audit batch (never driver-verified — front of the window):
-    "dup_rate_by_source",
-    "token_budget_allocation", "near_dup_threshold_sweep",
-    "source_pareto",  # r5: catalog window restructured behind explicit limit
-    "embedding_near_dups",  # r5: verifier slice restructured behind explicit limit
-    "split_leakage_pairs", "lexical_diversity", "dup_cluster_sizes",
-    "canonical_best_docs",
-    "revenue_share",  # r5: rebuilt on attach_global_scalar (provable scalar side)
+    # r6 rotation (rotation_report, zero backlog since r5): queries
+    # whose builder changed THIS round first (fresh regression risk no
+    # history covers), then the bench headliners so BENCH and
+    # CORRECTNESS cover the same queries, then the STALEST green rows
+    # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
+    # queries here as they land.
+    # — changed in r6:
+    "token_budget_allocation",  # r6: loud catalog-bound guard (assert_true filter)
+    "source_pareto",  # r6: loud catalog-bound guard (assert_true filter)
+    "pagerank_docs",  # r6: affine rank view rewrite (rows-only)
+    "length_drift_ks",  # r6: ECDF histogram behind explicit domain limit + guard
+    # — bench headliners (frozen 14):
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
     "top_customers", "revenue_by_nation", "weekly_chart_streak",
     "sessionization", "asof_purchase_value", "dedup_exact_docs",
     "text_stats", "near_dup_pairs",
-    "json_key_stats", "bitmap_distinct_orders", "hll_distinct_users",
-    "key_skew_profile", "ri_violations", "debounced_events",
-    "stratified_split_counts", "class_weights",
-    "snapshot_user_diff", "user_erasure_audit", "rolling_7d_active_users",
-    "event_cooccurrence_lift", "asof_next_purchase",
-    "lang_mix_flags", "oov_rate", "interleave_layout", "exposure_cap",
-    "span_dedup_docs", "prefix_dup_groups", "badword_doc_flags",
-    "idf_doc_score", "cross_source_dups", "dup_graph_degree",
-    "dup_triangles", "lateral_top_orders", "multiset_order_overlap",
-    "embedding_quantization",
-    "doc_chunks", "unigram_doc_logprob", "doc_entropy", "zipf_slope",
-    "top_terms_per_source", "peak_concurrency",
-    "interpolated_daily_spend", "top_prices_with_ties",
-    "try_cast_group_all",
+    # — stalest green rows (last verified r1, oldest re-verification debt):
+    "label_centroid_distance",
+    "top_orders_per_customer", "customer_order_stats",
+    "customers_without_orders", "customers_with_big_orders",
+    "union_dedup", "promo_revenue_ratio", "late_shipment_orders",
+    "modal_priority", "nation_customer_stats", "segment_class",
+    "rollup_quantity", "running_spend", "first_lineitems_per_order",
+    "latest_order_per_customer", "dedup_first_order",
+    "nation_market_share", "blocking_suppliers", "latest_event_per_user",
+    "time_features", "json_props", "session_windows",
+    "approx_price_quantiles", "range_attribution",
+    "daily_from_hourly_rollup", "user_value_ranks",
+    "user_funnel_summary", "weekly_resample", "hourly_event_stats",
+    "event_type_pivot", "deterministic_sample", "stratified_sample",
+    "doc_fingerprints",
 )
 
 

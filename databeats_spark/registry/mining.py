@@ -1160,6 +1160,9 @@ LIMIT {SEQ_BIN_LIMIT}
 # derive from the histogram via attach_global_scalar. ECDF gaps are
 # exact rationals evaluated identically in double on both engines.
 
+LENGTH_DOMAIN_BOUND = 1_000_000  # distinct n_chars values; a domain, not data, axis
+
+
 def _length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     hist = (
@@ -1169,8 +1172,26 @@ def _length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)).alias("c1"),
         )
     )
-    hist = attach_global_scalar(
-        hist, F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    # explicit length-domain bound (semantic no-op): distinct n_chars
+    # values are capped by maximum document length, not corpus size, so
+    # the ECDF window is bounded by construction — the .limit() puts
+    # that bound IN the plan for the lint, and the assert makes it loud
+    # if the domain ever reached it (silent truncation would skew the
+    # ECDF while n0/n1 still reflect the full histogram)
+    hist = (
+        attach_global_scalar(
+            hist,
+            F.sum("c0").alias("n0"),
+            F.sum("c1").alias("n1"),
+            F.count(F.lit(1)).cast("bigint").alias("__nbins"),
+        )
+        .where(
+            F.assert_true(
+                F.col("__nbins") < F.lit(LENGTH_DOMAIN_BOUND),
+                F.lit("length_drift_ks: histogram reached the length-domain bound"),
+            ).isNull()
+        )
+        .limit(LENGTH_DOMAIN_BOUND)
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(

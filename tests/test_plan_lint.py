@@ -86,6 +86,34 @@ def _provably_scalar(node: dict) -> bool:
 _LIMIT_NODES = ("GlobalLimitExec", "LocalLimitExec", "TakeOrderedAndProjectExec")
 _WINDOW_NODES = ("WindowExec", "WindowGroupLimitExec")
 
+# The reserved per-partition-subtotal column. _subtotal_bounded keys on
+# this name; test_pid_column_is_reserved proves (at source level) that
+# the package only ever binds it to spark_partition_id() — together the
+# two make "aggregate keyed by __pid" a proof of ≤ #partitions rows.
+_PID_NAME = "__pid"
+
+
+def _subtotal_bounded(node: dict) -> bool:
+    """True when the subtree is an aggregate keyed EXACTLY by the
+    reserved per-partition id column: its output has at most one row
+    per input partition — a cluster-config axis, not a data axis, so
+    an unpartitioned window over it is bounded by construction (the
+    two-phase prefix-scan shape of
+    operators/scale.py::partitioned_running_total)."""
+    while True:
+        c = _cls(node)
+        if c in _AGG_NODES:
+            keys = node.get("groupingExpressions", [])
+            return (
+                len(keys) == 1
+                and len(keys[0]) == 1
+                and keys[0][0].get("name") == _PID_NAME
+            )
+        if c in _UNARY_ROW_SAFE and len(node["kids"]) == 1:
+            node = node["kids"][0]
+            continue
+        return False
+
 
 def _behind_limit(node: dict) -> bool:
     """True when every row reaching this subtree's output passed an
@@ -145,24 +173,20 @@ def _tree_violations(df) -> list[str]:
             if not any(_provably_bounded(k) for k in n["kids"]):
                 bad.append("cartesian")
         elif c in _WINDOW_NODES and n.get("partitionSpec", []) == []:
-            if not _behind_limit(n["kids"][0]):
+            if not (_behind_limit(n["kids"][0]) or _subtotal_bounded(n["kids"][0])):
                 bad.append("unpartitioned-window")
         stack.extend(n["kids"])
     return bad
 
 # unpartitioned-window allowlist: name -> the tiny relation it sorts.
 # Windows behind an explicit limit (TakeOrderedAndProject/GlobalLimit)
-# are auto-proved bounded and need no entry.
-UNPARTITIONED_WINDOW_OK = {
-    "token_budget_pack": "prefix over per-partition subtotals (#partitions rows)",
-    "vocab_growth": "prefix over per-partition subtotals (#partitions rows)",
-    "sequence_packing": "prefix over per-partition subtotals (#partitions rows)",
-    "length_drift_ks": "ECDF window over the bounded (n_chars) histogram — a length domain, not a data axis",
-    "peak_concurrency": "prefix over per-partition subtotals (#partitions rows)",
-}
-# (source_pareto and interleave_layout left this list in r5: their
-# catalog windows now sit behind an explicit semantic-no-op .limit()
-# on the per-source aggregate, so the lint proves them bounded.)
+# or over a __pid-keyed subtotal aggregate are auto-proved bounded and
+# need no entry. EMPTY since r6: the four partitioned_running_total
+# consumers (token_budget_pack, vocab_growth, sequence_packing,
+# peak_concurrency) are proved by _subtotal_bounded, and
+# length_drift_ks's histogram sits behind an explicit .limit() on the
+# length domain (the r5 idiom, as source_pareto/interleave_layout).
+UNPARTITIONED_WINDOW_OK: dict[str, str] = {}
 
 def test_every_registry_plan_is_scale_clean(spark):
     offenders: dict[str, list[str]] = {}
@@ -180,6 +204,30 @@ def test_every_registry_plan_is_scale_clean(spark):
         if "unpartitioned-window" in v and spec.name not in UNPARTITIONED_WINDOW_OK:
             offenders.setdefault(spec.name, []).append("unjustified global window")
     assert not offenders, f"scale-lint violations: {offenders}"
+
+
+def test_pid_column_is_reserved():
+    """The _subtotal_bounded proof keys on the ``__pid`` column name,
+    so that name must stay PRIVATE to the one sanctioned definition
+    site (operators/scale.py, bound to spark_partition_id()). Any
+    other module minting a ``__pid`` could smuggle an unbounded
+    relation past the lint."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / "databeats_spark"
+    offenders = [
+        str(p.relative_to(pkg))
+        for p in sorted(pkg.rglob("*.py"))
+        if "__pid" in p.read_text() and p.name != "scale.py"
+    ]
+    assert not offenders, f"__pid minted outside operators/scale.py: {offenders}"
+    scale = (pkg / "operators" / "scale.py").read_text()
+    # the single binding site must be spark_partition_id()
+    assert 'withColumn("__pid", F.spark_partition_id())' in scale
+    assert scale.count('"__pid"') == scale.count("__pid"), (
+        "__pid used as a bare identifier in scale.py — keep it a quoted "
+        "column name so this audit stays a simple string scan"
+    )
 
 
 def test_allowlists_stay_minimal(spark):
