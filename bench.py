@@ -93,6 +93,8 @@ def main() -> None:
         # r4 mid-round additions (extend the section BEFORE the r4
         # baseline records, so r5 compares like-for-like per query)
         "span_dedup_docs", "oov_rate",
+        # r6 addition: variable-length substring dedup (suffix sort)
+        "substring_dup_spans",
     ]
     reg = all_queries()
     mining: dict[str, float] = {}

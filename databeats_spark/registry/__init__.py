@@ -54,6 +54,8 @@ _WINDOW = (
     # CORRECTNESS cover the same queries, then the STALEST green rows
     # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
     # queries here as they land.
+    # — new in r6:
+    "substring_dup_spans",  # r6: variable-length substring dedup (never verified)
     # — changed in r6:
     "token_budget_allocation",  # r6: loud catalog-bound guard (assert_true filter)
     "source_pareto",  # r6: loud catalog-bound guard (assert_true filter)

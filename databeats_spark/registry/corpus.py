@@ -667,8 +667,132 @@ ORDER BY lang, split
 """
 
 
+# --- Q: substring_dup_spans — variable-length duplicated substrings ---
+# The suffix-array move of "Deduplicating Training Data Makes Language
+# Models Better" (Lee et al., 2022), re-expressed Spark-first:
+# span_dedup_docs removes FIXED 8-token grid spans, which misses
+# shifted/partial overlap (a copy starting 3 tokens later never aligns
+# with the grid). Here every token position anchors a suffix: the
+# 8-token anchor window partitions the data (two occurrences of any
+# >=8-token duplicate share an anchor, so no global sort and no
+# cross-partition pairs are ever needed), and within an anchor group
+# the suffixes sort by their continuation — the classic suffix-array
+# property that the longest repeat appears as an ADJACENT pair. The
+# token-level longest-common-prefix of adjacent cross-doc suffixes
+# (capped at SUFFIX_CAP tokens) is the variable-length match; per doc
+# pair we report the longest match and the number of adjacent anchor
+# hits. LCP is one zip_with + array_position expression — identical
+# tree on DuckDB via list_zip/list_transform/list_position (both
+# engines return 0 for "no mismatch").
+#
+# Scale shape: the suffix table is corpus_tokens rows wide (stride 1
+# is the point — any shift is caught), each carrying a bounded
+# SUFFIX_CAP-token tail; the window is key-partitioned by anchor and
+# every downstream op is a hash aggregate. At 100 TB the anchor would
+# be hashed (md5) to fix row width; kept verbatim here so the oracle
+# sorts identically.
+
+MIN_MATCH_TOKENS = 8  # anchor width: minimum duplicated span reported
+SUFFIX_CAP = 32  # longest measurable match (anchor + 24-token tail)
+
+
+def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+
+    def suffixes_of(tk):
+        starts = F.sequence(F.lit(1), F.size(tk) - F.lit(MIN_MATCH_TOKENS - 1))
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ").alias("anchor"),
+                F.slice(tk, i + MIN_MATCH_TOKENS, SUFFIX_CAP - MIN_MATCH_TOKENS).alias(
+                    "rest"
+                ),
+                i.alias("pos"),
+            ),
+        )
+
+    # bind the token array once as a HOF variable (no CSE inside
+    # lambdas). Docs shorter than the anchor are filtered FIRST —
+    # sequence(start > stop) counts DOWN in Spark, so the filter is a
+    # correctness guard, not an optimization.
+    suffixes = F.element_at(F.transform(F.array(tokens("text")), suffixes_of), 1)
+    sfx = (
+        docs.filter(F.size(tokens("text")) >= MIN_MATCH_TOKENS)
+        .select("doc_id", F.explode(suffixes).alias("s"))
+        .select("doc_id", "s.anchor", "s.rest", "s.pos")
+    )
+
+    w = Window.partitionBy("anchor").orderBy("rest", "doc_id", "pos")
+    lagged = sfx.select(
+        "doc_id",
+        "rest",
+        F.lag("doc_id").over(w).alias("p_doc"),
+        F.lag("rest").over(w).alias("p_rest"),
+    ).filter(F.col("p_doc").isNotNull() & (F.col("p_doc") != F.col("doc_id")))
+
+    eqs = F.zip_with(F.col("rest"), F.col("p_rest"), lambda x, y: x.eqNullSafe(y))
+    mismatch = F.array_position(eqs, F.lit(False))
+    lcp = F.when(
+        mismatch == 0, F.least(F.size("rest"), F.size("p_rest"))
+    ).otherwise(mismatch - 1)
+    pairs = lagged.select(
+        F.least("doc_id", "p_doc").alias("id_a"),
+        F.greatest("doc_id", "p_doc").alias("id_b"),
+        (F.lit(MIN_MATCH_TOKENS) + lcp).cast("bigint").alias("match_len"),
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(
+            F.max("match_len").alias("max_span_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        )
+        .orderBy(F.desc("max_span_tokens"), "id_a", "id_b")
+        .limit(20)
+    )
+
+
+_SUBSTRING_DUP_SPANS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sfx AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(toks[i:i+{MIN_MATCH_TOKENS - 1}], ' ') AS anchor,
+         toks[i+{MIN_MATCH_TOKENS}:i+{SUFFIX_CAP - 1}] AS rest
+  FROM t, LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - {MIN_MATCH_TOKENS - 1}, 0) + 1)) AS i
+  ) r
+), lagged AS (
+  SELECT doc_id, rest,
+         lag(doc_id) OVER w AS p_doc, lag(rest) OVER w AS p_rest
+  FROM sfx
+  WINDOW w AS (PARTITION BY anchor ORDER BY rest, doc_id, pos)
+), scored AS (
+  SELECT doc_id, p_doc, rest, p_rest,
+         list_position(
+           list_transform(list_zip(rest, p_rest), x -> x[1] IS NOT DISTINCT FROM x[2]),
+           false
+         ) AS mismatch
+  FROM lagged WHERE p_doc IS NOT NULL AND p_doc <> doc_id
+), pairs AS (
+  SELECT least(doc_id, p_doc) AS id_a, greatest(doc_id, p_doc) AS id_b,
+         CAST({MIN_MATCH_TOKENS} + CASE WHEN mismatch = 0
+              THEN least(len(rest), len(p_rest)) ELSE mismatch - 1 END AS BIGINT) AS match_len
+  FROM scored
+)
+SELECT id_a, id_b,
+       CAST(max(match_len) AS BIGINT) AS max_span_tokens,
+       CAST(count(*) AS BIGINT) AS n_anchors
+FROM pairs GROUP BY id_a, id_b
+ORDER BY max_span_tokens DESC, id_a, id_b
+LIMIT 20
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
+    QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),
     QuerySpec("badword_doc_flags", "blocklist filter rates per source (C4 badwords gate)", _badword_doc_flags, _BADWORD_DOC_FLAGS_SQL, tags=("text", "agg")),
     QuerySpec("idf_doc_score", "per-document mean inverse document frequency", _idf_doc_score, _IDF_DOC_SCORE_SQL, tags=("text", "agg")),

@@ -167,3 +167,43 @@ def test_sq8_quantized_search_recall(spark):
         want = set(grp["neighbor_id"])
         recall = len(got & want) / len(want)
         assert recall >= 0.9, (qid, recall)
+
+
+def test_substring_dedup_catches_shifted_overlap(spark, tmp_path):
+    """The substring_dup_spans semantics pin: a copy of a 15-token run
+    SHIFTED off the 8-token grid must be found with its exact length —
+    the case span_dedup_docs' fixed grid structurally misses (a
+    15-token run shifted by 3 never aligns with any grid span of the
+    source doc)."""
+    from databeats_spark.registry.corpus import (
+        MIN_MATCH_TOKENS,
+        _span_dedup_docs,
+        _substring_dup_spans,
+    )
+
+    run = [f"w{i}" for i in range(15)]  # the duplicated 15-token run
+    doc_a = " ".join([f"a{i}" for i in range(10)] + run + [f"z{i}" for i in range(10)])
+    # doc B embeds the same run at offset 13 (10+3: off A's 8-grid by 3)
+    doc_b = " ".join([f"b{i}" for i in range(13)] + run + [f"y{i}" for i in range(9)])
+    doc_c = " ".join(f"c{i}" for i in range(30))  # unrelated control
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, doc_a, "s", len(doc_a)), (2, doc_b, "s", len(doc_b)), (3, doc_c, "s", len(doc_c))],
+        "doc_id bigint, text string, source string, n_chars int",
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = _substring_dup_spans(spark, sf_dir).toPandas()
+    assert len(got) == 1, f"expected exactly the planted pair, got {got}"
+    row = got.iloc[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert row["max_span_tokens"] == 15, "variable-length match must be exact"
+    # adjacent anchors: one per start position of the run that still
+    # leaves >= MIN_MATCH_TOKENS of it
+    assert row["n_anchors"] == 15 - MIN_MATCH_TOKENS + 1
+
+    # and the fixed grid indeed misses it: doc 2 keeps every span
+    grid = _span_dedup_docs(spark, sf_dir).toPandas().set_index("doc_id")
+    assert grid.loc[2, "n_kept"] == grid.loc[2, "n_spans"], (
+        "fixed-grid span dedup unexpectedly caught the shifted copy — "
+        "the substring query's reason to exist would be gone"
+    )
