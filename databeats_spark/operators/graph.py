@@ -43,6 +43,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    salt_factor: int | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     smallest node id reachable from it.
@@ -51,20 +52,36 @@ def connected_components(
     in either endpoint column; isolated nodes (no edges) are by
     definition absent — union them in upstream if every input row must
     be labeled.
+
+    The symmetrized edge table is checkpointed FIRST, so an expensive
+    edge generator upstream (an LSH candidate pipeline) executes once,
+    not once per label round. ``salt_factor`` salts the per-round
+    neighbor join (operators/scale.py::salted_join): a hub node whose
+    edge rows would all land on one shuffle partition fans across
+    ``salt_factor`` sub-partitions instead — result-identical, for the
+    pathological hubs AQE's skew split can't subdivide. The min-label
+    aggregate after the join is naturally skew-tolerant (map-side
+    partial min), so the join is the only salt point.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()  # single materialization of the edge generator
     )
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
     labels = labels.localCheckpoint()
+    sym_keyed = sym.select("a", F.col("b").alias("node"))
     for _ in range(max_iter):
-        neighbor_labels = sym.join(
-            labels, sym["b"] == labels["node"], "inner"
-        ).select(F.col("a").alias("node"), "label")
+        if salt_factor:
+            from databeats_spark.operators.scale import salted_join
+
+            joined = salted_join(sym_keyed, labels, "node", salt_factor)
+        else:
+            joined = sym_keyed.join(labels, "node")
+        neighbor_labels = joined.select(F.col("a").alias("node"), "label")
         new_labels = (
             neighbor_labels.union(labels)
             .groupBy("node")

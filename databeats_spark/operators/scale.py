@@ -123,6 +123,24 @@ def partitioned_running_total(
     )
 
 
+def top_key_share(df: DataFrame, key: str) -> float:
+    """Fraction of rows held by the single heaviest ``key`` value — the
+    one-number form of the key_skew_profile diagnosis
+    (registry/lifecycle.py), for guards that decide whether to salt a
+    join. One hash-aggregate job, two rows back to the driver.
+
+    Returns 0.0 for an empty input (nothing to skew)."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__top"), F.sum("__n").alias("__total"))
+        .collect()[0]
+    )
+    if not row["__total"]:
+        return 0.0
+    return float(row["__top"]) / float(row["__total"])
+
+
 def attach_global_scalar(df: DataFrame, *aggs: Column) -> DataFrame:
     """Attach global aggregate(s) of ``df`` as columns on every row of
     ``df``, computing ``df`` exactly once.

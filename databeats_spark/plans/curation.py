@@ -42,6 +42,10 @@ MIN_TOK, MAX_TOK = 40, 5000
 MIN_DIVERSITY = 0.2
 # near-dup collapse
 NEAR_DUP_THRESHOLD = 0.5
+# skew guard: salt the CC neighbor join when the heaviest pair endpoint
+# holds more than this share of all edge endpoints (a boilerplate hub)
+SKEW_SHARE_THRESHOLD = 0.10
+CC_SALT_FACTOR = 8
 # decontamination (see registry/documents.py benchmark_decontam)
 DECONTAM_N = 4
 DECONTAM_EVAL_MOD = 20
@@ -73,14 +77,38 @@ def exact_dedup_stage(docs: DataFrame) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi")
 
 
-def near_dup_stage(docs: DataFrame, spark: SparkSession) -> DataFrame:
+def near_dup_stage(
+    docs: DataFrame, spark: SparkSession, skew_guard: bool = False
+) -> DataFrame:
     """MinHash+LSH candidate pairs → connected components → keep the
-    canonical (min-id) document of every near-dup cluster."""
+    canonical (min-id) document of every near-dup cluster.
+
+    ``skew_guard=True`` composes the diagnosis query with its remedy:
+    measure the heaviest pair-endpoint's share of the edge list
+    (operators/scale.py::top_key_share — the one-number
+    key_skew_profile) and, above SKEW_SHARE_THRESHOLD, salt the CC
+    label rounds' neighbor join so a boilerplate hub's edges fan
+    across CC_SALT_FACTOR shuffle sub-partitions instead of one.
+    Result-identical either way (tests/test_curation_plan.py); the
+    diagnosis costs one small aggregate over the pair list, which CC
+    was about to materialize anyway."""
     pairs = minhash_near_duplicates(
         docs, "doc_id", "text", threshold=NEAR_DUP_THRESHOLD,
         num_partitions=spark.sparkContext.defaultParallelism,
     )
-    comps = connected_components(pairs, "id_a", "id_b")
+    salt = None
+    if skew_guard:
+        from databeats_spark.operators.scale import top_key_share
+
+        # pin the pair list so the diagnosis job and CC's edge
+        # checkpoint share one materialization of the LSH pipeline
+        pairs = pairs.localCheckpoint(eager=False)
+        endpoints = pairs.select(F.col("id_a").alias("k")).union(
+            pairs.select(F.col("id_b").alias("k"))
+        )
+        if top_key_share(endpoints, "k") > SKEW_SHARE_THRESHOLD:
+            salt = CC_SALT_FACTOR
+    comps = connected_components(pairs, "id_a", "id_b", salt_factor=salt)
     return dedup_keep_canonical(docs, comps, "doc_id")
 
 
@@ -126,7 +154,7 @@ def budget_stage(docs: DataFrame, token_budget: int) -> DataFrame:
     return packed.filter(F.col("cum_tok") <= token_budget).drop("__h", "cum_tok")
 
 
-def stage_builders(spark: SparkSession, token_budget: int):
+def stage_builders(spark: SparkSession, token_budget: int, skew_guard: bool = False):
     """The curation stages as an ordered (name, prev_df -> df) list —
     the single definition both the lazy flow (curate_corpus) and a
     per-stage-timed runner (scripts/curate.py --stage-times) iterate,
@@ -134,7 +162,7 @@ def stage_builders(spark: SparkSession, token_budget: int):
     return [
         ("quality", quality_gate),
         ("exact_dedup", exact_dedup_stage),
-        ("near_dup", lambda df: near_dup_stage(df, spark)),
+        ("near_dup", lambda df: near_dup_stage(df, spark, skew_guard=skew_guard)),
         ("decontam", decontam_stage),
         ("rebalance", rebalance_stage),
         ("budget", lambda df: budget_stage(df, token_budget)),
@@ -146,6 +174,7 @@ def curate_corpus(
     sf_dir: str | None = None,
     token_budget: int = 30_000,
     pin_stages: bool = False,
+    skew_guard: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the full curation flow; returns every stage's DataFrame so
     callers can audit, persist or branch at any point.
@@ -166,7 +195,7 @@ def curate_corpus(
     pin = (lambda df: df.localCheckpoint(eager=False)) if pin_stages else (lambda df: df)
     stages: dict[str, DataFrame] = {"raw": pin(docs)}
     prev = stages["raw"]
-    for name, build in stage_builders(spark, token_budget):
+    for name, build in stage_builders(spark, token_budget, skew_guard=skew_guard):
         prev = stages[name] = pin(build(prev))
     return stages
 

@@ -39,3 +39,60 @@ def test_stage_semantics(spark):
     assert total <= 20_000
     # schema carries the original columns plus the token count
     assert {"doc_id", "text", "lang", "source", "n_tok"} <= set(stages["budget"].columns)
+
+
+def test_skew_guard_funnel_output_is_identical(spark, monkeypatch):
+    """key_skew_profile's remedy composed into the funnel: with the
+    guard FORCED on (threshold below any real share, so the CC label
+    rounds run salted), the curated corpus must be row-identical to
+    the unguarded run — salting changes shuffle layout, never
+    results."""
+    import databeats_spark.plans.curation as cur
+
+    monkeypatch.setattr(cur, "SKEW_SHARE_THRESHOLD", -1.0)
+    guarded = curate_corpus(spark, SF_SMOKE, token_budget=20_000, skew_guard=True)
+    plain = curate_corpus(spark, SF_SMOKE, token_budget=20_000)
+    ids_g = sorted(r["doc_id"] for r in guarded["near_dup"].select("doc_id").collect())
+    ids_p = sorted(r["doc_id"] for r in plain["near_dup"].select("doc_id").collect())
+    assert ids_g == ids_p and len(ids_g) > 0
+    fin_g = sorted(r["doc_id"] for r in guarded["budget"].select("doc_id").collect())
+    fin_p = sorted(r["doc_id"] for r in plain["budget"].select("doc_id").collect())
+    assert fin_g == fin_p
+
+
+def test_salted_components_identical_on_hub_graph(spark):
+    """The pathological shape the guard exists for: a hub node with
+    one edge to each of 300 spokes (every edge row carries the hub
+    key, so the unguarded neighbor join lands them on ONE shuffle
+    partition). Salted CC must produce the identical component map,
+    and the salted round's plan must show the fan-out: the join keys
+    carry __salt and the small side is exploded salt_factor ways."""
+    from databeats_spark.operators.graph import connected_components
+    from databeats_spark.operators.scale import salted_join, top_key_share
+
+    hub = 0
+    edges = spark.createDataFrame(
+        [(hub, i) for i in range(1, 301)] + [(1000, 1001), (1002, 1003)],
+        "src bigint, dst bigint",
+    )
+    # the diagnosis fires on this shape
+    endpoints = edges.selectExpr("src AS k").union(edges.selectExpr("dst AS k"))
+    assert top_key_share(endpoints, "k") > 0.10
+
+    plain = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    salted = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, salt_factor=8).collect()
+    }
+    assert salted == plain
+    assert len({v for k, v in salted.items() if k <= 301}) == 1  # one hub cluster
+
+    # plan-asserted fan-out on the salted join shape CC runs per round
+    sym = edges.selectExpr("src AS a", "dst AS node")
+    labels = edges.selectExpr("dst AS node", "dst AS label")
+    plan = salted_join(sym, labels, "node", salt_factor=8)._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, plan
+    assert "Generate explode" in plan or "explode" in plan.lower(), plan
