@@ -95,6 +95,57 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def encode_payloads(
+    df: DataFrame,
+    encoder=None,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    embed_dim: int = 8,
+    batch_size: int = 64,
+) -> DataFrame:
+    """The embedding-generation seam: payload bytes → embedding column,
+    with the MODEL injected the same way sources/rest.py injects its
+    transport — ``encoder(payloads: list[bytes]) -> ndarray (n, dim)``
+    is the batch-inference signature every real encoder (vision tower,
+    audio encoder, API client) exposes; the default is the stub
+    feature extractor so the stage runs in this image.
+
+    Spark-side contract (the real, tested part): Arrow-batched
+    ``mapInPandas``, each Arrow batch re-chunked to ``batch_size`` (the
+    model's batch bound — GPU memory, API limits — never a whole
+    partition in flight), shape-validated per chunk so a mis-sized
+    model fails loudly at the first batch, payload column dropped on
+    output so the heavy bytes never cross a shuffle. The output feeds
+    :class:`databeats_spark.ml.ann.IVFIndex.fit` / SemDeDup directly —
+    one pipeline from raw media to the similarity surface.
+    """
+    if encoder is None:
+
+        def encoder(payloads: list) -> np.ndarray:  # STUB model
+            return np.stack([_fake_embedding(p, embed_dim) for p in payloads])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start : start + batch_size]
+                vecs = np.asarray(encoder(list(chunk[payload_col])), dtype=np.float32)
+                if vecs.shape != (len(chunk), embed_dim):
+                    raise ValueError(
+                        f"encoder returned shape {vecs.shape}, expected "
+                        f"({len(chunk)}, {embed_dim})"
+                    )
+                yield pd.DataFrame(
+                    {
+                        id_col: chunk[id_col].to_numpy(),
+                        "embedding": [v.tolist() for v in vecs],
+                    }
+                )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} long, embedding array<float>"
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -310,3 +310,89 @@ def test_media_features_plug_into_ann_and_dedup(spark):
         feats, "doc_id", "embedding", n_lists=4, threshold=0.999
     ).toPandas()
     assert ((pairs.id_a == 0) & (pairs.id_b == 100000)).any(), pairs
+
+
+def _make_test_encoder():
+    """Build the injected batch encoder INSIDE a closure so cloudpickle
+    ships it by value (a module-level function in tests/ would pickle
+    by reference and be unimportable on workers — the same constraint a
+    real deployment's encoder wrapper has). Deterministic 6-dim
+    'model' keyed on payload bytes — NOT the built-in stub, proving
+    the seam carries a foreign model end-to-end."""
+
+    def enc(payloads):
+        import numpy as np
+
+        out = []
+        for p in payloads:
+            b = bytes(p)
+            v = np.array(
+                [len(b) % 97 + 1, (b[0] if b else 0) + 1, (b[-1] if b else 0) + 1,
+                 (len(b) % 7) + 1, (b[len(b) // 2] if b else 0) + 1, 3.0],
+                dtype=np.float64,
+            )
+            out.append(v / np.linalg.norm(v))
+        return np.stack(out)
+
+    return enc
+
+
+def test_injected_encoder_feeds_ivf_end_to_end(spark):
+    """The embedding-generation seam: docs -> payload ->
+    encode_payloads(INJECTED model) -> IVFIndex.fit -> search, one
+    pipeline. A planted exact-payload twin must surface as its
+    source's nearest neighbor at cosine ~1.0 through the IVF path."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.ml.ann import IVFIndex
+    from databeats_spark.operators.multimodal import attach_payload, encode_payloads
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(150)
+    twin = docs.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    enc = _make_test_encoder()
+    emb = encode_payloads(
+        attach_payload(docs.unionByName(twin)),
+        encoder=enc,
+        embed_dim=6,
+        batch_size=32,
+    ).localCheckpoint()
+
+    assert emb.columns == ["doc_id", "embedding"]  # payload pruned
+    assert emb.count() == 151
+
+    idx = IVFIndex.fit(emb, id_col="doc_id", vec_col="embedding", n_lists=4)
+    q = emb.filter(F.col("doc_id") == 3)
+    hits = idx.search(q, k=3, n_probe=4).toPandas()
+    best = hits.sort_values("rank").iloc[0]
+    assert best["neighbor_id"] == 100003 and abs(best["cos_sim"] - 1.0) < 1e-6
+
+    # determinism: the injected model is pure, so re-encoding matches
+    again = encode_payloads(
+        attach_payload(docs.unionByName(twin)), encoder=enc,
+        embed_dim=6, batch_size=32,
+    )
+    a = sorted(map(tuple, emb.select("doc_id", "embedding").toPandas().itertuples(index=False)))
+    b = sorted(map(tuple, again.select("doc_id", "embedding").toPandas().itertuples(index=False)))
+    assert [(i, list(v)) for i, v in a] == [(i, list(v)) for i, v in b]
+
+
+def test_encoder_shape_mismatch_fails_loudly(spark):
+    from pyspark.sql import functions as F
+
+    from databeats_spark.operators.multimodal import attach_payload, encode_payloads
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_SMOKE
+
+    import numpy as np
+    import pytest
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(5)
+    bad = encode_payloads(
+        attach_payload(docs), encoder=lambda ps: np.zeros((len(ps), 3)), embed_dim=8
+    )
+    with pytest.raises(Exception, match="expected"):
+        bad.collect()
