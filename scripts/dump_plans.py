@@ -35,6 +35,7 @@ FLAGSHIPS = {
     "oov_rate": "vocab head via TakeOrderedAndProject, broadcast re-attach; one explode + hash agg on the corpus side",
     "rolling_7d_active_users": "sliding distinct: bounded cover-day explode (blowup = window length) + per-day hash agg",
     "token_budget_allocation": "water-filling: BIGINT capped-prefix test; windows over the limit-bounded source catalog; scalars via checkpointed attach",
+    "substring_dup_spans": "anchored suffix sort: window PARTITIONED BY the 8-token anchor (any >=8-token duplicate shares one), token-LCP of adjacent cross-doc suffixes",
 }
 
 
@@ -43,21 +44,24 @@ FLAGSHIPS = {
 # Refresh the numbers with scripts/scale_curve.py and
 # scripts/curate.py --stage-times.
 SCALE_EVIDENCE = """\
-## Measured scale evidence (round 5)
+## Measured scale evidence (round 6)
 
 Scale curve for the heavy mining queries — `scripts/scale_curve.py`,
 one session, full JIT pass at sf0.001 first, then a single timed run
 per query per scale factor (bench.py mining methodology). Data grows
-10x between sf0.01 and sf0.1; two samples on different loads:
+10x between sf0.01 and sf0.1. Measured after the r6 restructures
+(pagerank affine-view one-job rounds; connected_components edge-table
+checkpoint; host load ~1 at measurement):
 
 | query | sf0.01 s | sf0.1 s | runtime ratio (10x data) |
 |---|---|---|---|
-| minhash_near_dups | 1.45 / 1.25 / 1.57 | 2.44 / 1.93 / 2.84 | 1.69 / 1.55 / 1.81 |
-| semdedup_near_dups | 2.46 / 2.30 / 2.25 | 12.56 / 3.16 / 25.39* | 5.11 / 1.37 / 11.31* |
-| pagerank_docs | 2.86 / 2.66 / 3.25 | 5.05 / 3.57 / 4.73 | 1.77 / 1.34 / 1.46 |
-| curation_funnel | 8.33 / 7.20 / 8.84 | 12.64 / 10.44 / 12.03 | 1.52 / 1.45 / 1.36 |
-| lexical_diversity (r5) | 0.68 | 0.85 | 1.25 |
-| token_budget_allocation (r5) | 0.84 | 0.75 | 0.89 |
+| minhash_near_dups | 1.47 | 1.96 | 1.33 |
+| semdedup_near_dups | 1.90 | 5.86 | 3.08 |
+| pagerank_docs | 3.40 | 4.50 | 1.32 |
+| curation_funnel | 5.66 | 8.99 | 1.59 |
+| lexical_diversity | 0.70 | 0.99 | 1.42 |
+| token_budget_allocation | 0.78 | 0.84 | 1.08 |
+| substring_dup_spans (r6) | 0.66 | 1.18 | 1.79 |
 
 Every ratio is far below the 10x data ratio: at these scale factors
 the runtimes are dominated by the FIXED round/iteration structure
@@ -65,44 +69,45 @@ the runtimes are dominated by the FIXED round/iteration structure
 iterations, per-stage actions) while the per-row work parallelizes —
 exactly the profile the bounded-candidate designs predict. Nothing
 re-quadratizes; the pair budget is constant per cluster by
-construction, n_lists = n//400.
+construction, n_lists = n//400. The r6 pagerank rewrite removes the
+per-round dangling-mass semi-join entirely (flowing mass = sum of the
+contribution aggregate, observed on the same action) and bench.py now
+publishes per-round wall seconds (`pagerank_rounds`) so a driver run
+carries its own steal-vs-plan diagnosis; at sf0.1 the two power-
+iteration rounds cost ~0.3 + 0.5 s of pagerank_docs' total — the rest
+is the one-time LSH edge generation. substring_dup_spans (stride-1
+anchored suffix sort) scales at 1.79x for 10x data: the suffix table
+is corpus-token-sized but every downstream op is key-partitioned.
 
-*The semdedup sf0.1 spikes (12.56, 25.39) are external host steal,
-not a plan property: the third sample's run landed on a day README's
-variance note documents (host load ~10 with zero local processes),
-and four consecutive sf0.1 runs of the identical query in one session
-immediately after measured 6.43 / 3.54 / 2.86 / 4.39 s — steady state
-~3-4 s (the first run pays whole-stage-codegen for the larger plan).
-With the r5 random-init maxIter-4 bucketing fit, steady state is
-BELOW the 5.05 s the r4 driver recorded. The two r5 audit additions
-scale essentially flat: both are one scan + catalog-bounded windows.
-
-## curation_funnel stage breakdown (sf0.1)
+## curation_funnel stage breakdown (sf0.1, round 6)
 
 `scripts/curate.py --stage-times` (eager per-stage materialization —
 the lazy flow would attribute near_dup's CC rounds, which run at plan
-build time, to a later action). Cold = fresh session; warm = second
-pass in the same session (JVM/codegen warmed; README variance note):
+build time, to a later action). Cold numbers, fresh session. The r5
+cold column is kept for comparison; r6's near_dup drop is the CC
+edge-table checkpoint (label rounds no longer re-execute the
+MinHash+LSH pipeline):
 
-| stage | cold s | warm s |
+| stage | r6 cold s | r5 cold s |
 |---|---|---|
-| raw (scan+spread) | 4.01 | — |
-| quality | 1.04 | 0.18 |
-| exact_dedup | 3.03 | 0.40 |
-| near_dup | 14.14 | 7.43 |
-| decontam | 1.41 | 1.23 |
-| rebalance | 0.45 | 0.33 |
-| budget | 1.14 | 0.64 |
+| raw (scan+spread) | 5.17 | 4.01 |
+| quality | 1.40 | 1.04 |
+| exact_dedup | 3.55 | 3.03 |
+| near_dup | 10.27 | 14.14 |
+| decontam | 2.12 | 1.41 |
+| rebalance | 0.58 | 0.45 |
+| budget | 1.54 | 1.14 |
 
-near_dup dominates (56% cold / 72% warm). Its internal split (warm):
-MinHash+LSH pair generation 1.9 s, connected components 1.3 s over
-157 pairs, keep-canonical 0.2 s — the CC cost is pure fixed
-round-overhead (~3 rounds x join+agg+checkpoint actions), not data
-volume. This is a documented floor, not a scale risk: the round count
-is bounded by near-dup cluster diameter (constant in practice), so at
-100 TB the same ~15 actions orchestrate arbitrarily wide stages while
-per-round work scales out — consistent with the funnel's measured
-1.45x runtime for 10x data above.
+near_dup still dominates; its remaining cost is the fixed CC round
+structure (~3 rounds x join+agg+checkpoint actions over 157 pairs),
+a documented floor, not a scale risk: the round count is bounded by
+near-dup cluster diameter (constant in practice), so at 100 TB the
+same ~15 actions orchestrate arbitrarily wide stages while per-round
+work scales out — consistent with the funnel's measured 1.59x runtime
+for 10x data above. The funnel also carries an opt-in skew guard
+(plans/curation.py::near_dup_stage skew_guard): top_key_share over
+pair endpoints, salting CC's neighbor join above a 10% hub share —
+result-identity and the salt fan-out are plan/pytest-pinned.
 """
 
 

@@ -33,6 +33,8 @@ HEAVIES = [
     # would make the curve meaningless)
     "lexical_diversity",
     "token_budget_allocation",
+    # r6: variable-length substring dedup (suffix table ~ corpus tokens)
+    "substring_dup_spans",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]

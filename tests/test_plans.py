@@ -177,6 +177,15 @@ def test_span_dedup_window_is_key_partitioned(spark):
     assert "hashpartitioning(span" in plan, plan
 
 
+def test_substring_dedup_window_is_anchor_partitioned(spark):
+    # the suffix-sort window must partition by the anchor n-gram (two
+    # occurrences of any >=8-token duplicate share an anchor), and the
+    # result cut must be a global top-k, not a full sort
+    plan = formatted_plan(spark, "substring_dup_spans")
+    assert "hashpartitioning(anchor" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_oov_vocab_is_topk_and_broadcast(spark):
     # the top-2000 vocabulary cut must be TakeOrderedAndProject
     # (map-side partial top-K, no full sort) and re-attach as a
