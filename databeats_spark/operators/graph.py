@@ -62,6 +62,15 @@ def connected_components(
     pathological hubs AQE's skew split can't subdivide. The min-label
     aggregate after the join is naturally skew-tolerant (map-side
     partial min), so the join is the only salt point.
+
+    One driver action per round: each node's OLD label rides the
+    min-label aggregate as a tagged union column (the labels row
+    carries it, neighbor rows carry null — no second join), so the
+    fixpoint test is an ``observe()`` metric on the same job that
+    checkpoints the new labels, not a separate count pass. The
+    aggregate keeps the plan's round-over-round size estimate linear —
+    a join of two round-dependent tables would compound it
+    quadratically (see :func:`pagerank`'s stats lesson).
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -81,19 +90,29 @@ def connected_components(
             joined = salted_join(sym_keyed, labels, "node", salt_factor)
         else:
             joined = sym_keyed.join(labels, "node")
-        neighbor_labels = joined.select(F.col("a").alias("node"), "label")
-        new_labels = (
-            neighbor_labels.union(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("new_label"))
+        # neighbor rows carry old=null; the (unique) labels row carries
+        # the node's current label — max(old) recovers it post-agg
+        neighbor_labels = joined.select(
+            F.col("a").alias("node"),
+            "label",
+            # typed NULL matching the label type (ids may be any orderable type)
+            F.when(F.lit(False), F.col("label")).alias("old"),
         )
-        changed = (
-            new_labels.join(labels, "node")
-            .filter(F.col("new_label") < F.col("label"))
-            .count()
+        tagged = neighbor_labels.union(
+            labels.select("node", "label", F.col("label").alias("old"))
         )
-        labels = new_labels.withColumnRenamed("new_label", "label").localCheckpoint()
-        if changed == 0:
+        obs = Observation()
+        labels = (
+            tagged.groupBy("node")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .observe(
+                obs,
+                F.sum((F.col("label") < F.col("old")).cast("long")).alias("changed"),
+            )
+            .select("node", "label")
+            .localCheckpoint()  # the ONE action of the round
+        )
+        if (obs.get["changed"] or 0) == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
@@ -142,18 +161,32 @@ def alternating_components(
     at least halves tree heights, so 30 covers any realistic graph).
 
     Every round is two grouped-min aggregations + two equi-joins on the
-    shrinking edge list — no driver-side graph state; the only driver
-    actions are the per-round fixpoint signatures.
+    shrinking edge list — no driver-side graph state, and ONE driver
+    action: the fixpoint signature (count + order-insensitive
+    bit_xor hash) rides the round's checkpoint job as ``observe()``
+    metrics instead of a second aggregation pass.
     """
+
+    def checkpoint_with_sig(df: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+        # bit_xor, not sum: order-insensitive AND overflow-free (ANSI
+        # mode makes a long sum of 2^63-scale hashes throw)
+        obs = Observation()
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).localCheckpoint()
+        m = obs.get
+        return out, (int(m["n"]), int(m["h"]))
+
     # canonical undirected pairs, self-loops dropped
-    e = (
+    e, sig = checkpoint_with_sig(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
     )
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -162,22 +195,11 @@ def alternating_components(
         .localCheckpoint()
     )
 
-    def signature(df: DataFrame) -> tuple[int, int]:
-        # bit_xor, not sum: order-insensitive AND overflow-free (ANSI
-        # mode makes a long sum of 2^63-scale hashes throw)
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
-
-    sig = signature(e)
     for _ in range(max_iter):
         sym = e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
-        e = _small_star(_large_star(sym)).localCheckpoint()
-        new_sig = signature(e)
+        e, new_sig = checkpoint_with_sig(_small_star(_large_star(sym)))
         if new_sig == sig:
             break
         sig = new_sig
