@@ -55,6 +55,8 @@ _WINDOW = (
     # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
     # queries here as they land.
     # — new in r6:
+    "temperature_mix_allocation",  # r6: n^0.7 mix weights (never verified)
+    "ngram_novelty",  # r6: crawl-order novelty profile (never verified)
     "substring_dup_spans",  # r6: variable-length substring dedup (never verified)
     # — changed in r6:
     "token_budget_allocation",  # r6: loud catalog-bound guard (assert_true filter)

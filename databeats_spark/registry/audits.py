@@ -568,7 +568,87 @@ ORDER BY source
 """
 
 
+# --- Q: temperature_mix_allocation — n^alpha sampling weights ------------
+# The other half of training-mix planning next to the water-filling
+# budget: exponentially-smoothed sampling (p_s ∝ n_s^alpha, alpha=0.7
+# — the multilingual-mix move of XLM-R/mT5) that upweights small
+# sources without letting the biggest source dominate. Exactness
+# engineering: raw shares are ONE division of exact BIGINTs; the
+# n^0.7 weights are identical pow() expression trees on both engines,
+# and their SUM — the one float reduction — is an ORDERED sequential
+# fold in source order on BOTH engines (Spark: aggregate() over the
+# array_sort'ed collect_list; DuckDB: list_reduce over list(... ORDER
+# BY source)), so no engine-dependent summation order exists. The
+# scalar pair rides attach_global_scalar per the derived-scalar rule.
+
+MIX_ALPHA = 0.7
+
+
+def _temperature_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    per_src = (
+        spread(t.documents, spark)
+        .groupBy("source")
+        .agg(F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tok"))
+        .withColumn("__w", F.pow(F.col("n_tok").cast("double"), F.lit(MIX_ALPHA)))
+    )
+    ordered_fold = F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("source", "__w"))),
+            lambda x: x["__w"],
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sized = attach_global_scalar(
+        per_src,
+        F.sum("n_tok").cast("bigint").alias("__total"),
+        ordered_fold.alias("__wsum"),
+    )
+    raw_share = F.col("n_tok") / F.col("__total")
+    temp_share = F.col("__w") / F.col("__wsum")
+    return sized.select(
+        "source",
+        "n_tok",
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(temp_share, 6).alias("temp_share"),
+        F.round(temp_share / raw_share, 6).alias("boost"),
+    ).orderBy("source")
+
+
+_TEMPERATURE_MIX_ALLOCATION_SQL = rf"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tok) AS BIGINT) AS total,
+         list_reduce(
+           list(pow(CAST(n_tok AS DOUBLE), {MIX_ALPHA}) ORDER BY source),
+           (acc, x) -> acc + x
+         ) AS wsum
+  FROM per_src
+)
+SELECT p.source, p.n_tok,
+       round(p.n_tok * 1.0 / t.total, 6) AS raw_share,
+       round(pow(CAST(p.n_tok AS DOUBLE), {MIX_ALPHA}) / t.wsum, 6) AS temp_share,
+       round((pow(CAST(p.n_tok AS DOUBLE), {MIX_ALPHA}) / t.wsum)
+             / (p.n_tok * 1.0 / t.total), 6) AS boost
+FROM per_src p, tot t
+ORDER BY p.source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "temperature_mix_allocation",
+        "n^0.7 exponential-smoothing sampling weights per source (XLM-R mix move)",
+        _temperature_mix_allocation,
+        _TEMPERATURE_MIX_ALLOCATION_SQL,
+        tags=("sampling", "agg", "audit"),
+    ),
     QuerySpec(
         "token_budget_allocation",
         "water-filling per-source quotas under a 60% total token budget",

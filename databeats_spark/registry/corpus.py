@@ -790,9 +790,79 @@ LIMIT 20
 """
 
 
+# --- Q: ngram_novelty — crawl-order novelty profile per source --------
+# How much NEW text each source contributes in crawl order (doc_id
+# stands in for arrival order): a distinct 3-gram is "novel" when the
+# smallest doc_id containing it is this doc. Sources that mostly
+# re-emit earlier grams (mirrors, spinners) score low — the
+# incremental-value signal a crawl-prioritization loop feeds on.
+# Scale shape: one explode + one window PARTITIONED BY the gram value
+# (key-partitioned min, no join, no global sort); per-source totals
+# are exact BIGINTs with novelty as ONE division, per the audits
+# recipe (no float summation anywhere).
+
+NOVELTY_NGRAM = 3
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    grams = (
+        spread(t.documents, spark)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles("text", n=NOVELTY_NGRAM)).alias("g"),
+        )
+    )
+    w = Window.partitionBy("g")
+    flagged = grams.withColumn(
+        "is_novel", (F.col("doc_id") == F.min("doc_id").over(w)).cast("long")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("is_novel").cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "source",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_NGRAM_NOVELTY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id, source, unnest(
+    list_distinct(list_transform(
+      range(1, greatest(len(toks) - {NOVELTY_NGRAM - 1}, 0) + 1),
+      i -> array_to_string(toks[i:i+{NOVELTY_NGRAM - 1}], ' ')
+    ))
+  ) AS g
+  FROM t
+), flagged AS (
+  SELECT source,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY g) THEN 1 ELSE 0 END AS is_novel
+  FROM g
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(is_novel) AS BIGINT) AS n_novel,
+       round(sum(is_novel) * 1.0 / count(*), 6) AS novelty_rate
+FROM flagged GROUP BY source ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
+    QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),
     QuerySpec("badword_doc_flags", "blocklist filter rates per source (C4 badwords gate)", _badword_doc_flags, _BADWORD_DOC_FLAGS_SQL, tags=("text", "agg")),
     QuerySpec("idf_doc_score", "per-document mean inverse document frequency", _idf_doc_score, _IDF_DOC_SCORE_SQL, tags=("text", "agg")),
