@@ -58,6 +58,7 @@ _WINDOW = (
     "temperature_mix_allocation",  # r6: n^0.7 mix weights (never verified)
     "ngram_novelty",  # r6: crawl-order novelty profile (never verified)
     "substring_dup_spans",  # r6: variable-length substring dedup (never verified)
+    "substring_scrub_stats",  # r6: variable-span scrub accounting (never verified)
     # — changed in r6:
     "token_budget_allocation",  # r6: loud catalog-bound guard (assert_true filter)
     "source_pareto",  # r6: loud catalog-bound guard (assert_true filter)

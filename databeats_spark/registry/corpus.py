@@ -790,6 +790,111 @@ LIMIT 20
 """
 
 
+# --- Q: substring_scrub_stats — variable-span removal accounting ------
+# The APPLY side of substring_dup_spans: how much text would actually
+# be removed if every duplicated >=8-token span (first-occurrence
+# keep, doc_id = arrival order) were scrubbed. An anchor position is
+# duplicated when a smaller doc_id contains the same 8-gram; the
+# removed token count per doc is the size of the UNION of the 8-token
+# windows over its duplicated anchors — with fixed-length sorted
+# intervals the union telescopes to sum(min(8, pos - lag(pos)))
+# (first interval contributes 8), so the sweep is a lag window
+# PARTITIONED BY doc. Two key-partitioned windows (by anchor value,
+# by doc), exact integers end to end, one division per source row.
+
+def _substring_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+
+    def anchors_of(tk):
+        starts = F.sequence(F.lit(1), F.size(tk) - F.lit(MIN_MATCH_TOKENS - 1))
+        return F.transform(
+            starts,
+            lambda i: F.struct(
+                F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ").alias("anchor"),
+                i.alias("pos"),
+            ),
+        )
+
+    anchors = F.element_at(F.transform(F.array(tokens("text")), anchors_of), 1)
+    pos_tbl = (
+        docs.filter(F.size(tokens("text")) >= MIN_MATCH_TOKENS)
+        .select("doc_id", "source", F.explode(anchors).alias("s"))
+        .select("doc_id", "source", "s.anchor", "s.pos")
+    )
+    w_anchor = Window.partitionBy("anchor")
+    dup = pos_tbl.withColumn(
+        "first_doc", F.min("doc_id").over(w_anchor)
+    ).filter(F.col("first_doc") < F.col("doc_id"))
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    swept = dup.withColumn(
+        "removed",
+        F.least(
+            F.lit(MIN_MATCH_TOKENS),
+            F.coalesce(
+                F.col("pos") - F.lag("pos").over(w_doc), F.lit(MIN_MATCH_TOKENS)
+            ),
+        ).cast("bigint"),
+    )
+    removed_by_source = swept.groupBy("source").agg(
+        F.sum("removed").cast("bigint").alias("removed_tokens")
+    )
+    totals = docs.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("total_tokens")
+    )
+    return (
+        totals.join(removed_by_source, "source", "left")
+        .select(
+            "source",
+            "total_tokens",
+            F.coalesce("removed_tokens", F.lit(0)).cast("bigint").alias("removed_tokens"),
+            F.round(
+                (F.col("total_tokens") - F.coalesce("removed_tokens", F.lit(0)))
+                / F.col("total_tokens"),
+                6,
+            ).alias("kept_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+_SUBSTRING_SCRUB_STATS_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), pos_tbl AS (
+  SELECT doc_id, source, i AS pos,
+         array_to_string(toks[i:i+{MIN_MATCH_TOKENS - 1}], ' ') AS anchor
+  FROM t, LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - {MIN_MATCH_TOKENS - 1}, 0) + 1)) AS i
+  ) r
+), dup AS (
+  SELECT doc_id, source, pos
+  FROM (
+    SELECT doc_id, source, pos, min(doc_id) OVER (PARTITION BY anchor) AS first_doc
+    FROM pos_tbl
+  ) WHERE first_doc < doc_id
+), swept AS (
+  SELECT source,
+         CAST(least({MIN_MATCH_TOKENS},
+              coalesce(pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                       {MIN_MATCH_TOKENS})) AS BIGINT) AS removed
+  FROM dup
+), removed_by_source AS (
+  SELECT source, CAST(sum(removed) AS BIGINT) AS removed_tokens
+  FROM swept GROUP BY source
+), totals AS (
+  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+  FROM t GROUP BY source
+)
+SELECT tt.source, tt.total_tokens,
+       CAST(coalesce(r.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       round((tt.total_tokens - coalesce(r.removed_tokens, 0)) * 1.0
+             / tt.total_tokens, 6) AS kept_frac
+FROM totals tt LEFT JOIN removed_by_source r ON r.source = tt.source
+ORDER BY tt.source
+"""
+
+
 # --- Q: ngram_novelty — crawl-order novelty profile per source --------
 # How much NEW text each source contributes in crawl order (doc_id
 # stands in for arrival order): a distinct 3-gram is "novel" when the
@@ -863,6 +968,7 @@ SPECS = [
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
+    QuerySpec("substring_scrub_stats", "variable-span scrub accounting: tokens removed per source under first-occurrence keep", _substring_scrub_stats, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),
     QuerySpec("badword_doc_flags", "blocklist filter rates per source (C4 badwords gate)", _badword_doc_flags, _BADWORD_DOC_FLAGS_SQL, tags=("text", "agg")),
     QuerySpec("idf_doc_score", "per-document mean inverse document frequency", _idf_doc_score, _IDF_DOC_SCORE_SQL, tags=("text", "agg")),

@@ -207,3 +207,14 @@ def test_substring_dedup_catches_shifted_overlap(spark, tmp_path):
         "fixed-grid span dedup unexpectedly caught the shifted copy — "
         "the substring query's reason to exist would be gone"
     )
+
+    # apply side: the scrub accounting removes EXACTLY the 15-token
+    # run from doc 2's source (first-occurrence keep: doc 1 keeps it).
+    # The interval-union telescope: 8 duplicated anchors cover
+    # positions 14..28 -> 8 + 7x1 = 15 removed tokens.
+    from databeats_spark.registry.corpus import _substring_scrub_stats
+
+    scrub = _substring_scrub_stats(spark, sf_dir).toPandas().set_index("source")
+    assert int(scrub.loc["s", "removed_tokens"]) == 15
+    n_total = len(doc_a.split()) + len(doc_b.split()) + len(doc_c.split())
+    assert int(scrub.loc["s", "total_tokens"]) == n_total
