@@ -33,6 +33,12 @@ def main() -> None:
         "each count pays only its own stage's incremental cost)",
     )
     ap.add_argument(
+        "--skew-guard", action="store_true",
+        help="diagnose pair-endpoint skew (top_key_share) before the "
+        "near-dup collapse and salt the connected-components joins when "
+        "a hub key exceeds the share threshold (result-identical)",
+    )
+    ap.add_argument(
         "--audit", action="store_true",
         help="run the corpus QA battery over the input tables (threshold "
         "sweep, split leakage, cluster sizes, diversity, budget "
@@ -60,14 +66,19 @@ def main() -> None:
         ).localCheckpoint(eager=True)
         funnel = [(0, "raw", prev.count())]
         stage_sec = {"raw": round(time.perf_counter() - t0, 4)}
-        for i, (name, build) in enumerate(stage_builders(spark, args.token_budget), 1):
+        for i, (name, build) in enumerate(
+            stage_builders(spark, args.token_budget, skew_guard=args.skew_guard), 1
+        ):
             t0 = time.perf_counter()
             prev = build(prev).localCheckpoint(eager=True)
             funnel.append((i, name, prev.count()))
             stage_sec[name] = round(time.perf_counter() - t0, 4)
         final = prev
     else:
-        stages = curate_corpus(spark, args.sf_dir, args.token_budget, pin_stages=True)
+        stages = curate_corpus(
+            spark, args.sf_dir, args.token_budget, pin_stages=True,
+            skew_guard=args.skew_guard,
+        )
         # counts first (each stage materializes once via the pinned
         # chain), then persist the final corpus from the same blocks
         funnel = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
