@@ -123,3 +123,39 @@ def test_canonical_best_keeps_no_fewer_and_no_shorter_than_min_id_policy(spark):
     minid = queries()["canonical_docs"](spark, SF_SMOKE).toPandas()
     assert len(best) == len(minid)
     assert best.n_chars.sum() >= minid.n_chars.sum()
+
+
+def test_temperature_mix_invariants(spark):
+    """Shares sum to 1 on both axes; alpha<1 smoothing must boost
+    every below-average source and damp the largest one."""
+    from databeats_spark.registry import queries
+
+    pdf = queries()["temperature_mix_allocation"](spark, SF_SMOKE).toPandas()
+    assert abs(pdf["raw_share"].sum() - 1.0) < 1e-4
+    assert abs(pdf["temp_share"].sum() - 1.0) < 1e-4
+    biggest = pdf.loc[pdf["n_tok"].idxmax()]
+    smallest = pdf.loc[pdf["n_tok"].idxmin()]
+    assert biggest["boost"] <= 1.0 <= smallest["boost"]
+    # smoothing preserves order: more tokens never means smaller share
+    by_tok = pdf.sort_values("n_tok")
+    assert by_tok["temp_share"].is_monotonic_increasing
+
+
+def test_novelty_and_scrub_are_consistent(spark):
+    """ngram_novelty and substring_scrub_stats bound each other's
+    domains: rates live in (0, 1]; every gram/token total is positive;
+    the scrubbed tokens can never exceed the source's total."""
+    from databeats_spark.registry import queries
+
+    q = queries()
+    nov = q["ngram_novelty"](spark, SF_SMOKE).toPandas()
+    assert (nov["n_novel"] <= nov["n_grams"]).all()
+    assert ((nov["novelty_rate"] > 0) & (nov["novelty_rate"] <= 1)).all()
+    # corpus-wide, novel grams = distinct grams: every distinct gram is
+    # novel in exactly the doc that introduces it
+    scrub = q["substring_scrub_stats"](spark, SF_SMOKE).toPandas()
+    assert (scrub["removed_tokens"] <= scrub["total_tokens"]).all()
+    assert ((scrub["kept_frac"] > 0) & (scrub["kept_frac"] <= 1)).all()
+    # the scrub keeps strictly less than spans-only accounting removes:
+    # sanity that SOME duplication exists in the planted corpus
+    assert scrub["removed_tokens"].sum() > 0
