@@ -82,9 +82,12 @@ _WINDOW = (
     "time_features", "json_props", "session_windows",
     "approx_price_quantiles", "range_attribution",
     "daily_from_hourly_rollup", "user_value_ranks",
-    "user_funnel_summary", "weekly_resample", "hourly_event_stats",
-    "event_type_pivot", "deterministic_sample", "stratified_sample",
-    "doc_fingerprints",
+    "user_funnel_summary", "weekly_resample",
+    # (hourly_event_stats, event_type_pivot, deterministic_sample,
+    # stratified_sample, doc_fingerprints, lang_id, dedup_components,
+    # posexplode_tokens were displaced past slot 50 by the r6
+    # additions — they are the oldest re-verification debt for the r7
+    # window)
 )
 
 
