@@ -50,3 +50,27 @@ def test_bad_sf_dir_raises_cleanly(spark):
     q = entry_mod.queries()
     with pytest.raises(AnalysisException):
         q["pricing_summary"](spark, "/root/testdata/does_not_exist").count()
+
+
+def test_id_key_contracts_behind_limit_noops(spark):
+    """Several queries prove plan-boundedness with a semantic no-op
+    .limit(N) placed after a filter like `vec_id < N` — a no-op ONLY
+    while ids are unique non-negative keys (r5 ADVICE: if that fixture
+    contract ever broke, the limit would silently truncate). Pin the
+    contract at both test scales so a drifted generator fails loudly
+    here, not as a silent wrong answer."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_CORRECT, SF_SMOKE
+
+    for sf in (SF_SMOKE, SF_CORRECT):
+        t = load_tables(spark, sf, ["embeddings", "documents"])
+        for df, key in ((t.embeddings, "vec_id"), (t.documents, "doc_id")):
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct(key).alias("d"),
+                F.min(key).alias("lo"),
+            ).collect()[0]
+            assert row["n"] == row["d"], f"{key} not unique at {sf}"
+            assert row["lo"] >= 0, f"{key} negative at {sf}"
