@@ -1,0 +1,68 @@
+"""Steal-proof scale regressions: DATA MOVED per query, not seconds.
+
+Wall-clock on this VM swings ±25% with external steal (README variance
+note); the bytes a plan shuffles do not. These budgets carry 4-10x
+headroom over the measured values (SHUFFLE.md) — they only trip on the
+order-of-magnitude failure modes: a broadcast star join regressing to
+sort-merge (fact table starts shuffling megabytes), a partial
+aggregation regressing to a full-row shuffle, a lost pushdown
+inflating the scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from databeats_spark.plans.instrument import execution_metrics
+from databeats_spark.registry import queries
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    reg = queries()
+
+    def run(name: str) -> dict[str, int]:
+        return execution_metrics(reg[name](spark, SF_CORRECT))
+
+    return run
+
+
+def test_pricing_summary_aggregates_map_side(metrics):
+    m = metrics("pricing_summary")
+    # partial agg shuffles only per-partition subtotals (~1.8 KB
+    # measured); a full-row shuffle of the 60k-row fact would be MBs
+    assert m["shuffle_bytes"] < 200_000, m
+    assert m["scan_rows"] == 60_000, m
+
+
+def test_revenue_by_nation_star_join_stays_broadcast(metrics):
+    m = metrics("revenue_by_nation")
+    # every dimension broadcasts (4 exchanges); the only shuffles are
+    # the fact-side partial agg + result sort (~810 KB measured). A
+    # sort-merge regression shuffles the joined fact rows instead.
+    assert m["n_broadcasts"] >= 4, m
+    assert m["shuffle_bytes"] < 4_000_000, m
+
+
+def test_top_customers_is_topk_not_full_sort(metrics):
+    m = metrics("top_customers")
+    # TakeOrderedAndProject moves per-partition top-k (~82 KB
+    # measured); a global sort would move every aggregated customer row
+    assert m["shuffle_bytes"] < 1_000_000, m
+
+
+def test_text_stats_is_single_pass(metrics):
+    m = metrics("text_stats")
+    # one scan, column expressions, one ordered result exchange
+    assert m["n_shuffles"] <= 2, m
+    assert m["shuffle_bytes"] < 300_000, m
+
+
+def test_filter_project_scan_prunes_columns(metrics):
+    m = metrics("filter_project")
+    # pushdown + pruning: the scan reads the pruned lineitem columns
+    # (~1 MB of file at sf0.01); losing ReadSchema pruning reads the
+    # full ~2.5 MB table. The only shuffle is the ordered result.
+    assert m["n_shuffles"] <= 1, m
+    assert m["scan_bytes"] < 2_000_000, m
