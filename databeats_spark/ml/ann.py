@@ -55,6 +55,50 @@ class IVFIndex:
         assigned = km.transform(vecs).select(id_col, vec_col, "centroid_id")
         return cls(km, assigned, id_col, vec_col)
 
+    def add(self, new_vectors: DataFrame) -> "IVFIndex":
+        """Incremental maintenance: assign a new ingest batch to its
+        nearest EXISTING centroids (the same KMeans transform the fit
+        used — one narrow pass over the batch, no shuffle of the
+        existing corpus) and union it into the index. At 100 TB a full
+        recluster per ingest batch is a non-starter; the documented
+        trade-off is recall drift when new data forms regions the old
+        centroids don't cover — measure it with
+        :meth:`mean_assignment_distance` and refit when the batch's
+        distance runs away from the fit-time baseline."""
+        vecs = new_vectors.withColumn("__v", array_to_vector(F.col(self.vec_col)))
+        assigned = self.kmeans.transform(vecs).select(
+            self.id_col, self.vec_col, "centroid_id"
+        )
+        return IVFIndex(
+            self.kmeans, self.assigned.unionByName(assigned), self.id_col, self.vec_col
+        )
+
+    def mean_assignment_distance(self, vectors: DataFrame) -> float:
+        """Mean Euclidean distance of ``vectors`` to their nearest
+        centroid — the refit trigger: compare an ingest batch against
+        the corpus baseline; a runaway batch means the centroid book
+        no longer covers the data. One assignment pass + one scalar
+        aggregate (bounded driver read)."""
+        centers = [
+            (ci, [float(x) for x in c]) for ci, c in enumerate(self.kmeans.clusterCenters())
+        ]
+        spark = vectors.sparkSession
+        cdf = spark.createDataFrame(centers, ["centroid_id", "center"]).limit(len(centers))
+        vecs = self.kmeans.transform(
+            vectors.withColumn("__v", array_to_vector(F.col(self.vec_col)))
+        ).select(F.col(self.vec_col).alias("__av"), "centroid_id")
+        dist2 = F.aggregate(
+            F.zip_with(F.col("__av"), F.col("center"), lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        row = (
+            vecs.join(F.broadcast(cdf), "centroid_id")
+            .agg(F.avg(F.sqrt(dist2)).alias("d"))
+            .collect()[0]
+        )
+        return float(row["d"] or 0.0)
+
     def write_partitioned(self, path: str) -> None:
         """Persist the corpus partitioned by centroid — probing then
         becomes parquet partition pruning on read."""

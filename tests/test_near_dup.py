@@ -218,3 +218,52 @@ def test_substring_dedup_catches_shifted_overlap(spark, tmp_path):
     assert int(scrub.loc["s", "removed_tokens"]) == 15
     n_total = len(doc_a.split()) + len(doc_b.split()) + len(doc_c.split())
     assert int(scrub.loc["s", "total_tokens"]) == n_total
+
+
+def test_ivf_incremental_add_and_drift_trigger(spark):
+    """Incremental index maintenance: an ingest batch joins the index
+    through one assignment pass (no refit), old-query results stay
+    intact, the new vectors are searchable, and the drift metric
+    separates an in-distribution batch from a runaway one (the refit
+    trigger)."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.ml.ann import IVFIndex
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_CORRECT
+
+    emb = load_tables(spark, SF_CORRECT, ["embeddings"]).embeddings.select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 400).localCheckpoint()
+    idx = IVFIndex.fit(base, n_lists=8)
+    q = base.filter(F.col("vec_id") < 3)
+    before = idx.search(q, k=5, n_probe=8).toPandas()
+
+    # batch 1: in-distribution (held-out existing vectors, re-keyed) +
+    # one exact twin of vec 0
+    held_out = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    twin = base.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding"
+    )
+    idx2 = idx.add(held_out.unionByName(twin))
+    assert idx2.assigned.count() == 400 + 50 + 1
+
+    # the twin surfaces as vec 0's nearest neighbor at cosine ~1.0
+    after = idx2.search(q, k=5, n_probe=8).toPandas()
+    best0 = after[after.query_id == 0].sort_values("rank").iloc[0]
+    assert best0["neighbor_id"] == 900_000 and abs(best0["cos_sim"] - 1.0) < 1e-6
+    # other old queries keep their old top-1 (far batch can't intrude)
+    for qid in (1, 2):
+        old_top = before[before.query_id == qid].sort_values("rank").iloc[0]
+        new_top = after[after.query_id == qid].sort_values("rank").iloc[0]
+        assert new_top["neighbor_id"] == old_top["neighbor_id"]
+
+    # drift: a runaway batch (vectors shifted far outside the corpus)
+    # reads much farther from the centroid book than the in-dist batch
+    far = held_out.select(
+        "vec_id", F.transform("embedding", lambda x: x + F.lit(50.0)).alias("embedding")
+    )
+    d_in = idx.mean_assignment_distance(held_out)
+    d_far = idx.mean_assignment_distance(far)
+    assert d_far > 5 * d_in, (d_in, d_far)

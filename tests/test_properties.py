@@ -178,3 +178,30 @@ def test_hll_estimate_within_relative_error(spark):
     assert len(out) > 0
     rel = (out["est_users"] - out["exact_users"]).abs() / out["exact_users"]
     assert (rel <= 0.05).all(), out[rel > 0.05]
+
+
+@given(
+    run_len=st.integers(min_value=8, max_value=20),
+    offset_a=st.integers(min_value=0, max_value=11),
+    offset_b=st.integers(min_value=0, max_value=11),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_substring_dedup_is_shift_invariant(spark, tmp_path_factory, run_len, offset_a, offset_b):
+    """The reason substring_dup_spans exists: a duplicated run of ANY
+    length >= 8 tokens at ANY pair of offsets is found with its exact
+    length. Filler vocabularies are disjoint per doc and from the run,
+    so the planted run is the only cross-doc overlap."""
+    from databeats_spark.registry.corpus import _substring_dup_spans
+
+    run = [f"r{i}" for i in range(run_len)]
+    doc_a = " ".join([f"a{i}" for i in range(offset_a)] + run + [f"x{i}" for i in range(9)])
+    doc_b = " ".join([f"b{i}" for i in range(offset_b)] + run + [f"y{i}" for i in range(9)])
+    sf_dir = str(tmp_path_factory.mktemp("sfx"))
+    spark.createDataFrame(
+        [(1, doc_a, "s", 1), (2, doc_b, "s", 1)],
+        "doc_id bigint, text string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = _substring_dup_spans(spark, sf_dir).toPandas()
+    assert len(got) == 1
+    assert int(got.iloc[0]["max_span_tokens"]) == run_len
