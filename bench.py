@@ -107,8 +107,8 @@ def main() -> None:
     # during the pagerank_docs build above): the steal-vs-plan
     # diagnostic the r5 verdict asked for — uniform per-round inflation
     # on a driver run means external CPU steal, a single slow round
-    # means a plan problem. Rounds alternate lazy/eager (check_every=2),
-    # so even-indexed entries are expected to look near-free.
+    # means a plan problem. Every round is one eager contribution job;
+    # odd-indexed (check) rounds add a small L1-delta job on top.
     from databeats_spark.registry.mining import PAGERANK_ROUND_TIMINGS
 
     pagerank_rounds = list(PAGERANK_ROUND_TIMINGS)

@@ -393,12 +393,23 @@ def pagerank(
     for i in range(max_iter):
         t0 = time.perf_counter()
         obs = Observation()
-        new_contribs = (
-            withdeg.join(
-                rank_view(contribs, flow),
-                withdeg["e_src"] == F.col("node"),
+        # the per-edge rank is evaluated directly on the edge table
+        # (left join on e_src against the previous contributions) —
+        # withdeg's sources are a subset of nodes, so routing through
+        # rank_view's node join would add a node-sized shuffle per
+        # round for rows the inner join on e_src discards anyway
+        base = F.lit((1.0 - damping) / n + damping * (1.0 - flow) / n)
+        if contribs is None:
+            ranked_edges = withdeg.withColumn("rank", base)
+        else:
+            ranked_edges = withdeg.join(
+                contribs, withdeg["e_src"] == contribs["node"], "left"
+            ).withColumn(
+                "rank",
+                base + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
             )
-            .select(
+        new_contribs = (
+            ranked_edges.select(
                 F.col("e_dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
             )
             .groupBy("node")
@@ -409,7 +420,9 @@ def pagerank(
         prev_contribs, prev_flow = contribs, flow
         contribs, flow = new_contribs, float(obs.get["flow"] or 0.0)
         converged = False
-        if tol is not None and (i % check_every == check_every - 1 or i == max_iter - 1):
+        # no delta job on the LAST round: the loop ends either way, and
+        # the delta's only consumer is the early-stop decision
+        if tol is not None and i % check_every == check_every - 1 and i < max_iter - 1:
             delta = _rank_l1_delta(contribs, flow, prev_contribs, prev_flow, damping, n)
             converged = delta < tol
         if round_timings is not None:

@@ -141,8 +141,11 @@ def encode_payloads(
                     }
                 )
 
+    # carry the caller's id type through (string/uuid keys are as
+    # legitimate as longs; hardcoding would break at the first batch)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        run, schema=f"{id_col} long, embedding array<float>"
+        run, schema=f"{id_col} {id_type}, embedding array<float>"
     )
 
 

@@ -683,7 +683,10 @@ ORDER BY lang, split
 # pair we report the longest match and the number of adjacent anchor
 # hits. LCP is one zip_with + array_position expression — identical
 # tree on DuckDB via list_zip/list_transform/list_position (both
-# engines return 0 for "no mismatch").
+# engines return 0 for "no mismatch" — NOTE this pins DuckDB 1.0.x
+# semantics; DuckDB >= 1.1 changed list_position to return NULL for
+# not-found, so an engine upgrade must add coalesce(..., 0) to the
+# oracle's mismatch expression).
 #
 # Scale shape: the suffix table is corpus_tokens rows wide (stride 1
 # is the point — any shift is caught), each carrying a bounded

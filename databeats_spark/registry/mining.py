@@ -814,10 +814,9 @@ def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # tol early-stop: the near-dup graph is many SMALL components, so
     # the L1 delta crosses 1e-6 after 1-2 rounds — fixed 10 rounds was
-    # paying ~8 no-op iterations. The delta check runs every 2nd round
-    # (r6: intermediate rounds checkpoint lazily — two rounds per
-    # driver action — and the dangling-mass scalar is fused into the
-    # contribution aggregate, removing the per-round edge semi-join).
+    # paying ~8 no-op iterations. r6 shape: ONE eager contribution job
+    # per round (flowing mass observed on it; dangling semi-join gone),
+    # plus a small paired-aggregate delta job every 2nd round.
     PAGERANK_ROUND_TIMINGS.clear()
     out = pagerank(
         edges, "id_a", "id_b", max_iter=10, tol=1e-6,

@@ -94,10 +94,15 @@ class _StagedBatchWriter:
         if not self.path:
             raise ValueError("collection_append requires a 'path' option")
         self.batch_size = int(options.get("batch_size", DEFAULT_BATCH_SIZE))
+        # per-JOB staging namespace: the writer is constructed once on
+        # the driver and pickled to every task, so the token isolates
+        # this job's staged files — commit-time sweeping can never
+        # touch a CONCURRENT writer's staging on the same collection
+        self.job_token = uuid.uuid4().hex
 
     @property
     def staging_dir(self) -> str:
-        return os.path.join(self.path, "_staging")
+        return os.path.join(self.path, "_staging", self.job_token)
 
     def send_batch(self, staged_file: str, batch: list[dict]) -> None:
         """Transport hook — override with a bulk-write client in
@@ -145,11 +150,17 @@ class _StagedBatchWriter:
                 shutil.rmtree(full)
 
     def _sweep_staging(self) -> None:
-        """Drop orphaned staged files left by failed or speculated task
-        attempts whose commit message never reached the driver (the
-        winning attempt's file was already moved out by ``_promote``)."""
+        """Drop THIS job's orphaned staged files — attempts that failed
+        or were speculated and whose commit message never reached the
+        driver (the winning attempt's file was already moved out by
+        ``_promote``). Scoped to the job token: a concurrent writer's
+        staging under the same collection path is never touched."""
         if os.path.isdir(self.staging_dir):
             shutil.rmtree(self.staging_dir, ignore_errors=True)
+        try:  # tidy the shared parent when this was the last job
+            os.rmdir(os.path.join(self.path, "_staging"))
+        except OSError:
+            pass
 
     def _promote(self, messages, dest_dir: str, generation: str) -> int:
         os.makedirs(dest_dir, exist_ok=True)

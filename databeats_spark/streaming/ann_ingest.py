@@ -96,5 +96,11 @@ class StreamingIVFIngest:
         the fit-time baseline to decide when to refit."""
         full = spark.read.parquet(self.out_path)
         last = full.agg(F.max("epoch").alias("e")).collect()[0]["e"]
-        latest = full.filter(F.col("epoch") == last).select(self.id_col, "embedding")
+        latest = full.filter(F.col("epoch") == last).select(
+            # the streamed corpus always carries 'embedding' (the
+            # encoder's output name); the seed index may have been fit
+            # with any vec_col — align to it
+            self.id_col,
+            F.col("embedding").alias(self.index.vec_col),
+        )
         return self.index.mean_assignment_distance(latest)
