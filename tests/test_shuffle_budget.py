@@ -59,6 +59,16 @@ def test_text_stats_is_single_pass(metrics):
     assert m["shuffle_bytes"] < 300_000, m
 
 
+def test_metrics_are_deterministic(metrics):
+    """The premise of SHUFFLE.md: bytes moved are a property of plan +
+    data, so two executions of the same query report identical volume
+    metrics (unlike wall-clock). Exchange counts, byte sums, record
+    counts — all of it."""
+    for name in ("pricing_summary", "revenue_by_nation", "substring_dup_spans"):
+        a, b = metrics(name), metrics(name)
+        assert a == b, (name, a, b)
+
+
 def test_filter_project_scan_prunes_columns(metrics):
     m = metrics("filter_project")
     # pushdown + pruning: the scan reads the pruned lineitem columns
