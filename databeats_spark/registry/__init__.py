@@ -55,6 +55,7 @@ _WINDOW = (
     # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
     # queries here as they land.
     # — new in r6:
+    "length_percentiles_by_source",  # r6: exact rank-math quantiles (never verified)
     "temperature_mix_allocation",  # r6: n^0.7 mix weights (never verified)
     "ngram_novelty",  # r6: crawl-order novelty profile (never verified)
     "substring_dup_spans",  # r6: variable-length substring dedup (never verified)
@@ -82,12 +83,12 @@ _WINDOW = (
     "time_features", "json_props", "session_windows",
     "approx_price_quantiles", "range_attribution",
     "daily_from_hourly_rollup", "user_value_ranks",
-    "user_funnel_summary", "weekly_resample",
-    # (hourly_event_stats, event_type_pivot, deterministic_sample,
-    # stratified_sample, doc_fingerprints, lang_id, dedup_components,
-    # posexplode_tokens were displaced past slot 50 by the r6
-    # additions — they are the oldest re-verification debt for the r7
-    # window)
+    "user_funnel_summary",
+    # (weekly_resample, hourly_event_stats, event_type_pivot,
+    # deterministic_sample, stratified_sample, doc_fingerprints,
+    # lang_id, dedup_components, posexplode_tokens were displaced past
+    # slot 50 by the r6 additions — they are the oldest
+    # re-verification debt for the r7 window)
 )
 
 

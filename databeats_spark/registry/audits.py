@@ -641,7 +641,69 @@ ORDER BY p.source
 """
 
 
+# --- Q: length_percentiles_by_source — exact per-source quantiles --------
+# The corpus-profiling staple, done EXACTLY: p50/p90/p99 of document
+# length per source as the k-th smallest value with k = ceil(q*n) —
+# rank arithmetic in pure integers on both engines (approx_percentile
+# / quantile functions have engine-specific interpolation and are
+# banned from the oracle recipe). One window partitioned by source
+# (key-partitioned), ties broken by doc_id, conditional-agg pivot.
+
+def _length_percentiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = t.documents.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint").alias("n"),
+    )
+
+    def pick(q_num: int, q_den: int, name: str):
+        # k = ceil(n * q) in pure integers: (n*q_num + q_den - 1) DIV q_den
+        k = F.expr(f"CAST((n * {q_num} + {q_den - 1}) DIV {q_den} AS BIGINT)")
+        return F.max(F.when(F.col("rn") == k, F.col("n_chars"))).cast("bigint").alias(name)
+
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            pick(1, 2, "p50_chars"),
+            pick(9, 10, "p90_chars"),
+            pick(99, 100, "p99_chars"),
+        )
+        .select("source", F.col("n_docs").cast("bigint").alias("n_docs"),
+                "p50_chars", "p90_chars", "p99_chars")
+        .orderBy("source")
+    )
+
+
+_LENGTH_PERCENTILES_BY_SOURCE_SQL = """
+WITH ranked AS (
+  SELECT source, n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+  FROM documents
+)
+SELECT source,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(max(CASE WHEN rn = (n * 1 + 1) // 2 THEN n_chars END) AS BIGINT) AS p50_chars,
+       CAST(max(CASE WHEN rn = (n * 9 + 9) // 10 THEN n_chars END) AS BIGINT) AS p90_chars,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS BIGINT) AS p99_chars
+FROM ranked GROUP BY source ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "length_percentiles_by_source",
+        "exact p50/p90/p99 document length per source (integer rank arithmetic)",
+        _length_percentiles_by_source,
+        _LENGTH_PERCENTILES_BY_SOURCE_SQL,
+        tags=("agg", "window", "audit"),
+    ),
     QuerySpec(
         "temperature_mix_allocation",
         "n^0.7 exponential-smoothing sampling weights per source (XLM-R mix move)",
