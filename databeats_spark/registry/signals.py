@@ -388,7 +388,105 @@ ORDER BY day
 """
 
 
+# --- Q: fluency_buckets — CCNet-style head/middle/tail split ----------
+# CCNet (Wenzek et al., public) orders each language shard by LM
+# perplexity and cuts it into head/middle/tail thirds; downstream
+# pipelines keep head+middle. This is that stage per SOURCE, with the
+# LM signal replaced by an EXACT integer fluency proxy so the oracle
+# stays zero-tolerance: mean corpus-frequency of the doc's tokens,
+# scaled to micro-units with integer division
+# (proxy = (Σ corpus_count(w)) * 1e6 DIV n_tok — monotone in the
+# arithmetic-mean unigram probability; the float geometric mean lives
+# in unigram_doc_logprob and stays out of ranking, where a
+# summation-order flip would corrupt bucket boundaries).
+# Shape: two hash aggregates (vocab, per-doc), a broadcast vocab
+# re-attach, then a SOURCE-partitioned window for rank + shard size —
+# never a global sort; each source shard buckets independently, which
+# is exactly how a 100 TB corpus runs it (per-source parallelism).
+# BIGINT headroom: proxy ≤ mean_count·1e6; overflow needs a single
+# token repeated ~9.2e12 times corpus-wide — at that point switch the
+# scale constant to DECIMAL(38,0), same plan.
+
+def _fluency_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = _doc_words(t.documents, "doc_id", "source")
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        words.join(F.broadcast(freq), "w")
+        .groupBy("source", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("c").alias("sum_c"))
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.expr("sum_c * 1000000L div n_tok").alias("proxy"),
+        )
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("proxy").desc(), F.col("doc_id")
+    )
+    w_src = Window.partitionBy("source")
+    bucketed = per_doc.select(
+        "source",
+        "n_tok",
+        "proxy",
+        ((F.row_number().over(w_rank).cast("bigint") - 1) * 3)
+        .alias("rank3"),
+        F.count(F.lit(1)).over(w_src).cast("bigint").alias("n_src"),
+    ).select(
+        "source",
+        "n_tok",
+        "proxy",
+        F.expr("rank3 div n_src").alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tot_tokens"),
+            F.min("proxy").alias("min_proxy"),
+            F.max("proxy").alias("max_proxy"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+_FLUENCY_BUCKETS_SQL = """
+WITH words AS (
+  SELECT doc_id, source, w
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+freq AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY w
+),
+per_doc AS (
+  SELECT source, doc_id,
+         CAST(count(*) AS BIGINT) AS n_tok,
+         CAST(CAST(sum(f.c) AS BIGINT) * 1000000 AS BIGINT) // CAST(count(*) AS BIGINT) AS proxy
+  FROM words d JOIN freq f USING (w)
+  GROUP BY source, doc_id
+),
+bucketed AS (
+  SELECT source, n_tok, proxy,
+         (CAST(row_number() OVER (PARTITION BY source
+             ORDER BY proxy DESC, doc_id) AS BIGINT) - 1) * 3
+           // CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS bucket
+  FROM per_doc
+)
+SELECT source, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tot_tokens,
+       CAST(min(proxy) AS BIGINT) AS min_proxy,
+       CAST(max(proxy) AS BIGINT) AS max_proxy
+FROM bucketed
+GROUP BY source, bucket
+ORDER BY source, bucket
+"""
+
+
 SPECS = [
+    QuerySpec("fluency_buckets", "CCNet-style per-source head/middle/tail fluency terciles", _fluency_buckets, _FLUENCY_BUCKETS_SQL, tags=("text", "sampling", "scale")),
     QuerySpec("doc_chunks", "sliding context-window chunk layout (stride overlap)", _doc_chunks, _DOC_CHUNKS_SQL, tags=("text", "sampling")),
     QuerySpec("unigram_doc_logprob", "corpus-LM average token log-prob per document", _unigram_doc_logprob, _UNIGRAM_DOC_LOGPROB_SQL, tags=("text", "agg")),
     QuerySpec("doc_entropy", "within-document word-distribution entropy", _doc_entropy, _DOC_ENTROPY_SQL, tags=("text", "agg")),
