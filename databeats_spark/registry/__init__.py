@@ -55,6 +55,7 @@ _WINDOW = (
     # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
     # queries here as they land.
     # — new in r6:
+    "corpus_summary_cube",  # r6: dataset-card grouping lattice (never verified)
     "fluency_buckets",  # r6: CCNet-style fluency terciles (never verified)
     "length_percentiles_by_source",  # r6: exact rank-math quantiles (never verified)
     "temperature_mix_allocation",  # r6: n^0.7 mix weights (never verified)

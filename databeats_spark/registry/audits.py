@@ -696,7 +696,64 @@ FROM ranked GROUP BY source ORDER BY source
 """
 
 
+# --- Q: corpus_summary_cube — the dataset-card rollup -----------------
+# One pass over documents producing the full (source × lang) grouping
+# lattice: doc counts, token and char volumes at every granularity —
+# the numbers a dataset card / release report prints. CUBE is one
+# expand + one hash aggregate (Spark plans grouping sets as a single
+# Expand node, so 4 granularities cost one shuffle, not four jobs);
+# tokens come from a pure HOF filter over the split array (no explode
+# — the summary never materializes the token stream). grouping()
+# flags disambiguate "(all)" from a literal value on both engines.
+
+def _corpus_summary_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("bigint")
+    return (
+        t.documents.select("source", "lang", "n_chars", toks.alias("n_tok"))
+        .cube("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tot_tokens"),
+            F.sum("n_chars").alias("tot_chars"),
+            F.grouping("source").cast("long").alias("g_source"),
+            F.grouping("lang").cast("long").alias("g_lang"),
+        )
+        .select(
+            F.coalesce("source", F.lit("(all)")).alias("source_g"),
+            F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+            "n_docs",
+            "tot_tokens",
+            "tot_chars",
+            "g_source",
+            "g_lang",
+        )
+        .orderBy("g_source", "g_lang", "source_g", "lang_g")
+    )
+
+
+_CORPUS_SUMMARY_CUBE_SQL = """
+SELECT coalesce(source, '(all)') AS source_g,
+       coalesce(lang, '(all)') AS lang_g,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS tot_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS tot_chars,
+       CAST(grouping(source) AS BIGINT) AS g_source,
+       CAST(grouping(lang) AS BIGINT) AS g_lang
+FROM documents
+GROUP BY CUBE (source, lang)
+ORDER BY g_source, g_lang, source_g, lang_g
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "corpus_summary_cube",
+        "dataset-card rollup: (source x lang) grouping lattice in one pass",
+        _corpus_summary_cube,
+        _CORPUS_SUMMARY_CUBE_SQL,
+        tags=("agg", "audit"),
+    ),
     QuerySpec(
         "length_percentiles_by_source",
         "exact p50/p90/p99 document length per source (integer rank arithmetic)",
