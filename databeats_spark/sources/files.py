@@ -24,7 +24,10 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool 
 
 
 def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return spark.read.schema(schema).json(path)
+    """JSON for curated stores: FAILFAST like every schema-explicit
+    reader here (default PERMISSIVE silently nulls malformed rows —
+    the raw-ingest path that WANTS recovery is read_with_quarantine)."""
+    return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
 
 
 # The external-store seam (S6/S7, K1-K3): history/snapshot tables are
@@ -74,6 +77,69 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)
+
+
+# --- corrupt-record quarantine (ingest robustness at scale) -----------
+# FAILFAST is right for curated stores (schema drift must stop the
+# pipeline), but raw text ingest at 100 TB ALWAYS contains malformed
+# rows, and one bad line must not kill a 6-hour job. The standard
+# posture: PERMISSIVE parse with the raw line captured in a corrupt-
+# record column, valid rows flowing on, bad raw lines quarantined to
+# their own sink for offline triage — never silently dropped
+# (DROPMALFORMED loses data with no audit trail).
+
+QUARANTINE_COL = "_quarantined_raw"
+
+
+def read_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "json"
+) -> DataFrame:
+    """PERMISSIVE text read carrying the raw line of every row that
+    failed to parse in ``QUARANTINE_COL`` (NULL for valid rows).
+
+    Spark caveat baked into this API: a query referencing ONLY the
+    corrupt-record column of a lazy text scan is rejected by the
+    parser relation — always keep at least one data column in
+    downstream selects (``split_quarantine`` does)."""
+    if fmt not in ("json", "csv"):
+        raise ValueError(f"quarantine reads are for text formats, got {fmt!r}")
+    full = T.StructType(list(schema.fields) + [T.StructField(QUARANTINE_COL, T.StringType())])
+    r = (
+        spark.read.format(fmt)
+        .schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", QUARANTINE_COL)
+    )
+    if fmt == "csv":
+        r = r.option("header", True)
+    return r.load(path)
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(valid_rows_without_the_marker, quarantined_full_rows).
+
+    Two filtered projections of the same scan — both are map-only with
+    the null/not-null predicate pushed to the parser; no cache is
+    needed because each side keeps data columns alongside the marker.
+    """
+    good = df.filter(df[QUARANTINE_COL].isNull()).drop(QUARANTINE_COL)
+    bad = df.filter(df[QUARANTINE_COL].isNotNull())
+    return good, bad
+
+
+def quarantine_split_write(
+    df: DataFrame, good_path: str, quarantine_path: str, fmt: str = "parquet"
+) -> None:
+    """Materialize both sides. Two filtered map-only writes of the same
+    scan: at scale this reads the raw text twice but shuffles nothing —
+    cheaper than caching the corpus to split it in one pass, and each
+    write's predicate prunes at the parser."""
+    good, bad = split_quarantine(df)
+    write_table(good, good_path, fmt=fmt)
+    # full-width on purpose: Spark rejects projecting ONLY the corrupt
+    # column from a raw text scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    # and the partially-parsed columns are triage signal anyway
+    write_table(bad, quarantine_path, fmt=fmt)
 
 
 def read_table(
