@@ -55,6 +55,8 @@ _WINDOW = (
     # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
     # queries here as they land.
     # — new in r6:
+    "hard_negatives",  # r6: contrastive negative mining (never verified)
+    "retrieval_label_precision",  # r6: precision@k retrieval eval (never verified)
     "corpus_summary_cube",  # r6: dataset-card grouping lattice (never verified)
     "fluency_buckets",  # r6: CCNet-style fluency terciles (never verified)
     "length_percentiles_by_source",  # r6: exact rank-math quantiles (never verified)

@@ -402,7 +402,168 @@ ORDER BY label
 """
 
 
+# --- Q: hard_negatives — contrastive-training negative mining ---------
+# Embedding-model training (public recipe: sentence-transformers,
+# DPR) needs, per anchor, the most-similar vectors with a DIFFERENT
+# label — "hard" negatives that actually move the loss. Same broadcast
+# anchor + one-corpus-pass shape as cosine_topk, with the label
+# mismatch folded into the join predicate so the filter runs BEFORE
+# scoring (never score-then-filter: at 100 TB the predicate prunes the
+# pair stream inside the same codegen stage).
+
+N_ANCHORS = 8
+N_NEGATIVES = 5
+
+
+def _hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.similarity import cosine
+    from databeats_spark.operators.windows import top_k_per_group
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    # .limit is the lint-provable no-op bound (ids < N_ANCHORS number
+    # at most N_ANCHORS) — same posture as _cosine_topk
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_ANCHORS)
+        .limit(N_ANCHORS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_label") != F.col("neighbor_label"))
+        .withColumn("cos_sim", cosine("__qv", "__cv"))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+    out = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id")],
+        N_NEGATIVES,
+        keep_rank="rank",
+    )
+    return out.select(
+        "query_id",
+        F.col("query_label").cast("long").alias("query_label"),
+        "neighbor_id",
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+        F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+_HARD_NEGATIVES_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+  FROM embeddings WHERE vec_id < {N_ANCHORS}
+), scored AS (
+  SELECT q.query_id, q.query_label, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cs
+  FROM q JOIN embeddings e ON e.label <> q.query_label
+), ranked AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+       neighbor_id, CAST(neighbor_label AS BIGINT) AS neighbor_label,
+       round(cs, 6) AS cos_sim, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {N_NEGATIVES}
+ORDER BY query_id, rank
+"""
+
+
+# --- Q: retrieval_label_precision — retrieval-quality eval ------------
+# The eval loop that closes the ANN ladder: treat the label as the
+# relevance judgment and measure precision@k of exact cosine retrieval
+# per query — the harness that scores any index variant (PCA-reduced,
+# IVF, SQ8) against the same metric. Integer relevant-counts, ONE
+# division, round(…, 6): oracle-exact.
+
+N_EVAL_QUERIES = 20
+EVAL_K = 10
+
+
+def _retrieval_label_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.similarity import cosine
+    from databeats_spark.operators.windows import top_k_per_group
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = (
+        t.embeddings.filter(F.col("vec_id") < N_EVAL_QUERIES)
+        .limit(N_EVAL_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    c = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("__cv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine("__qv", "__cv"))
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label", "cos_sim")
+    )
+    topk = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("neighbor_id")],
+        EVAL_K,
+    )
+    return (
+        topk.groupBy("query_id", "query_label")
+        .agg(
+            F.sum(
+                (F.col("neighbor_label") == F.col("query_label")).cast("bigint")
+            ).alias("n_relevant"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .select(
+            "query_id",
+            F.col("query_label").cast("long").alias("query_label"),
+            "n_relevant",
+            F.round(F.col("n_relevant") / F.col("k"), 6).alias("precision_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+_RETRIEVAL_LABEL_PRECISION_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+  FROM embeddings WHERE vec_id < {N_EVAL_QUERIES}
+), scored AS (
+  SELECT q.query_id, q.query_label, e.label AS neighbor_label, e.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cs
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, query_label, neighbor_label, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+       CAST(sum(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant,
+       round(sum(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS precision_at_k
+FROM ranked WHERE rnk <= {EVAL_K}
+GROUP BY query_id, query_label
+ORDER BY query_id
+"""
+
+
 SPECS = [
+    QuerySpec("hard_negatives", "contrastive hard-negative mining: top-k cross-label cosine", _hard_negatives, _HARD_NEGATIVES_SQL, tags=("similarity", "ml")),
+    QuerySpec("retrieval_label_precision", "precision@k retrieval eval with label relevance", _retrieval_label_precision, _RETRIEVAL_LABEL_PRECISION_SQL, tags=("similarity", "ml", "audit")),
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
