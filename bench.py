@@ -120,6 +120,9 @@ def main() -> None:
         "near_dup_threshold_sweep", "split_leakage_pairs",
         "lexical_diversity", "dup_cluster_sizes", "canonical_best_docs",
         "token_budget_allocation",
+        # r6 late additions (appended so earlier rows compare
+        # like-for-like per query, same convention as _MINING's tail)
+        "fluency_buckets", "corpus_summary_cube",
     ]
     audit: dict[str, float] = {}
     for name in _AUDIT:

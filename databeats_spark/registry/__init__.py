@@ -55,6 +55,7 @@ _WINDOW = (
     # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
     # queries here as they land.
     # — new in r6:
+    "epoch_shard_layout",  # r6: seeded epoch permutation + shards (never verified)
     "hard_negatives",  # r6: contrastive negative mining (never verified)
     "retrieval_label_precision",  # r6: precision@k retrieval eval (never verified)
     "corpus_summary_cube",  # r6: dataset-card grouping lattice (never verified)

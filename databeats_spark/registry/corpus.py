@@ -967,7 +967,70 @@ FROM flagged GROUP BY source ORDER BY source
 """
 
 
+# --- Q: epoch_shard_layout — seeded epoch order + token-budget shards -
+# The last step before a training run: permute the corpus with a
+# SEEDED, engine-exact permutation and cut the permuted token stream
+# into fixed-budget shards. The permutation is a Lehmer LCG
+# (perm = doc_id·48271 mod (2^31−1) — pure integer arithmetic, so
+# Spark and the oracle agree bit-for-bit; xxhash64/DuckDB hash() would
+# diverge), a bijection on [1, 2^31−2] so distinct doc_ids keep
+# distinct slots. The running token offset rides
+# operators/scale.py::partitioned_running_total (two-phase scan) —
+# never a single-partition global window; a doc belongs to the shard
+# containing its FIRST token (concat-then-chunk semantics).
+
+EPOCH_SHARD_TOKENS = 2_000
+_LCG_A = 48271
+_LCG_M = 2_147_483_647
+
+
+def _epoch_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sized = t.documents.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("bigint").alias("n_tok"),
+        ((F.col("doc_id") + 1) * _LCG_A % _LCG_M).cast("bigint").alias("perm"),
+    ).filter(F.col("n_tok") > 0)
+    with_total = partitioned_running_total(
+        sized,
+        order_by=[F.col("perm"), F.col("doc_id")],
+        value_col="n_tok",
+        out_col="end_tok",
+    )
+    return with_total.select(
+        "doc_id",
+        "perm",
+        "n_tok",
+        (F.col("end_tok") - F.col("n_tok")).alias("start_tok"),
+        F.expr(f"(end_tok - n_tok) div {EPOCH_SHARD_TOKENS}").alias("shard"),
+    ).orderBy("perm", "doc_id")
+
+
+_EPOCH_SHARD_LAYOUT_SQL = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok,
+         CAST((doc_id + 1) * {_LCG_A} % {_LCG_M} AS BIGINT) AS perm
+  FROM documents
+),
+laid AS (
+  SELECT doc_id, perm, n_tok,
+         sum(n_tok) OVER (ORDER BY perm, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok
+  FROM sized WHERE n_tok > 0
+)
+SELECT doc_id, perm, n_tok,
+       CAST(end_tok - n_tok AS BIGINT) AS start_tok,
+       CAST((end_tok - n_tok) // {EPOCH_SHARD_TOKENS} AS BIGINT) AS shard
+FROM laid
+ORDER BY perm, doc_id
+"""
+
+
 SPECS = [
+    QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
