@@ -92,8 +92,11 @@ _WINDOW = (
     # (weekly_resample, hourly_event_stats, event_type_pivot,
     # deterministic_sample, stratified_sample, doc_fingerprints,
     # lang_id, dedup_components, posexplode_tokens were displaced past
-    # slot 50 by the r6 additions — they are the oldest
-    # re-verification debt for the r7 window)
+    # slot 50 by the early-r6 additions, and the five late-r6 prepends
+    # (epoch_shard_layout … fluency_buckets) pushed approx_price_quantiles,
+    # range_attribution, daily_from_hourly_rollup, user_value_ranks,
+    # user_funnel_summary past slot 50 as well — all of these are the
+    # oldest re-verification debt for the r7 window)
 )
 
 
