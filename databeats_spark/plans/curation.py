@@ -70,6 +70,28 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     )
 
 
+def learned_quality_gate(
+    docs: DataFrame,
+    scorer,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Model-based quality stage: keep docs whose calibrated score
+    clears the threshold.
+
+    ``scorer`` is any ``DataFrame -> DataFrame`` returning
+    (doc_id, p_good) — e.g. ``ml/quality_filter.QualityFilter.score``
+    or a pure-expression heuristic. The keep set joins back left-semi
+    so the stage emits the SAME full-width rows as the rule gate,
+    including the ``n_tok`` column the budget stage's prefix sum
+    consumes (stage contract: schema-stable through the funnel). At
+    scale the scorer pass is map-only (JVM pipeline transform) and the
+    semi join is a key join on doc_id — no payload shuffle of text."""
+    keep = scorer(docs).filter(F.col("p_good") >= threshold).select("doc_id")
+    return docs.join(keep, "doc_id", "left_semi").withColumn(
+        "n_tok", F.size(F.split("text", " "))
+    )
+
+
 def exact_dedup_stage(docs: DataFrame) -> DataFrame:
     """Keep the min-id document per exact content fingerprint."""
     fp = docs.withColumn("__fp", fingerprint(F.col("text")))
@@ -154,13 +176,29 @@ def budget_stage(docs: DataFrame, token_budget: int) -> DataFrame:
     return packed.filter(F.col("cum_tok") <= token_budget).drop("__h", "cum_tok")
 
 
-def stage_builders(spark: SparkSession, token_budget: int, skew_guard: bool = False):
+def stage_builders(
+    spark: SparkSession,
+    token_budget: int,
+    skew_guard: bool = False,
+    scorer=None,
+    scorer_threshold: float = 0.5,
+):
     """The curation stages as an ordered (name, prev_df -> df) list —
     the single definition both the lazy flow (curate_corpus) and a
     per-stage-timed runner (scripts/curate.py --stage-times) iterate,
-    so a timed run measures exactly the production stages."""
+    so a timed run measures exactly the production stages.
+
+    ``scorer`` (optional) swaps the rule-based quality gate for the
+    learned one (see :func:`learned_quality_gate`) — the upgrade path
+    once a trained quality filter exists; every downstream stage is
+    agnostic to which gate ran."""
+    quality = (
+        (lambda df: learned_quality_gate(df, scorer, scorer_threshold))
+        if scorer is not None
+        else quality_gate
+    )
     return [
-        ("quality", quality_gate),
+        ("quality", quality),
         ("exact_dedup", exact_dedup_stage),
         ("near_dup", lambda df: near_dup_stage(df, spark, skew_guard=skew_guard)),
         ("decontam", decontam_stage),
@@ -175,6 +213,8 @@ def curate_corpus(
     token_budget: int = 30_000,
     pin_stages: bool = False,
     skew_guard: bool = False,
+    scorer=None,
+    scorer_threshold: float = 0.5,
 ) -> dict[str, DataFrame]:
     """Run the full curation flow; returns every stage's DataFrame so
     callers can audit, persist or branch at any point.
@@ -195,7 +235,10 @@ def curate_corpus(
     pin = (lambda df: df.localCheckpoint(eager=False)) if pin_stages else (lambda df: df)
     stages: dict[str, DataFrame] = {"raw": pin(docs)}
     prev = stages["raw"]
-    for name, build in stage_builders(spark, token_budget, skew_guard=skew_guard):
+    for name, build in stage_builders(
+        spark, token_budget, skew_guard=skew_guard,
+        scorer=scorer, scorer_threshold=scorer_threshold,
+    ):
         prev = stages[name] = pin(build(prev))
     return stages
 

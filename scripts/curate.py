@@ -39,6 +39,14 @@ def main() -> None:
         "a hub key exceeds the share threshold (result-identical)",
     )
     ap.add_argument(
+        "--learned-quality", action="store_true",
+        help="swap the rule quality gate for a learned scorer: weak-label "
+        "the input corpus (quality_score), fit the hashing-TF logistic "
+        "filter, and gate on its calibrated p_good (threshold "
+        "--quality-threshold); the fit AUC lands in the JSON line",
+    )
+    ap.add_argument("--quality-threshold", type=float, default=0.5)
+    ap.add_argument(
         "--audit", action="store_true",
         help="run the corpus QA battery over the input tables (threshold "
         "sweep, split leakage, cluster sizes, diversity, budget "
@@ -50,6 +58,15 @@ def main() -> None:
     from databeats_spark.session import get_spark
 
     spark = get_spark(app_name="databeats_curate", master=f"local[{args.cpus}]")
+
+    scorer, fit_auc = None, None
+    if args.learned_quality:
+        from databeats_spark.ml.quality_filter import train_quality_filter
+        from databeats_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, args.sf_dir, ["documents"]).documents
+        qf = train_quality_filter(docs, seed=7)
+        scorer, fit_auc = qf.score, qf.heldout_auc
 
     if args.stage_times:
         # per-stage timing needs EAGER materialization inside each
@@ -67,7 +84,8 @@ def main() -> None:
         funnel = [(0, "raw", prev.count())]
         stage_sec = {"raw": round(time.perf_counter() - t0, 4)}
         for i, (name, build) in enumerate(
-            stage_builders(spark, args.token_budget, skew_guard=args.skew_guard), 1
+            stage_builders(spark, args.token_budget, skew_guard=args.skew_guard,
+                           scorer=scorer, scorer_threshold=args.quality_threshold), 1
         ):
             t0 = time.perf_counter()
             prev = build(prev).localCheckpoint(eager=True)
@@ -78,6 +96,7 @@ def main() -> None:
         stages = curate_corpus(
             spark, args.sf_dir, args.token_budget, pin_stages=True,
             skew_guard=args.skew_guard,
+            scorer=scorer, scorer_threshold=args.quality_threshold,
         )
         # counts first (each stage materializes once via the pinned
         # chain), then persist the final corpus from the same blocks
@@ -93,6 +112,8 @@ def main() -> None:
               "funnel": {name: n for _, name, n in funnel}}
     if args.stage_times:
         record["stage_sec"] = stage_sec
+    if fit_auc is not None:
+        record["quality_filter_auc"] = round(fit_auc, 4)
     if args.audit:
         # every audit output is catalog/band/pair-slice bounded, so the
         # driver-side pulls are small by construction

@@ -96,3 +96,30 @@ def test_salted_components_identical_on_hub_graph(spark):
     plan = salted_join(sym, labels, "node", salt_factor=8)._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan, plan
     assert "Generate explode" in plan or "explode" in plan.lower(), plan
+
+
+def test_learned_scorer_seam(spark):
+    """The injected scorer replaces the rule gate: a permissive scorer
+    keeps everything at the quality stage, a trained QualityFilter
+    runs end-to-end, and downstream stages are gate-agnostic."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.ml.quality_filter import train_quality_filter
+    from databeats_spark.sources.tables import load_tables
+
+    keep_all = lambda docs: docs.select("doc_id", F.lit(1.0).alias("p_good"))
+    stages = curate_corpus(spark, SF_SMOKE, token_budget=20_000, scorer=keep_all)
+    assert stages["quality"].count() == stages["raw"].count()
+    assert stages["budget"].count() > 0
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents
+    qf = train_quality_filter(docs, seed=7)
+    learned = curate_corpus(
+        spark, SF_SMOKE, token_budget=20_000, scorer=qf.score, scorer_threshold=0.3
+    )
+    n_raw, n_q = learned["raw"].count(), learned["quality"].count()
+    assert 0 < n_q <= n_raw
+    assert learned["budget"].count() <= n_q
+    # schema contract through the funnel is unchanged vs the rule gate
+    rule = curate_corpus(spark, SF_SMOKE, token_budget=20_000)
+    assert set(learned["quality"].columns) == set(rule["quality"].columns)
