@@ -104,6 +104,27 @@ class IVFIndex:
         becomes parquet partition pruning on read."""
         self.assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+    def save(self, path: str) -> None:
+        """Full index persistence: the fitted KMeans model (centroids)
+        beside the centroid-partitioned corpus — the artifact a search
+        tier loads without refitting (reference K5's model-dump shape,
+        applied to the index)."""
+        self.kmeans.write().overwrite().save(f"{path}/kmeans")
+        self.write_partitioned(f"{path}/corpus")
+
+    @classmethod
+    def load(
+        cls, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> "IVFIndex":
+        """Reopen a saved index. The corpus scan stays lazy and
+        centroid-partitioned, so probe-time partition pruning survives
+        the roundtrip (test_partition_pruning posture)."""
+        km = KMeansModel.load(f"{path}/kmeans")
+        assigned = spark.read.parquet(f"{path}/corpus").select(
+            id_col, vec_col, "centroid_id"
+        )
+        return cls(km, assigned, id_col, vec_col)
+
     def _query_centroids(self, queries: DataFrame, n_probe: int) -> DataFrame:
         """Top n_probe centroids per query by Euclidean distance,
         computed as array arithmetic against the centroid literals."""

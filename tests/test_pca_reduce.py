@@ -86,3 +86,19 @@ def test_reduced_vectors_feed_ivf_end_to_end(spark):
     assert set(res["query_id"]) == {0, 1, 2, 3, 4}
     assert (res.groupby("query_id").size() == 5).all()
     assert (res["cos_sim"] <= 1.0 + 1e-9).all()
+
+
+def test_ivf_save_load_roundtrip(spark, tmp_path):
+    """Full index persistence: a reopened index must return the exact
+    search results of the in-memory one (same centroids, same corpus)."""
+    from databeats_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"]).embeddings
+    idx = IVFIndex.fit(emb, n_lists=8, max_iter=4, init_mode="random")
+    idx.save(str(tmp_path / "ivf"))
+    reopened = IVFIndex.load(spark, str(tmp_path / "ivf"))
+    q = emb.filter(F.col("vec_id") < 5)
+    a = idx.search(q, k=5, n_probe=3).toPandas().sort_values(["query_id", "rank"])
+    b = reopened.search(q, k=5, n_probe=3).toPandas().sort_values(["query_id", "rank"])
+    assert list(a["neighbor_id"]) == list(b["neighbor_id"])
+    assert (a["cos_sim"].values == b["cos_sim"].values).all()
