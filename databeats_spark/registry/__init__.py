@@ -55,6 +55,7 @@ _WINDOW = (
     # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
     # queries here as they land.
     # — new in r6:
+    "quality_decile_mix",  # r6: per-source quality decile histogram (never verified)
     "epoch_shard_layout",  # r6: seeded epoch permutation + shards (never verified)
     "hard_negatives",  # r6: contrastive negative mining (never verified)
     "retrieval_label_precision",  # r6: precision@k retrieval eval (never verified)
@@ -93,10 +94,10 @@ _WINDOW = (
     # deterministic_sample, stratified_sample, doc_fingerprints,
     # lang_id, dedup_components, posexplode_tokens were displaced past
     # slot 50 by the early-r6 additions, and the five late-r6 prepends
-    # (epoch_shard_layout … fluency_buckets) pushed approx_price_quantiles,
-    # range_attribution, daily_from_hourly_rollup, user_value_ranks,
-    # user_funnel_summary past slot 50 as well — all of these are the
-    # oldest re-verification debt for the r7 window)
+    # (quality_decile_mix … fluency_buckets) pushed session_windows,
+    # approx_price_quantiles, range_attribution, daily_from_hourly_rollup,
+    # user_value_ranks, user_funnel_summary past slot 50 as well — all
+    # of these are the oldest re-verification debt for the r7 window)
 )
 
 

@@ -829,7 +829,71 @@ ORDER BY source
 """
 
 
+# --- Q: quality_decile_mix — per-source quality-score histogram -------
+# The distribution the mixing policy reads AFTER scoring: docs per
+# (source, score decile). Decile = floor(score·10) clamped to 9 — a
+# value bucket, not a rank, so there is no global sort; min/max are
+# order-independent over engine-identical doubles (the score is the
+# SAME round(…,6) arithmetic text_stats hash-matches; no float SUMS
+# enter the result). One hash aggregate over one scan.
+
+def _quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    scored = t.documents.select("source", quality_score("text").alias("q"))
+    return (
+        scored.groupBy(
+            "source",
+            F.least(F.floor(F.col("q") * 10), F.lit(9)).cast("bigint").alias("decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+def _quality_decile_mix_sql() -> str:
+    # identical score arithmetic to _text_stats_sql (the hash-matched
+    # quality twin), aggregated into value-bucket deciles
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    punct = r"[.,;:!?'\"()\[\]{}<>/\\|@#$%^&*_+=~`-]"
+    punct_sql = punct.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT source, text,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars
+  FROM documents
+), m AS (
+  SELECT source, text, n_chars,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x))) * 1.0 / greatest(len(toks), 1) AS mtl,
+         CAST(len(list_filter(toks, x -> x IN ({en}))) AS BIGINT) AS en_stopwords
+  FROM t
+), q AS (
+  SELECT source,
+         round((
+           (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.5 END)
+           + (1.0 - least((n_chars - length(regexp_replace(text, '{punct_sql}', '', 'g'))) * 1.0 / greatest(n_chars, 1) * 5, 1.0))
+           + least(en_stopwords * 1.0 / greatest(n_tokens, 1) * 10, 1.0)
+         ) / 3, 6) AS q
+  FROM m
+)
+SELECT source,
+       CAST(least(floor(q * 10), 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(q) AS min_q,
+       max(q) AS max_q
+FROM q
+GROUP BY source, decile
+ORDER BY source, decile
+"""
+
+
 SPECS = [
+    QuerySpec("quality_decile_mix", "per-source quality-score decile histogram (value buckets, no sort)", _quality_decile_mix, _quality_decile_mix_sql(), tags=("text", "agg", "audit")),
     QuerySpec("deterministic_sample", "hash-threshold reproducible sampling (auditable subsets)", _deterministic_sample, _DETERMINISTIC_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("stratified_sample", "per-stratum hash-threshold sampling (corpus balancing)", _stratified_sample, _STRATIFIED_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("dedup_exact_docs", "exact content dedup via md5 fingerprint hash-agg", _dedup_exact_docs, _DEDUP_EXACT_SQL, bench=True, tags=("dedup", "text")),
