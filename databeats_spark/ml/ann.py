@@ -106,19 +106,42 @@ class IVFIndex:
 
     def save(self, path: str) -> None:
         """Full index persistence: the fitted KMeans model (centroids)
-        beside the centroid-partitioned corpus — the artifact a search
-        tier loads without refitting (reference K5's model-dump shape,
-        applied to the index)."""
+        beside the centroid-partitioned corpus, plus a metadata JSON
+        recording the fit-time column names — so an index fit through a
+        non-default path (e.g. encode_payloads with id_col='doc_id')
+        reopens without the caller remembering them (reference K5's
+        model-dump shape, applied to the index)."""
         self.kmeans.write().overwrite().save(f"{path}/kmeans")
         self.write_partitioned(f"{path}/corpus")
+        meta = {
+            "id_col": self.id_col,
+            "vec_col": self.vec_col,
+            "n_lists": len(self.kmeans.clusterCenters()),
+        }
+        spark = self.assigned.sparkSession
+        # write the 1-row metadata through the same FS abstraction as
+        # the model (works on any Hadoop-supported store, not just
+        # local disk)
+        spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
+            f"{path}/meta"
+        )
 
     @classmethod
     def load(
-        cls, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding"
+        cls, spark, path: str, id_col: str | None = None, vec_col: str | None = None
     ) -> "IVFIndex":
-        """Reopen a saved index. The corpus scan stays lazy and
-        centroid-partitioned, so probe-time partition pruning survives
-        the roundtrip (test_partition_pruning posture)."""
+        """Reopen a saved index. Column names come from the metadata
+        JSON written by :meth:`save` (explicit arguments override, and
+        remain the fallback for pre-metadata artifacts). The corpus scan
+        stays lazy and centroid-partitioned, so probe-time partition
+        pruning survives the roundtrip (test_partition_pruning
+        posture)."""
+        try:
+            meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
+        except Exception:
+            meta = {}
+        id_col = id_col or meta.get("id_col") or "vec_id"
+        vec_col = vec_col or meta.get("vec_col") or "embedding"
         km = KMeansModel.load(f"{path}/kmeans")
         assigned = spark.read.parquet(f"{path}/corpus").select(
             id_col, vec_col, "centroid_id"

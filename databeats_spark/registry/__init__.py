@@ -48,57 +48,42 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r6 rotation (rotation_report, zero backlog since r5): queries
-    # whose builder changed THIS round first (fresh regression risk no
-    # history covers), then the bench headliners so BENCH and
-    # CORRECTNESS cover the same queries, then the STALEST green rows
-    # (r1-vintage, 5 rounds old) for re-verification. PREPEND new r6
-    # queries here as they land.
-    # — new in r6:
-    "quality_decile_mix",  # r6: per-source quality decile histogram (never verified)
-    "epoch_shard_layout",  # r6: seeded epoch permutation + shards (never verified)
-    "hard_negatives",  # r6: contrastive negative mining (never verified)
-    "retrieval_label_precision",  # r6: precision@k retrieval eval (never verified)
-    "corpus_summary_cube",  # r6: dataset-card grouping lattice (never verified)
-    "fluency_buckets",  # r6: CCNet-style fluency terciles (never verified)
-    "length_percentiles_by_source",  # r6: exact rank-math quantiles (never verified)
-    "temperature_mix_allocation",  # r6: n^0.7 mix weights (never verified)
-    "ngram_novelty",  # r6: crawl-order novelty profile (never verified)
-    "substring_dup_spans",  # r6: variable-length substring dedup (never verified)
-    "substring_scrub_stats",  # r6: variable-span scrub accounting (never verified)
-    # — changed in r6:
-    "token_budget_allocation",  # r6: loud catalog-bound guard (assert_true filter)
-    "source_pareto",  # r6: loud catalog-bound guard (assert_true filter)
-    "pagerank_docs",  # r6: affine rank view rewrite (rows-only)
-    "length_drift_ks",  # r6: ECDF histogram behind explicit domain limit + guard
+    # r7 rotation (rotation_report, zero never-verified backlog): the 15
+    # queries displaced past slot 50 by r6's additions first (the oldest
+    # re-verification debt, per VERDICT r6 item 1), then the bench
+    # headliners so BENCH and CORRECTNESS cover the same queries, then
+    # the stalest remaining green rows. PREPEND new/changed r7 queries
+    # here as they land — they displace the tail (most-recently
+    # re-verified), never the debt block.
+    # — r6 window debt (displaced past slot 50, oldest driver rows):
+    "weekly_resample", "hourly_event_stats", "event_type_pivot",
+    "deterministic_sample", "stratified_sample", "doc_fingerprints",
+    "lang_id", "dedup_components", "posexplode_tokens",
+    "session_windows", "approx_price_quantiles", "range_attribution",
+    "daily_from_hourly_rollup", "user_value_ranks",
+    "user_funnel_summary",
     # — bench headliners (frozen 14):
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
     "top_customers", "revenue_by_nation", "weekly_chart_streak",
     "sessionization", "asof_purchase_value", "dedup_exact_docs",
     "text_stats", "near_dup_pairs",
-    # — stalest green rows (last verified r1, oldest re-verification debt):
-    "label_centroid_distance",
-    "top_orders_per_customer", "customer_order_stats",
-    "customers_without_orders", "customers_with_big_orders",
-    "union_dedup", "promo_revenue_ratio", "late_shipment_orders",
-    "modal_priority", "nation_customer_stats", "segment_class",
-    "rollup_quantity", "running_spend", "first_lineitems_per_order",
-    "latest_order_per_customer", "dedup_first_order",
-    "nation_market_share", "blocking_suppliers", "latest_event_per_user",
-    "time_features", "json_props", "session_windows",
-    "approx_price_quantiles", "range_attribution",
-    "daily_from_hourly_rollup", "user_value_ranks",
-    "user_funnel_summary",
-    # (weekly_resample, hourly_event_stats, event_type_pivot,
-    # deterministic_sample, stratified_sample, doc_fingerprints,
-    # lang_id, dedup_components, posexplode_tokens were displaced past
-    # slot 50 by the early-r6 additions, and the five late-r6 prepends
-    # (quality_decile_mix … fluency_buckets) pushed session_windows,
-    # approx_price_quantiles, range_attribution, daily_from_hourly_rollup,
-    # user_value_ranks, user_funnel_summary past slot 50 as well — all
-    # of these are the oldest re-verification debt for the r7 window)
+    # — stalest remaining green rows (rotation_report order):
+    "multimodal_bytes", "tf_idf_terms", "bpe_token_stats",
+    "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
+    "repeat_customers", "priority_flags", "open_only_customers",
+    "price_quantiles", "order_gaps", "above_average_customers",
+    "approx_distinct_parts", "lineitem_profile", "regex_extract_ids",
+    "null_safe_compare", "order_priority_paths", "cube_quantity",
+    "customer_deciles", "order_status_mix", "exact_moment_stats",
 )
+
+# The driver gate only sees the first _GATE_WIDTH entries; anything past
+# that silently gets no driver coverage (the r6 window quietly grew to
+# 56 and left 6 entries unchecked — ADVICE r6). _collect() trims to the
+# gate width and a test pins len(_WINDOW) == _GATE_WIDTH so overflow is
+# a loud failure, not a comment.
+_GATE_WIDTH = 50
 
 
 def _collect() -> list[QuerySpec]:
@@ -115,6 +100,11 @@ def _collect() -> list[QuerySpec]:
         all_specs.extend(mod.SPECS)
     names = [s.name for s in all_specs]
     assert len(names) == len(set(names)), f"duplicate query names: {names}"
+    assert len(_WINDOW) == _GATE_WIDTH, (
+        f"_WINDOW has {len(_WINDOW)} entries but the driver gate checks "
+        f"registry()[:{_GATE_WIDTH}] — when prepending, drop an equal "
+        f"number from the already-reverified tail"
+    )
     by_name = {s.name: s for s in all_specs}
     missing = [n for n in _WINDOW if n not in by_name]
     assert not missing, f"window names not in registry: {missing}"

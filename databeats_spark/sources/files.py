@@ -92,10 +92,16 @@ QUARANTINE_COL = "_quarantined_raw"
 
 
 def read_with_quarantine(
-    spark: SparkSession, path: str, schema: T.StructType, fmt: str = "json"
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    header: bool = True,
 ) -> DataFrame:
     """PERMISSIVE text read carrying the raw line of every row that
     failed to parse in ``QUARANTINE_COL`` (NULL for valid rows).
+    ``header`` mirrors :func:`read_csv` (CSV only — a headerless feed
+    would otherwise quarantine-or-mangle its first data row).
 
     Spark caveat baked into this API: a query referencing ONLY the
     corrupt-record column of a lazy text scan is rejected by the
@@ -111,7 +117,7 @@ def read_with_quarantine(
         .option("columnNameOfCorruptRecord", QUARANTINE_COL)
     )
     if fmt == "csv":
-        r = r.option("header", True)
+        r = r.option("header", header)
     return r.load(path)
 
 

@@ -102,3 +102,23 @@ def test_ivf_save_load_roundtrip(spark, tmp_path):
     b = reopened.search(q, k=5, n_probe=3).toPandas().sort_values(["query_id", "rank"])
     assert list(a["neighbor_id"]) == list(b["neighbor_id"])
     assert (a["cos_sim"].values == b["cos_sim"].values).all()
+
+
+def test_ivf_save_load_records_fit_columns(spark, tmp_path):
+    """An index fit with non-default column names (the encode_payloads
+    path uses id_col='doc_id') must reopen without the caller repeating
+    them — save() writes a metadata JSON that load() reads (ADVICE r6)."""
+    from databeats_spark.sources.tables import load_tables
+
+    emb = (
+        load_tables(spark, SF_SMOKE, ["embeddings"])
+        .embeddings.withColumnRenamed("vec_id", "doc_id")
+        .withColumnRenamed("embedding", "vec")
+    )
+    idx = IVFIndex.fit(emb, id_col="doc_id", vec_col="vec", n_lists=4,
+                       max_iter=2, init_mode="random")
+    idx.save(str(tmp_path / "ivf_meta"))
+    reopened = IVFIndex.load(spark, str(tmp_path / "ivf_meta"))
+    assert (reopened.id_col, reopened.vec_col) == ("doc_id", "vec")
+    res = reopened.search(emb.filter(F.col("doc_id") < 3), k=3, n_probe=2).toPandas()
+    assert set(res["query_id"]) == {0, 1, 2}

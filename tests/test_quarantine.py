@@ -64,3 +64,19 @@ def test_quarantine_split_write_roundtrip(spark, raw_path, tmp_path):
 def test_non_text_format_rejected(spark):
     with pytest.raises(ValueError):
         read_with_quarantine(spark, "/tmp/x", SCHEMA, fmt="parquet")
+
+
+def test_headerless_csv_keeps_first_row(spark, tmp_path):
+    """header=False must flow through to the CSV parser — a headerless
+    feed read with the default would swallow its first data row as a
+    header (ADVICE r6)."""
+    p = tmp_path / "raw.csv"
+    p.write_text("1,alpha\n2,beta\nnot,a,number,row\n")
+    good, bad = split_quarantine(
+        read_with_quarantine(spark, str(p), SCHEMA, fmt="csv", header=False)
+    )
+    g = good.orderBy("doc_id").toPandas()
+    assert list(g["doc_id"]) == [1, 2]  # first row survived as data
+    # full-width pull on purpose — counting only the corrupt column of a
+    # raw CSV scan is the documented QUERY_ONLY_CORRUPT_RECORD_COLUMN trap
+    assert len(bad.toPandas()) == 1
