@@ -827,6 +827,117 @@ def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank"), "doc_id")
 
 
+# --- Q: pagerank_docs_exact — hash-matched oracle twin of pagerank ----
+# The driver-oracle promotion of the graph tier (VERDICT r6 item 2):
+# the SAME power-iteration operator (operators/graph.py::pagerank —
+# identical damping / dangling-mass / teleport arithmetic), run for a
+# FIXED 10 rounds (tol=None) over the bounded exact-Jaccard edge set
+# that near_dup_pairs / dedup_components already verify against DuckDB.
+# The oracle unrolls the 10 rounds as chained CTEs (no recursive-CTE
+# aggregate restrictions), each round mirroring the operator's exact
+# expression tree:
+#   rank_k(u) = B_k + d * inflow_k(u),
+#   B_k = (1-d)/n + d*(1-flow_k)/n          (driver-side scalar),
+#   inflow_{k+1}(v) = sum_{u->v} rank_k(u)/deg(u),
+#   flow_{k+1} = sum_v inflow_{k+1}(v)      (dangling mass = 1-flow).
+# Cross-engine float noise is ~1e-15 after 10 rounds (both engines sum
+# IEEE doubles; only association order differs), invisible under the
+# round-6 recipe — so the hash matches without an ordered fold. The
+# production-scale variant stays pagerank_docs (LSH edge generator,
+# early-stop); this twin pins the arithmetic, not the candidate path.
+
+PAGERANK_EXACT_ROUNDS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.operators.graph import pagerank
+    from databeats_spark.registry.documents import JACCARD_THRESHOLD, PAIR_DOC_LIMIT
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    out = pagerank(
+        edges, "id_a", "id_b", damping=PAGERANK_DAMPING,
+        max_iter=PAGERANK_EXACT_ROUNDS, tol=None,
+    )
+    return out.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "doc_id")
+
+
+def _pagerank_docs_exact_sql() -> str:
+    """Unrolled power iteration: one (contribution, flow) CTE pair per
+    round. Expression trees mirror operators/graph.py::pagerank exactly —
+    ``(1.0 - d)/n + (d*(1.0 - flow))/n`` association order included, so
+    the only cross-engine difference is summation order at ~1e-15."""
+    from databeats_spark.registry.documents import (
+        _PAIRS_CTES, JACCARD_THRESHOLD,
+    )
+
+    d = PAGERANK_DAMPING
+    base0 = f"((1.0 - {d})/nn.n + ({d}*(1.0 - 0.0))/nn.n)"
+    ctes = [
+        f"""qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+), edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM qual
+  UNION ALL
+  SELECT id_b, id_a FROM qual
+), deg AS MATERIALIZED (
+  SELECT src, count(*) AS deg FROM edges GROUP BY src
+), nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), nn AS MATERIALIZED (
+  SELECT count(*) AS n FROM nodes
+), c1 AS MATERIALIZED (
+  SELECT e.dst AS node, sum({base0} / g.deg) AS inflow
+  FROM edges e JOIN deg g ON g.src = e.src CROSS JOIN nn
+  GROUP BY e.dst
+), f1 AS MATERIALIZED (
+  SELECT coalesce(sum(inflow), 0.0) AS flow FROM c1
+)"""
+    ]
+    for k in range(2, PAGERANK_EXACT_ROUNDS + 1):
+        p = k - 1
+        base = f"((1.0 - {d})/nn.n + ({d}*(1.0 - f{p}.flow))/nn.n)"
+        ctes.append(
+            f"""c{k} AS MATERIALIZED (
+  SELECT e.dst AS node,
+         sum(({base} + {d}*coalesce(c{p}.inflow, 0.0)) / g.deg) AS inflow
+  FROM edges e
+  JOIN deg g ON g.src = e.src
+  LEFT JOIN c{p} ON c{p}.node = e.src
+  CROSS JOIN nn CROSS JOIN f{p}
+  GROUP BY e.dst
+), f{k} AS MATERIALIZED (
+  SELECT coalesce(sum(inflow), 0.0) AS flow FROM c{k}
+)"""
+        )
+    last = PAGERANK_EXACT_ROUNDS
+    final_base = f"((1.0 - {d})/nn.n + ({d}*(1.0 - f{last}.flow))/nn.n)"
+    return f"""
+WITH {_PAIRS_CTES},
+{", ".join(ctes)}
+SELECT nodes.node AS doc_id,
+       round({final_base} + {d}*coalesce(c{last}.inflow, 0.0), 6) AS rank
+FROM nodes
+LEFT JOIN c{last} ON c{last}.node = nodes.node
+CROSS JOIN nn CROSS JOIN f{last}
+ORDER BY rank DESC, doc_id
+"""
+
+
 # --- Q: value_outliers — exact-moment z-score anomalies ---------------
 # Events whose value sits more than 3 sigma from their type's mean.
 # Moments come from exact decimal sums (order-independent), variance
@@ -1304,6 +1415,7 @@ SPECS = [
     QuerySpec("length_drift_psi", "population stability index with add-one smoothing", _length_drift_psi, _LENGTH_DRIFT_PSI_SQL, tags=("text", "profiling", "agg")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
+    QuerySpec("pagerank_docs_exact", "fixed-10-round PageRank vs an unrolled-CTE SQL power iteration", _pagerank_docs_exact, _pagerank_docs_exact_sql(), tags=("graph",)),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
     QuerySpec("funnel_stages", "ordered signup->view->click->purchase funnel", _funnel_stages, _FUNNEL_STAGES_SQL, tags=("events", "join", "agg")),
     QuerySpec("curation_funnel", "end-to-end curation pipeline stage counts", _curation_funnel, None, tags=("text", "dedup", "sampling", "pipeline")),
