@@ -215,6 +215,7 @@ def curate_corpus(
     skew_guard: bool = False,
     scorer=None,
     scorer_threshold: float = 0.5,
+    observe_counts: dict[str, int] | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation flow; returns every stage's DataFrame so
     callers can audit, persist or branch at any point.
@@ -227,19 +228,38 @@ def curate_corpus(
     that only consume the final DataFrame keep the default single
     lazy plan (nothing materialized twice either way). At cluster
     scale the same seam is where a production run would persist each
-    stage to reliable storage instead of executor-local blocks."""
+    stage to reliable storage instead of executor-local blocks.
+
+    Passing a dict as ``observe_counts`` switches the pins to EAGER
+    checkpoints with the stage's row count riding each checkpoint job
+    as an ``observe()`` metric (the pagerank/CC one-action-per-round
+    recipe applied to the funnel): the dict fills with
+    ``{stage: n_rows}`` and the report needs NO separate count jobs.
+    Implies ``pin_stages`` (an observed count without a pin would
+    re-execute upstream stages)."""
     # the whole flow is compute-bound (shingling, signatures, quality
     # expressions): spread a few-split scan once at the head and every
     # stage inherits the parallelism (no-op when the scan has splits)
     docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
-    pin = (lambda df: df.localCheckpoint(eager=False)) if pin_stages else (lambda df: df)
-    stages: dict[str, DataFrame] = {"raw": pin(docs)}
+    if observe_counts is not None:
+        from pyspark.sql import Observation
+
+        def pin(name: str, df: DataFrame) -> DataFrame:
+            obs = Observation()
+            out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+            observe_counts[name] = int(obs.get["n"])
+            return out
+    elif pin_stages:
+        pin = lambda name, df: df.localCheckpoint(eager=False)  # noqa: E731
+    else:
+        pin = lambda name, df: df  # noqa: E731
+    stages: dict[str, DataFrame] = {"raw": pin("raw", docs)}
     prev = stages["raw"]
     for name, build in stage_builders(
         spark, token_budget, skew_guard=skew_guard,
         scorer=scorer, scorer_threshold=scorer_threshold,
     ):
-        prev = stages[name] = pin(build(prev))
+        prev = stages[name] = pin(name, build(prev))
     return stages
 
 
@@ -247,9 +267,13 @@ def curation_report(
     spark: SparkSession, sf_dir: str | None = None, token_budget: int = 30_000
 ) -> DataFrame:
     """The stage-count funnel: one row per stage with the surviving
-    document count — the audit artifact of a curation run. Stages are
-    pinned so the seven counts execute the pipeline once end-to-end,
-    not once per stage."""
-    stages = curate_corpus(spark, sf_dir, token_budget, pin_stages=True)
-    rows = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
+    document count — the audit artifact of a curation run. Each count
+    rides its stage's eager-checkpoint job as an ``observe()`` metric,
+    so the pipeline executes once end-to-end with exactly one driver
+    action per stage and zero separate count jobs
+    (tests/test_curation_plan.py pins this by poisoning
+    ``DataFrame.count`` for the duration of the report)."""
+    counts: dict[str, int] = {}
+    curate_corpus(spark, sf_dir, token_budget, observe_counts=counts)
+    rows = [(i, name, n) for i, (name, n) in enumerate(counts.items())]
     return spark.createDataFrame(rows, "stage_idx: long, stage: string, n_docs: long")

@@ -18,6 +18,22 @@ def test_funnel_is_monotone_and_nonempty(spark):
     ), f"stage counts must never grow: {counts}"
 
 
+def test_report_issues_no_count_jobs(spark, monkeypatch):
+    """The funnel's stage counts ride each stage's eager-checkpoint job
+    as observe() metrics (VERDICT r6 item 3) — poisoning
+    DataFrame.count proves no stage issues a separate count action."""
+    from pyspark.sql import DataFrame
+
+    def _poisoned(self):
+        raise AssertionError("curation_report must not call DataFrame.count()")
+
+    monkeypatch.setattr(DataFrame, "count", _poisoned)
+    report = curation_report(spark, SF_SMOKE, token_budget=20_000).collect()
+    counts = {r["stage"]: r["n_docs"] for r in report}
+    assert counts["raw"] > 0 and len(counts) == 7
+    assert counts["budget"] <= counts["raw"]
+
+
 def test_curation_is_deterministic(spark):
     a = curate_corpus(spark, SF_SMOKE, token_budget=20_000)["budget"]
     b = curate_corpus(spark, SF_SMOKE, token_budget=20_000)["budget"]
