@@ -57,6 +57,7 @@ _WINDOW = (
     # re-verified), never the debt block.
     # — new in r7:
     "pagerank_docs_exact",  # r7: oracle promotion of the graph tier (never verified)
+    "substring_dup_spans_hashed",  # r7: fixed-width-anchor scale twin (never verified)
     # — r6 window debt (displaced past slot 50, oldest driver rows):
     "weekly_resample", "hourly_event_stats", "event_type_pivot",
     "deterministic_sample", "stratified_sample", "doc_fingerprints",
@@ -77,9 +78,9 @@ _WINDOW = (
     "price_quantiles", "order_gaps", "above_average_customers",
     "approx_distinct_parts", "lineitem_profile", "regex_extract_ids",
     "null_safe_compare", "order_priority_paths", "cube_quantity",
-    "customer_deciles", "order_status_mix",
-    # (exact_moment_stats rotated out for the r7 pagerank_docs_exact
-    # prepend — re-verified most recently of the tail block)
+    "customer_deciles",
+    # (exact_moment_stats and order_status_mix rotated out for the r7
+    # prepends — re-verified most recently of the tail block)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

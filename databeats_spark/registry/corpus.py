@@ -691,24 +691,45 @@ ORDER BY lang, split
 # Scale shape: the suffix table is corpus_tokens rows wide (stride 1
 # is the point — any shift is caught), each carrying a bounded
 # SUFFIX_CAP-token tail; the window is key-partitioned by anchor and
-# every downstream op is a hash aggregate. At 100 TB the anchor would
-# be hashed (md5) to fix row width; kept verbatim here so the oracle
-# sorts identically.
+# every downstream op is a hash aggregate. At 100 TB the anchor is
+# hashed (xxhash64 → 8-byte BIGINT) to fix the key's row width — that
+# variant ships as substring_dup_spans_hashed: the window only
+# PARTITIONS by the anchor (ordering within a partition is by the
+# continuation), so any injective anchor transform leaves the result
+# identical, and the hashed twin verifies against the SAME SQL oracle.
+# Measured honestly (SHUFFLE.md): the cut is ~12% of shuffled bytes at
+# sf0.01, not the anchor's naive share — the SUFFIX_CAP-token
+# continuation dominates the row and verbatim anchors compress well
+# (overlapping windows); the fixed-width key's real scale value is the
+# WORST CASE (a pathological long token can't inflate the shuffle key)
+# plus cheaper key comparison in the sort. Verbatim stays the default
+# so the oracle text and the Spark plan read line-for-line.
 
 MIN_MATCH_TOKENS = 8  # anchor width: minimum duplicated span reported
 SUFFIX_CAP = 32  # longest measurable match (anchor + 24-token tail)
 
 
-def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _substring_dup_spans(
+    spark: SparkSession, sf_dir: str, hash_anchor: bool = False
+) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = spread(t.documents, spark)
 
     def suffixes_of(tk):
         starts = F.sequence(F.lit(1), F.size(tk) - F.lit(MIN_MATCH_TOKENS - 1))
+
+        def anchor_of(i):
+            a = F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ")
+            # xxhash64 fixes the shuffle key at 8 bytes no matter the
+            # token widths; a collision (birthday-bounded at 2^-64 per
+            # pair) merges two anchor groups and can only lengthen one
+            # reported LCP — the documented trade for the fixed width
+            return F.xxhash64(a) if hash_anchor else a
+
         return F.transform(
             starts,
             lambda i: F.struct(
-                F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ").alias("anchor"),
+                anchor_of(i).alias("anchor"),
                 F.slice(tk, i + MIN_MATCH_TOKENS, SUFFIX_CAP - MIN_MATCH_TOKENS).alias(
                     "rest"
                 ),
@@ -754,6 +775,10 @@ def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("max_span_tokens"), "id_a", "id_b")
         .limit(20)
     )
+
+
+def _substring_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _substring_dup_spans(spark, sf_dir, hash_anchor=True)
 
 
 _SUBSTRING_DUP_SPANS_SQL = rf"""
@@ -1033,6 +1058,7 @@ SPECS = [
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
+    QuerySpec("substring_dup_spans_hashed", "scale posture of the substring tier: md5-hashed anchors fix shuffle row width, same results/oracle", _substring_dup_spans_hashed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
     QuerySpec("substring_scrub_stats", "variable-span scrub accounting: tokens removed per source under first-occurrence keep", _substring_scrub_stats, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),

@@ -220,6 +220,27 @@ def test_substring_dedup_catches_shifted_overlap(spark, tmp_path):
     assert int(scrub.loc["s", "total_tokens"]) == n_total
 
 
+def test_hashed_anchor_is_result_identical(spark):
+    """The scale posture of the substring tier (VERDICT r6 item 6):
+    md5-hashing the anchor only changes the window's PARTITION key
+    through an injective transform, so the pair list, span lengths and
+    anchor counts must be byte-identical to the verbatim form — here on
+    the real smoke corpus (the driver oracle re-proves it at sf0.01)."""
+    from databeats_spark.registry.corpus import _substring_dup_spans
+
+    cols = ["id_a", "id_b", "max_span_tokens", "n_anchors"]
+    verbatim = (
+        _substring_dup_spans(spark, SF_SMOKE).toPandas()[cols].reset_index(drop=True)
+    )
+    hashed = (
+        _substring_dup_spans(spark, SF_SMOKE, hash_anchor=True)
+        .toPandas()[cols]
+        .reset_index(drop=True)
+    )
+    assert len(verbatim) > 0
+    assert verbatim.equals(hashed)
+
+
 def test_ivf_incremental_add_and_drift_trigger(spark):
     """Incremental index maintenance: an ingest batch joins the index
     through one assignment pass (no refit), old-query results stay
