@@ -44,6 +44,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     salt_factor: int | None = None,
+    metrics_sink: list | None = None,
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     smallest node id reachable from it.
@@ -71,19 +72,29 @@ def connected_components(
     aggregate keeps the plan's round-over-round size estimate linear —
     a join of two round-dependent tables would compound it
     quadratically (see :func:`pagerank`'s stats lesson).
+
+    ``metrics_sink``: pass a list to receive one
+    ``{"step", shuffle_bytes, ...}`` row per checkpoint action
+    (edge-generator materialization, label init, every label round) —
+    the deterministic data-movement audit for an op whose exchanges
+    live outside any single query execution (SHUFFLE.md).
     """
-    sym = (
+    from databeats_spark.plans.instrument import record_metrics
+
+    pre_sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()  # single materialization of the edge generator
     )
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+    sym = pre_sym.localCheckpoint()  # single materialization of the edge generator
+    record_metrics(metrics_sink, "cc_edges", pre_sym)
+    pre_labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
-    labels = labels.localCheckpoint()
+    labels = pre_labels.localCheckpoint()
+    record_metrics(metrics_sink, "cc_labels_init", pre_labels)
     sym_keyed = sym.select("a", F.col("b").alias("node"))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         if salt_factor:
             from databeats_spark.operators.scale import salted_join
 
@@ -102,7 +113,7 @@ def connected_components(
             labels.select("node", "label", F.col("label").alias("old"))
         )
         obs = Observation()
-        labels = (
+        pre_round = (
             tagged.groupBy("node")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .observe(
@@ -110,8 +121,9 @@ def connected_components(
                 F.sum((F.col("label") < F.col("old")).cast("long")).alias("changed"),
             )
             .select("node", "label")
-            .localCheckpoint()  # the ONE action of the round
         )
+        labels = pre_round.localCheckpoint()  # the ONE action of the round
+        record_metrics(metrics_sink, f"cc_round_{i + 1}", pre_round)
         if (obs.get["changed"] or 0) == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
@@ -311,6 +323,7 @@ def pagerank(
     tol: float = 1e-6,
     check_every: int = 2,
     round_timings: list | None = None,
+    metrics_sink: list | None = None,
 ) -> DataFrame:
     """Distributed PageRank by power iteration over the edge list —
     the centrality pass a dedup/link-graph pipeline runs to pick
@@ -353,8 +366,12 @@ def pagerank(
     ``max_iter`` rounds; pass a list as ``round_timings`` to receive
     per-round wall seconds (the steal-vs-plan diagnostic: uniform
     inflation across rounds on a loaded host = external steal, one
-    slow round = a plan problem).
+    slow round = a plan problem); pass a list as ``metrics_sink`` to
+    receive per-checkpoint data-movement rows (edge materialization +
+    every round — the byte-denominated companion, SHUFFLE.md).
     """
+    from databeats_spark.plans.instrument import record_metrics
+
     out_edges = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     degrees = out_edges.groupBy("e_src").agg(F.count(F.lit(1)).alias("deg"))
     # pre-join degree onto edges ONCE and checkpoint FIRST: this is the
@@ -362,13 +379,16 @@ def pagerank(
     # subtree — nodes and every round's contribution join read these
     # blocks, so an LSH/candidate pipeline upstream runs exactly once,
     # not once per iteration
-    withdeg = out_edges.join(degrees, "e_src").localCheckpoint()
-    nodes = (
+    pre_withdeg = out_edges.join(degrees, "e_src")
+    withdeg = pre_withdeg.localCheckpoint()
+    record_metrics(metrics_sink, "edges", pre_withdeg)
+    pre_nodes = (
         withdeg.select(F.col("e_src").alias("node"))
         .union(withdeg.select(F.col("e_dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
+    nodes = pre_nodes.localCheckpoint()
+    record_metrics(metrics_sink, "nodes", pre_nodes)
     n = nodes.count()  # one scalar; fixed for the whole run
     if n == 0:
         # empty graph (e.g. a corpus slice with no near-dup edges):
@@ -408,15 +428,16 @@ def pagerank(
                 "rank",
                 base + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0)),
             )
-        new_contribs = (
+        pre_contribs = (
             ranked_edges.select(
                 F.col("e_dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c")
             )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
             .observe(obs, F.sum("inflow").alias("flow"))
-            .localCheckpoint()  # eager: the ONE action of the round
         )
+        new_contribs = pre_contribs.localCheckpoint()  # eager: the ONE action of the round
+        record_metrics(metrics_sink, f"round_{i + 1}", pre_contribs)
         prev_contribs, prev_flow = contribs, flow
         contribs, flow = new_contribs, float(obs.get["flow"] or 0.0)
         converged = False

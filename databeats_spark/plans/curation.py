@@ -100,7 +100,10 @@ def exact_dedup_stage(docs: DataFrame) -> DataFrame:
 
 
 def near_dup_stage(
-    docs: DataFrame, spark: SparkSession, skew_guard: bool = False
+    docs: DataFrame,
+    spark: SparkSession,
+    skew_guard: bool = False,
+    metrics_sink: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs → connected components → keep the
     canonical (min-id) document of every near-dup cluster.
@@ -130,7 +133,9 @@ def near_dup_stage(
         )
         if top_key_share(endpoints, "k") > SKEW_SHARE_THRESHOLD:
             salt = CC_SALT_FACTOR
-    comps = connected_components(pairs, "id_a", "id_b", salt_factor=salt)
+    comps = connected_components(
+        pairs, "id_a", "id_b", salt_factor=salt, metrics_sink=metrics_sink
+    )
     return dedup_keep_canonical(docs, comps, "doc_id")
 
 
@@ -182,6 +187,7 @@ def stage_builders(
     skew_guard: bool = False,
     scorer=None,
     scorer_threshold: float = 0.5,
+    metrics_sink: list | None = None,
 ):
     """The curation stages as an ordered (name, prev_df -> df) list —
     the single definition both the lazy flow (curate_corpus) and a
@@ -200,7 +206,8 @@ def stage_builders(
     return [
         ("quality", quality),
         ("exact_dedup", exact_dedup_stage),
-        ("near_dup", lambda df: near_dup_stage(df, spark, skew_guard=skew_guard)),
+        ("near_dup", lambda df: near_dup_stage(
+            df, spark, skew_guard=skew_guard, metrics_sink=metrics_sink)),
         ("decontam", decontam_stage),
         ("rebalance", rebalance_stage),
         ("budget", lambda df: budget_stage(df, token_budget)),
@@ -216,6 +223,7 @@ def curate_corpus(
     scorer=None,
     scorer_threshold: float = 0.5,
     observe_counts: dict[str, int] | None = None,
+    metrics_sink: list | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation flow; returns every stage's DataFrame so
     callers can audit, persist or branch at any point.
@@ -236,7 +244,12 @@ def curate_corpus(
     recipe applied to the funnel): the dict fills with
     ``{stage: n_rows}`` and the report needs NO separate count jobs.
     Implies ``pin_stages`` (an observed count without a pin would
-    re-execute upstream stages)."""
+    re-execute upstream stages).
+
+    ``metrics_sink`` (requires ``observe_counts`` — the eager pins are
+    the actions being measured) receives one data-movement row per
+    stage checkpoint plus the CC label rounds inside the near_dup
+    stage — the funnel's entry in the deterministic SHUFFLE.md audit."""
     # the whole flow is compute-bound (shingling, signatures, quality
     # expressions): spread a few-split scan once at the head and every
     # stage inherits the parallelism (no-op when the scan has splits)
@@ -244,9 +257,13 @@ def curate_corpus(
     if observe_counts is not None:
         from pyspark.sql import Observation
 
+        from databeats_spark.plans.instrument import record_metrics
+
         def pin(name: str, df: DataFrame) -> DataFrame:
             obs = Observation()
-            out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+            pre = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            out = pre.localCheckpoint()
+            record_metrics(metrics_sink, f"stage_{name}", pre)
             observe_counts[name] = int(obs.get["n"])
             return out
     elif pin_stages:
@@ -258,6 +275,7 @@ def curate_corpus(
     for name, build in stage_builders(
         spark, token_budget, skew_guard=skew_guard,
         scorer=scorer, scorer_threshold=scorer_threshold,
+        metrics_sink=metrics_sink if observe_counts is not None else None,
     ):
         prev = stages[name] = pin(name, build(prev))
     return stages

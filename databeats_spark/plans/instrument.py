@@ -12,11 +12,17 @@ broadcast and ZERO fact-side shuffle; a regression to sort-merge-join
 shows up as a 100x shuffle-byte jump long before anyone trusts a
 timing).
 
-Scope: single-plan queries. Iterative operators (PageRank rounds, CC
-label rounds, funnel stages) execute driver-coordinated sub-jobs at
-build time whose exchanges live in OTHER query executions — only the
-final plan's metrics are visible here, so the audit script keeps those
-out of its table.
+Two entry points:
+
+- :func:`execution_metrics` — single-plan queries: execute the df's own
+  physical plan, then fold its exchange/scan SQLMetrics.
+- :func:`executed_metrics` — iterative operators (PageRank rounds, CC
+  label rounds, funnel stages): their driver-coordinated sub-jobs run
+  in OTHER query executions the final plan never carries, so each
+  round's operator threads a ``metrics_sink`` list and calls this on
+  the round's ALREADY-EXECUTED DataFrame (the eager localCheckpoint is
+  the action) — folding without re-running. Summing sink entries gives
+  the op's total movement; per-entry rows expose compounding.
 """
 
 from __future__ import annotations
@@ -68,9 +74,29 @@ def execution_metrics(df: DataFrame) -> dict[str, int]:
     - ``scan_rows`` / ``scan_bytes``: file-scan output rows and the
       size of the files read (post partition/file pruning).
     """
-    qe = df._jdf.queryExecution()
-    plan = qe.executedPlan()
+    plan = df._jdf.queryExecution().executedPlan()
     plan.execute().count()  # run the plan's own RDD — metrics populate
+    return _fold_plan_metrics(plan)
+
+
+def executed_metrics(df: DataFrame) -> dict[str, int]:
+    """Fold the volume metrics of a plan that ALREADY ran — for
+    iterative operators whose round action is the eager
+    ``localCheckpoint`` itself. Call it on the df the checkpoint was
+    taken FROM (its queryExecution is the one the checkpoint executed);
+    calling it on a never-actioned df reports zeros, not an error."""
+    return _fold_plan_metrics(df._jdf.queryExecution().executedPlan())
+
+
+def record_metrics(sink: list | None, step: str, df: DataFrame) -> None:
+    """Append ``{"step": step, **executed_metrics(df)}`` to ``sink``
+    when a sink is provided — the one-liner the iterative operators
+    gate their instrumentation on (None = zero overhead)."""
+    if sink is not None:
+        sink.append({"step": step, **executed_metrics(df)})
+
+
+def _fold_plan_metrics(plan) -> dict[str, int]:
     seen: set[int] = set()
     out = {
         "shuffle_bytes": 0, "shuffle_records": 0, "n_shuffles": 0,

@@ -796,7 +796,9 @@ PAGERANK_EDGE_THRESHOLD = 0.2
 PAGERANK_ROUND_TIMINGS: list = []
 
 
-def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pagerank_docs(
+    spark: SparkSession, sf_dir: str, metrics_sink: list | None = None
+) -> DataFrame:
     from databeats_spark.operators.dedup import minhash_near_duplicates
     from databeats_spark.operators.graph import pagerank
 
@@ -820,7 +822,7 @@ def _pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     PAGERANK_ROUND_TIMINGS.clear()
     out = pagerank(
         edges, "id_a", "id_b", max_iter=10, tol=1e-6,
-        round_timings=PAGERANK_ROUND_TIMINGS,
+        round_timings=PAGERANK_ROUND_TIMINGS, metrics_sink=metrics_sink,
     )
     return out.select(
         F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")

@@ -39,11 +39,12 @@ def main() -> None:
         "a hub key exceeds the share threshold (result-identical)",
     )
     ap.add_argument(
-        "--learned-quality", action="store_true",
+        "--learned-quality", "--learned-gate", action="store_true",
         help="swap the rule quality gate for a learned scorer: weak-label "
         "the input corpus (quality_score), fit the hashing-TF logistic "
         "filter, and gate on its calibrated p_good (threshold "
-        "--quality-threshold); the fit AUC lands in the JSON line",
+        "--quality-threshold); the fit AUC and the corpus p_good decile "
+        "histogram land in the JSON line",
     )
     ap.add_argument("--quality-threshold", type=float, default=0.5)
     ap.add_argument(
@@ -93,14 +94,17 @@ def main() -> None:
             stage_sec[name] = round(time.perf_counter() - t0, 4)
         final = prev
     else:
+        # observe_counts: each stage's count rides its eager checkpoint
+        # job — zero separate count jobs; the final corpus persists
+        # from the same checkpointed blocks
+        counts: dict[str, int] = {}
         stages = curate_corpus(
-            spark, args.sf_dir, args.token_budget, pin_stages=True,
+            spark, args.sf_dir, args.token_budget,
             skew_guard=args.skew_guard,
             scorer=scorer, scorer_threshold=args.quality_threshold,
+            observe_counts=counts,
         )
-        # counts first (each stage materializes once via the pinned
-        # chain), then persist the final corpus from the same blocks
-        funnel = [(i, name, df.count()) for i, (name, df) in enumerate(stages.items())]
+        funnel = [(i, name, n) for i, (name, n) in enumerate(counts.items())]
         stage_sec = {}
         final = stages["budget"]
     final.write.mode("overwrite").parquet(f"{args.out}/corpus")
@@ -114,6 +118,19 @@ def main() -> None:
         record["stage_sec"] = stage_sec
     if fit_auc is not None:
         record["quality_filter_auc"] = round(fit_auc, 4)
+        # decile report: where the corpus mass sits on the learned score
+        # (one small aggregate — 10 rows to the driver)
+        from pyspark.sql import functions as F
+
+        from databeats_spark.sources.tables import load_tables
+
+        docs = load_tables(spark, args.sf_dir, ["documents"]).documents
+        dec = (
+            scorer(docs)
+            .select(F.least(F.floor(F.col("p_good") * 10), F.lit(9)).alias("decile"))
+            .groupBy("decile").count().orderBy("decile").collect()
+        )
+        record["p_good_deciles"] = {int(r["decile"]): int(r["count"]) for r in dec}
     if args.audit:
         # every audit output is catalog/band/pair-slice bounded, so the
         # driver-side pulls are small by construction

@@ -84,6 +84,52 @@ def test_hashed_anchor_cuts_substring_shuffle(metrics):
     )
 
 
+def test_pagerank_rounds_move_bounded_bytes(spark):
+    """The iterative-op extension of the audit (VERDICT r6 item 4):
+    pagerank's per-round contribution shuffle moves (node, inflow)
+    pairs — kilobytes on this graph — while the one-time LSH edge
+    materialization dominates. A round that starts re-executing the
+    edge generator (or compounding state) shows up as round bytes on
+    the edge step's scale."""
+    from databeats_spark.registry.mining import _pagerank_docs
+
+    sink: list[dict] = []
+    _pagerank_docs(spark, SF_CORRECT, metrics_sink=sink)
+    steps = {s["step"]: s for s in sink}
+    assert "edges" in steps and any(k.startswith("round_") for k in steps)
+    rounds = [s for k, s in steps.items() if k.startswith("round_")]
+    # measured: edges ~578 KB, rounds 1-4 KB each at sf0.01 — order-of-
+    # magnitude headroom, trips only on re-execution/compounding
+    assert all(r["shuffle_bytes"] < 100_000 for r in rounds), steps
+    assert steps["edges"]["shuffle_bytes"] > max(
+        r["shuffle_bytes"] for r in rounds
+    ), "edge materialization must dominate any single round"
+
+
+def test_funnel_stage_movement_is_bounded(spark):
+    """Funnel stages' checkpoint actions each move at most corpus-scale
+    bytes (no stage re-shuffles upstream stages' work), and the CC label
+    rounds inside near_dup stay near-constant round over round."""
+    from databeats_spark.plans.curation import curate_corpus
+
+    sink: list[dict] = []
+    curate_corpus(spark, SF_CORRECT, observe_counts={}, metrics_sink=sink)
+    by_step = {s["step"]: s for s in sink}
+    assert {"stage_raw", "stage_quality", "stage_near_dup", "stage_budget"} <= set(
+        by_step
+    )
+    cc_rounds = [s for k, s in by_step.items() if k.startswith("cc_round_")]
+    assert cc_rounds, by_step
+    # label rounds move (node, label) pairs: ~4 KB at sf0.001, ~40 KB at
+    # sf0.01 measured; 10x headroom
+    assert all(r["shuffle_bytes"] < 1_000_000 for r in cc_rounds), by_step
+    # no single stage checkpoint moves more than ~20x the raw scan spread
+    raw = by_step["stage_raw"]["shuffle_bytes"]
+    assert all(
+        s["shuffle_bytes"] <= max(raw * 20, 5_000_000) for s in sink
+    ), by_step
+
+
 def test_filter_project_scan_prunes_columns(metrics):
     m = metrics("filter_project")
     # pushdown + pruning: the scan reads the pruned lineitem columns
