@@ -56,6 +56,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r7:
+    "curation_funnel_exact",  # r7: whole-funnel oracle twin (never verified)
     "pagerank_docs_exact",  # r7: oracle promotion of the graph tier (never verified)
     "substring_dup_spans_hashed",  # r7: fixed-width-anchor scale twin (never verified)
     # — r6 window debt (displaced past slot 50, oldest driver rows):
@@ -78,9 +79,8 @@ _WINDOW = (
     "price_quantiles", "order_gaps", "above_average_customers",
     "approx_distinct_parts", "lineitem_profile", "regex_extract_ids",
     "null_safe_compare", "order_priority_paths", "cube_quantity",
-    "customer_deciles",
-    # (exact_moment_stats and order_status_mix rotated out for the r7
-    # prepends — re-verified most recently of the tail block)
+    # (exact_moment_stats, order_status_mix and customer_deciles rotated
+    # out for the r7 prepends — re-verified most recently of the tail)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

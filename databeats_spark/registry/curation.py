@@ -208,7 +208,184 @@ ORDER BY source, quota_rank
 """
 
 
+# --- Q: curation_funnel_exact — the whole pipeline, oracle-checked -----
+# The rows-only promotion of the FLAGSHIP composition (r7): the
+# curation funnel's only non-SQL-expressible stage is the MinHash+LSH
+# candidate generator — swap it for the exact 3-gram Jaccard verifier
+# (ngram_jaccard_pairs, the same swap near_dup_pairs/dedup_components
+# already verify) and every stage becomes dual-engine:
+#   quality band -> md5 exact dedup -> exact-Jaccard pairs ->
+#   recursive-CTE connected components -> canonical keep ->
+#   4-gram eval decontam -> Knuth-hash rebalance -> md5-order
+#   prefix-sum token budget
+# The oracle mirrors each stage's EXACT expression tree (single-space
+# split for the quality band like plans/curation.py::quality_gate,
+# \s+ tokens for shingles, the > n*0.05 double compare, integer Knuth
+# math, inclusive running sum over md5(doc_id)) so the stage counts
+# hash-match. The production funnel (curation_funnel) keeps the LSH
+# generator and stays rows-only by design; THIS query proves the
+# surrounding pipeline arithmetic end to end. Spark side reuses the
+# production stage functions — only the pair generator differs.
+
+FUNNEL_EXACT_BUDGET = 30_000
+
+
+def _curation_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.operators.graph import (
+        connected_components,
+        dedup_keep_canonical,
+    )
+    from databeats_spark.plans.curation import (
+        NEAR_DUP_THRESHOLD,
+        budget_stage,
+        decontam_stage,
+        exact_dedup_stage,
+        quality_gate,
+        rebalance_stage,
+    )
+    from databeats_spark.sources.tables import load_tables, spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    counts: dict[str, int] = {}
+
+    def pin(name: str, df: DataFrame) -> DataFrame:
+        obs = Observation()
+        out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint()
+        counts[name] = int(obs.get["n"])
+        return out
+
+    raw = pin("raw", docs)
+    q = pin("quality", quality_gate(raw))
+    e = pin("exact_dedup", exact_dedup_stage(q))
+    pairs = ngram_jaccard_pairs(e, "doc_id", "text", n=3, threshold=NEAR_DUP_THRESHOLD)
+    comps = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    nd = pin("near_dup", dedup_keep_canonical(e, comps, "doc_id"))
+    d = pin("decontam", decontam_stage(nd))
+    r = pin("rebalance", rebalance_stage(d))
+    pin("budget", budget_stage(r, FUNNEL_EXACT_BUDGET))
+    rows = [(i, name, n) for i, (name, n) in enumerate(counts.items())]
+    return spark.createDataFrame(
+        rows, "stage_idx: long, stage: string, n_docs: long"
+    ).orderBy("stage_idx")
+
+
+# constants mirrored from plans/curation.py (imported there; inlined in
+# the SQL below): MIN_TOK=40, MAX_TOK=5000, MIN_DIVERSITY=0.2,
+# NEAR_DUP_THRESHOLD=0.5, DECONTAM_N=4, DECONTAM_EVAL_MOD=20,
+# DECONTAM_MAX_OVERLAP=0.05, _KNUTH=2654435761%65536=31153
+_CURATION_FUNNEL_EXACT_SQL = rf"""
+WITH RECURSIVE raw AS MATERIALIZED (
+  SELECT doc_id, text, source FROM documents
+), q0 AS (
+  SELECT doc_id, text, source,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM raw
+), quality AS MATERIALIZED (
+  SELECT doc_id, text, source, n_tok FROM q0
+  WHERE n_tok BETWEEN 40 AND 5000 AND n_distinct >= n_tok * 0.2
+), fp AS (
+  SELECT doc_id, text, source, n_tok,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fph
+  FROM quality
+), keepfp AS (
+  SELECT fph, min(doc_id) AS keep_id FROM fp GROUP BY fph
+), exact_dedup AS MATERIALIZED (
+  SELECT f.doc_id, f.text, f.source, f.n_tok
+  FROM fp f JOIN keepfp k ON k.fph = f.fph AND k.keep_id = f.doc_id
+), tkn AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM exact_dedup
+), sh3 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM tkn
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh3
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh3
+), cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), qual_pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM cand
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common / (sa.n + sb.n - common) >= 0.5
+), edges AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM qual_pairs
+  UNION
+  SELECT id_b, id_a FROM qual_pairs
+), reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+), comp AS (
+  SELECT node, min(label) AS component FROM reach GROUP BY node
+), near_dup AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source, d.n_tok
+  FROM exact_dedup d LEFT JOIN comp c ON c.node = d.doc_id
+  WHERE c.component IS NULL OR d.doc_id = c.component
+), dt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM near_dup
+), dsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 3, 0) + 1),
+                        i -> array_to_string(toks[i:i+3], ' '))) AS sh
+  FROM dt
+), eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM dsh WHERE doc_id % 20 = 0
+), contaminated AS (
+  SELECT c.doc_id
+  FROM (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle
+        FROM dsh WHERE doc_id % 20 <> 0) c
+  JOIN eval_sh e USING (shingle)
+  GROUP BY c.doc_id, c.n_sh
+  HAVING count(*) > c.n_sh * 0.05
+), decontam AS MATERIALIZED (
+  SELECT d.doc_id, d.text, d.source, d.n_tok
+  FROM near_dup d
+  WHERE d.doc_id % 20 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+), src_counts AS (
+  SELECT source, count(*) AS n_docs FROM decontam GROUP BY source
+), minc AS (
+  SELECT min(n_docs) AS min_docs FROM src_counts
+), rebalance AS MATERIALIZED (
+  SELECT d.doc_id, d.n_tok
+  FROM decontam d JOIN src_counts s USING (source) CROSS JOIN minc
+  WHERE ((d.doc_id * 31153) % 65536) * s.n_docs < 65536 * minc.min_docs
+), ranked AS (
+  SELECT doc_id,
+         sum(n_tok) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM rebalance
+), budget AS (
+  SELECT doc_id FROM ranked WHERE cum_tok <= {FUNNEL_EXACT_BUDGET}
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS stage_idx, 'raw' AS stage,
+         CAST((SELECT count(*) FROM raw) AS BIGINT) AS n_docs
+  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM quality)
+  UNION ALL SELECT 2, 'exact_dedup', (SELECT count(*) FROM exact_dedup)
+  UNION ALL SELECT 3, 'near_dup', (SELECT count(*) FROM near_dup)
+  UNION ALL SELECT 4, 'decontam', (SELECT count(*) FROM decontam)
+  UNION ALL SELECT 5, 'rebalance', (SELECT count(*) FROM rebalance)
+  UNION ALL SELECT 6, 'budget', (SELECT count(*) FROM budget)
+)
+ORDER BY stage_idx
+"""
+
+
 SPECS = [
+    QuerySpec("curation_funnel_exact", "end-to-end funnel with exact-Jaccard near-dup: every stage oracle-checked", _curation_funnel_exact, _CURATION_FUNNEL_EXACT_SQL, tags=("dedup", "text", "graph", "pipeline")),
     QuerySpec("rare_trigram_stats", "char-trigram rarity scoring (n-gram-LM quality proxy)", _rare_trigram_stats, _RARE_TRIGRAM_STATS_SQL, tags=("text", "quality")),
     QuerySpec("length_band_outliers", "per-language rank-based p5/p95 length band outliers", _length_band_outliers, _LENGTH_BAND_OUTLIERS_SQL, tags=("text", "quality")),
     QuerySpec("per_source_quota", "deterministic at-most-K-per-source domain cap", _per_source_quota, _PER_SOURCE_QUOTA_SQL, tags=("text", "sampling")),
