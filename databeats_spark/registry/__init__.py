@@ -56,6 +56,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r7:
+    "bpe_merges",  # r7: promoted rows-only -> exact unrolled-CTE oracle
     "curation_funnel_exact",  # r7: whole-funnel oracle twin (never verified)
     "pagerank_docs_exact",  # r7: oracle promotion of the graph tier (never verified)
     "substring_dup_spans_hashed",  # r7: fixed-width-anchor scale twin (never verified)
@@ -78,9 +79,10 @@ _WINDOW = (
     "repeat_customers", "priority_flags", "open_only_customers",
     "price_quantiles", "order_gaps", "above_average_customers",
     "approx_distinct_parts", "lineitem_profile", "regex_extract_ids",
-    "null_safe_compare", "order_priority_paths", "cube_quantity",
-    # (exact_moment_stats, order_status_mix and customer_deciles rotated
-    # out for the r7 prepends — re-verified most recently of the tail)
+    "null_safe_compare", "order_priority_paths",
+    # (exact_moment_stats, order_status_mix, customer_deciles and
+    # cube_quantity rotated out for the r7 prepends — re-verified most
+    # recently of the tail)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -1102,9 +1102,18 @@ def _curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q: bpe_merges — distributed BPE vocabulary training --------------
 # The first merge rules an LLM tokenizer would learn from this corpus
 # (ml/bpe.py::train_bpe — one corpus pass to the word-frequency table,
-# then driver-bounded merge rounds over the vocabulary). Rows-only:
-# the merge loop is iterative; semantics are pinned exactly against a
-# pure-Python Sennrich-style reference in tests/test_bpe.py.
+# then driver-bounded merge rounds over the vocabulary). Exact oracle
+# since r7: the merge loop is iterative but every round is pure integer
+# arithmetic over the vocabulary table, so the whole training unrolls
+# into one DuckDB CTE chain (one pairs/top/merge block per round).
+# DuckDB lacks Java's lookaround regex, so the greedy non-overlapping
+# merge pass ("a b a b" -> "ab ab", "a a a" -> "aa a") is emulated with
+# plain string replace over a DOUBLED separator: each boundary carries
+# two spaces, a match consumes only one of them, so consecutive
+# occurrences stay matchable exactly like Spark's zero-width
+# (?<!\S)/(?!\S) anchors — then the doubles collapse back. Semantics
+# are additionally pinned against a pure-Python Sennrich-style
+# reference in tests/test_bpe.py.
 
 BPE_N_MERGES = 10
 
@@ -1118,6 +1127,49 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "merge_rank: long, left: string, right: string, merged: string"
     )
+
+
+def _bpe_oracle_sql(n_merges: int) -> str:
+    """Unrolled BPE power loop: v{i} is the vocabulary after i merges,
+    p{i}/t{i} the pair counts and winning pair of round i. Mirrors
+    ml/bpe.py round for round (same >= 2 stop guard, same
+    n DESC, a, b tie-break)."""
+    parts = [r"""WITH v0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         array_to_string(string_split(w, ''), ' ') || ' </w>' AS syms
+  FROM (SELECT unnest(string_split_regex(text, '\s+')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY w
+)"""]
+    for i in range(n_merges):
+        parts.append(f"""p{i} AS (
+  SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n
+  FROM (
+    SELECT freq,
+           unnest([{{'a': toks[i], 'b': toks[i+1]}} for i in range(1, len(toks))]) AS p
+    FROM (SELECT freq, string_split(syms, ' ') AS toks FROM v{i})
+  )
+  GROUP BY 1, 2
+),
+t{i} AS (SELECT a, b FROM p{i} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1)""")
+        if i + 1 < n_merges:
+            parts.append(f"""v{i + 1} AS (
+  SELECT w, freq,
+    trim(replace(
+      replace(' ' || replace(syms, ' ', '  ') || ' ',
+              ' ' || t.a || '  ' || t.b || ' ',
+              ' ' || t.a || t.b || ' '),
+      '  ', ' ')) AS syms
+  FROM v{i}, t{i} AS t
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS BIGINT) AS merge_rank, a AS "left", b AS "right", a || b AS merged FROM t{i}'
+        for i in range(n_merges)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+
+
+_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_N_MERGES)
 
 
 # --- Q: price_mad — median absolute deviation per group ---------------
@@ -1421,5 +1473,5 @@ SPECS = [
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
     QuerySpec("funnel_stages", "ordered signup->view->click->purchase funnel", _funnel_stages, _FUNNEL_STAGES_SQL, tags=("events", "join", "agg")),
     QuerySpec("curation_funnel", "end-to-end curation pipeline stage counts", _curation_funnel, None, tags=("text", "dedup", "sampling", "pipeline")),
-    QuerySpec("bpe_merges", "distributed BPE vocabulary training (first merge rules)", _bpe_merges, None, tags=("text", "ml", "pipeline")),
+    QuerySpec("bpe_merges", "distributed BPE vocabulary training (first merge rules)", _bpe_merges, _BPE_MERGES_SQL, tags=("text", "ml", "pipeline")),
 ]
