@@ -56,6 +56,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r7:
+    "bpe_segmentation",  # r7: BPE apply-path histogram (never verified)
     "bpe_merges",  # r7: promoted rows-only -> exact unrolled-CTE oracle
     "curation_funnel_exact",  # r7: whole-funnel oracle twin (never verified)
     "pagerank_docs_exact",  # r7: oracle promotion of the graph tier (never verified)
@@ -79,10 +80,10 @@ _WINDOW = (
     "repeat_customers", "priority_flags", "open_only_customers",
     "price_quantiles", "order_gaps", "above_average_customers",
     "approx_distinct_parts", "lineitem_profile", "regex_extract_ids",
-    "null_safe_compare", "order_priority_paths",
-    # (exact_moment_stats, order_status_mix, customer_deciles and
-    # cube_quantity rotated out for the r7 prepends — re-verified most
-    # recently of the tail)
+    "null_safe_compare",
+    # (exact_moment_stats, order_status_mix, customer_deciles,
+    # cube_quantity and order_priority_paths rotated out for the r7
+    # prepends — re-verified most recently of the tail)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

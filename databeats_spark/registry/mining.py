@@ -1129,11 +1129,13 @@ def _bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(n_merges: int) -> str:
-    """Unrolled BPE power loop: v{i} is the vocabulary after i merges,
-    p{i}/t{i} the pair counts and winning pair of round i. Mirrors
-    ml/bpe.py round for round (same >= 2 stop guard, same
-    n DESC, a, b tie-break)."""
+def _bpe_cte(n_merges: int, final_vocab: bool = False) -> str:
+    """Unrolled BPE power loop as a WITH prefix: v{i} is the vocabulary
+    after i merges, p{i}/t{i} the pair counts and winning pair of round
+    i. Mirrors ml/bpe.py round for round (same >= 2 stop guard, same
+    n DESC, a, b tie-break); the LEFT JOIN ON TRUE keeps the vocabulary
+    unchanged when a round finds no pair — Spark's early stop.
+    ``final_vocab`` adds v{n_merges} (all merges applied)."""
     parts = [r"""WITH v0 AS (
   SELECT w, CAST(count(*) AS BIGINT) AS freq,
          array_to_string(string_split(w, ''), ' ') || ' </w>' AS syms
@@ -1152,24 +1154,66 @@ def _bpe_oracle_sql(n_merges: int) -> str:
   GROUP BY 1, 2
 ),
 t{i} AS (SELECT a, b FROM p{i} WHERE n >= 2 ORDER BY n DESC, a, b LIMIT 1)""")
-        if i + 1 < n_merges:
+        if i + 1 < n_merges or final_vocab:
             parts.append(f"""v{i + 1} AS (
   SELECT w, freq,
-    trim(replace(
+    CASE WHEN t.a IS NULL THEN syms ELSE trim(replace(
       replace(' ' || replace(syms, ' ', '  ') || ' ',
               ' ' || t.a || '  ' || t.b || ' ',
               ' ' || t.a || t.b || ' '),
-      '  ', ' ')) AS syms
-  FROM v{i}, t{i} AS t
+      '  ', ' ')) END AS syms
+  FROM v{i} LEFT JOIN t{i} AS t ON TRUE
 )""")
+    return ",\n".join(parts)
+
+
+def _bpe_merges_sql(n_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f'SELECT CAST({i} AS BIGINT) AS merge_rank, a AS "left", b AS "right", a || b AS merged FROM t{i}'
         for i in range(n_merges)
     )
-    return ",\n".join(parts) + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
+    return _bpe_cte(n_merges) + f"\nSELECT * FROM (\n{union}\n) ORDER BY merge_rank"
 
 
-_BPE_MERGES_SQL = _bpe_oracle_sql(BPE_N_MERGES)
+_BPE_MERGES_SQL = _bpe_merges_sql(BPE_N_MERGES)
+
+
+# --- Q: bpe_segmentation — the APPLY side of BPE training -------------
+# What the learned merges do to the corpus: the piece-count histogram
+# of the post-merge vocabulary (n_pieces -> distinct words, total
+# corpus tokens). This is the tokenizer-fertility curve an LLM data
+# team reads before committing a vocab — the mass at high n_pieces is
+# text the tokenizer fragments badly. Exact oracle: the same unrolled
+# CTE chain extended one step to v10 (all merges applied), then a
+# plain integer histogram. Scale shape: train_bpe returns the final
+# vocabulary table as a by-product of training (Heaps-law small), so
+# the apply pass costs nothing beyond the rounds themselves.
+
+def _bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.ml.bpe import train_bpe
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    _, vocab = train_bpe(t.documents, BPE_N_MERGES)
+    return (
+        vocab.select(
+            F.size(F.split("syms", " ")).cast("long").alias("n_pieces"), "freq"
+        )
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("freq").cast("long").alias("total_tokens"),
+        )
+        .orderBy("n_pieces")
+    )
+
+
+_BPE_SEGMENTATION_SQL = _bpe_cte(BPE_N_MERGES, final_vocab=True) + f"""
+SELECT CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(freq) AS BIGINT) AS total_tokens
+FROM v{BPE_N_MERGES}
+GROUP BY 1
+ORDER BY 1"""
 
 
 # --- Q: price_mad — median absolute deviation per group ---------------
@@ -1474,4 +1518,5 @@ SPECS = [
     QuerySpec("funnel_stages", "ordered signup->view->click->purchase funnel", _funnel_stages, _FUNNEL_STAGES_SQL, tags=("events", "join", "agg")),
     QuerySpec("curation_funnel", "end-to-end curation pipeline stage counts", _curation_funnel, None, tags=("text", "dedup", "sampling", "pipeline")),
     QuerySpec("bpe_merges", "distributed BPE vocabulary training (first merge rules)", _bpe_merges, _BPE_MERGES_SQL, tags=("text", "ml", "pipeline")),
+    QuerySpec("bpe_segmentation", "tokenizer-fertility histogram of the post-merge BPE vocabulary", _bpe_segmentation, _BPE_SEGMENTATION_SQL, tags=("text", "ml", "pipeline")),
 ]

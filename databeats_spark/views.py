@@ -30,6 +30,7 @@ EAGER_QUERIES = frozenset(
         "pagerank_docs",  # per-round checkpoints at build
         "curation_funnel",  # full pipeline run at build
         "bpe_merges",  # merge-loop driver rounds at build
+        "bpe_segmentation",  # merge-loop driver rounds at build
     }
 )
 
