@@ -84,3 +84,42 @@ def test_apply_bpe_segments_every_word(spark):
         # round-trip: pieces concatenate back to word + terminator
         assert "".join(r["pieces"]) == r["w"] + "</w>"
         assert r["n_pieces"] >= 1
+
+
+def test_oracle_early_stop_differential(spark, tmp_path):
+    """The unrolled DuckDB oracle must track Spark's early stop: on a
+    corpus whose mergeable pairs exhaust after 2 rounds, rounds 3..10
+    find no pair with n >= 2 — Spark breaks out of the loop, and the
+    oracle's LEFT JOIN ON TRUE guard must keep the vocabulary unchanged
+    (a plain cross join would silently EMPTY it) so both the merge list
+    and the final-vocab histogram still agree."""
+    import duckdb
+
+    from databeats_spark.registry.mining import (
+        _bpe_merges,
+        _bpe_segmentation,
+        _BPE_MERGES_SQL,
+        _BPE_SEGMENTATION_SQL,
+    )
+
+    sf_dir = str(tmp_path)
+    # 'ab' x2 -> merges (a,b) then (ab,</w>); 'cd' is hapax, so round 3
+    # has no pair with n >= 2 and training stops at 2 of 10 merges.
+    spark.createDataFrame(
+        [(1, "ab ab"), (2, "cd")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+
+    got = [tuple(r) for r in _bpe_merges(spark, sf_dir).collect()]
+    want = [tuple(r) for r in con.execute(_BPE_MERGES_SQL).fetchall()]
+    assert got == want == [(0, "a", "b", "ab"), (1, "ab", "</w>", "ab</w>")]
+
+    got = [tuple(r) for r in _bpe_segmentation(spark, sf_dir).collect()]
+    want = [tuple(r) for r in con.execute(_BPE_SEGMENTATION_SQL).fetchall()]
+    # 'ab' -> 1 piece (freq 2); 'cd' -> 'c d </w>' 3 pieces (freq 1)
+    assert got == want == [(1, 1, 2), (3, 1, 1)]
