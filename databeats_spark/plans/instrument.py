@@ -72,7 +72,10 @@ def execution_metrics(df: DataFrame) -> dict[str, int]:
       adaptive plan;
     - ``broadcast_bytes``: sum of broadcast exchange dataSize;
     - ``scan_rows`` / ``scan_bytes``: file-scan output rows and the
-      size of the files read (post partition/file pruning).
+      size of the files read (post partition/file pruning);
+    - ``spill_bytes``: disk spill summed over sort/aggregate/join/
+      window operators — nonzero means a partition outgrew its task's
+      memory share (the partition-sizing failure mode at scale).
     """
     plan = df._jdf.queryExecution().executedPlan()
     plan.execute().count()  # run the plan's own RDD — metrics populate
@@ -96,15 +99,27 @@ def record_metrics(sink: list | None, step: str, df: DataFrame) -> None:
         sink.append({"step": step, **executed_metrics(df)})
 
 
+# operators that spill to disk under memory pressure (their SQLMetrics
+# carry a "spillSize" entry) — the executor-memory-fit signal: nonzero
+# spill means a partition outgrew its task's memory share, the thing
+# spark.sql.shuffle.partitions / maxPartitionBytes sizing must prevent
+# at the target SF.
+_SPILLABLE = (
+    "SortExec", "HashAggregateExec", "ObjectHashAggregateExec",
+    "SortMergeJoinExec", "ShuffledHashJoinExec", "WindowExec",
+    "WindowGroupLimitExec",
+)
+
+
 def _fold_plan_metrics(plan) -> dict[str, int]:
     seen: set[int] = set()
     out = {
         "shuffle_bytes": 0, "shuffle_records": 0, "n_shuffles": 0,
         "broadcast_bytes": 0, "n_broadcasts": 0,
-        "scan_rows": 0, "scan_bytes": 0,
+        "scan_rows": 0, "scan_bytes": 0, "spill_bytes": 0,
     }
     for name, node in _walk(plan):
-        if name not in ("ShuffleExchangeExec", "BroadcastExchangeExec", "FileSourceScanExec"):
+        if name not in ("ShuffleExchangeExec", "BroadcastExchangeExec", "FileSourceScanExec") and name not in _SPILLABLE:
             continue
         nid = int(node.id())
         if nid in seen:
@@ -118,7 +133,9 @@ def _fold_plan_metrics(plan) -> dict[str, int]:
         elif name == "BroadcastExchangeExec":
             out["broadcast_bytes"] += vals.get("dataSize", 0)
             out["n_broadcasts"] += 1
-        else:
+        elif name == "FileSourceScanExec":
             out["scan_rows"] += vals.get("numOutputRows", 0)
             out["scan_bytes"] += vals.get("filesSize", 0)
+        else:
+            out["spill_bytes"] += vals.get("spillSize", 0)
     return out

@@ -130,6 +130,20 @@ def test_funnel_stage_movement_is_bounded(spark):
     ), by_step
 
 
+def test_no_spill_at_test_scale(metrics):
+    """Spill-awareness pin: at the correctness SF every partition fits
+    its task's memory share, so sort/aggregate/join/window operators
+    spill ZERO bytes. Nonzero spill here means a partition-sizing
+    regression (a skewed or collapsed partitioning) that would page to
+    disk long before 100 TB."""
+    for name in (
+        "pricing_summary", "revenue_by_nation", "minhash_near_dups",
+        "substring_dup_spans", "canonical_best_docs", "corpus_summary_cube",
+    ):
+        m = metrics(name)
+        assert m["spill_bytes"] == 0, (name, m)
+
+
 def test_filter_project_scan_prunes_columns(metrics):
     m = metrics("filter_project")
     # pushdown + pruning: the scan reads the pruned lineitem columns
