@@ -136,9 +136,22 @@ class IVFIndex:
         stays lazy and centroid-partitioned, so probe-time partition
         pruning survives the roundtrip (test_partition_pruning
         posture)."""
+        from pyspark.errors import AnalysisException
+
         try:
-            meta = spark.read.json(f"{path}/meta").collect()[0].asDict()
-        except Exception:
+            meta_rows = spark.read.json(f"{path}/meta").collect()
+        except AnalysisException:
+            meta_rows = []  # pre-metadata artifact: no meta/ dir at all
+        if meta_rows:
+            meta = meta_rows[0].asDict()
+            if not (meta.get("id_col") and meta.get("vec_col")):
+                # a meta/ dir that exists but doesn't parse is a broken
+                # artifact, not a pre-metadata one — defaulting here
+                # would silently reopen with the wrong columns
+                raise ValueError(
+                    f"unreadable IVF index metadata at {path}/meta: {meta}"
+                )
+        else:
             meta = {}
         id_col = id_col or meta.get("id_col") or "vec_id"
         vec_col = vec_col or meta.get("vec_col") or "embedding"

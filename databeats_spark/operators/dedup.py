@@ -73,13 +73,20 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram-shingle Jaccard over all pairs sharing ≥1 shingle.
 
     The shingle-equijoin is the candidate generator: pairs that share
     no shingle (Jaccard 0) never materialize. Correct but quadratic in
     the worst case — at scale use :func:`minhash_near_duplicates` and
-    keep this as the verifier on the candidate set.
+    keep this as the verifier on the candidate set, OR pass ``max_df``:
+    shingles appearing in more than ``max_df`` documents (boilerplate
+    n-grams — the k² join-blowup keys) are dropped from BOTH candidate
+    generation and the Jaccard denominators, capping per-shingle join
+    fan-out at ``max_df``² while leaving discriminative shingles — and
+    therefore near-identical pairs — intact (stop-shingle filtering,
+    the standard shingling-at-scale move).
 
     Returns (id_a, id_b, common, jaccard) with id_a < id_b.
     """
@@ -87,6 +94,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles(text_col, n)).alias("__sh"),
     )
+    if max_df is not None:
+        keep = (
+            sh.groupBy("__sh")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("__sh")
+        )
+        sh = sh.join(keep, "__sh")
     sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (

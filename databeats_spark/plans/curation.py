@@ -254,6 +254,11 @@ def curate_corpus(
     # expressions): spread a few-split scan once at the head and every
     # stage inherits the parallelism (no-op when the scan has splits)
     docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    if metrics_sink is not None and observe_counts is None:
+        # the sink is only fed by the eager observe-pins; accepting it
+        # without them would return an empty audit that reads as "no
+        # data movement" instead of an error
+        raise ValueError("metrics_sink requires observe_counts")
     if observe_counts is not None:
         from pyspark.sql import Observation
 

@@ -1058,7 +1058,7 @@ SPECS = [
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
-    QuerySpec("substring_dup_spans_hashed", "scale posture of the substring tier: md5-hashed anchors fix shuffle row width, same results/oracle", _substring_dup_spans_hashed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
+    QuerySpec("substring_dup_spans_hashed", "scale posture of the substring tier: xxhash64 BIGINT anchors fix shuffle row width, same results/oracle", _substring_dup_spans_hashed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
     QuerySpec("substring_scrub_stats", "variable-span scrub accounting: tokens removed per source under first-occurrence keep", _substring_scrub_stats, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),

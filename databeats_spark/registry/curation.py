@@ -228,6 +228,14 @@ ORDER BY source, quota_rank
 # production stage functions — only the pair generator differs.
 
 FUNNEL_EXACT_BUDGET = 30_000
+# stop-shingle cap for the exact pair generator: a 3-gram shared by
+# more than this many documents is boilerplate, and every such shingle
+# costs df² candidate-join rows — dropping them (from candidates AND
+# Jaccard denominators, both engines) caps the blowup without touching
+# discriminative shingles. near_dup_pairs/dedup_components bound the
+# same generator by doc-id slice instead; the funnel twin must cover
+# the WHOLE corpus, so it bounds by document frequency.
+FUNNEL_MAX_SHINGLE_DF = 128
 
 
 def _curation_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,6 +256,18 @@ def _curation_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from databeats_spark.sources.tables import load_tables, spread
 
+    from databeats_spark.plans.curation import stage_builders
+
+    # drift guard: this query re-spells the production chain by hand
+    # (it must — the near_dup stage swaps LSH for the exact verifier),
+    # so fail LOUDLY at build time if stage_builders ever adds,
+    # removes, or reorders a stage; otherwise the "exact twin" would
+    # keep certifying a pipeline that no longer matches production
+    production_chain = [n for n, _ in stage_builders(spark, FUNNEL_EXACT_BUDGET)]
+    assert production_chain == [
+        "quality", "exact_dedup", "near_dup", "decontam", "rebalance", "budget"
+    ], f"curation funnel chain drifted: {production_chain}"
+
     docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
     counts: dict[str, int] = {}
 
@@ -260,7 +280,10 @@ def _curation_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = pin("raw", docs)
     q = pin("quality", quality_gate(raw))
     e = pin("exact_dedup", exact_dedup_stage(q))
-    pairs = ngram_jaccard_pairs(e, "doc_id", "text", n=3, threshold=NEAR_DUP_THRESHOLD)
+    pairs = ngram_jaccard_pairs(
+        e, "doc_id", "text", n=3, threshold=NEAR_DUP_THRESHOLD,
+        max_df=FUNNEL_MAX_SHINGLE_DF,
+    )
     comps = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
@@ -305,10 +328,16 @@ WITH RECURSIVE raw AS MATERIALIZED (
          list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                         i -> array_to_string(toks[i:i+2], ' '))) AS shingles
   FROM tkn
-), sizes AS (
-  SELECT doc_id, len(shingles) AS n FROM sh3
-), ex AS (
+), ex0 AS (
   SELECT doc_id, unnest(shingles) AS sh FROM sh3
+), dfreq AS (
+  -- stop-shingle cap: mirror of max_df={FUNNEL_MAX_SHINGLE_DF} on the
+  -- Spark side (shingles are distinct per doc, so count(*) = doc freq)
+  SELECT sh FROM ex0 GROUP BY sh HAVING count(*) <= {FUNNEL_MAX_SHINGLE_DF}
+), ex AS (
+  SELECT e.doc_id, e.sh FROM ex0 e JOIN dfreq USING (sh)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id
 ), cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
   FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id

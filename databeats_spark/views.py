@@ -31,6 +31,8 @@ EAGER_QUERIES = frozenset(
         "curation_funnel",  # full pipeline run at build
         "bpe_merges",  # merge-loop driver rounds at build
         "bpe_segmentation",  # merge-loop driver rounds at build
+        "pagerank_docs_exact",  # 10 checkpointed rounds at build
+        "curation_funnel_exact",  # full pipeline run at build
     }
 )
 

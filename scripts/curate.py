@@ -67,7 +67,28 @@ def main() -> None:
 
         docs = load_tables(spark, args.sf_dir, ["documents"]).documents
         qf = train_quality_filter(docs, seed=7)
-        scorer, fit_auc = qf.score, qf.heldout_auc
+        fit_auc = qf.heldout_auc
+
+        # the p_good decile histogram rides the gate's one scoring pass
+        # as observe() metrics (fresh Observation per invocation — an
+        # Observation binds to exactly one Dataset), so the decile
+        # report below never re-featurizes the corpus
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        decile_obs: list[Observation] = []
+
+        def scorer(df):
+            obs = Observation()
+            decile_obs.append(obs)
+            dec = F.least(F.floor(F.col("p_good") * 10), F.lit(9))
+            return qf.score(df).observe(
+                obs,
+                *[
+                    F.sum((dec == d).cast("long")).alias(f"d{d}")
+                    for d in range(10)
+                ],
+            )
 
     if args.stage_times:
         # per-stage timing needs EAGER materialization inside each
@@ -118,19 +139,13 @@ def main() -> None:
         record["stage_sec"] = stage_sec
     if fit_auc is not None:
         record["quality_filter_auc"] = round(fit_auc, 4)
-        # decile report: where the corpus mass sits on the learned score
-        # (one small aggregate — 10 rows to the driver)
-        from pyspark.sql import functions as F
-
-        from databeats_spark.sources.tables import load_tables
-
-        docs = load_tables(spark, args.sf_dir, ["documents"]).documents
-        dec = (
-            scorer(docs)
-            .select(F.least(F.floor(F.col("p_good") * 10), F.lit(9)).alias("decile"))
-            .groupBy("decile").count().orderBy("decile").collect()
-        )
-        record["p_good_deciles"] = {int(r["decile"]): int(r["count"]) for r in dec}
+        # decile report: where the full-corpus mass sits on the learned
+        # score — read from the gate's own scoring pass (observed
+        # pre-filter, so all documents are counted; zero extra jobs)
+        metrics = decile_obs[-1].get
+        record["p_good_deciles"] = {
+            d: int(metrics[f"d{d}"] or 0) for d in range(10)
+        }
     if args.audit:
         # every audit output is catalog/band/pair-slice bounded, so the
         # driver-side pulls are small by construction

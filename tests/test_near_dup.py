@@ -222,7 +222,7 @@ def test_substring_dedup_catches_shifted_overlap(spark, tmp_path):
 
 def test_hashed_anchor_is_result_identical(spark):
     """The scale posture of the substring tier (VERDICT r6 item 6):
-    md5-hashing the anchor only changes the window's PARTITION key
+    xxhash64-hashing the anchor only changes the window's PARTITION key
     through an injective transform, so the pair list, span lengths and
     anchor counts must be byte-identical to the verbatim form — here on
     the real smoke corpus (the driver oracle re-proves it at sf0.01)."""
