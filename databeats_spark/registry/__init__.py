@@ -56,6 +56,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r7:
+    "minhash_near_dups_exact",  # r7: md5-family LSH oracle twin (never verified)
     "bpe_segmentation",  # r7: BPE apply-path histogram (never verified)
     "bpe_merges",  # r7: promoted rows-only -> exact unrolled-CTE oracle
     "curation_funnel_exact",  # r7: whole-funnel oracle twin (never verified)
@@ -80,10 +81,9 @@ _WINDOW = (
     "repeat_customers", "priority_flags", "open_only_customers",
     "price_quantiles", "order_gaps", "above_average_customers",
     "approx_distinct_parts", "lineitem_profile", "regex_extract_ids",
-    "null_safe_compare",
     # (exact_moment_stats, order_status_mix, customer_deciles,
-    # cube_quantity and order_priority_paths rotated out for the r7
-    # prepends — re-verified most recently of the tail)
+    # cube_quantity, order_priority_paths and null_safe_compare rotated
+    # out for the r7 prepends — re-verified most recently of the tail)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

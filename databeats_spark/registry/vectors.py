@@ -95,6 +95,140 @@ def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")).orderBy("id_a", "id_b")
 
 
+# --- minhash_near_dups_exact: oracle promotion of the MinHash tier ----
+# The production op (minhash_near_dups) hashes shingles with xxhash64 +
+# integer universal hashing — fast, but not reproducible in DuckDB, so
+# it stays rows-only. THIS twin runs the IDENTICAL LSH pipeline
+# (signature → bands → bucket-join candidates → exact-Jaccard verify)
+# with an md5 hash family: h_i(sh) = md5('i:' || sh), min taken
+# LEXICOGRAPHICALLY over the hex strings — a total order both engines
+# share byte-for-byte, so every stage is dual-engine and the final
+# pair list hash-matches. Banding math is unchanged (B bands of R
+# rows; a pair collides iff some band's R mins all agree), so this
+# certifies the exact candidate-generation arithmetic the production
+# op uses at scale. B*R kept small (4x3) — the twin proves the
+# pipeline, the production op owns the recall/threshold tuning.
+MINHASH_EXACT_HASHES = 12  # 4 bands x 3 rows
+MINHASH_EXACT_BANDS = 4
+MINHASH_EXACT_ROWS = 3
+MINHASH_EXACT_THRESHOLD = 0.5
+
+
+def _minhash_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import word_shingles
+    from databeats_spark.sources.tables import spread
+
+    H, B, R = MINHASH_EXACT_HASHES, MINHASH_EXACT_BANDS, MINHASH_EXACT_ROWS
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(H)
+        ]
+    )
+    melted = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"h{b * R + r}") for r in range(R)]
+                            )
+                        ).alias("key"),
+                    )
+                    for b in range(B)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band_idx", "bk.key")
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("doc_id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .filter(jac >= MINHASH_EXACT_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("common").cast("long").alias("common"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIG_COLS = ",\n         ".join(
+    f"min(md5('{i}:' || sh)) AS h{i}" for i in range(MINHASH_EXACT_HASHES)
+)
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_idx, md5({expr}) AS key FROM sig".format(
+        b=b,
+        expr=" || '|' || ".join(
+            f"h{b * MINHASH_EXACT_ROWS + r}" for r in range(MINHASH_EXACT_ROWS)
+        ),
+    )
+    for b in range(MINHASH_EXACT_BANDS)
+)
+_MINHASH_NEAR_DUPS_EXACT_SQL = rf"""
+WITH tkn AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh3 AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM tkn
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh3
+), sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM ex GROUP BY doc_id
+), bands AS (
+{_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n FROM sh3
+), cm AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN ex ea ON ea.doc_id = c.id_a
+  JOIN ex eb ON eb.doc_id = c.id_b AND eb.sh = ea.sh
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b, CAST(c.common AS BIGINT) AS common,
+       round(c.common / (sa.n + sb.n - c.common), 6) AS jaccard
+FROM cm c JOIN sizes sa ON sa.doc_id = c.id_a
+          JOIN sizes sb ON sb.doc_id = c.id_b
+WHERE c.common / (sa.n + sb.n - c.common) >= {MINHASH_EXACT_THRESHOLD}
+ORDER BY c.id_a, c.id_b
+"""
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     out = simhash_near_duplicates(
@@ -572,6 +706,7 @@ SPECS = [
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
+    QuerySpec("minhash_near_dups_exact", "oracle twin of the MinHash tier: md5-family LSH banding, every stage dual-engine", _minhash_near_dups_exact, _MINHASH_NEAR_DUPS_EXACT_SQL, tags=("dedup", "text")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
     QuerySpec("semdedup_near_dups", "SemDeDup: within-KMeans-cluster cosine near-dup pairs", _semdedup_near_dups, None, tags=("dedup", "similarity", "approx")),
     QuerySpec("canonical_docs", "end-to-end fuzzy dedup: pairs → star-alternation components → canonical rows", _canonical_docs, _canonical_docs_sql(), tags=("dedup", "graph")),
