@@ -57,6 +57,8 @@ _WINDOW = (
     # re-verified), never the debt block.
     # — new in r7:
     "minhash_near_dups_exact",  # r7: md5-family LSH oracle twin (never verified)
+    "simhash_near_dups_exact",  # r7: md5-bit SimHash oracle twin (never verified)
+    "ivf_cosine_topk_exact",  # r7: fixed-centroid IVF probe twin (never verified)
     "bpe_segmentation",  # r7: BPE apply-path histogram (never verified)
     "bpe_merges",  # r7: promoted rows-only -> exact unrolled-CTE oracle
     "curation_funnel_exact",  # r7: whole-funnel oracle twin (never verified)
@@ -80,10 +82,11 @@ _WINDOW = (
     "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
     "repeat_customers", "priority_flags", "open_only_customers",
     "price_quantiles", "order_gaps", "above_average_customers",
-    "approx_distinct_parts", "lineitem_profile", "regex_extract_ids",
+    "approx_distinct_parts",
     # (exact_moment_stats, order_status_mix, customer_deciles,
-    # cube_quantity, order_priority_paths and null_safe_compare rotated
-    # out for the r7 prepends — re-verified most recently of the tail)
+    # cube_quantity, order_priority_paths, null_safe_compare,
+    # lineitem_profile and regex_extract_ids rotated out for the r7
+    # prepends — re-verified most recently of the tail)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -1,10 +1,14 @@
 """Embedding-table inventory: similarity search + LSH-family operators.
 
 ``cosine_topk`` is the exact brute-force baseline with a DuckDB oracle
-(list_cosine_similarity). The LSH / MinHash / SimHash entries are the
-scale paths — approximate candidate generation isn't SQL-expressible,
-so they carry rows-only checks; their correctness is pinned by pytest
-against the exact operators (tests/test_near_dup.py).
+(list_cosine_similarity). The LSH / MinHash / SimHash / IVF entries are
+the scale paths — their production hash/cluster machinery (xxhash64,
+KMeans) isn't DuckDB-reproducible, so they carry rows-only checks
+pinned by pytest against the exact operators (tests/test_near_dup.py).
+Since r7 each tier ALSO has an ``*_exact`` oracle twin that runs the
+identical pipeline arithmetic with an engine-shared deterministic
+substitute (md5 hash family / fixed centroids) and hash-matches DuckDB
+end to end — the approximation is the only thing left uncertified.
 """
 
 from __future__ import annotations
@@ -238,6 +242,249 @@ def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming")).orderBy(
         "id_a", "id_b"
     )
+
+
+# --- ivf_cosine_topk_exact: oracle promotion of the IVF probe path ---
+# The production IVF (ml/ann.py) is rows-only because its list
+# structure comes from MLlib KMeans, which DuckDB can't reproduce.
+# Everything ELSE about IVF search is deterministic arithmetic: assign
+# each corpus vector to its nearest list, probe the n_probe nearest
+# lists per query, exact top-k within the probed union. This twin
+# fixes the centroids DETERMINISTICALLY (the first IVF_EXACT_LISTS
+# corpus vectors — a seeding both engines can name) and runs that
+# identical assign → probe → rank pipeline dual-engine, so the probe
+# arithmetic the production index executes at scale is hash-certified;
+# KMeans itself stays covered by the recall-floor pytest. Like the
+# production path, a query vector only meets the lists it probes —
+# the pruning IS the operator — and the per-query candidate set is
+# the probed lists' union, never the corpus.
+IVF_EXACT_LISTS = 8
+IVF_EXACT_PROBE = 2
+
+
+def _ivf_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.functions.similarity import cosine
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = t.embeddings
+    # fixed centroid set; the .limit is the lint-visible bound (ids
+    # below IVF_EXACT_LISTS number at most that many rows)
+    cents = (
+        emb.filter(F.col("vec_id") < IVF_EXACT_LISTS)
+        .limit(IVF_EXACT_LISTS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("__cv"))
+    )
+    # corpus -> nearest list (argmax cosine, centroid_id tie-break)
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("__acs"), "centroid_id")
+    assign = (
+        emb.join(F.broadcast(cents))
+        .withColumn("__acs", cosine("embedding", "__cv"))
+        .withColumn("__arn", F.row_number().over(aw))
+        .filter(F.col("__arn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    # query -> its n_probe nearest lists
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS)
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__pcs"), "centroid_id")
+    probe = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv"))
+        .join(F.broadcast(cents))
+        .withColumn("__pcs", cosine("__qv", "__cv"))
+        .withColumn("__prn", F.row_number().over(pw))
+        .filter(F.col("__prn") <= IVF_EXACT_PROBE)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    # search only the probed lists; exact rank within the union
+    rw = Window.partitionBy("query_id").orderBy(F.desc("__cs"), "neighbor_id")
+    return (
+        assign.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv"),
+            "centroid_id",
+        )
+        .join(F.broadcast(probe), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("__cs", cosine("__qv", "__nv"))
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", F.round("__cs", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+_IVF_COSINE_TOPK_EXACT_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {IVF_EXACT_LISTS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id
+           ) AS arn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE arn = 1
+), probe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id
+           ) AS prn
+    FROM embeddings e CROSS JOIN c
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE prn <= {IVF_EXACT_PROBE}
+), ranked AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(p.qv, CAST(a.embedding AS DOUBLE[])) AS cs,
+         row_number() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_cosine_similarity(p.qv, CAST(a.embedding AS DOUBLE[])) DESC,
+                    a.vec_id
+         ) AS rnk
+  FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rnk AS BIGINT) AS rank
+FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+# --- simhash_near_dups_exact: oracle promotion of the SimHash tier ---
+# Same promotion pattern as minhash_near_dups_exact: the production op
+# (xxhash64 feature bits, 64-bit signature) is not reproducible in
+# DuckDB, so the twin derives a 32-bit signature from md5 instead —
+# bit b of a shingle's vote vector is the HIGH BIT of hex digit b of
+# md5(shingle) (digit >= '8'), which both engines read off the same
+# lowercase hex string. The signature is carried as a 32-char '0'/'1'
+# string (no cross-engine integer bit-op semantics to align), banding
+# is the production op's pigeonhole scheme verbatim — hamming_max+1=4
+# blocks of 8 bits, so any pair within hamming 3 collides on >=1
+# block, recall GUARANTEED — and exact Hamming verification is a
+# 32-position character compare. Certifies the vote → sign → band →
+# verify arithmetic the production op runs at scale.
+SIMHASH_EXACT_BITS = 32
+SIMHASH_EXACT_HAMMING_MAX = 3
+
+
+def _simhash_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import word_shingles
+    from databeats_spark.sources.tables import spread
+
+    bits, hmax = SIMHASH_EXACT_BITS, SIMHASH_EXACT_HAMMING_MAX
+    n_blocks = hmax + 1
+    width = bits // n_blocks
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    feats = docs.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("sh")
+    ).withColumn("h", F.md5("sh"))
+    votes = feats.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.substring("h", b + 1, 1).isin(*"89abcdef"), 1
+                ).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    sig = votes.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"b{b}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for b in range(bits)
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.substring("sig", i * width + 1, width).alias("value"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.block", "bk.value")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        (F.substring(F.col("a.sig"), p + 1, 1) != F.substring(F.col("b.sig"), p + 1, 1)).cast("int")
+        for p in range(bits)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hmax)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SIM_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN strpos('89abcdef', substr(md5(sh), {b + 1}, 1)) > 0 "
+    f"THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(SIMHASH_EXACT_BITS)
+)
+_SIM_SIG = " || ".join(
+    f"CASE WHEN b{b} > 0 THEN '1' ELSE '0' END" for b in range(SIMHASH_EXACT_BITS)
+)
+_SIM_BLOCKS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, sig, {i} AS block, substr(sig, {i * (SIMHASH_EXACT_BITS // (SIMHASH_EXACT_HAMMING_MAX + 1)) + 1}, "
+    f"{SIMHASH_EXACT_BITS // (SIMHASH_EXACT_HAMMING_MAX + 1)}) AS value FROM sig"
+    for i in range(SIMHASH_EXACT_HAMMING_MAX + 1)
+)
+_SIM_HAMMING = " + ".join(
+    f"CASE WHEN substr(a.sig, {p + 1}, 1) <> substr(b.sig, {p + 1}, 1) THEN 1 ELSE 0 END"
+    for p in range(SIMHASH_EXACT_BITS)
+)
+_SIMHASH_NEAR_DUPS_EXACT_SQL = rf"""
+WITH tkn AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh2 AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                  i -> array_to_string(toks[i:i+1], ' '))) AS shingles
+  FROM tkn
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM sh2
+), votes AS (
+  SELECT doc_id,
+         {_SIM_VOTES}
+  FROM ex GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {_SIM_SIG} AS sig FROM votes
+), banded AS (
+{_SIM_BLOCKS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({_SIM_HAMMING} AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.block = b.block AND a.value = b.value AND a.doc_id < b.doc_id
+WHERE {_SIM_HAMMING} <= {SIMHASH_EXACT_HAMMING_MAX}
+ORDER BY id_a, id_b
+"""
 
 
 def _semdedup_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -704,10 +951,12 @@ SPECS = [
     QuerySpec("embedding_quantization", "int8 scalar quantization codes + reconstruction-error audit", _embedding_quantization, _EMBEDDING_QUANTIZATION_SQL, tags=("similarity", "scalar")),
     QuerySpec("class_weights", "inverse-frequency balanced class-weight table", _class_weights, _CLASS_WEIGHTS_SQL, tags=("agg", "ml")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
+    QuerySpec("ivf_cosine_topk_exact", "oracle twin of the IVF probe path: fixed first-N centroids, argmax assign, n_probe lists, exact in-list top-k", _ivf_cosine_topk_exact, _IVF_COSINE_TOPK_EXACT_SQL, tags=("similarity", "vector")),
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
     QuerySpec("minhash_near_dups_exact", "oracle twin of the MinHash tier: md5-family LSH banding, every stage dual-engine", _minhash_near_dups_exact, _MINHASH_NEAR_DUPS_EXACT_SQL, tags=("dedup", "text")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
+    QuerySpec("simhash_near_dups_exact", "oracle twin of the SimHash tier: md5-bit signatures, pigeonhole banding, exact Hamming verify", _simhash_near_dups_exact, _SIMHASH_NEAR_DUPS_EXACT_SQL, tags=("dedup", "text")),
     QuerySpec("semdedup_near_dups", "SemDeDup: within-KMeans-cluster cosine near-dup pairs", _semdedup_near_dups, None, tags=("dedup", "similarity", "approx")),
     QuerySpec("canonical_docs", "end-to-end fuzzy dedup: pairs → star-alternation components → canonical rows", _canonical_docs, _canonical_docs_sql(), tags=("dedup", "graph")),
 ]
