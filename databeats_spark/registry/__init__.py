@@ -59,6 +59,8 @@ _WINDOW = (
     "minhash_near_dups_exact",  # r7: md5-family LSH oracle twin (never verified)
     "simhash_near_dups_exact",  # r7: md5-bit SimHash oracle twin (never verified)
     "ivf_cosine_topk_exact",  # r7: fixed-centroid IVF probe twin (never verified)
+    "lsh_cosine_topk_exact",  # r7: plane-literal LSH oracle twin (never verified)
+    "semdedup_near_dups_exact",  # r7: fixed-centroid SemDeDup twin (never verified)
     "bpe_segmentation",  # r7: BPE apply-path histogram (never verified)
     "bpe_merges",  # r7: promoted rows-only -> exact unrolled-CTE oracle
     "curation_funnel_exact",  # r7: whole-funnel oracle twin (never verified)
@@ -81,12 +83,12 @@ _WINDOW = (
     "multimodal_bytes", "tf_idf_terms", "bpe_token_stats",
     "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
     "repeat_customers", "priority_flags", "open_only_customers",
-    "price_quantiles", "order_gaps", "above_average_customers",
-    "approx_distinct_parts",
+    "price_quantiles", "order_gaps",
     # (exact_moment_stats, order_status_mix, customer_deciles,
     # cube_quantity, order_priority_paths, null_safe_compare,
-    # lineitem_profile and regex_extract_ids rotated out for the r7
-    # prepends — re-verified most recently of the tail)
+    # lineitem_profile, regex_extract_ids, above_average_customers and
+    # approx_distinct_parts rotated out for the r7 prepends —
+    # re-verified most recently of the tail)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -71,6 +71,84 @@ def _lsh_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# --- lsh_cosine_topk_exact: oracle promotion of the hyperplane tier --
+# Unlike the other *_exact twins, the Spark side here IS the
+# production op verbatim (lsh_cosine_top_k, 4 tables x 8 planes,
+# Hamming-1 multiprobe): its plane vectors are seeded NumPy literals
+# folded into the plan, so the oracle can inline the SAME 32 plane
+# rows as VALUES and replay the whole pipeline — signature bits from
+# an ORDERED left fold of the per-dimension products (list_reduce
+# mirrors Spark's F.aggregate element order; 0.0+p1 == p1 exactly, so
+# the missing initial accumulator cannot change a sign), bucket
+# equi-join per table, XOR multiprobe, exact cosine + rank. The one
+# cross-engine hazard is a dot product EXACTLY at a sign boundary;
+# both engines evaluate the identical float sequence, so the fold
+# values are bit-equal and the hazard is vacuous.
+
+
+def _lsh_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    q = t.embeddings.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS)
+    out = lsh_cosine_top_k(t.embeddings, q, dim=EMBED_DIM, k=TOP_K, n_planes=8)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("query_id", "rank")
+
+
+def _lsh_exact_sql() -> str:
+    # replicate hyperplane_signature's literals: table t uses
+    # default_rng(42 + 1000*t) -> standard_normal((8, EMBED_DIM));
+    # repr() floats round-trip to the identical double in both engines
+    import numpy as np
+
+    rows = []
+    for t in range(4):
+        planes = np.random.default_rng(42 + 1000 * t).standard_normal((8, EMBED_DIM))
+        for i in range(8):
+            vec = ", ".join(repr(float(x)) for x in planes[i])
+            rows.append(f"({t}, {1 << i}, [{vec}])")
+    plane_rows = ",\n    ".join(rows)
+    probe_rows = ", ".join(f"({o})" for o in [0] + [1 << i for i in range(8)])
+    return f"""
+WITH ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), planes(t, w, vec) AS (
+  VALUES
+    {plane_rows}
+), sigs AS (
+  SELECT e.vec_id, p.t,
+         CAST(sum(CASE WHEN list_reduce(
+             list_transform(range(1, {EMBED_DIM} + 1), j -> e.v[j] * p.vec[j]),
+             (acc, x) -> acc + x) > 0 THEN p.w ELSE 0 END) AS BIGINT) AS sig
+  FROM ev e CROSS JOIN planes p
+  GROUP BY e.vec_id, p.t
+), probes(o) AS (
+  VALUES {probe_rows}
+), qp AS (
+  SELECT s.vec_id AS query_id, s.t, xor(s.sig, CAST(pr.o AS BIGINT)) AS b
+  FROM sigs s CROSS JOIN probes pr
+  WHERE s.vec_id < {N_QUERY_VECS}
+), cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qp q JOIN sigs c ON c.t = q.t AND c.sig = q.b AND c.vec_id <> q.query_id
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         list_cosine_similarity(eq.v, en.v) AS cs,
+         row_number() OVER (
+           PARTITION BY cd.query_id
+           ORDER BY list_cosine_similarity(eq.v, en.v) DESC, cd.neighbor_id
+         ) AS rnk
+  FROM cand cd
+  JOIN ev eq ON eq.vec_id = cd.query_id
+  JOIN ev en ON en.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim, CAST(rnk AS BIGINT) AS rank
+FROM scored WHERE rnk <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def _ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF index path: KMeans-partitioned corpus, n_probe nearest lists
     # probed per query (rows-only check; recall gate in tests/test_ml)
@@ -86,6 +164,87 @@ def _ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
         F.col("rank").cast("long").alias("rank"),
     ).orderBy("query_id", "rank")
+
+
+# --- semdedup_near_dups_exact: oracle promotion of the SemDeDup tier --
+# Same promotion as ivf_cosine_topk_exact: SemDeDup's only
+# non-SQL-expressible piece is the KMeans bucketing; the candidate
+# SHAPE (compare pairs only within a cluster — n²/k, never n²) and the
+# exact-cosine verification are deterministic arithmetic. Fix the
+# centroids (first SEMDEDUP_EXACT_LISTS corpus vectors), assign by
+# argmax cosine, and the whole within-cluster pair pipeline runs
+# dual-engine and hash-matches. Cluster QUALITY stays KMeans' job
+# (recall-floor pytest on the production op); this certifies that the
+# bucketed self-join + threshold arithmetic is right.
+SEMDEDUP_EXACT_LISTS = 8
+SEMDEDUP_EXACT_THRESHOLD = 0.4
+
+
+def _semdedup_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.functions.similarity import cosine
+
+    emb = load_tables(spark, sf_dir, ["embeddings"]).embeddings
+    cents = (
+        emb.filter(F.col("vec_id") < SEMDEDUP_EXACT_LISTS)
+        .limit(SEMDEDUP_EXACT_LISTS)
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("__cv"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("__acs"), "centroid_id")
+    assign = (
+        emb.join(F.broadcast(cents))
+        .withColumn("__acs", cosine("embedding", "__cv"))
+        .withColumn("__arn", F.row_number().over(aw))
+        .filter(F.col("__arn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    a = assign.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "centroid_id"
+    )
+    b = assign.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), "centroid_id"
+    )
+    return (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("__cs", cosine("__va", "__vb"))
+        .filter(F.col("__cs") >= SEMDEDUP_EXACT_THRESHOLD)
+        .select(
+            "id_a", "id_b",
+            F.col("centroid_id").cast("long").alias("cluster"),
+            F.round("__cs", 6).alias("cos_sim"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SEMDEDUP_NEAR_DUPS_EXACT_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {SEMDEDUP_EXACT_LISTS}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id
+           ) AS arn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE arn = 1
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(a.centroid_id AS BIGINT) AS cluster,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cs
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cluster, round(cs, 6) AS cos_sim
+FROM scored WHERE cs >= {SEMDEDUP_EXACT_THRESHOLD}
+ORDER BY id_a, id_b
+"""
 
 
 def _minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,12 +1110,14 @@ SPECS = [
     QuerySpec("embedding_quantization", "int8 scalar quantization codes + reconstruction-error audit", _embedding_quantization, _EMBEDDING_QUANTIZATION_SQL, tags=("similarity", "scalar")),
     QuerySpec("class_weights", "inverse-frequency balanced class-weight table", _class_weights, _CLASS_WEIGHTS_SQL, tags=("agg", "ml")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
+    QuerySpec("lsh_cosine_topk_exact", "oracle twin of the hyperplane-LSH tier: the production op vs its plane literals replayed in SQL", _lsh_cosine_topk_exact, _lsh_exact_sql(), tags=("similarity", "vector")),
     QuerySpec("ivf_cosine_topk_exact", "oracle twin of the IVF probe path: fixed first-N centroids, argmax assign, n_probe lists, exact in-list top-k", _ivf_cosine_topk_exact, _IVF_COSINE_TOPK_EXACT_SQL, tags=("similarity", "vector")),
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
     QuerySpec("minhash_near_dups_exact", "oracle twin of the MinHash tier: md5-family LSH banding, every stage dual-engine", _minhash_near_dups_exact, _MINHASH_NEAR_DUPS_EXACT_SQL, tags=("dedup", "text")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
     QuerySpec("simhash_near_dups_exact", "oracle twin of the SimHash tier: md5-bit signatures, pigeonhole banding, exact Hamming verify", _simhash_near_dups_exact, _SIMHASH_NEAR_DUPS_EXACT_SQL, tags=("dedup", "text")),
+    QuerySpec("semdedup_near_dups_exact", "oracle twin of the SemDeDup tier: fixed-centroid bucketing, within-cluster exact cosine pairs", _semdedup_near_dups_exact, _SEMDEDUP_NEAR_DUPS_EXACT_SQL, tags=("dedup", "similarity")),
     QuerySpec("semdedup_near_dups", "SemDeDup: within-KMeans-cluster cosine near-dup pairs", _semdedup_near_dups, None, tags=("dedup", "similarity", "approx")),
     QuerySpec("canonical_docs", "end-to-end fuzzy dedup: pairs → star-alternation components → canonical rows", _canonical_docs, _canonical_docs_sql(), tags=("dedup", "graph")),
 ]
