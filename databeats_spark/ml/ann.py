@@ -142,19 +142,20 @@ class IVFIndex:
             meta_rows = spark.read.json(f"{path}/meta").collect()
         except AnalysisException:
             meta_rows = []  # pre-metadata artifact: no meta/ dir at all
-        if meta_rows:
-            meta = meta_rows[0].asDict()
-            if not (meta.get("id_col") and meta.get("vec_col")):
+        meta = meta_rows[0].asDict() if meta_rows else {}
+        id_col = id_col or meta.get("id_col")
+        vec_col = vec_col or meta.get("vec_col")
+        if not (id_col and vec_col):
+            if meta_rows:
                 # a meta/ dir that exists but doesn't parse is a broken
                 # artifact, not a pre-metadata one — defaulting here
-                # would silently reopen with the wrong columns
+                # would silently reopen with the wrong columns (explicit
+                # caller arguments still override a broken meta)
                 raise ValueError(
                     f"unreadable IVF index metadata at {path}/meta: {meta}"
                 )
-        else:
-            meta = {}
-        id_col = id_col or meta.get("id_col") or "vec_id"
-        vec_col = vec_col or meta.get("vec_col") or "embedding"
+            id_col = id_col or "vec_id"
+            vec_col = vec_col or "embedding"
         km = KMeansModel.load(f"{path}/kmeans")
         assigned = spark.read.parquet(f"{path}/corpus").select(
             id_col, vec_col, "centroid_id"

@@ -264,9 +264,10 @@ def _curation_funnel_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # removes, or reorders a stage; otherwise the "exact twin" would
     # keep certifying a pipeline that no longer matches production
     production_chain = [n for n, _ in stage_builders(spark, FUNNEL_EXACT_BUDGET)]
-    assert production_chain == [
+    if production_chain != [
         "quality", "exact_dedup", "near_dup", "decontam", "rebalance", "budget"
-    ], f"curation funnel chain drifted: {production_chain}"
+    ]:  # a raise, not an assert — the guard must survive python -O
+        raise RuntimeError(f"curation funnel chain drifted: {production_chain}")
 
     docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
     counts: dict[str, int] = {}

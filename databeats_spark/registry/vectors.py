@@ -166,6 +166,54 @@ def _ivf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# shared by the ivf/semdedup oracle twins: corpus vector -> nearest of
+# the first n_lists vectors (argmax cosine, centroid_id tie-break).
+# ONE definition on each engine side so a fix to the assignment
+# arithmetic can never update one twin and silently leave the other
+# certifying different bucketing.
+def _fixed_centroids(emb: DataFrame, n_lists: int) -> DataFrame:
+    return (
+        emb.filter(F.col("vec_id") < n_lists)
+        .limit(n_lists)  # lint-visible bound for the broadcast side
+        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("__cv"))
+    )
+
+
+def _fixed_centroid_assign(emb: DataFrame, n_lists: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.functions.similarity import cosine
+
+    cents = _fixed_centroids(emb, n_lists)
+    aw = Window.partitionBy("vec_id").orderBy(F.desc("__acs"), "centroid_id")
+    return (
+        emb.join(F.broadcast(cents))
+        .withColumn("__acs", cosine("embedding", "__cv"))
+        .withColumn("__arn", F.row_number().over(aw))
+        .filter(F.col("__arn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def _fixed_assign_ctes(n_lists: int) -> str:
+    """The DuckDB mirror of :func:`_fixed_centroid_assign` — c + assign
+    CTE text shared by both twins' oracles."""
+    return f"""c AS (
+  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < {n_lists}
+), assign AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id
+           ) AS arn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE arn = 1
+)"""
+
+
 # --- semdedup_near_dups_exact: oracle promotion of the SemDeDup tier --
 # Same promotion as ivf_cosine_topk_exact: SemDeDup's only
 # non-SQL-expressible piece is the KMeans bucketing; the candidate
@@ -181,24 +229,13 @@ SEMDEDUP_EXACT_THRESHOLD = 0.4
 
 
 def _semdedup_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from databeats_spark.functions.similarity import cosine
+    from databeats_spark.sources.tables import spread
 
-    emb = load_tables(spark, sf_dir, ["embeddings"]).embeddings
-    cents = (
-        emb.filter(F.col("vec_id") < SEMDEDUP_EXACT_LISTS)
-        .limit(SEMDEDUP_EXACT_LISTS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("__cv"))
-    )
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("__acs"), "centroid_id")
-    assign = (
-        emb.join(F.broadcast(cents))
-        .withColumn("__acs", cosine("embedding", "__cv"))
-        .withColumn("__arn", F.row_number().over(aw))
-        .filter(F.col("__arn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
-    )
+    # the cosine HOF chains are compute-bound: spread the (often
+    # single-split) embeddings scan before them (CLAUDE.md rule)
+    emb = spread(load_tables(spark, sf_dir, ["embeddings"]).embeddings, spark)
+    assign = _fixed_centroid_assign(emb, SEMDEDUP_EXACT_LISTS)
     a = assign.select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "centroid_id"
     )
@@ -220,20 +257,7 @@ def _semdedup_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_NEAR_DUPS_EXACT_SQL = f"""
-WITH c AS (
-  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < {SEMDEDUP_EXACT_LISTS}
-), assign AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-                      c.centroid_id
-           ) AS arn
-    FROM embeddings e CROSS JOIN c
-  ) WHERE arn = 1
-), scored AS (
+WITH {_fixed_assign_ctes(SEMDEDUP_EXACT_LISTS)}, scored AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          CAST(a.centroid_id AS BIGINT) AS cluster,
          list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
@@ -425,25 +449,13 @@ def _ivf_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from databeats_spark.functions.similarity import cosine
+    from databeats_spark.sources.tables import spread
 
-    t = load_tables(spark, sf_dir, ["embeddings"])
-    emb = t.embeddings
-    # fixed centroid set; the .limit is the lint-visible bound (ids
-    # below IVF_EXACT_LISTS number at most that many rows)
-    cents = (
-        emb.filter(F.col("vec_id") < IVF_EXACT_LISTS)
-        .limit(IVF_EXACT_LISTS)
-        .select(F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("__cv"))
-    )
-    # corpus -> nearest list (argmax cosine, centroid_id tie-break)
-    aw = Window.partitionBy("vec_id").orderBy(F.desc("__acs"), "centroid_id")
-    assign = (
-        emb.join(F.broadcast(cents))
-        .withColumn("__acs", cosine("embedding", "__cv"))
-        .withColumn("__arn", F.row_number().over(aw))
-        .filter(F.col("__arn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
-    )
+    # spread the (often single-split) embeddings scan before the
+    # compute-bound cosine HOF chains (CLAUDE.md rule)
+    emb = spread(load_tables(spark, sf_dir, ["embeddings"]).embeddings, spark)
+    cents = _fixed_centroids(emb, IVF_EXACT_LISTS)
+    assign = _fixed_centroid_assign(emb, IVF_EXACT_LISTS)
     # query -> its n_probe nearest lists
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS)
     pw = Window.partitionBy("query_id").orderBy(F.desc("__pcs"), "centroid_id")
@@ -476,20 +488,7 @@ def _ivf_cosine_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_COSINE_TOPK_EXACT_SQL = f"""
-WITH c AS (
-  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
-  FROM embeddings WHERE vec_id < {IVF_EXACT_LISTS}
-), assign AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
-                      c.centroid_id
-           ) AS arn
-    FROM embeddings e CROSS JOIN c
-  ) WHERE arn = 1
-), probe AS (
+WITH {_fixed_assign_ctes(IVF_EXACT_LISTS)}, probe AS (
   SELECT query_id, qv, centroid_id FROM (
     SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv, c.centroid_id,
            row_number() OVER (
