@@ -345,3 +345,19 @@ def test_ivf_exact_twin_matches_brute_force_on_probed_lists(spark):
     from databeats_spark.registry.vectors import IVF_EXACT_PROBE
 
     assert (per_query_lists.apply(len) <= IVF_EXACT_PROBE).all()
+
+
+def test_stop_shingle_cap_inactive_at_test_scale(spark, docs):
+    """curation_funnel_exact bounds its pair generator with
+    max_df=128 (stop-shingle cap — the k² join-blowup guard at scale).
+    The synthetic corpora top out at shingle df 9, so the cap must be
+    a no-op here: capped and uncapped pair sets identical. The cap's
+    MECHANISM is separately oracle-verified (the funnel-exact SQL
+    mirrors the df filter), so this pins that enabling the guard costs
+    nothing until a corpus actually contains boilerplate shingles."""
+    base = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).toPandas()
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=128
+    ).toPandas()
+    key = lambda df: set(zip(df["id_a"], df["id_b"], df["common"]))  # noqa: E731
+    assert key(base) == key(capped)
