@@ -140,17 +140,21 @@ class IVFIndex:
 
         try:
             meta_rows = spark.read.json(f"{path}/meta").collect()
+            meta_present = True
         except AnalysisException:
             meta_rows = []  # pre-metadata artifact: no meta/ dir at all
+            meta_present = False
         meta = meta_rows[0].asDict() if meta_rows else {}
         id_col = id_col or meta.get("id_col")
         vec_col = vec_col or meta.get("vec_col")
         if not (id_col and vec_col):
-            if meta_rows:
-                # a meta/ dir that exists but doesn't parse is a broken
-                # artifact, not a pre-metadata one — defaulting here
-                # would silently reopen with the wrong columns (explicit
-                # caller arguments still override a broken meta)
+            if meta_present:
+                # a meta/ dir that exists but yields no parseable rows
+                # (partially-written artifact, _SUCCESS only) or rows
+                # missing fields is a BROKEN artifact, not a
+                # pre-metadata one — defaulting here would silently
+                # reopen with the wrong columns (explicit caller
+                # arguments still override a broken meta). ADVICE r7.
                 raise ValueError(
                     f"unreadable IVF index metadata at {path}/meta: {meta}"
                 )

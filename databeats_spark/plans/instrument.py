@@ -12,7 +12,7 @@ broadcast and ZERO fact-side shuffle; a regression to sort-merge-join
 shows up as a 100x shuffle-byte jump long before anyone trusts a
 timing).
 
-Two entry points:
+Three entry points:
 
 - :func:`execution_metrics` — single-plan queries: execute the df's own
   physical plan, then fold its exchange/scan SQLMetrics.
@@ -23,11 +23,26 @@ Two entry points:
   the round's ALREADY-EXECUTED DataFrame (the eager localCheckpoint is
   the action) — folding without re-running. Summing sink entries gives
   the op's total movement; per-entry rows expose compounding.
+- :func:`stage_snapshot` / :func:`stage_delta` — STAGE-level totals
+  from the AppStatusStore, bracketing a query run (r7 VERDICT items
+  2+3). Two blind spots of plan-walking die here at once:
+  (a) ``executorCpuTime`` is CPU time, not wall — external VM steal
+      inflates wall-clock but not CPU, so per-query ``cpu_seconds``
+      deltas are the steal-immune timing companion bench.py emits;
+  (b) every stage that RAN is recorded in the store even when AQE's
+      empty-relation propagation replaces the subtree in the final
+      plan — so stage-level shuffle-write deltas report the true
+      executed movement for queries whose final plan reads 0 B
+      (SHUFFLE.md's former sf0.1 caveat rows).
+  Deltas are only attributable when queries run serially on the
+  session (bench.py / shuffle_audit.py do). Stage-store eviction
+  (spark.ui.retainedStages) would corrupt long-session deltas;
+  :func:`get_spark` raises the retention well above any bench run.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _STAGE_SUFFIX = "QueryStageExec"
 
@@ -89,6 +104,55 @@ def executed_metrics(df: DataFrame) -> dict[str, int]:
     taken FROM (its queryExecution is the one the checkpoint executed);
     calling it on a never-actioned df reports zeros, not an error."""
     return _fold_plan_metrics(df._jdf.queryExecution().executedPlan())
+
+
+def stage_snapshot(spark: SparkSession) -> dict[str, int]:
+    """Sum task metrics over every stage the AppStatusStore retains.
+
+    Drains the listener bus first so all completed-stage events are
+    folded in (the status listener is asynchronous; without the drain a
+    snapshot taken right after an action can miss its final stages).
+    Returns monotonically-growing totals — meaningful only as deltas
+    via :func:`stage_delta` around a serially-run query.
+    """
+    sc = spark.sparkContext
+    sc._jsc.sc().listenerBus().waitUntilEmpty()
+    jvm = sc._jvm
+    stages = sc._jsc.sc().statusStore().stageList(
+        jvm.java.util.ArrayList(),          # all statuses
+        False, False,                       # no task details / summaries
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),          # all task statuses
+    )
+    out = {
+        "cpu_ns": 0,            # executorCpuTime: CPU, steal-immune
+        "run_ms": 0,            # executorRunTime: wall across tasks
+        "stage_shuffle_write_bytes": 0,   # post-compression, executed
+        "stage_shuffle_write_records": 0,
+        "stage_spill_bytes": 0,
+        "n_stages": 0,
+    }
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        out["cpu_ns"] += s.executorCpuTime()
+        out["run_ms"] += s.executorRunTime()
+        out["stage_shuffle_write_bytes"] += s.shuffleWriteBytes()
+        out["stage_shuffle_write_records"] += s.shuffleWriteRecords()
+        out["stage_spill_bytes"] += s.diskBytesSpilled()
+        out["n_stages"] += 1
+    return out
+
+
+def stage_delta(spark: SparkSession, before: dict[str, int]) -> dict[str, int | float]:
+    """Snapshot again and return the per-query attribution:
+    ``cpu_seconds`` (float, from executorCpuTime nanos) plus the raw
+    stage-level byte/record/spill deltas."""
+    after = stage_snapshot(spark)
+    d = {k: after[k] - before[k] for k in before}
+    d["cpu_seconds"] = round(d.pop("cpu_ns") / 1e9, 4)
+    d["run_seconds"] = round(d.pop("run_ms") / 1e3, 4)
+    return d
 
 
 def record_metrics(sink: list | None, step: str, df: DataFrame) -> None:

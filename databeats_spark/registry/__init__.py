@@ -18,20 +18,53 @@ Oracle-parity rules used throughout (see tests/test_differential.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
-@dataclass(frozen=True)
 class QuerySpec:
-    name: str
-    doc: str
-    build: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None = None
-    bench: bool = False
-    tags: tuple[str, ...] = ()
+    """A registry entry: Spark builder + DuckDB oracle.
+
+    ``oracle`` may be passed as a string OR a zero-arg callable returning
+    the string; callables are resolved (and cached) on first access, so
+    heavy oracle-text construction (numpy plane literals, unrolled
+    10-round CTE chains) is paid only when the differential harness
+    actually needs the SQL — not on every registry import (ADVICE r7).
+    Consumers keep reading ``spec.oracle`` as ``str | None``.
+    """
+
+    __slots__ = ("name", "doc", "build", "_oracle", "bench", "tags")
+
+    def __init__(
+        self,
+        name: str,
+        doc: str,
+        build: Callable[[SparkSession, str], DataFrame],
+        oracle: str | Callable[[], str] | None = None,
+        bench: bool = False,
+        tags: tuple[str, ...] = (),
+    ) -> None:
+        self.name = name
+        self.doc = doc
+        self.build = build
+        self._oracle = oracle
+        self.bench = bench
+        self.tags = tuple(tags)
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self._oracle):
+            self._oracle = self._oracle()
+        return self._oracle
+
+    @property
+    def has_oracle(self) -> bool:
+        """Oracle presence without forcing a lazy oracle to build."""
+        return self._oracle is not None
+
+    def __repr__(self) -> str:  # keep dataclass-era debuggability
+        return f"QuerySpec(name={self.name!r}, bench={self.bench}, tags={self.tags})"
 
 
 # The driver's CORRECTNESS gate checks ``registry()[:50]`` only, so the
@@ -48,31 +81,18 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r7 rotation (rotation_report, zero never-verified backlog): the 15
-    # queries displaced past slot 50 by r6's additions first (the oldest
-    # re-verification debt, per VERDICT r6 item 1), then the bench
+    # r8 rotation (rotation_report, zero never-verified backlog): the 10
+    # queries displaced past slot 50 by r7's prepends first (the oldest
+    # re-verification debt, per VERDICT r7 item 1), then the bench
     # headliners so BENCH and CORRECTNESS cover the same queries, then
-    # the stalest remaining green rows. PREPEND new/changed r7 queries
+    # the stalest remaining green rows. PREPEND new/changed r8 queries
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
-    # — new in r7:
-    "minhash_near_dups_exact",  # r7: md5-family LSH oracle twin (never verified)
-    "simhash_near_dups_exact",  # r7: md5-bit SimHash oracle twin (never verified)
-    "ivf_cosine_topk_exact",  # r7: fixed-centroid IVF probe twin (never verified)
-    "lsh_cosine_topk_exact",  # r7: plane-literal LSH oracle twin (never verified)
-    "semdedup_near_dups_exact",  # r7: fixed-centroid SemDeDup twin (never verified)
-    "bpe_segmentation",  # r7: BPE apply-path histogram (never verified)
-    "bpe_merges",  # r7: promoted rows-only -> exact unrolled-CTE oracle
-    "curation_funnel_exact",  # r7: whole-funnel oracle twin (never verified)
-    "pagerank_docs_exact",  # r7: oracle promotion of the graph tier (never verified)
-    "substring_dup_spans_hashed",  # r7: fixed-width-anchor scale twin (never verified)
-    # — r6 window debt (displaced past slot 50, oldest driver rows):
-    "weekly_resample", "hourly_event_stats", "event_type_pivot",
-    "deterministic_sample", "stratified_sample", "doc_fingerprints",
-    "lang_id", "dedup_components", "posexplode_tokens",
-    "session_windows", "approx_price_quantiles", "range_attribution",
-    "daily_from_hourly_rollup", "user_value_ranks",
-    "user_funnel_summary",
+    # — r7 window debt (displaced past slot 50, oldest driver rows):
+    "above_average_customers", "approx_distinct_parts",
+    "lineitem_profile", "regex_extract_ids", "null_safe_compare",
+    "order_priority_paths", "cube_quantity", "customer_deciles",
+    "order_status_mix", "exact_moment_stats",
     # — bench headliners (frozen 14):
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
@@ -80,15 +100,15 @@ _WINDOW = (
     "sessionization", "asof_purchase_value", "dedup_exact_docs",
     "text_stats", "near_dup_pairs",
     # — stalest remaining green rows (rotation_report order):
-    "multimodal_bytes", "tf_idf_terms", "bpe_token_stats",
-    "sql_api_revenue", "sql_lateral_topk", "supplier_part_stats",
-    "repeat_customers", "priority_flags", "open_only_customers",
-    "price_quantiles", "order_gaps",
-    # (exact_moment_stats, order_status_mix, customer_deciles,
-    # cube_quantity, order_priority_paths, null_safe_compare,
-    # lineitem_profile, regex_extract_ids, above_average_customers and
-    # approx_distinct_parts rotated out for the r7 prepends —
-    # re-verified most recently of the tail)
+    "fuzzy_part_names", "large_volume_orders", "order_nav",
+    "unpivot_part_metrics", "spend_percentiles", "embedding_stats",
+    "lsh_cosine_topk", "ivf_cosine_topk", "simhash_near_dups",
+    "canonical_docs", "repetition_stats", "pii_scrub",
+    "benchmark_decontam", "shared_shingle_stats", "token_budget_pack",
+    "mix_rebalance", "min_cost_supplier", "important_parts",
+    "order_count_histogram", "top_supplier_revenue",
+    "small_qty_revenue", "idle_high_balance", "part_name_features",
+    "math_scalar_features", "calendar_features", "value_histogram",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
@@ -111,16 +131,22 @@ def _collect() -> list[QuerySpec]:
                 curation, modern, decision, mining, signals, corpus, lifecycle,
                 audits):
         all_specs.extend(mod.SPECS)
+    # Explicit raises, not asserts: these guard the driver gate's
+    # coverage and must survive ``python -O`` (ADVICE r7).
     names = [s.name for s in all_specs]
-    assert len(names) == len(set(names)), f"duplicate query names: {names}"
-    assert len(_WINDOW) == _GATE_WIDTH, (
-        f"_WINDOW has {len(_WINDOW)} entries but the driver gate checks "
-        f"registry()[:{_GATE_WIDTH}] — when prepending, drop an equal "
-        f"number from the already-reverified tail"
-    )
+    if len(names) != len(set(names)):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise AssertionError(f"duplicate query names: {dupes}")
+    if len(_WINDOW) != _GATE_WIDTH:
+        raise AssertionError(
+            f"_WINDOW has {len(_WINDOW)} entries but the driver gate checks "
+            f"registry()[:{_GATE_WIDTH}] — when prepending, drop an equal "
+            f"number from the already-reverified tail"
+        )
     by_name = {s.name: s for s in all_specs}
     missing = [n for n in _WINDOW if n not in by_name]
-    assert not missing, f"window names not in registry: {missing}"
+    if missing:
+        raise AssertionError(f"window names not in registry: {missing}")
     front = [by_name[n] for n in _WINDOW]
     in_front = set(_WINDOW)
     return front + [s for s in all_specs if s.name not in in_front]
@@ -141,7 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in registry() if s.oracle is not None}
+    return {s.name: s.oracle for s in registry() if s.has_oracle}
 
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -847,6 +847,12 @@ def _pagerank_docs(
 # round-6 recipe — so the hash matches without an ordered fold. The
 # production-scale variant stays pagerank_docs (LSH edge generator,
 # early-stop); this twin pins the arithmetic, not the candidate path.
+# RESIDUAL RISK (ADVICE r7): parity rests on round(…,6) absorbing that
+# noise — a rank sitting within ~1e-15 of a .5e-6 rounding boundary
+# would flip the hash (and the DESC output order). Probabilistic, not
+# engineered, parity. Keep tol=None and PAGERANK_EXACT_ROUNDS fixed so
+# a future change doesn't widen the exposure; if this ever flakes, the
+# fix is an ordered-fold oracle, not a wider tolerance.
 
 PAGERANK_EXACT_ROUNDS = 10
 PAGERANK_DAMPING = 0.85
@@ -1513,7 +1519,7 @@ SPECS = [
     QuerySpec("length_drift_psi", "population stability index with add-one smoothing", _length_drift_psi, _LENGTH_DRIFT_PSI_SQL, tags=("text", "profiling", "agg")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
-    QuerySpec("pagerank_docs_exact", "fixed-10-round PageRank vs an unrolled-CTE SQL power iteration", _pagerank_docs_exact, _pagerank_docs_exact_sql(), tags=("graph",)),
+    QuerySpec("pagerank_docs_exact", "fixed-10-round PageRank vs an unrolled-CTE SQL power iteration", _pagerank_docs_exact, _pagerank_docs_exact_sql, tags=("graph",)),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),
     QuerySpec("funnel_stages", "ordered signup->view->click->purchase funnel", _funnel_stages, _FUNNEL_STAGES_SQL, tags=("events", "join", "agg")),
     QuerySpec("curation_funnel", "end-to-end curation pipeline stage counts", _curation_funnel, None, tags=("text", "dedup", "sampling", "pipeline")),

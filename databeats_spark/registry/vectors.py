@@ -1109,7 +1109,7 @@ SPECS = [
     QuerySpec("embedding_quantization", "int8 scalar quantization codes + reconstruction-error audit", _embedding_quantization, _EMBEDDING_QUANTIZATION_SQL, tags=("similarity", "scalar")),
     QuerySpec("class_weights", "inverse-frequency balanced class-weight table", _class_weights, _CLASS_WEIGHTS_SQL, tags=("agg", "ml")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),
-    QuerySpec("lsh_cosine_topk_exact", "oracle twin of the hyperplane-LSH tier: the production op vs its plane literals replayed in SQL", _lsh_cosine_topk_exact, _lsh_exact_sql(), tags=("similarity", "vector")),
+    QuerySpec("lsh_cosine_topk_exact", "oracle twin of the hyperplane-LSH tier: the production op vs its plane literals replayed in SQL", _lsh_cosine_topk_exact, _lsh_exact_sql, tags=("similarity", "vector")),
     QuerySpec("ivf_cosine_topk_exact", "oracle twin of the IVF probe path: fixed first-N centroids, argmax assign, n_probe lists, exact in-list top-k", _ivf_cosine_topk_exact, _IVF_COSINE_TOPK_EXACT_SQL, tags=("similarity", "vector")),
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
