@@ -9,6 +9,20 @@ matter how noisy the clock is).
 
     python scripts/shuffle_audit.py
 
+Two measurement layers per query (r7 VERDICT item 3):
+
+- PLAN layer (``execution_metrics``): exchange/scan SQLMetrics folded
+  from the final adaptive plan — uncompressed dataSize, per-exchange
+  attribution. Blind spot: AQE's empty-relation propagation can erase
+  already-executed exchanges from the FINAL plan (empty result at one
+  SF), under-reporting them as 0 B.
+- STAGE layer (``stage_delta``): shuffle-write bytes + executor CPU
+  summed over every stage the run actually executed, from the
+  AppStatusStore — records EVERY stage that ran regardless of what the
+  final plan looks like, closing the AQE-empty blind spot. Bytes here
+  are post-compression (smaller than dataSize), so the two columns are
+  complementary, not comparable.
+
 Iterative queries (pagerank_docs, curation_funnel, dedup_components)
 run driver-coordinated rounds in separate query executions whose
 exchanges the final plan doesn't carry — since r7 they are measured
@@ -46,26 +60,37 @@ def iterative_runs(spark, sf_dir: str) -> dict[str, list[dict]]:
     """Per-step movement rows for the iterative ops, via their
     metrics_sink hooks. Each op runs once per SF; the sink rows cover
     every checkpoint action (edge materialization, label/contribution
-    rounds, funnel stages)."""
+    rounds, funnel stages). pagerank/CC append a final_plan row for the
+    post-iteration ranking plan; the funnel's LAST stage is itself an
+    eager checkpoint already in the sink, so its totals cover
+    checkpoint actions completely and no final_plan row exists."""
     from databeats_spark.plans.curation import curate_corpus
-    from databeats_spark.plans.instrument import execution_metrics
+    from databeats_spark.plans.instrument import (
+        execution_metrics, stage_delta, stage_snapshot,
+    )
     from databeats_spark.registry.documents import _dedup_components
     from databeats_spark.registry.mining import _pagerank_docs
 
     out: dict[str, list[dict]] = {}
 
+    snap = stage_snapshot(spark)
     sink: list[dict] = []
     final = _pagerank_docs(spark, sf_dir, metrics_sink=sink)
     sink.append({"step": "final_plan", **execution_metrics(final)})
+    sink.append({"step": "stage_totals", **stage_delta(spark, snap)})
     out["pagerank_docs"] = sink
 
+    snap = stage_snapshot(spark)
     sink = []
     final = _dedup_components(spark, sf_dir, metrics_sink=sink)
     sink.append({"step": "final_plan", **execution_metrics(final)})
+    sink.append({"step": "stage_totals", **stage_delta(spark, snap)})
     out["dedup_components"] = sink
 
+    snap = stage_snapshot(spark)
     sink = []
     curate_corpus(spark, sf_dir, observe_counts={}, metrics_sink=sink)
+    sink.append({"step": "stage_totals", **stage_delta(spark, snap)})
     out["curation_funnel"] = sink
     return out
 
@@ -83,7 +108,9 @@ SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 def main() -> None:
     from bench import shuffle_partitions_for
-    from databeats_spark.plans.instrument import execution_metrics
+    from databeats_spark.plans.instrument import (
+        execution_metrics, stage_delta, stage_snapshot,
+    )
     from databeats_spark.registry import queries
     from databeats_spark.session import get_spark
 
@@ -97,7 +124,9 @@ def main() -> None:
     for sf_dir in SF_DIRS:
         rows = by_sf[sf_dir] = {}
         for name in QUERIES:
+            snap = stage_snapshot(spark)
             m = execution_metrics(reg[name](spark, sf_dir))
+            m.update(stage_delta(spark, snap))
             rows[name] = m
             print(json.dumps({"sf_dir": sf_dir, "query": name, **m}))
         iter_by_sf[sf_dir] = iterative_runs(spark, sf_dir)
@@ -121,40 +150,49 @@ def main() -> None:
             "form (10x data moving ~10x bytes is linear; superlinear byte\n"
             "growth exposes a re-quadratizing stage regardless of clock\n"
             "noise; far-below-10x means the mover is a bounded candidate /\n"
-            "catalog / top-k set, not the corpus). Iterative queries\n"
-            "(pagerank/CC/funnel) are measured per checkpoint action via\n"
-            "their metrics_sink hooks and tabled in their own section —\n"
-            "their exchanges run in separate query executions the final\n"
-            "plan never carries (databeats_spark/plans/instrument.py).\n"
+            "catalog / top-k set, not the corpus).\n\n"
+            "Columns come from two layers: plan-walk SQLMetrics (shuffle/\n"
+            "broadcast dataSize — uncompressed, per-exchange) and, since\n"
+            "r8, stage-store totals for the same run (`exec write` =\n"
+            "post-compression shuffle bytes actually written by every\n"
+            "stage that RAN, `cpu_s` = executor CPU seconds — both\n"
+            "steal-immune). The stage layer closes the former sf0.1\n"
+            "caveat: queries whose bounded verifier slice is empty at\n"
+            "sf0.1 (near_dup_pairs, split_leakage_pairs, dedup_components)\n"
+            "read 0 B in the PLAN columns there because AQE's\n"
+            "empty-relation propagation erases already-executed exchanges\n"
+            "from the final plan — their `exec write` column now shows the\n"
+            "true executed movement (the shingle/join work runs either\n"
+            "way; AQE discovers emptiness bottom-up).\n"
             "The spill column sums disk spill over sort/aggregate/join/\n"
             "window operators — 0 B everywhere is the partition-sizing\n"
             "proof (every partition fits its task's memory share);\n"
             "test_shuffle_budget.py pins it at the correctness SF.\n\n"
-            "Reading 0 B at sf0.1 (near_dup_pairs, split_leakage_pairs,\n"
-            "dedup_components):\n"
-            "NOT a free query — their bounded verifier slice (the first\n"
-            "300/1500 doc ids) contains planted near-dups at sf0.01, the\n"
-            "correctness scale, but none at sf0.1, so the final pair set\n"
-            "is empty there and AQE's empty-relation propagation replaces\n"
-            "the plan above the empty stage — erasing the already-executed\n"
-            "upstream exchanges from the FINAL plan this audit walks. The\n"
-            "shingle/join work still runs (AQE discovers emptiness\n"
-            "bottom-up), which is what bench.py times; the sf0.01 row\n"
-            "carries the real byte posture.\n"
+            "Iterative queries (pagerank/CC/funnel) are measured per\n"
+            "checkpoint action via their metrics_sink hooks and tabled in\n"
+            "their own section — their exchanges run in separate query\n"
+            "executions the final plan never carries\n"
+            "(databeats_spark/plans/instrument.py). The funnel's last\n"
+            "stage is itself an eager checkpoint, so its rows cover the\n"
+            "op completely; pagerank/CC carry an explicit final_plan row\n"
+            "for the post-iteration ranking plan.\n"
         )
         for sf_dir in SF_DIRS:
             f.write(
                 f"\n## {sf_dir}\n\n"
                 "| query | shuffles | shuffle bytes | shuffle records "
-                "| broadcasts | broadcast bytes | scan rows | scan bytes | spill |\n"
-                "|---|---|---|---|---|---|---|---|---|\n"
+                "| broadcasts | broadcast bytes | scan rows | scan bytes "
+                "| spill | exec write | cpu_s |\n"
+                "|---|---|---|---|---|---|---|---|---|---|---|\n"
             )
             for name, m in by_sf[sf_dir].items():
                 f.write(
                     f"| {name} | {m['n_shuffles']} | {fmt_bytes(m['shuffle_bytes'])} "
                     f"| {m['shuffle_records']} | {m['n_broadcasts']} "
                     f"| {fmt_bytes(m['broadcast_bytes'])} | {m['scan_rows']} "
-                    f"| {fmt_bytes(m['scan_bytes'])} | {fmt_bytes(m.get('spill_bytes', 0))} |\n"
+                    f"| {fmt_bytes(m['scan_bytes'])} | {fmt_bytes(m.get('spill_bytes', 0))} "
+                    f"| {fmt_bytes(m['stage_shuffle_write_bytes'])} "
+                    f"| {m['cpu_seconds']:.2f} |\n"
                 )
         for sf_dir in SF_DIRS:
             f.write(
@@ -165,27 +203,52 @@ def main() -> None:
             )
             for name, steps in iter_by_sf[sf_dir].items():
                 for s in steps:
+                    if s["step"] == "stage_totals":
+                        continue  # written after the plan-layer total
                     f.write(
                         f"| {name} | {s['step']} | {s['n_shuffles']} "
                         f"| {fmt_bytes(s['shuffle_bytes'])} | {s['shuffle_records']} "
                         f"| {s['n_broadcasts']} | {fmt_bytes(s['broadcast_bytes'])} |\n"
                     )
-                total = sum(s["shuffle_bytes"] for s in steps)
+                total = sum(s.get("shuffle_bytes", 0) for s in steps)
                 f.write(f"| {name} | **total** | — | **{fmt_bytes(total)}** | — | — | — |\n")
+                st = next(s for s in steps if s["step"] == "stage_totals")
+                f.write(
+                    f"| {name} | **stage layer** | — "
+                    f"| **{fmt_bytes(st['stage_shuffle_write_bytes'])} exec write** "
+                    f"| {st['stage_shuffle_write_records']} "
+                    f"| — | cpu {st['cpu_seconds']:.2f} s |\n"
+                )
         f.write(
             "\n## Shuffle-byte growth for 10x data (deterministic scale curve)\n\n"
+            "Plan-layer dataSize ratio, falling back to the stage-layer\n"
+            "executed-write ratio (marked `*`) when the plan layer reads\n"
+            "0 B at either SF (the AQE-empty cases above).\n\n"
             "| query | sf0.01 | sf0.1 | byte ratio |\n|---|---|---|---|\n"
         )
         small, large = by_sf[SF_DIRS[0]], by_sf[SF_DIRS[1]]
         for name in QUERIES:
             a, b = small[name]["shuffle_bytes"], large[name]["shuffle_bytes"]
-            ratio = f"{b / a:.2f}x" if a else "—"
+            if a and b:
+                ratio = f"{b / a:.2f}x"
+            else:
+                sa = small[name]["stage_shuffle_write_bytes"]
+                sb = large[name]["stage_shuffle_write_bytes"]
+                a, b = sa, sb
+                ratio = f"{sb / sa:.2f}x\\*" if sa else "—"
             f.write(f"| {name} | {fmt_bytes(a)} | {fmt_bytes(b)} | {ratio} |\n")
         small_it, large_it = iter_by_sf[SF_DIRS[0]], iter_by_sf[SF_DIRS[1]]
         for name in small_it:
-            a = sum(s["shuffle_bytes"] for s in small_it[name])
-            b = sum(s["shuffle_bytes"] for s in large_it[name])
-            ratio = f"{b / a:.2f}x" if a else "—"
+            a = sum(s.get("shuffle_bytes", 0) for s in small_it[name])
+            b = sum(s.get("shuffle_bytes", 0) for s in large_it[name])
+            if a and b:
+                ratio = f"{b / a:.2f}x"
+            else:
+                sa = next(s for s in small_it[name] if s["step"] == "stage_totals")
+                sb = next(s for s in large_it[name] if s["step"] == "stage_totals")
+                a = sa["stage_shuffle_write_bytes"]
+                b = sb["stage_shuffle_write_bytes"]
+                ratio = f"{b / a:.2f}x\\*" if a else "—"
             f.write(f"| {name} (all rounds) | {fmt_bytes(a)} | {fmt_bytes(b)} | {ratio} |\n")
     print("SHUFFLE.md written")
 
