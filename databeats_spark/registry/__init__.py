@@ -88,6 +88,8 @@ _WINDOW = (
     # the stalest remaining green rows. PREPEND new/changed r8 queries
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
+    # — changed in r8 (re-verify first):
+    "weekly_resample",  # r8: spine restructured (users x 1-row span, then explode)
     # — r7 window debt (displaced past slot 50, oldest driver rows):
     "above_average_customers", "approx_distinct_parts",
     "lineitem_profile", "regex_extract_ids", "null_safe_compare",
@@ -108,7 +110,8 @@ _WINDOW = (
     "mix_rebalance", "min_cost_supplier", "important_parts",
     "order_count_histogram", "top_supplier_revenue",
     "small_qty_revenue", "idle_high_balance", "part_name_features",
-    "math_scalar_features", "calendar_features", "value_histogram",
+    "math_scalar_features", "calendar_features",
+    # (value_histogram displaced by the r8 weekly_resample prepend)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -483,9 +483,16 @@ def _weekly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     span = weekly.agg(F.min("wk").alias("lo"), F.max("wk").alias("hi"))
+    # crossJoin the 1-ROW span onto the users, THEN explode the week
+    # sequence per user: the bounded join side is a keyless aggregate
+    # the plan lint proves structurally (≤1 row), and spine generation
+    # distributes across user rows instead of materializing a spine
+    # relation on one side (r7 VERDICT item 5 — this emptied
+    # BOUNDED_JOIN_OK).
     grid = (
-        span.select(F.explode(F.sequence("lo", "hi")).alias("wk"))
-        .crossJoin(ev.select("user_id").distinct())
+        ev.select("user_id").distinct()
+        .crossJoin(span)
+        .select("user_id", F.explode(F.sequence("lo", "hi")).alias("wk"))
     )
     return (
         grid.join(weekly, ["wk", "user_id"], "left")

@@ -29,13 +29,15 @@ from tests.conftest import SF_SMOKE
 # BNLJ/cartesian allowlist: name -> the bounded-but-not-provably-1-row
 # build side. Scalar attaches (keyless aggregates) no longer need
 # entries — the lint PROVES those from the plan tree.
-BOUNDED_JOIN_OK = {
-    "weekly_resample": "bounded week x user grid (weeks are a calendar, not data, axis)",
-}
-# (cosine_topk, ivf_cosine_topk and embedding_near_dups left this list
-# in r5: their broadcast sides now sit behind explicit semantic-no-op
-# .limit()s — or are centroid-literal local relations — so
-# _provably_bounded proves them.)
+BOUNDED_JOIN_OK: dict[str, str] = {}
+# EMPTY since r8 — every BNLJ/cartesian side in all registry plans is
+# now structurally proven by _provably_bounded. (cosine_topk,
+# ivf_cosine_topk and embedding_near_dups left this list in r5 via
+# semantic-no-op .limit()s / centroid-literal local relations;
+# weekly_resample left in r8 by cross-joining the 1-row span aggregate
+# onto the users BEFORE exploding the week spine.) Keep it empty: for
+# a bounded-by-construction relation, put the bound in the plan
+# (keyless agg, LIMIT, or literal local relation), never a new entry.
 
 # ≤1-row-preserving plan nodes the scalar-side proof may walk through
 _AGG_NODES = ("HashAggregateExec", "SortAggregateExec", "ObjectHashAggregateExec")
