@@ -88,6 +88,10 @@ _WINDOW = (
     # the stalest remaining green rows. PREPEND new/changed r8 queries
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
+    # — new in r8 (never driver-verified):
+    "hll_distinct_users_exact",  # r8: sketch-tier oracle twin
+    "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
+    "approx_price_quantiles_exact",  # r8: sketch-tier oracle twin
     # — changed in r8 (re-verify first):
     "weekly_resample",  # r8: spine restructured (users x 1-row span, then explode)
     # — r7 window debt (displaced past slot 50, oldest driver rows):
@@ -109,9 +113,9 @@ _WINDOW = (
     "benchmark_decontam", "shared_shingle_stats", "token_budget_pack",
     "mix_rebalance", "min_cost_supplier", "important_parts",
     "order_count_histogram", "top_supplier_revenue",
-    "small_qty_revenue", "idle_high_balance", "part_name_features",
-    "math_scalar_features", "calendar_features",
-    # (value_histogram displaced by the r8 weekly_resample prepend)
+    "small_qty_revenue", "idle_high_balance",
+    # (value_histogram, part_name_features, math_scalar_features and
+    # calendar_features displaced by the r8 prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -287,6 +287,36 @@ def _approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: approx_price_quantiles_exact — oracle twin (r7 VERDICT item 6) ----
+# Identical grouping pipeline with the EXACT interpolated percentile
+# substituted for the Greenwald-Khanna sketch: Spark `percentile` and
+# DuckDB `quantile_cont` both compute the type-7 quantile
+# (lower + frac * (upper - lower) at index p*(n-1)); round(…,6) on both
+# sides absorbs the float-association noise per the ratio-double
+# recipe. Certifies everything but the sketch itself.
+
+def _approx_price_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("exact_p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("exact_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_APPROX_PRICE_QUANTILES_EXACT_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+       round(quantile_cont(l_extendedprice, 0.9), 6) AS exact_p90
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def _daily_from_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate rollup (operators/rollup.py): daily stats
     derived by re-aggregating HOURLY PARTIALS, never raw rows. The
@@ -595,6 +625,7 @@ SPECS = [
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
     QuerySpec("session_windows", "native batch session_window vs islands oracle (strict-gap semantics)", _session_windows, _SESSION_WINDOWS_SQL, tags=("window", "timeseries")),
     QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
+    QuerySpec("approx_price_quantiles_exact", "oracle twin: identical grouping with exact type-7 percentiles (certifies all but the sketch)", _approx_price_quantiles_exact, _APPROX_PRICE_QUANTILES_EXACT_SQL, tags=("agg", "approx")),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),
     QuerySpec("range_attribution", "point-in-interval range join via bucketed equi-join rewrite", _range_attribution, _RANGE_ATTRIBUTION_SQL, tags=("join", "range")),
     QuerySpec("daily_from_hourly_rollup", "continuous-aggregate rollup: daily from hourly partials", _daily_from_hourly_rollup, _DAILY_ROLLUP_SQL, tags=("agg", "timeseries")),

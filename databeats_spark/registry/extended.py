@@ -484,6 +484,29 @@ def _approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: approx_distinct_parts_exact — oracle twin (r7 VERDICT item 6) ----
+# Identical grouping pipeline with the exact countDistinct substituted
+# for the HyperLogLog estimator: hash-matched vs DuckDB, certifying
+# everything but the sketch itself.
+
+def _approx_distinct_parts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").cast("bigint").alias("exact_parts"))
+        .orderBy("l_returnflag")
+    )
+
+
+_APPROX_DISTINCT_PARTS_EXACT_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # --- Q: sql_api_revenue — the same engine through the SQL surface --------
 
 _SQL_API_QUERY = """
@@ -583,6 +606,7 @@ SPECS = [
     QuerySpec("embedding_near_dups", "exact cosine near-dup pairs (LSH oracle twin)", _embedding_near_dups, _EMBEDDING_NEAR_DUPS_SQL, tags=("similarity", "dedup")),
     QuerySpec("value_histogram", "bucketed value distribution", _value_histogram, _VALUE_HISTOGRAM_SQL, tags=("agg",)),
     QuerySpec("approx_distinct_parts", "HLL sketch vs exact distinct (rows-only)", _approx_distinct_parts, None, tags=("agg", "approx")),
+    QuerySpec("approx_distinct_parts_exact", "oracle twin: identical grouping with exact countDistinct (certifies all but the sketch)", _approx_distinct_parts_exact, _APPROX_DISTINCT_PARTS_EXACT_SQL, tags=("agg", "approx")),
     QuerySpec("lineitem_profile", "data-quality column profiling (nulls/distincts/ranges)", _lineitem_profile, _lineitem_profile_sql(), tags=("profiling",)),
     QuerySpec("regex_extract_ids", "regexp_extract scalar functions", _regex_extract_ids, _REGEX_EXTRACT_IDS_SQL, tags=("scalar",)),
     QuerySpec("null_safe_compare", "null-safe equality / three-valued logic under left join", _null_safe_compare, _NULL_SAFE_COMPARE_SQL, tags=("scalar", "join")),

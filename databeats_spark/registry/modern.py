@@ -317,6 +317,34 @@ def _hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q: hll_distinct_users_exact — oracle twin of the HLL tier --------
+# r7 VERDICT item 6: the sketch tier predates the oracle-twin recipe.
+# This twin runs the IDENTICAL per-day grouping pipeline with the exact
+# countDistinct substituted for the sketch — hash-matched vs DuckDB, so
+# everything but the HLL estimator itself (day bucketing, grouping,
+# BIGINT discipline, ordering) is oracle-certified; the estimator's
+# error stays bounded by tests/test_properties.
+
+def _hll_distinct_users_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        t.events.select(day, "user_id")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+        .orderBy("day")
+    )
+
+
+_HLL_DISTINCT_USERS_EXACT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events
+GROUP BY day
+ORDER BY day
+"""
+
+
 SPECS = [
     QuerySpec("recursive_week_spine", "WITH RECURSIVE calendar spine, identical ANSI on both engines", _recursive_week_spine, _RECURSIVE_WEEK_SPINE_SQL, tags=("sql", "timeseries")),
     QuerySpec("variant_props_stats", "VARIANT parse_json + variant_get typed extraction", _variant_props_stats, _VARIANT_PROPS_STATS_SQL, tags=("sql", "scalar")),
@@ -328,4 +356,5 @@ SPECS = [
     QuerySpec("json_key_stats", "JSON schema discovery: key frequencies via json_object_keys", _json_key_stats, _JSON_KEY_STATS_SQL, tags=("sql", "scalar")),
     QuerySpec("bitmap_distinct_orders", "exact distinct-count rollup via bitmap partial aggregates", _bitmap_distinct_orders, _BITMAP_DISTINCT_ORDERS_SQL, tags=("agg", "scale")),
     QuerySpec("hll_distinct_users", "DataSketches HLL distinct estimates beside the exact twin", _hll_distinct_users, None, tags=("agg", "approx")),
+    QuerySpec("hll_distinct_users_exact", "oracle twin: identical per-day grouping with exact countDistinct (certifies all but the sketch)", _hll_distinct_users_exact, _HLL_DISTINCT_USERS_EXACT_SQL, tags=("agg", "approx")),
 ]
