@@ -113,6 +113,9 @@ def main() -> None:
         "span_dedup_docs", "oov_rate",
         # r6 addition: variable-length substring dedup (suffix sort)
         "substring_dup_spans",
+        # r8 addition: the packed-tail scale posture of the same tier
+        # (appended so earlier rows compare like-for-like per query)
+        "substring_dup_spans_packed",
     ]
     reg = all_queries()
     mining: dict[str, float] = {}

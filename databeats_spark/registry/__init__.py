@@ -92,6 +92,7 @@ _WINDOW = (
     "hll_distinct_users_exact",  # r8: sketch-tier oracle twin
     "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
     "approx_price_quantiles_exact",  # r8: sketch-tier oracle twin
+    "substring_dup_spans_packed",  # r8: packed-tail scale twin (>2x shuffle cut)
     # — changed in r8 (re-verify first):
     "weekly_resample",  # r8: spine restructured (users x 1-row span, then explode)
     # — r7 window debt (displaced past slot 50, oldest driver rows):
@@ -113,9 +114,10 @@ _WINDOW = (
     "benchmark_decontam", "shared_shingle_stats", "token_budget_pack",
     "mix_rebalance", "min_cost_supplier", "important_parts",
     "order_count_histogram", "top_supplier_revenue",
-    "small_qty_revenue", "idle_high_balance",
-    # (value_histogram, part_name_features, math_scalar_features and
-    # calendar_features displaced by the r8 prepends)
+    "small_qty_revenue",
+    # (value_histogram, part_name_features, math_scalar_features,
+    # calendar_features and idle_high_balance displaced by the r8
+    # prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

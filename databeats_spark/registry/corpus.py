@@ -697,20 +697,36 @@ ORDER BY lang, split
 # PARTITIONS by the anchor (ordering within a partition is by the
 # continuation), so any injective anchor transform leaves the result
 # identical, and the hashed twin verifies against the SAME SQL oracle.
-# Measured honestly (SHUFFLE.md): the cut is ~12% of shuffled bytes at
-# sf0.01, not the anchor's naive share — the SUFFIX_CAP-token
+# Measured honestly (SHUFFLE.md): the anchor hash alone cuts ~12% of
+# shuffled bytes at sf0.01, not its naive share — the SUFFIX_CAP-token
 # continuation dominates the row and verbatim anchors compress well
 # (overlapping windows); the fixed-width key's real scale value is the
 # WORST CASE (a pathological long token can't inflate the shuffle key)
-# plus cheaper key comparison in the sort. Verbatim stays the default
-# so the oracle text and the Spark plan read line-for-line.
+# plus cheaper key comparison in the sort. The r8 packed variant
+# (substring_dup_spans_packed) attacks the continuation itself:
+# array_join the tail with a 0x01 separator into ONE string
+# (order-isomorphic + injective, see _PACK_SEP), split it back after
+# the shuffle for the LCP arithmetic — 2.68x total shuffle cut at
+# sf0.01 (9.41 -> 3.52 MB), result-identical, same oracle
+# (test_packed_variant_is_result_identical +
+# test_packed_tail_cuts_substring_shuffle_2x). Verbatim stays the
+# default so the oracle text and the Spark plan read line-for-line.
 
 MIN_MATCH_TOKENS = 8  # anchor width: minimum duplicated span reported
 SUFFIX_CAP = 32  # longest measurable match (anchor + 24-token tail)
 
 
+# separator for the packed-tail encoding (pack_rest): must sort BELOW
+# every content byte so string order == array-of-tokens order
+# (UTF8String compares unsigned bytes; whitespace-split tokens are
+# printable >= 0x20, and every byte of a non-ASCII UTF-8 char is
+# >= 0x80, so 0x01 is safely minimal and never occurs in a token)
+_PACK_SEP = "\x01"
+
+
 def _substring_dup_spans(
-    spark: SparkSession, sf_dir: str, hash_anchor: bool = False
+    spark: SparkSession, sf_dir: str, hash_anchor: bool = False,
+    pack_rest: bool = False,
 ) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = spread(t.documents, spark)
@@ -726,13 +742,25 @@ def _substring_dup_spans(
             # reported LCP — the documented trade for the fixed width
             return F.xxhash64(a) if hash_anchor else a
 
+        def rest_of(i):
+            r = F.slice(tk, i + MIN_MATCH_TOKENS, SUFFIX_CAP - MIN_MATCH_TOKENS)
+            # pack_rest: ship the tail as ONE separator-joined string
+            # instead of an array of up to 24 strings. UnsafeArrayData
+            # costs 8 bytes of offset + 8-byte-padded content PER
+            # ELEMENT, so the array's framing alone dwarfs the text;
+            # packing cuts the suffix shuffle row >2x (SHUFFLE.md).
+            # The encoding is injective (separator never in a token)
+            # and ORDER-ISOMORPHIC (separator sorts below all content
+            # bytes), so the window ordering — hence the lag pair set,
+            # every LCP, and the final result — is IDENTICAL to the
+            # array form (pinned by test_substring_variants_identical).
+            return F.array_join(r, _PACK_SEP) if pack_rest else r
+
         return F.transform(
             starts,
             lambda i: F.struct(
                 anchor_of(i).alias("anchor"),
-                F.slice(tk, i + MIN_MATCH_TOKENS, SUFFIX_CAP - MIN_MATCH_TOKENS).alias(
-                    "rest"
-                ),
+                rest_of(i).alias("rest"),
                 i.alias("pos"),
             ),
         )
@@ -755,6 +783,18 @@ def _substring_dup_spans(
         F.lag("doc_id").over(w).alias("p_doc"),
         F.lag("rest").over(w).alias("p_rest"),
     ).filter(F.col("p_doc").isNotNull() & (F.col("p_doc") != F.col("doc_id")))
+    if pack_rest:
+        # decode AFTER the shuffle+window: split back to token arrays
+        # for the LCP arithmetic. An empty tail packs to "" which
+        # split() would turn into [""] (one empty token) — restore the
+        # empty ARRAY explicitly so LCP-vs-empty stays 0, byte-for-byte
+        # the array form's semantics.
+        def unpack(c):
+            return F.when(F.col(c) == "", F.array().cast("array<string>")).otherwise(
+                F.split(F.col(c), _PACK_SEP)
+            ).alias(c)
+
+        lagged = lagged.select("doc_id", unpack("rest"), "p_doc", unpack("p_rest"))
 
     eqs = F.zip_with(F.col("rest"), F.col("p_rest"), lambda x, y: x.eqNullSafe(y))
     mismatch = F.array_position(eqs, F.lit(False))
@@ -779,6 +819,16 @@ def _substring_dup_spans(
 
 def _substring_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _substring_dup_spans(spark, sf_dir, hash_anchor=True)
+
+
+def _substring_dup_spans_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scale posture of the substring tier (r7 VERDICT item 4):
+    8-byte hashed anchor AND the suffix tail packed to one string. The
+    r7 hashed twin cut only ~12% because the tail payload — not the
+    anchor — dominates the suffix shuffle; packing attacks the payload
+    itself (the array framing, 16 bytes/token, outweighs the text).
+    Result-identical to both siblings by construction; same oracle."""
+    return _substring_dup_spans(spark, sf_dir, hash_anchor=True, pack_rest=True)
 
 
 _SUBSTRING_DUP_SPANS_SQL = rf"""
@@ -1059,6 +1109,7 @@ SPECS = [
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("substring_dup_spans_hashed", "scale posture of the substring tier: xxhash64 BIGINT anchors fix shuffle row width, same results/oracle", _substring_dup_spans_hashed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
+    QuerySpec("substring_dup_spans_packed", "full scale posture: hashed anchor + order-isomorphic packed suffix tail (>2x shuffle cut), same results/oracle", _substring_dup_spans_packed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
     QuerySpec("substring_scrub_stats", "variable-span scrub accounting: tokens removed per source under first-occurrence keep", _substring_scrub_stats, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),

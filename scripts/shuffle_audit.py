@@ -48,7 +48,8 @@ QUERIES = [
     "minhash_near_dups", "top_terms", "rolling_7d_spend",
     "bigram_pmi", "incremental_corpus_dups", "sequence_packing",
     "span_dedup_docs", "oov_rate", "substring_dup_spans",
-    "substring_dup_spans_hashed", "substring_scrub_stats", "ngram_novelty",
+    "substring_dup_spans_hashed", "substring_dup_spans_packed",
+    "substring_scrub_stats", "ngram_novelty",
     "near_dup_threshold_sweep", "split_leakage_pairs", "lexical_diversity",
     "token_budget_allocation", "temperature_mix_allocation",
     "fluency_buckets", "corpus_summary_cube", "hard_negatives",

@@ -241,6 +241,31 @@ def test_hashed_anchor_is_result_identical(spark):
     assert verbatim.equals(hashed)
 
 
+def test_packed_variant_is_result_identical(spark):
+    """The r8 scale posture (VERDICT r7 item 4): packing the suffix
+    tail into one separator-joined string changes the window's ORDER
+    key through an order-isomorphic injective encoding (the 0x01
+    separator sorts below every content byte, so string order ==
+    array order), and the post-shuffle split restores the exact token
+    arrays for the LCP arithmetic (empty tail -> empty ARRAY guard).
+    The lag pair set, span lengths and anchor counts must therefore be
+    byte-identical to the verbatim form — at BOTH correctness SFs."""
+    from databeats_spark.registry.corpus import _substring_dup_spans
+
+    cols = ["id_a", "id_b", "max_span_tokens", "n_anchors"]
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        verbatim = (
+            _substring_dup_spans(spark, sf_dir).toPandas()[cols].reset_index(drop=True)
+        )
+        packed = (
+            _substring_dup_spans(spark, sf_dir, hash_anchor=True, pack_rest=True)
+            .toPandas()[cols]
+            .reset_index(drop=True)
+        )
+        assert len(verbatim) > 0, sf_dir
+        assert verbatim.equals(packed), sf_dir
+
+
 def test_ivf_incremental_add_and_drift_trigger(spark):
     """Incremental index maintenance: an ingest batch joins the index
     through one assignment pass (no refit), old-query results stay

@@ -84,6 +84,21 @@ def test_hashed_anchor_cuts_substring_shuffle(metrics):
     )
 
 
+def test_packed_tail_cuts_substring_shuffle_2x(metrics):
+    """r7 VERDICT item 4: the suffix TAIL, not the anchor, dominates
+    the substring shuffle (UnsafeArrayData frames every token with an
+    8-byte offset + 8-byte-padded content). Packing the tail into one
+    separator-joined string cuts total shuffle bytes >=2x vs the
+    verbatim form (measured 2.68x at sf0.01) while staying
+    result-identical (test_near_dup pins identity at both SFs)."""
+    verbatim = metrics("substring_dup_spans")
+    packed = metrics("substring_dup_spans_packed")
+    assert packed["shuffle_bytes"] * 2 <= verbatim["shuffle_bytes"], (
+        verbatim,
+        packed,
+    )
+
+
 def test_pagerank_rounds_move_bounded_bytes(spark):
     """The iterative-op extension of the audit (VERDICT r6 item 4):
     pagerank's per-round contribution shuffle moves (node, inflow)
