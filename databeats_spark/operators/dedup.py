@@ -336,13 +336,29 @@ def simhash_near_duplicates(
     for b in range(64):
         sig = sig.bitwiseOR(F.when(F.col(f"__b{b}") > 0, _mask(b)).otherwise(F.lit(0).cast("long")))
     signed = voted.select("__id", sig.alias("simhash"))
+    return banded_hamming_pairs(signed, "__id", "simhash", hamming_max)
 
+
+def banded_hamming_pairs(
+    signed: DataFrame, id_col: str, sig_col: str, hamming_max: int
+) -> DataFrame:
+    """Pigeonhole-banded Hamming search over 64-bit BIGINT signatures —
+    the candidate-generation core shared by SimHash (text) and the
+    perceptual-hash tier (media payloads, operators/multimodal.py).
+
+    Bands the signature into ``hamming_max + 1`` bit-blocks: any pair
+    within ``hamming_max`` Hamming distance matches exactly on at
+    least one block, so recall at the threshold is GUARANTEED, not
+    probabilistic; exact ``bit_count(xor)`` verification filters the
+    candidates. Returns (id_a, id_b, hamming).
+    """
+    signed = signed.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"))
     n_blocks = hamming_max + 1
     width = 64 // n_blocks
     # block i = bits [i*width, (i+1)*width) (last block absorbs the
     # remainder); explode each signature into its blocks
     def block_value(i: int) -> Column:
-        shifted = F.shiftrightunsigned(F.col("simhash"), i * width)
+        shifted = F.shiftrightunsigned(F.col("__sig"), i * width)
         if i == n_blocks - 1:
             return shifted  # top block: high bits are already zero
         return shifted.bitwiseAND(F.lit((1 << width) - 1))
@@ -353,8 +369,8 @@ def simhash_near_duplicates(
             for i in range(n_blocks)
         ]
     )
-    banded = signed.select("__id", "simhash", F.explode(blocks).alias("b")).select(
-        "__id", "simhash", F.col("b.block").alias("__block"), F.col("b.value").alias("__value")
+    banded = signed.select("__id", "__sig", F.explode(blocks).alias("b")).select(
+        "__id", "__sig", F.col("b.block").alias("__block"), F.col("b.value").alias("__value")
     )
     pairs = (
         banded.alias("a")
@@ -367,7 +383,7 @@ def simhash_near_duplicates(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+            F.bit_count(F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= hamming_max)

@@ -149,6 +149,97 @@ def encode_payloads(
     )
 
 
+DHASH_GRID = 8  # signature = DHASH_GRID x DHASH_GRID bits (64)
+
+
+def dhash_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    tiny_image=None,
+) -> DataFrame:
+    """Perceptual difference-hash signatures for media payloads — the
+    cheap pre-embedding dedup tier (r7 VERDICT item 7): at 100 TB you
+    dHash every image/frame for cents before any vision tower runs.
+
+    Pipeline per payload: ``tiny_image`` (decode + downsample to an
+    8x9 grayscale grid) → horizontal gradient signs → 64-bit
+    signature, returned as a signed BIGINT so the banded Hamming
+    search (operators/dedup.py::banded_hamming_pairs — the SimHash
+    pigeonhole scheme verbatim) runs on JVM bit ops.
+
+    ``tiny_image(payloads: list[bytes]) -> ndarray (n, 8, 9)`` is the
+    injectable decode seam (same pattern as encode_payloads' encoder):
+    a real implementation is PIL decode + grayscale + resize —
+    unavailable in this image, so the default treats the payload as a
+    RAW grayscale byte stream and block-averages it into the grid
+    (zero-padded to at least one byte per cell). That IS the resize
+    arithmetic a real pipeline runs after decode, so near-identical
+    payloads (a few bytes changed) land within small Hamming distance
+    — the property the planted-dup pytest pins.
+
+    Arrow-batched mapInPandas; payload bytes never survive the stage.
+    """
+    g = DHASH_GRID
+    if tiny_image is None:
+
+        def tiny_image(payloads: list) -> np.ndarray:
+            grids = np.empty((len(payloads), g, g + 1), dtype=np.float64)
+            for i, p in enumerate(payloads):
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                n_cells = g * (g + 1)
+                if len(arr) < n_cells:
+                    arr = np.pad(arr, (0, n_cells - len(arr)))
+                # block-average into g*(g+1) nearly-equal chunks — the
+                # downsample step of a real dHash, over raw bytes
+                grids[i] = np.array(
+                    [c.mean() for c in np.array_split(arr, n_cells)]
+                ).reshape(g, g + 1)
+            return grids
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            grids = np.asarray(tiny_image(list(pdf[payload_col])), dtype=np.float64)
+            if grids.shape != (len(pdf), g, g + 1):
+                raise ValueError(
+                    f"tiny_image returned shape {grids.shape}, expected "
+                    f"({len(pdf)}, {g}, {g + 1})"
+                )
+            # dHash: bit (r, c) = cell brighter than its right neighbor
+            bits = (grids[:, :, :-1] > grids[:, :, 1:]).reshape(len(pdf), g * g)
+            weights = (1 << np.arange(g * g, dtype=np.uint64))
+            sigs = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    # two's-complement view: BIGINT column, bit-identical
+                    "dhash": sigs.view(np.int64),
+                }
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, dhash long"
+    )
+
+
+def perceptual_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hamming_max: int = 3,
+    tiny_image=None,
+) -> DataFrame:
+    """dHash signatures + the SimHash pigeonhole banding verbatim:
+    every payload pair within ``hamming_max`` signature bits is
+    returned (recall guaranteed by the banding, exactness by the
+    bit_count verify). Returns (id_a, id_b, hamming)."""
+    from databeats_spark.operators.dedup import banded_hamming_pairs
+
+    sigs = dhash_payloads(df, id_col, payload_col, tiny_image=tiny_image)
+    return banded_hamming_pairs(sigs, id_col, "dhash", hamming_max)
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "doc_id",

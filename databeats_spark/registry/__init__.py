@@ -93,6 +93,8 @@ _WINDOW = (
     "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
     "approx_price_quantiles_exact",  # r8: sketch-tier oracle twin
     "substring_dup_spans_packed",  # r8: packed-tail scale twin (>2x shuffle cut)
+    "phash_near_dups",  # r8: perceptual media near-dup (rows-only)
+    "phash_near_dups_exact",  # r8: md5-bit banding twin of the perceptual tier
     # — changed in r8 (re-verify first):
     "weekly_resample",  # r8: spine restructured (users x 1-row span, then explode)
     # — r7 window debt (displaced past slot 50, oldest driver rows):
@@ -113,11 +115,10 @@ _WINDOW = (
     "canonical_docs", "repetition_stats", "pii_scrub",
     "benchmark_decontam", "shared_shingle_stats", "token_budget_pack",
     "mix_rebalance", "min_cost_supplier", "important_parts",
-    "order_count_histogram", "top_supplier_revenue",
-    "small_qty_revenue",
+    "order_count_histogram",
     # (value_histogram, part_name_features, math_scalar_features,
-    # calendar_features and idle_high_balance displaced by the r8
-    # prepends)
+    # calendar_features, idle_high_balance, top_supplier_revenue and
+    # small_qty_revenue displaced by the r8 prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -380,6 +380,136 @@ ORDER BY doc_id
 """
 
 
+# --- Q: phash_near_dups — perceptual near-dup over media payloads ----
+# The cheap pre-embedding dedup tier for images/frames (r7 VERDICT
+# item 7): dHash signatures (operators/multimodal.py::dhash_payloads,
+# Arrow-batched tiny-image downsample + gradient signs) fed through
+# the SimHash pigeonhole banding VERBATIM
+# (operators/dedup.py::banded_hamming_pairs). The signature stage is
+# mapInPandas → no SQL oracle (rows-only); semantics are pinned by
+# test_multimodal's planted-dup recall test, and the banding/verify
+# arithmetic is oracle-certified by phash_near_dups_exact below.
+
+def _phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.multimodal import (
+        attach_payload, perceptual_near_dups,
+    )
+    from databeats_spark.sources.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    pairs = perceptual_near_dups(attach_payload(docs), hamming_max=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
+# --- Q: phash_near_dups_exact — oracle twin of the perceptual tier ---
+# Same promotion pattern as simhash_near_dups_exact: the production
+# signature (numpy tiny-image dHash) is not reproducible in DuckDB, so
+# the twin substitutes an engine-shared deterministic signature — bit
+# b is the HIGH BIT of hex digit b of md5(text) (digit >= '8'), the
+# md5 of the exact payload bytes the production op hashes (payload =
+# utf-8 of text on both engines). The signature rides as a '0'/'1'
+# STRING (the r7 recipe — no cross-engine integer bit-op semantics to
+# align); banding is the production pigeonhole scheme verbatim (4
+# blocks → any pair within hamming 3 collides on >= 1 block), and
+# exact Hamming is a per-position character compare. 20 bits, not the
+# production 64: md5 destroys the locality a real dHash preserves and
+# the corpus has no byte-identical texts, so at 64 bits the twin's
+# result would be empty-by-construction (P[hamming<=3] ~ 2^-51); at 20
+# bits the deterministic background distribution itself yields ~1e2
+# pairs spanning hammings 0..3 — the band bucket-join AND the verify
+# filter both do real work, hash-matched end to end.
+PHASH_EXACT_BITS = 20
+PHASH_EXACT_HAMMING_MAX = 3
+
+
+def _phash_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.sources.tables import spread
+
+    bits, hmax = PHASH_EXACT_BITS, PHASH_EXACT_HAMMING_MAX
+    n_blocks = hmax + 1
+    width = bits // n_blocks
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    hashed = docs.select("doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
+    sig = hashed.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(
+                    F.substring("h", b + 1, 1).isin(*"89abcdef"), F.lit("1")
+                ).otherwise(F.lit("0"))
+                for b in range(bits)
+            ]
+        ).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block"),
+                        F.substring("sig", i * width + 1, width).alias("value"),
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", "bk.block", "bk.value")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        (F.substring(F.col("a.sig"), p + 1, 1) != F.substring(F.col("b.sig"), p + 1, 1)).cast("int")
+        for p in range(bits)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hmax)
+        .orderBy("id_a", "id_b")
+    )
+
+
+_PHASH_SIG = " || ".join(
+    f"CASE WHEN strpos('89abcdef', substr(h, {b + 1}, 1)) > 0 THEN '1' ELSE '0' END"
+    for b in range(PHASH_EXACT_BITS)
+)
+_PHASH_BLOCKS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, sig, {i} AS block, substr(sig, "
+    f"{i * (PHASH_EXACT_BITS // (PHASH_EXACT_HAMMING_MAX + 1)) + 1}, "
+    f"{PHASH_EXACT_BITS // (PHASH_EXACT_HAMMING_MAX + 1)}) AS value FROM sig"
+    for i in range(PHASH_EXACT_HAMMING_MAX + 1)
+)
+_PHASH_HAMMING = " + ".join(
+    f"CASE WHEN substr(a.sig, {p + 1}, 1) <> substr(b.sig, {p + 1}, 1) THEN 1 ELSE 0 END"
+    for p in range(PHASH_EXACT_BITS)
+)
+_PHASH_NEAR_DUPS_EXACT_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), sig AS (
+  SELECT doc_id, {_PHASH_SIG} AS sig FROM hashed
+), banded AS (
+{_PHASH_BLOCKS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST({_PHASH_HAMMING} AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.block = b.block AND a.value = b.value AND a.doc_id < b.doc_id
+WHERE {_PHASH_HAMMING} <= {PHASH_EXACT_HAMMING_MAX}
+ORDER BY id_a, id_b
+"""
+
+
 def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token budget estimation per document: letter runs,
     digit runs, symbol runs (the pre-tokenization a byte-pair encoder
@@ -907,6 +1037,8 @@ SPECS = [
     QuerySpec("dedup_components", "connected components of the near-dup graph (dedup clusters)", _dedup_components, _DEDUP_COMPONENTS_SQL, tags=("dedup", "graph")),
     QuerySpec("posexplode_tokens", "positional explode: (token, position) pairs", _posexplode_tokens, _POSEXPLODE_TOKENS_SQL, tags=("text", "reshape")),
     QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
+    QuerySpec("phash_near_dups", "perceptual dHash near-dup over media payloads (rows-only; recall pytest-pinned, banding certified by the exact twin)", _phash_near_dups, None, tags=("multimodal", "dedup", "approx")),
+    QuerySpec("phash_near_dups_exact", "oracle twin: md5-bit signatures through the identical pigeonhole band + Hamming verify", _phash_near_dups_exact, _PHASH_NEAR_DUPS_EXACT_SQL, tags=("multimodal", "dedup")),
     QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
     QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),
     QuerySpec("repetition_stats", "duplicate-ngram / top-token repetition quality signals", _repetition_stats, _REPETITION_STATS_SQL, tags=("text",)),

@@ -9,7 +9,9 @@ from pyspark.sql import types as T
 from databeats_spark.operators.multimodal import (
     attach_payload,
     decode_image_features,
+    dhash_payloads,
     frame_sample_plan,
+    perceptual_near_dups,
 )
 from databeats_spark.sources.rest import dedup_union, keyed_batch_fetch, missing_keys, search_scan
 from databeats_spark.sources.tables import load_tables
@@ -84,6 +86,71 @@ def test_dedup_union_newest_wins(spark):
     out = dedup_union(hist, fresh, ["track_id"], "timestamp").toPandas().set_index("track_id")
     assert out.loc["t1", "popularity"] == 99
     assert out.loc["t2", "popularity"] == 20
+
+
+def test_perceptual_near_dup_planted_recall(spark):
+    """The perceptual tier's semantics pin (r7 VERDICT item 7, the
+    SimHash recall pattern applied to media payloads): a payload with a
+    few lightly-perturbed bytes — the re-encode/re-crop stand-in —
+    must land within the Hamming threshold of its source, while
+    unrelated payloads stay far away and out of the result."""
+    import hashlib
+
+    def blob(seed: str, n: int = 720) -> bytes:
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    base = blob("img-A")
+    near = bytearray(base)
+    for pos in (5, 100, 300, 650):  # light corruption, ~0.5% of bytes
+        near[pos] = (near[pos] + 3) % 256
+    rows = [
+        (1, bytes(base)),
+        (2, bytes(near)),
+        (3, blob("img-B")),
+        (4, blob("img-C")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    sigs = {r["doc_id"]: r["dhash"] for r in dhash_payloads(df).collect()}
+    assert len(sigs) == 4
+    planted_hamming = bin(sigs[1] ^ sigs[2]).count("1")
+    assert planted_hamming <= 3, f"perturbed twin drifted to hamming {planted_hamming}"
+    # unrelated pseudorandom payloads sit near 32 bits apart
+    assert bin(sigs[1] ^ sigs[3]).count("1") > 10
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in perceptual_near_dups(df, hamming_max=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == planted_hamming
+    assert all({a, b} == {1, 2} for a, b in pairs), f"false positives: {pairs}"
+
+
+def test_perceptual_banding_recall_is_complete(spark):
+    """The pigeonhole guarantee on real corpus payloads: the banded
+    search must return EXACTLY the pairs whose signature Hamming
+    distance is within the threshold — no recall loss vs the
+    brute-force all-pairs comparison of the same signatures."""
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents.limit(80)
+    with_payload = attach_payload(docs)
+    sigs = {r["doc_id"]: r["dhash"] for r in dhash_payloads(with_payload).collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in perceptual_near_dups(with_payload, hamming_max=3).collect()
+    }
+    assert got == want
 
 
 def test_multimodal_decode_pipeline(spark):
