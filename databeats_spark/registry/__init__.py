@@ -89,6 +89,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "cms_heavy_hitters",  # r8: count-min sketch, fully oracle-matched
     "hll_distinct_users_exact",  # r8: sketch-tier oracle twin
     "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
     "approx_price_quantiles_exact",  # r8: sketch-tier oracle twin
@@ -115,10 +116,10 @@ _WINDOW = (
     "canonical_docs", "repetition_stats", "pii_scrub",
     "benchmark_decontam", "shared_shingle_stats", "token_budget_pack",
     "mix_rebalance", "min_cost_supplier", "important_parts",
-    "order_count_histogram",
-    # (value_histogram, part_name_features, math_scalar_features,
-    # calendar_features, idle_high_balance, top_supplier_revenue and
-    # small_qty_revenue displaced by the r8 prepends)
+    # (order_count_histogram, value_histogram, part_name_features,
+    # math_scalar_features, calendar_features, idle_high_balance,
+    # top_supplier_revenue and small_qty_revenue displaced by the r8
+    # prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

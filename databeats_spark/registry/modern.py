@@ -345,6 +345,132 @@ ORDER BY day
 """
 
 
+# --- Q: cms_heavy_hitters — count-min sketch, FULLY oracle-matched ----
+# The frequency analogue of the HLL/GK sketches above, but unlike
+# those, a count-min sketch (Cormode & Muthukrishnan 2005) is pure
+# integer arithmetic over a fixed hash family — so with the engine-
+# shared md5→affine family (the minhash-twin recipe: 13 md5 hex chars
+# → 52-bit BIGINT, affine mod 2^31-1) the ENTIRE sketch is
+# hash-matched against DuckDB, estimator included; nothing stays
+# SQL-uncertified. Pipeline: term frequencies → each distinct term
+# feeds CMS_D counters (bucket = ((a_i·v + b_i) mod p) mod CMS_W;
+# sketch updates are additive, so updating with the aggregated counts
+# equals streaming the occurrences) → the d×w=2048-row sketch
+# BROADCASTS back onto the term rows (no second corpus shuffle — the
+# post-join groupBy(term) reuses tf's hash partitioning) → heavy
+# hitters = est ≥ total_tokens DIV CMS_PHI_DIV. CMS guarantees
+# est ≥ exact (one-sided error), so every true heavy hitter is
+# recalled structurally; the `overcount` column surfaces the collision
+# error the w=512 width admits. The total-token threshold scalar is an
+# aggregate over the RAW token scan (no shuffled subtree — the naive
+# crossJoin re-scan is the blessed shape per operators/scale.py notes);
+# the 1-row side is a keyless aggregate the plan lint proves bounded.
+# At 100 TB the same shape holds: one corpus shuffle (term counts), a
+# constant-size sketch broadcast, and a scan-side scalar.
+
+CMS_D = 4
+CMS_W = 512
+CMS_P = 2_147_483_647  # Mersenne 2^31-1, the minhash family's modulus
+CMS_A = (1103515245, 214013, 69069, 1664525)
+CMS_B = (12345, 2531011, 1234567, 1013904223)
+CMS_PHI_DIV = 200  # heavy hitter: est count ≥ total_tokens DIV 200
+
+
+def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    tokens = t.documents.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    v31 = F.pmod(
+        F.conv(F.substring(F.md5("term"), 1, 13), 16, 10).cast("bigint"),
+        F.lit(CMS_P),
+    )
+    a_arr = F.array(*[F.lit(a) for a in CMS_A])
+    b_arr = F.array(*[F.lit(b) for b in CMS_B])
+    rows = (
+        tf.select(
+            "term",
+            "cnt",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(CMS_D - 1)),
+                    lambda i: F.struct(
+                        i.alias("row_i"),
+                        F.pmod(
+                            F.pmod(
+                                F.element_at(a_arr, i + 1).cast("bigint") * v31
+                                + F.element_at(b_arr, i + 1),
+                                F.lit(CMS_P),
+                            ),
+                            F.lit(CMS_W),
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("rb"),
+        )
+        .select(
+            "term",
+            "cnt",
+            F.col("rb.row_i").alias("row_i"),
+            F.col("rb.bucket").alias("bucket"),
+        )
+    )
+    cms = rows.groupBy("row_i", "bucket").agg(F.sum("cnt").alias("c"))
+    est = (
+        rows.join(F.broadcast(cms), ["row_i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("c").alias("est_count"), F.min("cnt").alias("exact_count"))
+    )
+    total = tokens.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        est.crossJoin(total)
+        .filter(F.col("est_count") >= F.expr(f"n_total div {CMS_PHI_DIV}"))
+        .select(
+            "term",
+            F.col("est_count").cast("bigint").alias("est_count"),
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            (F.col("est_count") - F.col("exact_count")).cast("bigint").alias("overcount"),
+        )
+        .orderBy(F.col("est_count").desc(), "term")
+    )
+
+
+_CMS_HEAVY_HITTERS_SQL = f"""
+WITH tokens AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term FROM documents
+),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tokens GROUP BY term),
+coeffs(row_i, a, b) AS (
+  VALUES (0, {CMS_A[0]}, {CMS_B[0]}), (1, {CMS_A[1]}, {CMS_B[1]}),
+         (2, {CMS_A[2]}, {CMS_B[2]}), (3, {CMS_A[3]}, {CMS_B[3]})
+),
+rows_ AS (
+  SELECT term, cnt, row_i,
+         ((a * (CAST(('0x' || substr(md5(term), 1, 13)) AS BIGINT) % {CMS_P})
+           + b) % {CMS_P}) % {CMS_W} AS bucket
+  FROM tf CROSS JOIN coeffs
+),
+cms AS (
+  SELECT row_i, bucket, CAST(sum(cnt) AS BIGINT) AS c
+  FROM rows_ GROUP BY row_i, bucket
+),
+est AS (
+  SELECT r.term, min(c.c) AS est_count, min(r.cnt) AS exact_count
+  FROM rows_ r JOIN cms c ON r.row_i = c.row_i AND r.bucket = c.bucket
+  GROUP BY r.term
+),
+total AS (SELECT count(*) AS n_total FROM tokens)
+SELECT term,
+       CAST(est_count AS BIGINT) AS est_count,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(est_count - exact_count AS BIGINT) AS overcount
+FROM est, total
+WHERE est_count >= n_total // {CMS_PHI_DIV}
+ORDER BY est_count DESC, term
+"""
+
+
 SPECS = [
     QuerySpec("recursive_week_spine", "WITH RECURSIVE calendar spine, identical ANSI on both engines", _recursive_week_spine, _RECURSIVE_WEEK_SPINE_SQL, tags=("sql", "timeseries")),
     QuerySpec("variant_props_stats", "VARIANT parse_json + variant_get typed extraction", _variant_props_stats, _VARIANT_PROPS_STATS_SQL, tags=("sql", "scalar")),
@@ -357,4 +483,5 @@ SPECS = [
     QuerySpec("bitmap_distinct_orders", "exact distinct-count rollup via bitmap partial aggregates", _bitmap_distinct_orders, _BITMAP_DISTINCT_ORDERS_SQL, tags=("agg", "scale")),
     QuerySpec("hll_distinct_users", "DataSketches HLL distinct estimates beside the exact twin", _hll_distinct_users, None, tags=("agg", "approx")),
     QuerySpec("hll_distinct_users_exact", "oracle twin: identical per-day grouping with exact countDistinct (certifies all but the sketch)", _hll_distinct_users_exact, _HLL_DISTINCT_USERS_EXACT_SQL, tags=("agg", "approx")),
+    QuerySpec("cms_heavy_hitters", "count-min sketch heavy hitters — the full sketch arithmetic (md5-affine family) oracle-matched, estimator included", _cms_heavy_hitters, _CMS_HEAVY_HITTERS_SQL, tags=("agg", "approx", "text")),
 ]

@@ -180,6 +180,42 @@ def test_hll_estimate_within_relative_error(spark):
     assert (rel <= 0.05).all(), out[rel > 0.05]
 
 
+def test_cms_never_undercounts_and_recalls_heavy_hitters(spark):
+    """Count-min's one-sided error, end to end: est >= exact on every
+    output row, and every TRUE heavy hitter (exact count >= threshold)
+    appears in the output — structural recall, since est >= exact means
+    exact >= T implies est >= T. Overcounts stay within the standard
+    eps*N bound (eps = e/CMS_W, Cormode & Muthukrishnan 2005) with 4x
+    slack; the data and hash family are deterministic, so this is a
+    fixed outcome, not a flaky probabilistic gate."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.modern import CMS_PHI_DIV, CMS_W
+    from databeats_spark.sources.tables import load_tables
+    from tests.conftest import SF_CORRECT
+
+    out = queries()["cms_heavy_hitters"](spark, SF_CORRECT).toPandas()
+    assert len(out) > 0
+    assert (out["est_count"] >= out["exact_count"]).all()
+    assert (out["overcount"] >= 0).all()
+
+    t = load_tables(spark, SF_CORRECT, ["documents"])
+    tf = (
+        t.documents
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .groupBy("term")
+        .count()
+    )
+    n_total = tf.agg(F.sum("count")).collect()[0][0]
+    thresh = n_total // CMS_PHI_DIV
+    true_heavy = {r["term"] for r in tf.filter(F.col("count") >= thresh).collect()}
+    assert true_heavy <= set(out["term"])
+    assert (out["overcount"] <= math.e * n_total / CMS_W * 4).all()
+
+
 @given(
     run_len=st.integers(min_value=8, max_value=20),
     offset_a=st.integers(min_value=0, max_value=11),
