@@ -147,6 +147,8 @@ def main() -> None:
         # r6 late additions (appended so earlier rows compare
         # like-for-like per query, same convention as _MINING's tail)
         "fluency_buckets", "corpus_summary_cube",
+        # r8 addition: the fully oracle-matched count-min heavy hitters
+        "cms_heavy_hitters",
     ]
     audit: dict[str, float] = {}
     audit_cpu: dict[str, float] = {}

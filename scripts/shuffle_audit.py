@@ -53,7 +53,7 @@ QUERIES = [
     "near_dup_threshold_sweep", "split_leakage_pairs", "lexical_diversity",
     "token_budget_allocation", "temperature_mix_allocation",
     "fluency_buckets", "corpus_summary_cube", "hard_negatives",
-    "retrieval_label_precision",
+    "retrieval_label_precision", "cms_heavy_hitters",
 ]
 
 
