@@ -23,6 +23,16 @@ executor CPU time per query from the stage store (plans/instrument.py::
 stage_delta). External VM steal inflates wall-clock but not CPU time,
 so CPU ratios are the round-over-round performance signal; the wall
 fields remain frozen for methodology comparability.
+
+Known blind spot of the CPU signal: executorCpuTime counts JVM task-
+thread CPU only. A stage that hands batches to Python workers
+(mapInPandas / Arrow UDFs) blocks its JVM thread — that time lands in
+executorRunTime, not executorCpuTime — so a regression inside Python
+worker code would NOT move cpu_seconds. This is benign for the benched
+sets (every benched query is lint-proven Python-free on the hot path,
+tests/test_plan_lint.py); if a Python-stage query is ever added, cite
+its stage_delta `run_seconds` alongside CPU (see
+plans/instrument.py::stage_delta, which returns both).
 """
 
 from __future__ import annotations

@@ -138,12 +138,21 @@ class IVFIndex:
         posture)."""
         from pyspark.errors import AnalysisException
 
-        try:
-            meta_rows = spark.read.json(f"{path}/meta").collect()
-            meta_present = True
-        except AnalysisException:
-            meta_rows = []  # pre-metadata artifact: no meta/ dir at all
-            meta_present = False
+        # Presence is a FILESYSTEM question, not a read question: a
+        # partially-written meta/ (crashed save, _SUCCESS only) makes
+        # spark.read.json raise the same AnalysisException as a missing
+        # dir, which would silently conflate "broken artifact" with
+        # "pre-metadata artifact". Ask the Hadoop FS directly (works on
+        # any supported store, same abstraction save() writes through).
+        meta_dir = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/meta")
+        fs = meta_dir.getFileSystem(spark._jsc.hadoopConfiguration())
+        meta_present = fs.exists(meta_dir)
+        meta_rows = []
+        if meta_present:
+            try:
+                meta_rows = spark.read.json(f"{path}/meta").collect()
+            except AnalysisException:
+                meta_rows = []  # present-but-unreadable → raise below
         meta = meta_rows[0].asDict() if meta_rows else {}
         id_col = id_col or meta.get("id_col")
         vec_col = vec_col or meta.get("vec_col")

@@ -147,7 +147,13 @@ def stage_snapshot(spark: SparkSession) -> dict[str, int]:
 def stage_delta(spark: SparkSession, before: dict[str, int]) -> dict[str, int | float]:
     """Snapshot again and return the per-query attribution:
     ``cpu_seconds`` (float, from executorCpuTime nanos) plus the raw
-    stage-level byte/record/spill deltas."""
+    stage-level byte/record/spill deltas.
+
+    ``cpu_seconds`` counts JVM task-thread CPU ONLY — a stage feeding
+    Python workers (mapInPandas / Arrow UDFs) blocks its JVM thread,
+    which accrues to ``run_seconds`` (executorRunTime), not CPU. For
+    Python-stage queries cite both: cpu_seconds for the JVM side,
+    run_seconds (steal-affected but complete) for the Python side."""
     after = stage_snapshot(spark)
     d = {k: after[k] - before[k] for k in before}
     d["cpu_seconds"] = round(d.pop("cpu_ns") / 1e9, 4)

@@ -717,11 +717,22 @@ SUFFIX_CAP = 32  # longest measurable match (anchor + 24-token tail)
 
 
 # separator for the packed-tail encoding (pack_rest): must sort BELOW
-# every content byte so string order == array-of-tokens order
-# (UTF8String compares unsigned bytes; whitespace-split tokens are
-# printable >= 0x20, and every byte of a non-ASCII UTF-8 char is
-# >= 0x80, so 0x01 is safely minimal and never occurs in a token)
+# every content byte so string order == array-of-tokens order, and must
+# never occur INSIDE a token so the encoding is injective (UTF8String
+# compares unsigned bytes; every byte of a non-ASCII UTF-8 char is
+# >= 0x80). Whitespace-split tokens can still carry raw control bytes
+# (regex \s is only [ \t\n\x0B\f\r]) — a 0x01 in a token breaks
+# injectivity, a 0x00 sorts below the separator and breaks the order
+# isomorphism. So the invariant is ENFORCED, not assumed: this query
+# family maps \x00/\x01 to spaces before tokenizing, on BOTH engines
+# (_SCRUB_CTRL below / regexp_replace in the oracle SQL) — binary-
+# contaminated crawl text then cannot diverge the packed variant from
+# its siblings (pinned by test_packed_variant_survives_control_bytes).
 _PACK_SEP = "\x01"
+
+# the enforcement regex: the two bytes the packed encoding reserves,
+# treated as whitespace uniformly across all three variants + oracle
+_CTRL_BYTES_RE = r"[\x00\x01]"
 
 
 def _substring_dup_spans(
@@ -749,11 +760,13 @@ def _substring_dup_spans(
             # costs 8 bytes of offset + 8-byte-padded content PER
             # ELEMENT, so the array's framing alone dwarfs the text;
             # packing cuts the suffix shuffle row >2x (SHUFFLE.md).
-            # The encoding is injective (separator never in a token)
-            # and ORDER-ISOMORPHIC (separator sorts below all content
-            # bytes), so the window ordering — hence the lag pair set,
-            # every LCP, and the final result — is IDENTICAL to the
-            # array form (pinned by test_substring_variants_identical).
+            # The encoding is injective (reserved bytes scrubbed at
+            # tokenization, see _CTRL_BYTES_RE) and ORDER-ISOMORPHIC
+            # (separator sorts below all remaining content bytes), so
+            # the window ordering — hence the lag pair set, every LCP,
+            # and the final result — is IDENTICAL to the array form
+            # (pinned by test_packed_variant_is_result_identical and
+            # test_packed_variant_survives_control_bytes).
             return F.array_join(r, _PACK_SEP) if pack_rest else r
 
         return F.transform(
@@ -768,10 +781,13 @@ def _substring_dup_spans(
     # bind the token array once as a HOF variable (no CSE inside
     # lambdas). Docs shorter than the anchor are filtered FIRST —
     # sequence(start > stop) counts DOWN in Spark, so the filter is a
-    # correctness guard, not an optimization.
-    suffixes = F.element_at(F.transform(F.array(tokens("text")), suffixes_of), 1)
+    # correctness guard, not an optimization. Tokenization maps the two
+    # bytes the packed encoding reserves (\x00, \x01) to spaces first —
+    # see _CTRL_BYTES_RE; the oracle SQL applies the same replace.
+    toks = tokens(F.regexp_replace(F.col("text"), _CTRL_BYTES_RE, " "))
+    suffixes = F.element_at(F.transform(F.array(toks), suffixes_of), 1)
     sfx = (
-        docs.filter(F.size(tokens("text")) >= MIN_MATCH_TOKENS)
+        docs.filter(F.size(toks) >= MIN_MATCH_TOKENS)
         .select("doc_id", F.explode(suffixes).alias("s"))
         .select("doc_id", "s.anchor", "s.rest", "s.pos")
     )
@@ -833,7 +849,11 @@ def _substring_dup_spans_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUBSTRING_DUP_SPANS_SQL = rf"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id,
+         string_split_regex(
+           trim(regexp_replace(text, '[\x00\x01]', ' ', 'g')), '\s+'
+         ) AS toks
+  FROM documents
 ), sfx AS (
   SELECT doc_id, i AS pos,
          array_to_string(toks[i:i+{MIN_MATCH_TOKENS - 1}], ' ') AS anchor,

@@ -266,6 +266,62 @@ def test_packed_variant_is_result_identical(spark):
         assert verbatim.equals(packed), sf_dir
 
 
+def test_packed_variant_survives_control_bytes(spark, tmp_path):
+    """The packed encoding reserves two bytes — 0x01 (separator: a token
+    containing it breaks injectivity and re-fragments after the
+    post-shuffle split) and 0x00 (sorts below the separator, flipping
+    the order isomorphism). Regex \\s is only [ \\t\\n\\x0B\\f\\r], so
+    binary-contaminated crawl text carries both into whitespace-split
+    tokens. The query family therefore maps \\x00/\\x01 to spaces at
+    tokenization on BOTH engines (_CTRL_BYTES_RE / the oracle's
+    regexp_replace) — this pins that (a) all three variants stay
+    mutually identical on a corpus planted with both bytes, (b) the
+    DuckDB oracle agrees, and (c) the sanitizer is actually active:
+    docs 1 and 2 differ only by a mid-token 0x01 and must come back as
+    full 13-token duplicates, not a bare 8-token anchor match."""
+    import duckdb
+
+    from databeats_spark.registry.corpus import (
+        _SUBSTRING_DUP_SPANS_SQL,
+        _substring_dup_spans,
+    )
+
+    anchor = " ".join(f"A{i}" for i in range(8))
+    rows = [
+        (1, f"{anchor} a\x01b c d e"),   # 0x01 inside a tail token
+        (2, f"{anchor} a b c d e"),      # clean twin of doc 1
+        (3, f"{anchor} a\x00b q r s"),   # 0x00 inside a tail token
+        (4, " ".join(f"c{i}" for i in range(13))),  # unrelated control
+    ]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(i, t, "s", len(t)) for i, t in rows],
+        "doc_id bigint, text string, source string, n_chars int",
+    ).coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    cols = ["id_a", "id_b", "max_span_tokens", "n_anchors"]
+    verbatim = _substring_dup_spans(spark, sf_dir).toPandas()[cols]
+    hashed = _substring_dup_spans(spark, sf_dir, hash_anchor=True).toPandas()[cols]
+    packed = _substring_dup_spans(
+        spark, sf_dir, hash_anchor=True, pack_rest=True
+    ).toPandas()[cols]
+    assert verbatim.reset_index(drop=True).equals(hashed.reset_index(drop=True))
+    assert verbatim.reset_index(drop=True).equals(packed.reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(_SUBSTRING_DUP_SPANS_SQL).fetchall()]
+    assert [tuple(r) for r in verbatim.itertuples(index=False)] == want
+
+    # sanitizer active: after \x01 -> ' ', docs 1 and 2 are exact
+    # duplicates — 13 shared tokens, not just the 8-token anchor
+    pair = verbatim.set_index(["id_a", "id_b"]).loc[(1, 2)]
+    assert int(pair["max_span_tokens"]) == 13
+
+
 def test_ivf_incremental_add_and_drift_trigger(spark):
     """Incremental index maintenance: an ingest batch joins the index
     through one assignment pass (no refit), old-query results stay

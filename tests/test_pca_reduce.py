@@ -122,3 +122,37 @@ def test_ivf_save_load_records_fit_columns(spark, tmp_path):
     assert (reopened.id_col, reopened.vec_col) == ("doc_id", "vec")
     res = reopened.search(emb.filter(F.col("doc_id") < 3), k=3, n_probe=2).toPandas()
     assert set(res["query_id"]) == {0, 1, 2}
+
+
+def test_ivf_load_distinguishes_broken_meta_from_absent(spark, tmp_path):
+    """Three load branches (ADVICE r7, hardened r8): a pre-metadata
+    artifact (no meta/ dir) falls back to the legacy default columns; a
+    meta/ dir that EXISTS but yields no parseable rows (crashed save,
+    _SUCCESS only) is a broken artifact and must raise rather than
+    silently reopen with the wrong columns; explicit caller arguments
+    still override a broken meta. Presence is checked on the filesystem,
+    not inferred from the read exception — spark.read.json raises the
+    same AnalysisException for both cases."""
+    from databeats_spark.sources.tables import load_tables
+
+    emb = load_tables(spark, SF_SMOKE, ["embeddings"]).embeddings
+    idx = IVFIndex.fit(emb, n_lists=4, max_iter=2, init_mode="random")
+    p = tmp_path / "ivf_broken"
+    idx.save(str(p))
+
+    # (a) pre-metadata artifact: remove meta/ entirely → legacy fallback
+    import shutil
+
+    shutil.rmtree(p / "meta")
+    legacy = IVFIndex.load(spark, str(p))
+    assert (legacy.id_col, legacy.vec_col) == ("vec_id", "embedding")
+
+    # (b) broken artifact: meta/ exists but holds only _SUCCESS → raise
+    (p / "meta").mkdir()
+    (p / "meta" / "_SUCCESS").touch()
+    with pytest.raises(ValueError, match="unreadable IVF index metadata"):
+        IVFIndex.load(spark, str(p))
+
+    # (c) explicit arguments override a broken meta
+    forced = IVFIndex.load(spark, str(p), id_col="vec_id", vec_col="embedding")
+    assert (forced.id_col, forced.vec_col) == ("vec_id", "embedding")
