@@ -97,6 +97,8 @@ _WINDOW = (
     "phash_near_dups",  # r8: perceptual media near-dup (rows-only)
     "phash_near_dups_exact",  # r8: md5-bit banding twin of the perceptual tier
     # — changed in r8 (re-verify first):
+    "substring_dup_spans",  # r8: control-byte sanitizer (both engines)
+    "substring_dup_spans_hashed",  # r8: same sanitizer, shared oracle
     "weekly_resample",  # r8: spine restructured (users x 1-row span, then explode)
     # — r7 window debt (displaced past slot 50, oldest driver rows):
     "above_average_customers", "approx_distinct_parts",
@@ -115,11 +117,11 @@ _WINDOW = (
     "lsh_cosine_topk", "ivf_cosine_topk", "simhash_near_dups",
     "canonical_docs", "repetition_stats", "pii_scrub",
     "benchmark_decontam", "shared_shingle_stats", "token_budget_pack",
-    "mix_rebalance", "min_cost_supplier", "important_parts",
+    "mix_rebalance",
     # (order_count_histogram, value_histogram, part_name_features,
     # math_scalar_features, calendar_features, idle_high_balance,
-    # top_supplier_revenue and small_qty_revenue displaced by the r8
-    # prepends)
+    # top_supplier_revenue, small_qty_revenue, min_cost_supplier and
+    # important_parts displaced by the r8 prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
