@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "k_anonymity_audit",  # r8: QI re-identification risk (compliance tier)
+    "l_diversity_audit",  # r8: QI homogeneity risk (compliance tier)
     "cms_heavy_hitters",  # r8: count-min sketch, fully oracle-matched
     "hll_distinct_users_exact",  # r8: sketch-tier oracle twin
     "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
@@ -116,12 +118,12 @@ _WINDOW = (
     "unpivot_part_metrics", "spend_percentiles", "embedding_stats",
     "lsh_cosine_topk", "ivf_cosine_topk", "simhash_near_dups",
     "canonical_docs", "repetition_stats", "pii_scrub",
-    "benchmark_decontam", "shared_shingle_stats", "token_budget_pack",
-    "mix_rebalance",
+    "benchmark_decontam", "shared_shingle_stats",
     # (order_count_histogram, value_histogram, part_name_features,
     # math_scalar_features, calendar_features, idle_high_balance,
-    # top_supplier_revenue, small_qty_revenue, min_cost_supplier and
-    # important_parts displaced by the r8 prepends)
+    # top_supplier_revenue, small_qty_revenue, min_cost_supplier,
+    # important_parts, mix_rebalance and token_budget_pack displaced
+    # by the r8 prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

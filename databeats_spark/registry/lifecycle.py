@@ -8,6 +8,12 @@ the analytics queries:
 - user_erasure_audit:      GDPR right-to-be-forgotten blast radius —
                            rows per table an erasure set would delete,
                            cascaded through the key graph
+- k_anonymity_audit:       quasi-identifier re-identification risk
+                           (Sweeney 2002): rows in QI groups smaller
+                           than k, per market segment
+- l_diversity_audit:       the homogeneity attack k-anonymity misses
+                           (Machanavajjhala 2007): QI groups spanning
+                           fewer than l distinct sensitive values
 - rolling_7d_active_users: sliding-window DISTINCT users per day via
                            bounded cover-day explode (the windowed
                            countDistinct no window frame can express)
@@ -162,6 +168,136 @@ SELECT entity, n_rows FROM (
   SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM li
 )
 ORDER BY entity
+"""
+
+
+# --- Q: k_anonymity_audit — quasi-identifier re-identification risk ---
+# The release-gate companion to user_erasure_audit (Sweeney 2002
+# k-anonymity): group the table by its quasi-identifier tuple
+# (nation, market segment, account-balance band) and measure how many
+# rows sit in groups smaller than K — each such row is re-identifiable
+# by an adversary who knows the QI values. The balance band is pure
+# integer arithmetic — (floor(acctbal)+1000) div 1000, the +1000 shift
+# keeps every operand nonnegative so Spark `div` (truncate) and DuckDB
+# `//` agree — no ntile/float bucketing that could tie-break
+# differently across engines. Scale shape: one hash aggregate on the
+# QI tuple (the only corpus shuffle), then a re-aggregate of the group
+# table — bounded by the QI catalog (nations x segments x 11 bands),
+# never the data. One division per segment row, rounded per the
+# ratio recipe.
+
+K_ANON_THRESHOLD = 5
+
+
+def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    band = F.expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000")
+    groups = (
+        t.customer.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    exposed = F.col("k") < K_ANON_THRESHOLD
+    return (
+        groups.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(exposed.cast("bigint")).cast("bigint").alias("exposed_groups"),
+            F.sum(F.when(exposed, F.col("k")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("exposed_rows"),
+            F.min("k").cast("bigint").alias("min_group_size"),
+            F.round(
+                F.sum(F.when(exposed, F.col("k")).otherwise(F.lit(0)))
+                / F.sum("k"),
+                6,
+            ).alias("exposed_row_share"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_K_ANONYMITY_AUDIT_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS bal_band,
+         count(*) AS k
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS exposed_groups,
+       CAST(sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END) AS BIGINT)
+         AS exposed_rows,
+       CAST(min(k) AS BIGINT) AS min_group_size,
+       round(sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END)
+             / CAST(sum(k) AS DOUBLE), 6) AS exposed_row_share
+FROM groups
+GROUP BY mktsegment
+ORDER BY mktsegment
+"""
+
+
+# --- Q: l_diversity_audit — sensitive-attribute homogeneity risk ------
+# k-anonymity's blind spot (Machanavajjhala 2007 l-diversity): a QI
+# group can be large yet HOMOGENEOUS — if every member shares the same
+# sensitive value, group size protects nothing. Sensitive attribute
+# here: the order priorities of the group's customers (joined through
+# custkey). A group is weak when its members span fewer than L
+# distinct priorities. Scale shape: the customer→orders join is a
+# plain equi-join on the key both tables would be bucketed by; the QI
+# aggregate shuffles (QI, priority) pairs — bounded by the QI catalog
+# x the 5-value priority domain, never the order count — then the
+# same catalog-bounded re-aggregate as k_anonymity_audit. Counts
+# only; no floats anywhere.
+
+L_DIVERSITY_THRESHOLD = 3
+
+
+def _l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    band = F.expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000")
+    qi = t.customer.select(
+        "c_custkey", "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    )
+    joined = qi.join(
+        t.orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderpriority"),
+        "c_custkey",
+    )
+    groups = (
+        joined.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.countDistinct("o_orderpriority").alias("l"))
+    )
+    weak = F.col("l") < L_DIVERSITY_THRESHOLD
+    return (
+        groups.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(weak.cast("bigint")).cast("bigint").alias("weak_groups"),
+            F.min("l").cast("bigint").alias("min_l"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_L_DIVERSITY_AUDIT_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS bal_band,
+         count(DISTINCT o_orderpriority) AS l
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN l < {L_DIVERSITY_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS weak_groups,
+       CAST(min(l) AS BIGINT) AS min_l
+FROM groups
+GROUP BY mktsegment
+ORDER BY mktsegment
 """
 
 
@@ -472,6 +608,8 @@ ORDER BY event_id
 SPECS = [
     QuerySpec("snapshot_user_diff", "CDC snapshot compare of the latest-value-per-user dimension", _snapshot_user_diff, _SNAPSHOT_USER_DIFF_SQL, tags=("join", "cdc")),
     QuerySpec("user_erasure_audit", "GDPR erasure blast radius: rows per table via key-cascade semi joins", _user_erasure_audit, _USER_ERASURE_AUDIT_SQL, tags=("join", "compliance")),
+    QuerySpec("k_anonymity_audit", "quasi-identifier re-identification risk: rows in groups smaller than k", _k_anonymity_audit, _K_ANONYMITY_AUDIT_SQL, tags=("agg", "compliance")),
+    QuerySpec("l_diversity_audit", "sensitive-attribute homogeneity: QI groups spanning fewer than l distinct values", _l_diversity_audit, _L_DIVERSITY_AUDIT_SQL, tags=("agg", "join", "compliance")),
     QuerySpec("rolling_7d_active_users", "sliding-window distinct users via bounded cover-day explode", _rolling_7d_active_users, _ROLLING_7D_ACTIVE_USERS_SQL, tags=("window", "timeseries")),
     QuerySpec("event_cooccurrence_lift", "market-basket lift between event types at user level", _event_cooccurrence_lift, _EVENT_COOCCURRENCE_LIFT_SQL, tags=("agg", "events")),
     QuerySpec("asof_next_purchase", "forward as-of join (direction mirror; DuckDB forward ASOF oracle)", _asof_next_purchase, _ASOF_NEXT_PURCHASE_SQL, tags=("join", "asof")),
