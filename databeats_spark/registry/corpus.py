@@ -900,18 +900,26 @@ LIMIT 20
 # PARTITIONED BY doc. Two key-partitioned windows (by anchor value,
 # by doc), exact integers end to end, one division per source row.
 
-def _substring_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _substring_scrub_stats(
+    spark: SparkSession, sf_dir: str, hash_anchor: bool = False
+) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = spread(t.documents, spark)
 
     def anchors_of(tk):
         starts = F.sequence(F.lit(1), F.size(tk) - F.lit(MIN_MATCH_TOKENS - 1))
+
+        def anchor_of(i):
+            a = F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ")
+            # equality-only use (the min-doc window key), so the
+            # fixed-width xxhash64 substitution is result-identical
+            # modulo the documented 2^-64-per-pair collision trade
+            # (a collision can only mark one extra position duplicated)
+            return F.xxhash64(a) if hash_anchor else a
+
         return F.transform(
             starts,
-            lambda i: F.struct(
-                F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ").alias("anchor"),
-                i.alias("pos"),
-            ),
+            lambda i: F.struct(anchor_of(i).alias("anchor"), i.alias("pos")),
         )
 
     anchors = F.element_at(F.transform(F.array(tokens("text")), anchors_of), 1)
@@ -921,9 +929,15 @@ def _substring_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "s.anchor", "s.pos")
     )
     w_anchor = Window.partitionBy("anchor")
-    dup = pos_tbl.withColumn(
-        "first_doc", F.min("doc_id").over(w_anchor)
-    ).filter(F.col("first_doc") < F.col("doc_id"))
+    # explicit projection before the per-doc sweep window: the second
+    # shuffle needs only (doc_id, source, pos). Catalyst's column
+    # pruning already drops anchor/first_doc here (verified via
+    # execution_metrics); the select just makes that contract visible.
+    dup = (
+        pos_tbl.withColumn("first_doc", F.min("doc_id").over(w_anchor))
+        .filter(F.col("first_doc") < F.col("doc_id"))
+        .select("doc_id", "source", "pos")
+    )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     swept = dup.withColumn(
         "removed",
@@ -991,6 +1005,17 @@ SELECT tt.source, tt.total_tokens,
 FROM totals tt LEFT JOIN removed_by_source r ON r.source = tt.source
 ORDER BY tt.source
 """
+
+
+def _substring_scrub_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale posture of the scrub accounting (the substring family's
+    xxhash64-anchor move applied to its apply side): the 8-token
+    verbatim anchor only ever serves as an equality key for the
+    min-doc window, so the fixed 8-byte hash carries the same
+    information through the anchor shuffle at a fraction of the row
+    width. Result-identical to substring_scrub_stats modulo the
+    documented 2^-64-per-pair collision trade; same oracle."""
+    return _substring_scrub_stats(spark, sf_dir, hash_anchor=True)
 
 
 # --- Q: ngram_novelty — crawl-order novelty profile per source --------
@@ -1132,6 +1157,7 @@ SPECS = [
     QuerySpec("substring_dup_spans_packed", "full scale posture: hashed anchor + order-isomorphic packed suffix tail (>2x shuffle cut), same results/oracle", _substring_dup_spans_packed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
     QuerySpec("substring_scrub_stats", "variable-span scrub accounting: tokens removed per source under first-occurrence keep", _substring_scrub_stats, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
+    QuerySpec("substring_scrub_stats_hashed", "scale posture of the scrub accounting: xxhash64 anchors fix the shuffle row width, same results/oracle", _substring_scrub_stats_hashed, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),
     QuerySpec("badword_doc_flags", "blocklist filter rates per source (C4 badwords gate)", _badword_doc_flags, _BADWORD_DOC_FLAGS_SQL, tags=("text", "agg")),
     QuerySpec("idf_doc_score", "per-document mean inverse document frequency", _idf_doc_score, _IDF_DOC_SCORE_SQL, tags=("text", "agg")),

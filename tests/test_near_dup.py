@@ -241,6 +241,24 @@ def test_hashed_anchor_is_result_identical(spark):
     assert verbatim.equals(hashed)
 
 
+def test_scrub_hashed_anchor_is_result_identical(spark):
+    """The xxhash64-anchor posture applied to the scrub accounting
+    (the substring family's apply side): the anchor is an equality-only
+    window key there too, so per-source removed/total token counts and
+    kept_frac must be byte-identical — at BOTH correctness SFs."""
+    from databeats_spark.registry.corpus import _substring_scrub_stats
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        verbatim = _substring_scrub_stats(spark, sf_dir).toPandas()
+        hashed = _substring_scrub_stats(
+            spark, sf_dir, hash_anchor=True
+        ).toPandas()
+        assert len(verbatim) > 0, sf_dir
+        assert verbatim.reset_index(drop=True).equals(
+            hashed.reset_index(drop=True)
+        ), sf_dir
+
+
 def test_packed_variant_is_result_identical(spark):
     """The r8 scale posture (VERDICT r7 item 4): packing the suffix
     tail into one separator-joined string changes the window's ORDER
