@@ -92,6 +92,7 @@ _WINDOW = (
     "k_anonymity_audit",  # r8: QI re-identification risk (compliance tier)
     "l_diversity_audit",  # r8: QI homogeneity risk (compliance tier)
     "substring_scrub_stats_hashed",  # r8: xxhash64-anchor scrub twin
+    "ngram_novelty_hashed",  # r8: xxhash64-gram novelty twin
     "cms_heavy_hitters",  # r8: count-min sketch, fully oracle-matched
     "hll_distinct_users_exact",  # r8: sketch-tier oracle twin
     "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
@@ -119,12 +120,12 @@ _WINDOW = (
     "unpivot_part_metrics", "spend_percentiles", "embedding_stats",
     "lsh_cosine_topk", "ivf_cosine_topk", "simhash_near_dups",
     "canonical_docs", "repetition_stats", "pii_scrub",
-    "benchmark_decontam",
     # (order_count_histogram, value_histogram, part_name_features,
     # math_scalar_features, calendar_features, idle_high_balance,
     # top_supplier_revenue, small_qty_revenue, min_cost_supplier,
-    # important_parts, mix_rebalance, token_budget_pack and
-    # shared_shingle_stats displaced by the r8 prepends)
+    # important_parts, mix_rebalance, token_budget_pack,
+    # shared_shingle_stats and benchmark_decontam displaced by the
+    # r8 prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

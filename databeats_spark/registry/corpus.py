@@ -1032,18 +1032,20 @@ def _substring_scrub_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
 NOVELTY_NGRAM = 3
 
 
-def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_novelty(
+    spark: SparkSession, sf_dir: str, hash_gram: bool = False
+) -> DataFrame:
     from databeats_spark.functions.text import word_shingles
 
     t = load_tables(spark, sf_dir, ["documents"])
-    grams = (
-        spread(t.documents, spark)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(word_shingles("text", n=NOVELTY_NGRAM)).alias("g"),
-        )
-    )
+    # hash_gram: the 5-gram only ever serves as the novelty window's
+    # equality key, so the fixed-width xxhash64 substitution halves the
+    # shuffle row (documented 2^-64-per-pair collision trade: a
+    # collision can only mark a novel gram as seen)
+    gram = F.explode(word_shingles("text", n=NOVELTY_NGRAM)).alias("g")
+    grams = spread(t.documents, spark).select("doc_id", "source", gram)
+    if hash_gram:
+        grams = grams.select("doc_id", "source", F.xxhash64("g").alias("g"))
     w = Window.partitionBy("g")
     flagged = grams.withColumn(
         "is_novel", (F.col("doc_id") == F.min("doc_id").over(w)).cast("long")
@@ -1085,6 +1087,13 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
        round(sum(is_novel) * 1.0 / count(*), 6) AS novelty_rate
 FROM flagged GROUP BY source ORDER BY source
 """
+
+
+def _ngram_novelty_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale posture of the novelty profile: xxhash64 the 5-gram before
+    the novelty window (equality-only key). Result-identical modulo
+    the 2^-64-per-pair collision trade; same oracle."""
+    return _ngram_novelty(spark, sf_dir, hash_gram=True)
 
 
 # --- Q: epoch_shard_layout — seeded epoch order + token-budget shards -
@@ -1156,6 +1165,7 @@ SPECS = [
     QuerySpec("substring_dup_spans_hashed", "scale posture of the substring tier: xxhash64 BIGINT anchors fix shuffle row width, same results/oracle", _substring_dup_spans_hashed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("substring_dup_spans_packed", "full scale posture: hashed anchor + order-isomorphic packed suffix tail (>2x shuffle cut), same results/oracle", _substring_dup_spans_packed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
+    QuerySpec("ngram_novelty_hashed", "scale posture of the novelty profile: xxhash64 grams fix the shuffle row width, same results/oracle", _ngram_novelty_hashed, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),
     QuerySpec("substring_scrub_stats", "variable-span scrub accounting: tokens removed per source under first-occurrence keep", _substring_scrub_stats, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("substring_scrub_stats_hashed", "scale posture of the scrub accounting: xxhash64 anchors fix the shuffle row width, same results/oracle", _substring_scrub_stats_hashed, _SUBSTRING_SCRUB_STATS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("prefix_dup_groups", "exact leading-prefix dedup groups (templated openers)", _prefix_dup_groups, _PREFIX_DUP_GROUPS_SQL, tags=("dedup", "text")),

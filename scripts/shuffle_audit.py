@@ -54,7 +54,7 @@ QUERIES = [
     "token_budget_allocation", "temperature_mix_allocation",
     "fluency_buckets", "corpus_summary_cube", "hard_negatives",
     "retrieval_label_precision", "cms_heavy_hitters",
-    "substring_scrub_stats_hashed",
+    "substring_scrub_stats_hashed", "ngram_novelty_hashed",
 ]
 
 

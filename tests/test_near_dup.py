@@ -259,6 +259,21 @@ def test_scrub_hashed_anchor_is_result_identical(spark):
         ), sf_dir
 
 
+def test_novelty_hashed_gram_is_result_identical(spark):
+    """The xxhash64 posture applied to the novelty window's gram key:
+    per-source gram/novel counts and the novelty rate must be
+    byte-identical — at BOTH correctness SFs."""
+    from databeats_spark.registry.corpus import _ngram_novelty
+
+    for sf_dir in (SF_SMOKE, SF_CORRECT):
+        verbatim = _ngram_novelty(spark, sf_dir).toPandas()
+        hashed = _ngram_novelty(spark, sf_dir, hash_gram=True).toPandas()
+        assert len(verbatim) > 0, sf_dir
+        assert verbatim.reset_index(drop=True).equals(
+            hashed.reset_index(drop=True)
+        ), sf_dir
+
+
 def test_packed_variant_is_result_identical(spark):
     """The r8 scale posture (VERDICT r7 item 4): packing the suffix
     tail into one separator-joined string changes the window's ORDER
