@@ -93,6 +93,7 @@ _WINDOW = (
     "l_diversity_audit",  # r8: QI homogeneity risk (compliance tier)
     "substring_scrub_stats_hashed",  # r8: xxhash64-anchor scrub twin
     "ngram_novelty_hashed",  # r8: xxhash64-gram novelty twin
+    "padding_waste_by_bucket",  # r8: batching-efficiency audit
     "cms_heavy_hitters",  # r8: count-min sketch, fully oracle-matched
     "hll_distinct_users_exact",  # r8: sketch-tier oracle twin
     "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
@@ -119,13 +120,13 @@ _WINDOW = (
     "fuzzy_part_names", "large_volume_orders", "order_nav",
     "unpivot_part_metrics", "spend_percentiles", "embedding_stats",
     "lsh_cosine_topk", "ivf_cosine_topk", "simhash_near_dups",
-    "canonical_docs", "repetition_stats", "pii_scrub",
+    "canonical_docs", "repetition_stats",
     # (order_count_histogram, value_histogram, part_name_features,
     # math_scalar_features, calendar_features, idle_high_balance,
     # top_supplier_revenue, small_qty_revenue, min_cost_supplier,
     # important_parts, mix_rebalance, token_budget_pack,
-    # shared_shingle_stats and benchmark_decontam displaced by the
-    # r8 prepends)
+    # shared_shingle_stats, benchmark_decontam and pii_scrub
+    # displaced by the r8 prepends)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -21,6 +21,9 @@ dedup + hygiene signals:
                        total token budget — the training-mix planner
 - dup_rate_by_source:  per-source near-dup membership rate — the
                        provenance pollution chart, release over release
+- padding_waste_by_bucket: pad tokens burned per power-of-two length
+                       bucket — the padding-vs-packing batching
+                       decision, the cost sequence_packing avoids
 
 Reference parity: the reference's dedup surface is exact
 drop_duplicates (SURVEY §2.5 A2/A3); these extend the same
@@ -746,6 +749,72 @@ ORDER BY g_source, g_lang, source_g, lang_g
 """
 
 
+# --- Q: padding_waste_by_bucket — batching efficiency audit ----------
+# The padding-vs-packing decision a trainer makes per dataset: if
+# batches are formed by LENGTH BUCKET (pad every doc up to its bucket
+# cap) instead of packed (sequence_packing / token_budget_pack), how
+# many pad tokens does each bucket burn? Fixed power-of-two caps via a
+# CASE ladder — pure integer comparisons, no log2 floats that could
+# bucket-flip across engines; docs longer than the top cap sit there
+# with zero waste (they'd be split, not padded). One hash aggregate;
+# the bucket domain is the 8-row CASE ladder, never the data.
+
+# power-of-two ladder from 16: spans the synthetic corpus (10–99
+# tokens, so 4 populated rows at test scale) AND real pretraining
+# shard caps at the top
+PAD_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+
+
+def _padding_waste_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    n_tok = F.size(tokens("text"))
+    bucket = F.lit(PAD_BUCKETS[-1])
+    for cap in reversed(PAD_BUCKETS):
+        bucket = F.when(n_tok <= cap, F.lit(cap)).otherwise(bucket)
+    docs = t.documents.select(
+        n_tok.cast("bigint").alias("n_tok"), bucket.cast("bigint").alias("bucket")
+    ).withColumn(
+        "pad", F.greatest(F.lit(0), F.col("bucket") - F.col("n_tok")).cast("bigint")
+    )
+    return (
+        docs.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tok"),
+            F.sum("pad").cast("bigint").alias("total_pad"),
+            F.round(
+                F.sum("pad") / (F.sum("pad") + F.sum("n_tok")), 6
+            ).alias("pad_frac"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_PAD_CASE = " ".join(
+    f"WHEN n_tok <= {cap} THEN {cap}" for cap in PAD_BUCKETS
+)
+
+_PADDING_WASTE_BY_BUCKET_SQL = rf"""
+WITH d AS (
+  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), b AS (
+  SELECT n_tok,
+         CAST(CASE {_PAD_CASE} ELSE {PAD_BUCKETS[-1]} END AS BIGINT) AS bucket
+  FROM d
+), p AS (
+  SELECT bucket, n_tok,
+         CAST(greatest(0, bucket - n_tok) AS BIGINT) AS pad
+  FROM b
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       CAST(sum(pad) AS BIGINT) AS total_pad,
+       round(sum(pad) * 1.0 / (sum(pad) + sum(n_tok)), 6) AS pad_frac
+FROM p GROUP BY bucket ORDER BY bucket
+"""
+
+
 SPECS = [
     QuerySpec(
         "corpus_summary_cube",
@@ -809,6 +878,13 @@ SPECS = [
         _dup_rate_by_source,
         _DUP_RATE_BY_SOURCE_SQL,
         tags=("dedup", "agg", "audit"),
+    ),
+    QuerySpec(
+        "padding_waste_by_bucket",
+        "batching-efficiency audit: pad tokens burned per power-of-two length bucket",
+        _padding_waste_by_bucket,
+        _PADDING_WASTE_BY_BUCKET_SQL,
+        tags=("agg", "audit", "sampling"),
     ),
     QuerySpec(
         "canonical_best_docs",
