@@ -14,6 +14,14 @@ the analytics queries:
 - l_diversity_audit:       the homogeneity attack k-anonymity misses
                            (Machanavajjhala 2007): QI groups spanning
                            fewer than l distinct sensitive values
+- t_closeness_audit:       the skew attack l-diversity misses (Li 2007):
+                           QI groups whose sensitive-value EMD vs the
+                           global distribution exceeds t — BIGINT
+                           cumulative numerators, one final division
+- dp_noisy_histogram:      the release step those gates guard — the
+                           Laplace mechanism with a derandomized
+                           (md5-seeded) noise source, so the whole
+                           mechanism arithmetic is oracle-certified
 - rolling_7d_active_users: sliding-window DISTINCT users per day via
                            bounded cover-day explode (the windowed
                            countDistinct no window frame can express)
@@ -298,6 +306,182 @@ SELECT c_mktsegment AS mktsegment,
 FROM groups
 GROUP BY mktsegment
 ORDER BY mktsegment
+"""
+
+
+# --- Q: t_closeness_audit — sensitive-distribution skew risk ----------
+# The third rung of the release-gate ladder (Li/Li/Venkatasubramanian
+# 2007 t-closeness): l-diversity's blind spot is a group that spans
+# many sensitive values but in a SKEWED mix (99% URGENT still leaks).
+# A QI group is weak when the Earth Mover's Distance between its
+# order-priority distribution and the corpus-global one exceeds t.
+# The priority domain is ordered (the '1-'..'5-' prefixes), so EMD has
+# the closed cumulative form EMD = Σ_j |Σ_{i<=j}(p_i − q_i)| / (m−1).
+# Arithmetic recipe: every cumulative term is kept as a BIGINT
+# numerator over the common denominator g·N — d_i = c_i·N − Q_i·g —
+# so the ONLY float operation is the final single division (then
+# round 6); no float accumulates, no engine summation order exists.
+# Bounds: products stay < 2^53 while g·N < 9e15 (sf0.1: g·N ≈ 2e10);
+# beyond that the numerators move to DECIMAL(38,0) unchanged.
+# Scale shape: one corpus shuffle (the customer→orders equi-join into
+# the (QI, priority) cell aggregate — bounded by QI catalog × the
+# 5-value domain), a catalog-bounded pivot, and the global
+# distribution attached via attach_global_scalar (the cell table is a
+# shuffled subtree, so the naive crossJoin would re-execute it under
+# AQE — the derived-scalar rule).
+
+T_CLOSENESS_THRESHOLD = 0.2
+_PRIORITY_DOMAIN = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def _t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["customer", "orders"])
+    band = F.expr("(CAST(floor(c_acctbal) AS BIGINT) + 1000) div 1000")
+    qi = t.customer.select(
+        "c_custkey", "c_nationkey", "c_mktsegment", band.alias("bal_band")
+    )
+    joined = qi.join(
+        t.orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderpriority"),
+        "c_custkey",
+    )
+    pivoted = joined.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i + 1}")
+            for i, p in enumerate(_PRIORITY_DOMAIN)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("g"),
+    )
+    with_globals = attach_global_scalar(
+        pivoted,
+        *[F.sum(f"c{i + 1}").cast("bigint").alias(f"q{i + 1}") for i in range(5)],
+        F.sum("g").cast("bigint").alias("n"),
+    )
+    # BIGINT cumulative-difference numerators over the g·N denominator
+    d = [
+        (F.col(f"c{i + 1}") * F.col("n") - F.col(f"q{i + 1}") * F.col("g"))
+        for i in range(5)
+    ]
+    cums = [d[0], d[0] + d[1], d[0] + d[1] + d[2], d[0] + d[1] + d[2] + d[3]]
+    t_num = F.abs(cums[0]) + F.abs(cums[1]) + F.abs(cums[2]) + F.abs(cums[3])
+    t_val = F.round(t_num / (F.lit(4) * F.col("g") * F.col("n")), 6)
+    scored = with_globals.select("c_mktsegment", t_val.alias("t"))
+    weak = F.col("t") > T_CLOSENESS_THRESHOLD
+    return (
+        scored.groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(weak.cast("bigint")).cast("bigint").alias("weak_groups"),
+            F.max("t").alias("max_t"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+_T_CLOSENESS_AUDIT_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         (CAST(floor(c_acctbal) AS BIGINT) + 1000) // 1000 AS bal_band,
+         CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+         CAST(count(*) AS BIGINT) AS g
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2, 3
+), globals AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS q1, CAST(sum(c2) AS BIGINT) AS q2,
+         CAST(sum(c3) AS BIGINT) AS q3, CAST(sum(c4) AS BIGINT) AS q4,
+         CAST(sum(c5) AS BIGINT) AS q5, CAST(sum(g) AS BIGINT) AS n
+  FROM cells
+), scored AS (
+  SELECT c_mktsegment,
+         round((abs(c1*n - q1*g)
+              + abs((c1*n - q1*g) + (c2*n - q2*g))
+              + abs((c1*n - q1*g) + (c2*n - q2*g) + (c3*n - q3*g))
+              + abs((c1*n - q1*g) + (c2*n - q2*g) + (c3*n - q3*g) + (c4*n - q4*g)))
+               / CAST(4 * g * n AS DOUBLE), 6) AS t
+  FROM cells, globals
+)
+SELECT c_mktsegment AS mktsegment,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN t > {T_CLOSENESS_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+         AS weak_groups,
+       max(t) AS max_t
+FROM scored
+GROUP BY mktsegment
+ORDER BY mktsegment
+"""
+
+
+# --- Q: dp_noisy_histogram — derandomized Laplace release mechanism ---
+# The release step the k/l/t gates guard: the per-(nation, segment)
+# customer-count histogram under the Laplace mechanism (sensitivity 1
+# — each customer contributes one row to one cell; ε = 1.0, so
+# b = Δ/ε = 1). Derandomized per the repo's sampling posture
+# (weighted_sample's 52-bit md5 uniform): u = (v + 0.5) / 2^52 from
+# the cell key's md5 is strictly inside (0, 1) and never exactly 0.5
+# (v is an integer, 0.5 + v can't hit 2^51), so the inverse-CDF
+# noise = −b · sign(u − 0.5) · ln(1 − 2·|u − 0.5|) is total and
+# bit-identical on both engines — the calibration audit certifies the
+# ENTIRE mechanism arithmetic; a production release swaps only the
+# hash uniform for a cryptographic RNG (the oracle-twin posture: the
+# one uncertifiable ingredient is isolated, everything else is
+# hash-matched). Scale shape: one hash aggregate on the cell key
+# (the only corpus shuffle); the noise is a per-row projection over
+# the catalog-bounded histogram.
+
+DP_EPSILON = 1.0
+_HASH_DENOM = float(1 << 52)  # 13 md5 hex chars = 52 bits, exact in a double
+
+
+def _dp_noisy_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    cells = t.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_n")
+    )
+    key = F.concat_ws("|", F.col("c_nationkey").cast("string"), "c_mktsegment")
+    v = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("bigint")
+    u = (v + F.lit(0.5)) / F.lit(_HASH_DENOM)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = -F.lit(1.0 / DP_EPSILON) * sign * F.log(1.0 - 2.0 * F.abs(u - 0.5))
+    return (
+        cells.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.round(noise, 6).alias("noise"),
+            F.round(F.col("true_n") + noise, 6).alias("noisy_count"),
+        )
+        .orderBy("nationkey", "mktsegment")
+    )
+
+
+_DP_NOISY_HISTOGRAM_SQL = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS true_n
+  FROM customer GROUP BY 1, 2
+), seeded AS (
+  SELECT c_nationkey, c_mktsegment, true_n,
+         (CAST(('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment), 1, 13)) AS BIGINT)
+          + 0.5) / {_HASH_DENOM!r} AS u
+  FROM cells
+), noised AS (
+  SELECT c_nationkey, c_mktsegment, true_n,
+         -{1.0 / DP_EPSILON!r} * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+  FROM seeded
+)
+SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+       round(noise, 6) AS noise,
+       round(true_n + noise, 6) AS noisy_count
+FROM noised
+ORDER BY nationkey, mktsegment
 """
 
 
@@ -610,6 +794,8 @@ SPECS = [
     QuerySpec("user_erasure_audit", "GDPR erasure blast radius: rows per table via key-cascade semi joins", _user_erasure_audit, _USER_ERASURE_AUDIT_SQL, tags=("join", "compliance")),
     QuerySpec("k_anonymity_audit", "quasi-identifier re-identification risk: rows in groups smaller than k", _k_anonymity_audit, _K_ANONYMITY_AUDIT_SQL, tags=("agg", "compliance")),
     QuerySpec("l_diversity_audit", "sensitive-attribute homogeneity: QI groups spanning fewer than l distinct values", _l_diversity_audit, _L_DIVERSITY_AUDIT_SQL, tags=("agg", "join", "compliance")),
+    QuerySpec("t_closeness_audit", "sensitive-distribution skew: QI groups with EMD above t vs the global mix", _t_closeness_audit, _T_CLOSENESS_AUDIT_SQL, tags=("agg", "join", "compliance")),
+    QuerySpec("dp_noisy_histogram", "derandomized Laplace release: seeded inverse-CDF noise over the cell histogram", _dp_noisy_histogram, _DP_NOISY_HISTOGRAM_SQL, tags=("agg", "compliance")),
     QuerySpec("rolling_7d_active_users", "sliding-window distinct users via bounded cover-day explode", _rolling_7d_active_users, _ROLLING_7D_ACTIVE_USERS_SQL, tags=("window", "timeseries")),
     QuerySpec("event_cooccurrence_lift", "market-basket lift between event types at user level", _event_cooccurrence_lift, _EVENT_COOCCURRENCE_LIFT_SQL, tags=("agg", "events")),
     QuerySpec("asof_next_purchase", "forward as-of join (direction mirror; DuckDB forward ASOF oracle)", _asof_next_purchase, _ASOF_NEXT_PURCHASE_SQL, tags=("join", "asof")),

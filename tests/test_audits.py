@@ -159,3 +159,79 @@ def test_novelty_and_scrub_are_consistent(spark):
     # the scrub keeps strictly less than spans-only accounting removes:
     # sanity that SOME duplication exists in the planted corpus
     assert scrub["removed_tokens"].sum() > 0
+
+
+def test_t_closeness_emd_matches_numpy_rederivation(spark):
+    """The BIGINT-numerator EMD must equal an independent float
+    re-derivation (pandas/numpy over the raw parquet): per QI group,
+    EMD = sum_j |cumsum_j(p - q)| / (m-1); the registry reports the
+    per-segment max. Also pins the closed-form bounds: EMD in [0, 1]
+    and weak_groups <= n_groups."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["t_closeness_audit"](spark, SF_SMOKE).toPandas()
+    assert ((out["max_t"] >= 0) & (out["max_t"] <= 1)).all()
+    assert (out["weak_groups"] <= out["n_groups"]).all()
+
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    j = cust.merge(orders, left_on="c_custkey", right_on="o_custkey")
+    j["bal_band"] = (np.floor(j["c_acctbal"]).astype("int64") + 1000) // 1000
+    doms = sorted(orders["o_orderpriority"].unique())
+    cells = (
+        j.groupby(["c_nationkey", "c_mktsegment", "bal_band"])["o_orderpriority"]
+        .value_counts()
+        .unstack(fill_value=0)
+        .reindex(columns=doms, fill_value=0)
+    )
+    q = cells.sum(axis=0) / cells.values.sum()
+    p = cells.div(cells.sum(axis=1), axis=0)
+    emd = np.abs(np.cumsum(p.values - q.values[None, :], axis=1)[:, :-1]).sum(
+        axis=1
+    ) / (len(doms) - 1)
+    ref = (
+        pd.DataFrame(
+            {"mktsegment": cells.index.get_level_values("c_mktsegment"), "t": emd}
+        )
+        .groupby("mktsegment")["t"]
+        .max()
+    )
+    got = dict(zip(out["mktsegment"], out["max_t"]))
+    for seg, t_ref in ref.items():
+        assert abs(got[seg] - t_ref) < 1e-6, (seg, got[seg], t_ref)
+
+
+def test_dp_noisy_histogram_mechanism_consistency(spark):
+    """noisy_count - noise must recover the exact true cell count
+    (pandas re-count of the raw parquet); the seeded noise is
+    deterministic across runs, non-constant across cells, and its
+    mean |noise| sits in a broad band around the Laplace scale b=1."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["dp_noisy_histogram"](spark, SF_SMOKE).toPandas()
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    true = (
+        cust.groupby(["c_nationkey", "c_mktsegment"])
+        .size()
+        .rename("n")
+        .reset_index()
+    )
+    merged = out.merge(
+        true,
+        left_on=["nationkey", "mktsegment"],
+        right_on=["c_nationkey", "c_mktsegment"],
+    )
+    assert len(merged) == len(out) == len(true)
+    # round-6 reporting: the recovered count is within 2e-6 of integer
+    recovered = merged["noisy_count"] - merged["noise"]
+    assert (abs(recovered - merged["n"]) < 2e-6).all()
+    assert out["noise"].nunique() > len(out) // 2  # seeded per cell, not constant
+    mean_abs = out["noise"].abs().mean()
+    assert 0.3 < mean_abs < 3.0, mean_abs  # Laplace b=1: E|noise| = 1
+    again = queries()["dp_noisy_histogram"](spark, SF_SMOKE).toPandas()
+    pd.testing.assert_frame_equal(out, again)
