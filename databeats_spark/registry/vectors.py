@@ -1100,12 +1100,76 @@ ORDER BY query_id
 """
 
 
+# --- Q: semantic_decontam — embedding-space benchmark decontamination --
+# The semantic counterpart of benchmark_decontam: n-gram overlap misses
+# paraphrased eval leakage, so the FineWeb/phi-style second gate scores
+# every corpus vector against the EVAL-SET embeddings and flags cosine
+# hits. Eval set = the first SEM_EVAL_N corpus vectors (the repo's
+# fixed-slice idiom — deterministic, lint-provable via the no-op
+# .limit). Scale shape: the eval side is benchmark-sized at ANY corpus
+# scale, so it broadcasts and the corpus is touched exactly once — the
+# identical plan at 100 TB; no corpus self-join exists. Per flagged
+# corpus vector: hit count (exact BIGINT) and max cosine (max commutes
+# with round — both order-free), so no float accumulates across rows.
+
+SEM_EVAL_N = 32
+SEM_DECON_THRESHOLD = 0.4
+
+
+def _semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.similarity import cosine
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    ev = (
+        t.embeddings.filter(F.col("vec_id") < SEM_EVAL_N)
+        .limit(SEM_EVAL_N)
+        .select(F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__ev"))
+    )
+    corpus = t.embeddings.filter(F.col("vec_id") >= SEM_EVAL_N).select(
+        "vec_id", F.col("embedding").alias("__cv")
+    )
+    hits = (
+        corpus.crossJoin(F.broadcast(ev))
+        .withColumn("cos_sim", cosine("__cv", "__ev"))
+        .filter(F.col("cos_sim") >= SEM_DECON_THRESHOLD)
+    )
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+            F.round(F.max("cos_sim"), 6).alias("max_cos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_SEMANTIC_DECONTAM_SQL = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding AS ev
+  FROM embeddings WHERE vec_id < {SEM_EVAL_N}
+), hits AS (
+  SELECT c.vec_id,
+         list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                CAST(ev.ev AS DOUBLE[])) AS cs
+  FROM embeddings c, ev
+  WHERE c.vec_id >= {SEM_EVAL_N}
+)
+SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       round(max(cs), 6) AS max_cos
+FROM hits
+WHERE cs >= {SEM_DECON_THRESHOLD}
+GROUP BY vec_id
+ORDER BY vec_id
+"""
+
+
 SPECS = [
     QuerySpec("hard_negatives", "contrastive hard-negative mining: top-k cross-label cosine", _hard_negatives, _HARD_NEGATIVES_SQL, tags=("similarity", "ml")),
     QuerySpec("retrieval_label_precision", "precision@k retrieval eval with label relevance", _retrieval_label_precision, _RETRIEVAL_LABEL_PRECISION_SQL, tags=("similarity", "ml", "audit")),
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
+    QuerySpec("semantic_decontam", "embedding-space eval-set decontamination: broadcast eval side, corpus touched once", _semantic_decontam, _SEMANTIC_DECONTAM_SQL, tags=("similarity", "compliance")),
     QuerySpec("embedding_quantization", "int8 scalar quantization codes + reconstruction-error audit", _embedding_quantization, _EMBEDDING_QUANTIZATION_SQL, tags=("similarity", "scalar")),
     QuerySpec("class_weights", "inverse-frequency balanced class-weight table", _class_weights, _CLASS_WEIGHTS_SQL, tags=("agg", "ml")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),

@@ -235,3 +235,36 @@ def test_dp_noisy_histogram_mechanism_consistency(spark):
     assert 0.3 < mean_abs < 3.0, mean_abs  # Laplace b=1: E|noise| = 1
     again = queries()["dp_noisy_histogram"](spark, SF_SMOKE).toPandas()
     pd.testing.assert_frame_equal(out, again)
+
+
+def test_semantic_decontam_matches_numpy_brute_force(spark):
+    """The flagged set must equal an independent numpy brute force:
+    for every corpus vector, count eval vectors (vec_id < SEM_EVAL_N)
+    with cosine >= threshold and take the max — same rows, same
+    counts, same max_cos to 1e-6."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.vectors import SEM_DECON_THRESHOLD, SEM_EVAL_N
+
+    out = queries()["semantic_decontam"](spark, SF_SMOKE).toPandas()
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    ev, cp = vecs[ids < SEM_EVAL_N], vecs[ids >= SEM_EVAL_N]
+    cp_ids = ids[ids >= SEM_EVAL_N]
+    sims = (cp / np.linalg.norm(cp, axis=1, keepdims=True)) @ (
+        ev / np.linalg.norm(ev, axis=1, keepdims=True)
+    ).T
+    hit = sims >= SEM_DECON_THRESHOLD
+    flagged = {
+        int(cp_ids[i]): (int(hit[i].sum()), float(sims[i][hit[i]].max()))
+        for i in range(len(cp_ids))
+        if hit[i].any()
+    }
+    assert set(out["vec_id"]) == set(flagged)
+    for _, row in out.iterrows():
+        n_ref, max_ref = flagged[int(row["vec_id"])]
+        assert int(row["n_eval_hits"]) == n_ref
+        assert abs(row["max_cos"] - max_ref) < 1e-6
