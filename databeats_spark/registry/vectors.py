@@ -1100,6 +1100,145 @@ ORDER BY query_id
 """
 
 
+# --- Q: takedown_blast_radius — source removal over dedup clusters ----
+# The compliance tier meets the dedup tier: a takedown (copyright /
+# licensing / GDPR) removes every document of ONE source — what does
+# the deduplicated corpus lose? For each source, the what-if audit in
+# one pass over ALL sources at once: n_canonical_lost = clusters whose
+# min-id canonical came from that source (singletons included — a
+# singleton is its own canonical), split into n_reelected (another
+# source survives in the cluster and the canonical is re-elected) and
+# n_dissolved (the whole cluster was that source — content genuinely
+# gone). Invariant pinned in pytest: lost = reelected + dissolved.
+# Scale shape: the pairs→components pass is the same bounded
+# verifier-slice pipeline canonical_docs runs; everything after is
+# per-(component, source) hash aggregates — bounded by cluster
+# membership, never pairs². Output aggregates per source, so no
+# cross-engine component-ID parity is even required (it holds anyway).
+
+def _takedown_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.operators.graph import alternating_components
+    from databeats_spark.registry.documents import JACCARD_THRESHOLD, PAIR_DOC_LIMIT
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    sliced = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    docs = sliced.select("doc_id", "source")
+    pairs = ngram_jaccard_pairs(sliced, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD)
+    comps = alternating_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    members = docs.join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", "source", F.coalesce("component", "doc_id").alias("component")
+    )
+    comp_stats = members.groupBy("component").agg(
+        F.min("doc_id").alias("canonical"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    canon = comp_stats.join(
+        members.select(
+            F.col("doc_id").alias("canonical"),
+            F.col("source").alias("canonical_source"),
+        ),
+        "canonical",
+    )
+    per_cs = members.groupBy("component", "source").agg(
+        F.count(F.lit(1)).alias("n_from_s")
+    )
+    affected = per_cs.join(canon, "component").filter(
+        F.col("source") == F.col("canonical_source")
+    )
+    lost = affected.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canonical_lost"),
+        F.sum((F.col("n_members") > F.col("n_from_s")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_reelected"),
+        F.sum((F.col("n_members") == F.col("n_from_s")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_dissolved"),
+    )
+    totals = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        totals.join(lost, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_canonical_lost", F.lit(0)).cast("bigint").alias("n_canonical_lost"),
+            F.coalesce("n_reelected", F.lit(0)).cast("bigint").alias("n_reelected"),
+            F.coalesce("n_dissolved", F.lit(0)).cast("bigint").alias("n_dissolved"),
+        )
+        .orderBy("source")
+    )
+
+
+def _takedown_blast_radius_sql() -> str:
+    from databeats_spark.registry.documents import _PAIRS_CTES, JACCARD_THRESHOLD, PAIR_DOC_LIMIT
+
+    return f"""
+WITH RECURSIVE {_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM qual
+  UNION
+  SELECT id_b, id_a FROM qual
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+),
+members AS (
+  SELECT d.doc_id, d.source, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+  WHERE d.doc_id < {PAIR_DOC_LIMIT}
+),
+comp_stats AS (
+  SELECT component, min(doc_id) AS canonical, count(*) AS n_members
+  FROM members GROUP BY component
+),
+canon AS (
+  SELECT cs.component, cs.n_members, m.source AS canonical_source
+  FROM comp_stats cs JOIN members m ON m.doc_id = cs.canonical
+),
+per_cs AS (
+  SELECT component, source, count(*) AS n_from_s FROM members GROUP BY 1, 2
+),
+affected AS (
+  SELECT p.source, c.n_members, p.n_from_s
+  FROM per_cs p
+  JOIN canon c ON p.component = c.component AND p.source = c.canonical_source
+),
+lost AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_canonical_lost,
+         CAST(sum(CASE WHEN n_members > n_from_s THEN 1 ELSE 0 END) AS BIGINT) AS n_reelected,
+         CAST(sum(CASE WHEN n_members = n_from_s THEN 1 ELSE 0 END) AS BIGINT) AS n_dissolved
+  FROM affected GROUP BY source
+)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(coalesce(l.n_canonical_lost, 0) AS BIGINT) AS n_canonical_lost,
+       CAST(coalesce(l.n_reelected, 0) AS BIGINT) AS n_reelected,
+       CAST(coalesce(l.n_dissolved, 0) AS BIGINT) AS n_dissolved
+FROM (SELECT source, count(*) AS n_docs FROM documents
+      WHERE doc_id < {PAIR_DOC_LIMIT} GROUP BY source) t
+LEFT JOIN lost l ON l.source = t.source
+ORDER BY t.source
+"""
+
+
 # --- Q: semantic_decontam — embedding-space benchmark decontamination --
 # The semantic counterpart of benchmark_decontam: n-gram overlap misses
 # paraphrased eval leakage, so the FineWeb/phi-style second gate scores
@@ -1170,6 +1309,7 @@ SPECS = [
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
     QuerySpec("semantic_decontam", "embedding-space eval-set decontamination: broadcast eval side, corpus touched once", _semantic_decontam, _SEMANTIC_DECONTAM_SQL, tags=("similarity", "compliance")),
+    QuerySpec("takedown_blast_radius", "per-source takedown what-if over dedup clusters: canonicals lost, re-elected, dissolved", _takedown_blast_radius, _takedown_blast_radius_sql, tags=("dedup", "graph", "compliance")),
     QuerySpec("embedding_quantization", "int8 scalar quantization codes + reconstruction-error audit", _embedding_quantization, _EMBEDDING_QUANTIZATION_SQL, tags=("similarity", "scalar")),
     QuerySpec("class_weights", "inverse-frequency balanced class-weight table", _class_weights, _CLASS_WEIGHTS_SQL, tags=("agg", "ml")),
     QuerySpec("lsh_cosine_topk", "random-hyperplane LSH approximate top-k", _lsh_cosine_topk, None, tags=("similarity", "approx")),

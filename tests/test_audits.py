@@ -268,3 +268,19 @@ def test_semantic_decontam_matches_numpy_brute_force(spark):
         n_ref, max_ref = flagged[int(row["vec_id"])]
         assert int(row["n_eval_hits"]) == n_ref
         assert abs(row["max_cos"] - max_ref) < 1e-6
+
+
+def test_takedown_blast_radius_partitions_the_canonical_set(spark):
+    """Every cluster canonical belongs to exactly one source, so
+    sum(n_canonical_lost) across sources must equal the number of
+    canonical survivors canonical_docs keeps; per source,
+    lost = reelected + dissolved, and nothing exceeds n_docs."""
+    from databeats_spark.registry import queries
+
+    q = queries()
+    out = q["takedown_blast_radius"](spark, SF_SMOKE).toPandas()
+    keep = q["canonical_docs"](spark, SF_SMOKE).toPandas()
+    assert out["n_canonical_lost"].sum() == len(keep)
+    assert (out["n_canonical_lost"] == out["n_reelected"] + out["n_dissolved"]).all()
+    assert (out["n_canonical_lost"] <= out["n_docs"]).all()
+    assert out["n_docs"].sum() >= len(keep)
