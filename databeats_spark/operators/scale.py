@@ -14,6 +14,12 @@ to optimize); both are load-bearing at 100 TB:
   key at WRITE time means later joins co-locate with no exchange at
   all — the bucketing discipline the README's 100 TB posture calls
   for. Verified by plan assertion (no Exchange above the join).
+- **bloom anti join**: incremental dedup of a new crawl against a
+  huge historical key set without shuffling the bulk — the
+  block-partitioned bitmap broadcasts, bloom-negative rows are
+  provably new (no false negatives) and skip the join entirely, and
+  the exact anti join verifies only the candidate slice. Result-
+  identical to the plain anti join by construction.
 """
 
 from __future__ import annotations
@@ -165,3 +171,110 @@ def attach_global_scalar(df: DataFrame, *aggs: Column) -> DataFrame:
     """
     base = df.localCheckpoint(eager=False)
     return base.crossJoin(F.broadcast(base.agg(*aggs)))
+
+
+def bloom_bitmap(
+    history: DataFrame, key: str, m_bits: int = 1 << 20, n_hashes: int = 2
+) -> DataFrame:
+    """Build a block-partitioned Bloom bitmap over ``history[key]``:
+    one row per 64-bit block that has any bit set — ``(block BIGINT,
+    bits BIGINT)``. Positions come from ``n_hashes`` seeded xxhash64
+    draws mod ``m_bits``; blocks fold with the ``bit_or`` partial
+    aggregate, so the build is one hash aggregate whose output is
+    ``<= m_bits/64`` rows (8 bytes of payload per block) no matter how
+    large the history is — at 10 bits/key a 1B-key history compresses
+    to a ~160 MB bitmap table vs terabytes of raw keys.
+
+    Deterministic (seeded hashes, integer bit ops), so build and probe
+    agree across runs and engines."""
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos = history.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.floor(F.col("p") / 64).cast("long").alias("block"),
+            F.expr("shiftleft(1L, CAST(p % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("block")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    new: DataFrame,
+    bitmap: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Attach ``__bloom_hit`` to ``new``: true iff every one of the
+    key's ``n_hashes`` bloom positions is set in ``bitmap``. The
+    bitmap side broadcasts (one equi-join per hash — n_hashes is 2-3);
+    a false NEVER occurs for a key present in the history (no false
+    negatives), so ``__bloom_hit = false`` rows are PROVABLY absent
+    from the history without touching it."""
+    probed = new
+    for i in range(n_hashes):
+        probed = probed.withColumn(
+            f"__p{i}", F.pmod(F.xxhash64(F.col(key), F.lit(i)), F.lit(m_bits))
+        )
+        bm = bitmap.select(
+            F.col("block").alias(f"__blk{i}"), F.col("bits").alias(f"__bits{i}")
+        )
+        probed = probed.join(
+            F.broadcast(bm),
+            F.floor(F.col(f"__p{i}") / 64).cast("long") == F.col(f"__blk{i}"),
+            "left",
+        )
+    hit = F.lit(True)
+    for i in range(n_hashes):
+        test = (
+            F.coalesce(F.col(f"__bits{i}"), F.lit(0)).bitwiseAND(
+                F.expr(f"shiftleft(1L, CAST(__p{i} % 64 AS INT))")
+            )
+            != 0
+        )
+        hit = hit & test
+    drop = [c for i in range(n_hashes) for c in (f"__p{i}", f"__blk{i}", f"__bits{i}")]
+    return probed.withColumn("__bloom_hit", hit).drop(*drop)
+
+
+def bloom_anti_join(
+    new: DataFrame,
+    history: DataFrame,
+    key: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Anti join ``new`` against a huge ``history`` key set without
+    shuffling the bloom-negative bulk: rows whose bloom probe misses
+    are DEFINITELY new (no false negatives) and pass straight through;
+    only the bloom-POSITIVE slice — the true duplicates plus the
+    ~``(1 - e^(-n_hashes*n/m))^n_hashes`` false-positive residue — is
+    verified by an exact anti join. Result-identical to
+    ``new.join(history, key, "left_anti")`` BY CONSTRUCTION (the
+    approximate structure only routes rows; the exact join decides),
+    so the operator is fully oracle-certifiable despite the sketch.
+
+    The shape Catalyst's runtime bloom filter cannot produce: runtime
+    blooms prune inner/semi probe sides, but an ANTI join's probe side
+    can't be pruned by them (a bloom hit proves nothing for anti
+    semantics) — the split here is the anti-join-specific counterpart.
+
+    Scale shape for incremental corpus dedup: the new crawl never
+    shuffles in full; history is touched only by the candidate slice.
+    Size ``m_bits`` at ~10 bits per history key."""
+    probed = bloom_probe(new, bloom_bitmap(history, key, m_bits, n_hashes), key, m_bits, n_hashes)
+    definite = probed.filter(~F.col("__bloom_hit")).drop("__bloom_hit")
+    candidates = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    verified = candidates.join(history.select(key), key, "left_anti")
+    return definite.unionByName(verified)

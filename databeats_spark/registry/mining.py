@@ -772,6 +772,55 @@ ORDER BY new_id, old_id
 """
 
 
+# --- Q: bloom_incremental_dedup — anti join behind a bloom prefilter --
+# Exact-fingerprint incremental dedup (new crawl vs the historical
+# snapshot) routed through operators/scale.py::bloom_anti_join: the
+# bloom-NEGATIVE bulk of the new crawl is provably absent from history
+# (no false negatives) and passes through with ZERO join work; only
+# the bloom-positive slice — true dups + the tiny false-positive
+# residue — is verified by the exact anti join. Result-identical to
+# the plain anti join BY CONSTRUCTION, so the sketch costs nothing in
+# certifiability: the oracle is the plain NOT EXISTS. This is the
+# anti-join shape Catalyst's runtime bloom filter cannot produce
+# (runtime blooms prune inner/semi probes only). Fingerprint = the
+# prefix_dup_groups 8-token-opener hash (the synthetic corpus has no
+# byte-exact dups, so the full-text fingerprint would make removal a
+# no-op; templated openers DO cross the snapshot boundary — 13 removed
+# at sf0.01, 10 at sf0.001).
+# At 100 TB: history compresses to a broadcastable bitmap table
+# (m/8 bytes total) and the new crawl never shuffles in full.
+
+BLOOM_SPLIT = 250  # doc_id < BLOOM_SPLIT = historical snapshot
+BLOOM_M_BITS = 1 << 16
+
+
+def _bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import bloom_anti_join
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 8)))
+    docs = t.documents.select("doc_id", "source", fp.alias("fp"))
+    hist = docs.filter(F.col("doc_id") < BLOOM_SPLIT)
+    new = docs.filter(F.col("doc_id") >= BLOOM_SPLIT)
+    out = bloom_anti_join(new, hist, "fp", m_bits=BLOOM_M_BITS)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+_BLOOM_INCREMENTAL_DEDUP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split_regex(trim(text), '\\s+')[1:8], ' ')) AS fp
+  FROM documents
+)
+SELECT n.doc_id, n.source
+FROM d n
+WHERE n.doc_id >= {BLOOM_SPLIT}
+  AND NOT EXISTS (SELECT 1 FROM d h
+                  WHERE h.doc_id < {BLOOM_SPLIT} AND h.fp = n.fp)
+ORDER BY n.doc_id
+"""
+
+
 # --- Q: pagerank_docs — centrality over the near-dup graph ------------
 # PageRank over the near-dup graph of the WHOLE corpus (edges =
 # MinHash-LSH verified pairs at Jaccard >= 0.2, both directions): the
@@ -1518,6 +1567,7 @@ SPECS = [
     QuerySpec("length_drift_ks", "two-sample KS drift statistic from compact histograms", _length_drift_ks, _LENGTH_DRIFT_KS_SQL, tags=("text", "profiling", "agg")),
     QuerySpec("length_drift_psi", "population stability index with add-one smoothing", _length_drift_psi, _LENGTH_DRIFT_PSI_SQL, tags=("text", "profiling", "agg")),
     QuerySpec("incremental_corpus_dups", "near-dups of new docs vs a previous snapshot", _incremental_corpus_dups, _INCREMENTAL_CORPUS_DUPS_SQL, tags=("dedup", "text")),
+    QuerySpec("bloom_incremental_dedup", "exact anti-join dedup behind a bloom prefilter: result-identical, bulk never joins", _bloom_incremental_dedup, _BLOOM_INCREMENTAL_DEDUP_SQL, tags=("dedup", "scale")),
     QuerySpec("pagerank_docs", "PageRank centrality over the near-dup graph", _pagerank_docs, None, tags=("graph", "approx")),
     QuerySpec("pagerank_docs_exact", "fixed-10-round PageRank vs an unrolled-CTE SQL power iteration", _pagerank_docs_exact, _pagerank_docs_exact_sql, tags=("graph",)),
     QuerySpec("value_outliers", "z-score anomalies from exact decimal moments", _value_outliers, _VALUE_OUTLIERS_SQL, tags=("events", "agg")),

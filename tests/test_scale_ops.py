@@ -178,3 +178,49 @@ def test_attach_global_scalar_materializes_base_once(spark):
 
     naive = per.crossJoin(F.broadcast(per.agg(F.sum("q").alias("tq"), F.count(F.lit(1)).alias("n"))))
     assert sorted(map(tuple, rows)) == sorted(map(tuple, naive.collect()))
+
+
+def _bloom_frames(spark):
+    # history keys h0..h49; new = 30 fresh keys + 10 dups-of-history
+    # (one repeated TWICE to pin bag semantics through the split)
+    hist = spark.createDataFrame([(f"h{i}",) for i in range(50)], ["k"])
+    new_rows = (
+        [(f"n{i}", i) for i in range(30)]
+        + [(f"h{i}", 100 + i) for i in range(10)]
+        + [("n0", 999)]  # duplicate new row: must survive twice
+    )
+    new = spark.createDataFrame(new_rows, ["k", "payload"])
+    return new, hist
+
+
+def test_bloom_anti_join_is_result_identical_to_plain_anti(spark):
+    """The bloom prefilter only routes rows; the exact join decides —
+    the result must equal new.join(history, key, left_anti) exactly,
+    duplicates included, at a realistic m and at the degenerate
+    m_bits=64 where every key collides into one block (the exact
+    verify join absorbs 100% false positives)."""
+    from databeats_spark.operators.scale import bloom_anti_join
+
+    new, hist = _bloom_frames(spark)
+    want = sorted(map(tuple, new.join(hist, "k", "left_anti").collect()))
+    for m in (1 << 14, 64):
+        got = sorted(map(tuple, bloom_anti_join(new, hist, "k", m_bits=m).collect()))
+        assert got == want, m
+    assert len(want) == 31  # 30 fresh + the duplicated n0 twice
+
+
+def test_bloom_probe_has_no_false_negatives_and_prunes(spark):
+    """Every history-present key must probe positive (the correctness
+    property the pass-through leans on); with a well-sized bitmap the
+    fresh keys overwhelmingly probe negative (the pruning property:
+    only the candidate slice ever reaches the exact join)."""
+    from databeats_spark.operators.scale import bloom_bitmap, bloom_probe
+
+    new, hist = _bloom_frames(spark)
+    bm = bloom_bitmap(hist, "k", m_bits=1 << 14)
+    probed = bloom_probe(new, bm, "k", m_bits=1 << 14).collect()
+    hits = {(r["k"], r["payload"]): r["__bloom_hit"] for r in probed}
+    for i in range(10):
+        assert hits[(f"h{i}", 100 + i)] is True  # no false negatives
+    fresh_hits = sum(1 for (k, _), h in hits.items() if k.startswith("n") and h)
+    assert fresh_hits <= 2  # 31 fresh rows, m=16K bits for 50 keys
