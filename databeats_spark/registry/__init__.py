@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "session_transcripts",  # r8: dialog assembly (chat-log -> training doc)
+    "lang_label_noise",  # r8: per-language label-noise rate
     "bloom_incremental_dedup",  # r8: bloom-prefiltered exact anti join
     "takedown_blast_radius",  # r8: takedown what-if over dedup clusters
     "semantic_decontam",  # r8: embedding-space eval decontamination
@@ -123,8 +125,8 @@ _WINDOW = (
     "text_stats", "near_dup_pairs",
     # — stalest remaining green rows (rotation_report order):
     "fuzzy_part_names", "large_volume_orders", "order_nav",
-    "unpivot_part_metrics", "spend_percentiles", "embedding_stats",
-    # (lsh_cosine_topk, ivf_cosine_topk, simhash_near_dups, canonical_docs, repetition_stats displaced by the late-r8
+    "unpivot_part_metrics",
+    # (spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk, simhash_near_dups, canonical_docs, repetition_stats displaced by the late-r8
     # compliance-tier prepends; order_count_histogram, value_histogram, part_name_features,
     # math_scalar_features, calendar_features, idle_high_balance,
     # top_supplier_revenue, small_qty_revenue, min_cost_supplier,

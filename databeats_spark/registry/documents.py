@@ -133,20 +133,26 @@ def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lang_id_sql() -> str:
-    # replicate functions/text.py lang_guess: running argmax with strict
-    # '>' in dict order — first language wins ties, 'und' if all zero.
+def _lang_guess_sql_parts() -> tuple[str, str]:
+    """The DuckDB replica of functions/text.py lang_guess, shared by
+    _lang_id_sql and _lang_label_noise_sql: per-language marker-hit
+    score columns + the running-argmax CASE chain (strict '>' in dict
+    order — first language wins ties, 'und' if all zero)."""
     score_cols = []
     for lang, marks in LANG_MARKERS.items():
         lst = ", ".join(f"'{w}'" for w in marks)
         score_cols.append(f"len(list_filter(toks, x -> x IN ({lst}))) AS s_{lang}")
-    langs = list(LANG_MARKERS)
-    # build running-best CASE chain
     best_expr = "'und'"
     best_score = "0"
-    for lang in langs:
+    for lang in LANG_MARKERS:
         best_expr = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best_expr} END"
         best_score = f"greatest(s_{lang}, {best_score})"
+    return ", ".join(score_cols), best_expr
+
+
+def _lang_id_sql() -> str:
+    score_cols_sql, best_expr = _lang_guess_sql_parts()
+    score_cols = [score_cols_sql]
     return f"""
 WITH t AS (
   SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -156,6 +162,55 @@ WITH t AS (
 SELECT doc_id, lang AS labeled_lang, {best_expr} AS lang_guess
 FROM s
 ORDER BY doc_id
+"""
+
+
+# --- Q: lang_label_noise — provenance label-noise rollup --------------
+# The audit on top of lang_id: how often does the stored language
+# label disagree with the heuristic guess, per labeled language — the
+# label-noise rate a training mix keyed on `lang` silently inherits
+# (mislabeled docs poison per-language sampling quotas and per-lang
+# quality bands). Reuses the hash-matched lang_guess replica verbatim
+# (one shared SQL builder), so the disagreement column is certified by
+# the same dual-engine argmax. One corpus pass, 5-row output.
+
+def _lang_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    t.documents = spread(t.documents, spark)
+    disagree = (F.col("guess") != F.col("labeled_lang")).cast("bigint")
+    return (
+        t.documents.select(
+            F.col("lang").alias("labeled_lang"), lang_guess("text").alias("guess")
+        )
+        .groupBy("labeled_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(disagree).cast("bigint").alias("n_disagree"),
+            F.round(F.sum(disagree) / F.count(F.lit(1)), 6).alias("disagree_share"),
+        )
+        .orderBy("labeled_lang")
+    )
+
+
+def _lang_label_noise_sql() -> str:
+    score_cols_sql, best_expr = _lang_guess_sql_parts()
+    return f"""
+WITH t AS (
+  SELECT lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT lang, {score_cols_sql} FROM t
+), g AS (
+  SELECT lang AS labeled_lang, {best_expr} AS guess FROM s
+)
+SELECT labeled_lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN guess <> labeled_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disagree,
+       round(sum(CASE WHEN guess <> labeled_lang THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS disagree_share
+FROM g
+GROUP BY labeled_lang
+ORDER BY labeled_lang
 """
 
 
@@ -1033,6 +1088,7 @@ SPECS = [
     QuerySpec("doc_fingerprints", "document fingerprinting (full + prefix)", _doc_fingerprints, _DOC_FINGERPRINTS_SQL, tags=("text",)),
     QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
+    QuerySpec("lang_label_noise", "per-language label-noise rate: stored lang vs the heuristic guess", _lang_label_noise, _lang_label_noise_sql, tags=("text", "quality")),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),
     QuerySpec("dedup_components", "connected components of the near-dup graph (dedup clusters)", _dedup_components, _DEDUP_COMPONENTS_SQL, tags=("dedup", "graph")),
     QuerySpec("posexplode_tokens", "positional explode: (token, position) pairs", _posexplode_tokens, _POSEXPLODE_TOKENS_SQL, tags=("text", "reshape")),

@@ -183,6 +183,79 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+# --- Q: session_transcripts — dialog assembly for training data -------
+# The step between event logs and a trainable corpus: per session (the
+# sessionization gap rule verbatim), the ORDERED event-type sequence
+# assembled into one transcript string — the chat-log → training-
+# document move an interaction dataset needs. Determinism: the
+# transcript order is the total order (us, event_id) via array_sort
+# over structs on the Spark side and string_agg(... ORDER BY us,
+# event_id) in SQL — event_id is unique, so no tie is left to the
+# engine. Sessions shorter than MIN_TURNS are dropped (not trainable).
+# Scale shape: the same single user-keyed window as sessionization,
+# then one hash aggregate; transcript bytes ∝ session length, rows ∝
+# sessions.
+
+MIN_TURNS = 3
+
+
+def _session_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    new_s = (
+        F.when(F.lag("us").over(w).isNull(), 1)
+        .when(F.col("us") - F.lag("us").over(w) > SESSION_GAP_US, 1)
+        .otherwise(0)
+    )
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    transcript = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("us", "event_id", "event_type"))),
+            lambda s: s["event_type"],
+        ),
+        " ",
+    )
+    return (
+        ev.withColumn("sid", sid)
+        .groupBy("user_id", F.col("sid").cast("long").alias("sid"))
+        .agg(
+            transcript.alias("transcript"),
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            (F.max("us") - F.min("us")).cast("long").alias("duration_us"),
+        )
+        .filter(F.col("n_turns") >= MIN_TURNS)
+        .orderBy("user_id", "sid")
+    )
+
+
+_SESSION_TRANSCRIPTS_SQL = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT user_id, event_id, event_type, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, CAST(sid AS BIGINT) AS sid,
+       string_agg(event_type, ' ' ORDER BY us, event_id) AS transcript,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM s
+GROUP BY user_id, sid
+HAVING count(*) >= {MIN_TURNS}
+ORDER BY user_id, sid
+"""
+
+
 def _asof_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click enriched with the user's most recent
     prior (inclusive) purchase value. DuckDB's native ASOF JOIN is the
@@ -623,6 +696,7 @@ SPECS = [
     QuerySpec("time_features", "C1-C5 scalar time functions", _time_features, _TIME_FEATURES_SQL, tags=("scalar",)),
     QuerySpec("json_props", "C7 JSON field extraction", _json_props, _JSON_PROPS_SQL, tags=("scalar",)),
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
+    QuerySpec("session_transcripts", "dialog assembly: ordered per-session event transcripts for training data", _session_transcripts, _SESSION_TRANSCRIPTS_SQL, tags=("window", "events", "text")),
     QuerySpec("session_windows", "native batch session_window vs islands oracle (strict-gap semantics)", _session_windows, _SESSION_WINDOWS_SQL, tags=("window", "timeseries")),
     QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
     QuerySpec("approx_price_quantiles_exact", "oracle twin: identical grouping with exact type-7 percentiles (certifies all but the sketch)", _approx_price_quantiles_exact, _APPROX_PRICE_QUANTILES_EXACT_SQL, tags=("agg", "approx")),

@@ -284,3 +284,37 @@ def test_takedown_blast_radius_partitions_the_canonical_set(spark):
     assert (out["n_canonical_lost"] == out["n_reelected"] + out["n_dissolved"]).all()
     assert (out["n_canonical_lost"] <= out["n_docs"]).all()
     assert out["n_docs"].sum() >= len(keep)
+
+
+def test_lang_label_noise_is_the_lang_id_rollup(spark):
+    """The per-language noise rates must be exactly the groupby of the
+    per-doc lang_id disagreement column — the two queries share the
+    certified guess expression, so any drift is a refactor bug."""
+    from databeats_spark.registry import queries
+
+    q = queries()
+    per_doc = q["lang_id"](spark, SF_SMOKE).toPandas()
+    roll = q["lang_label_noise"](spark, SF_SMOKE).toPandas()
+    per_doc["dis"] = per_doc["lang_guess"] != per_doc["labeled_lang"]
+    ref = per_doc.groupby("labeled_lang")["dis"].agg(["count", "sum"])
+    got = roll.set_index("labeled_lang")
+    assert got["n_docs"].to_dict() == ref["count"].to_dict()
+    assert got["n_disagree"].to_dict() == ref["sum"].to_dict()
+
+
+def test_session_transcripts_agree_with_sessionization(spark):
+    """Transcript turn counts must be internally consistent (token
+    count == n_turns) and the per-user count of >=MIN_TURNS sessions
+    can never exceed sessionization's total session count."""
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import MIN_TURNS
+
+    q = queries()
+    tr = q["session_transcripts"](spark, SF_SMOKE).toPandas()
+    assert (tr["n_turns"] >= MIN_TURNS).all()
+    assert (tr["transcript"].str.split(" ").str.len() == tr["n_turns"]).all()
+    assert (tr["duration_us"] >= 0).all()
+    sess = q["sessionization"](spark, SF_SMOKE).toPandas().set_index("user_id")
+    per_user = tr.groupby("user_id").size()
+    for uid, n in per_user.items():
+        assert n <= sess.loc[uid, "n_sessions"]
