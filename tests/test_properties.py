@@ -241,3 +241,24 @@ def test_substring_dedup_is_shift_invariant(spark, tmp_path_factory, run_len, of
     got = _substring_dup_spans(spark, sf_dir).toPandas()
     assert len(got) == 1
     assert int(got.iloc[0]["max_span_tokens"]) == run_len
+
+
+@given(
+    hist_keys=st.sets(st.integers(min_value=0, max_value=60), max_size=25),
+    new_keys=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=30),
+    m_bits=st.sampled_from([64, 256, 1 << 12]),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_bloom_anti_join_identity_under_random_overlap(spark, hist_keys, new_keys, m_bits):
+    """bloom_anti_join must equal the plain left_anti join for ANY
+    history/new overlap, duplicate multiplicity, and bitmap size —
+    including m_bits=64 where every position collides into one block.
+    The sketch routes rows; the exact join decides."""
+    from databeats_spark.operators.scale import bloom_anti_join
+
+    hist = spark.createDataFrame([(str(k),) for k in sorted(hist_keys)] or [("__none__",)], ["k"])
+    new = spark.createDataFrame([(str(k), i) for i, k in enumerate(new_keys)], ["k", "payload"])
+    want = sorted(map(tuple, new.join(hist, "k", "left_anti").collect()))
+    got = sorted(map(tuple, bloom_anti_join(new, hist, "k", m_bits=m_bits).collect()))
+    assert got == want
