@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "ann_recall_audit",  # r8: recall@k of the IVF probe path, dual-engine
+    "embedding_isotropy_audit",  # r8: embedding-collapse detector
     "session_transcripts",  # r8: dialog assembly (chat-log -> training doc)
     "lang_label_noise",  # r8: per-language label-noise rate
     "bloom_incremental_dedup",  # r8: bloom-prefiltered exact anti join
@@ -124,9 +126,9 @@ _WINDOW = (
     "sessionization", "asof_purchase_value", "dedup_exact_docs",
     "text_stats", "near_dup_pairs",
     # — stalest remaining green rows (rotation_report order):
-    "fuzzy_part_names", "large_volume_orders", "order_nav",
-    "unpivot_part_metrics",
-    # (spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk, simhash_near_dups, canonical_docs, repetition_stats displaced by the late-r8
+    "fuzzy_part_names", "large_volume_orders",
+    # (order_nav, unpivot_part_metrics displaced by the r8 vector-audit
+    # prepends; spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk, simhash_near_dups, canonical_docs, repetition_stats displaced by the late-r8
     # compliance-tier prepends; order_count_histogram, value_histogram, part_name_features,
     # math_scalar_features, calendar_features, idle_high_balance,
     # top_supplier_revenue, small_qty_revenue, min_cost_supplier,

@@ -1302,8 +1302,175 @@ ORDER BY vec_id
 """
 
 
+# --- Q: ann_recall_audit — recall@k of the IVF probe path, in-engine -----
+# The evaluation harness every ANN deployment needs: recall@k of the
+# approximate index against the exact brute-force top-k, computed as
+# ONE plan (no driver-side set math). Ground truth = the cosine_topk
+# pipeline; candidate = the fixed-centroid IVF probe path (the same
+# assign→probe→rank arithmetic ivf_cosine_topk_exact certifies), so
+# the whole recall computation is dual-engine and hash-matched — at
+# scale you swap the fixed centroids for the KMeans index and the
+# recall query is unchanged. Both inputs are k×N_QUERY_VECS-bounded
+# top-k slices, so the audit join moves O(k·q) rows regardless of
+# corpus size; recall is one integer division per query.
+
+
+def _ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = (
+        _ivf_cosine_topk_exact(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("hits"),
+        )
+        .withColumn("recall", F.round(F.col("hits") / F.col("k"), 6))
+        .orderBy("query_id")
+    )
+
+
+def _ann_recall_audit_sql() -> str:
+    return f"""
+WITH {_fixed_assign_ctes(IVF_EXACT_LISTS)}, probe AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cv) DESC,
+                      c.centroid_id
+           ) AS prn
+    FROM embeddings e CROSS JOIN c
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE prn <= {IVF_EXACT_PROBE}
+), ivf AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY p.query_id
+             ORDER BY list_cosine_similarity(p.qv, CAST(a.embedding AS DOUBLE[])) DESC,
+                      a.vec_id
+           ) AS rnk
+    FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+    WHERE a.vec_id <> p.query_id
+  ) WHERE rnk <= {TOP_K}
+), q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) DESC,
+                      e.vec_id
+           ) AS rnk
+    FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+  ) WHERE rnk <= {TOP_K}
+)
+SELECT x.query_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(sum(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits,
+       round(sum(CASE WHEN i.neighbor_id IS NULL THEN 0 ELSE 1 END)
+             * 1.0 / count(*), 6) AS recall
+FROM exact x
+LEFT JOIN ivf i ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+
+# --- Q: embedding_isotropy_audit — collapsed-embedding detector ----------
+# The pre-ANN health check: per label, L2-norm dispersion and the mean
+# cosine to the GLOBAL corpus centroid. Anisotropic / collapsed
+# embedding spaces (a failed encoder run, a dominant principal
+# direction) show up as mean_cos_centroid near 1 long before ANN
+# recall quietly degrades. One corpus pass: positional explode →
+# 64-row global centroid (map-side partial agg collapses the explode
+# before the shuffle) → broadcast back by position; the centroid's
+# self-norm is folded into the SAME per-vector aggregate (sum of c²
+# over the 64 joined positions) so no derived-scalar crossJoin exists.
+# Centroid rounds to 6 before use so both engines fold identical
+# doubles (the label_centroid_distance recipe).
+
+
+def _embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    expl = load_tables(spark, sf_dir, ["embeddings"]).embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    cent = expl.groupBy(F.col("pos").alias("cpos")).agg(
+        F.round(F.avg("val"), 6).alias("c")
+    )
+    per_vec = (
+        expl.join(F.broadcast(cent), expl["pos"] == cent["cpos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("__dot"),
+            F.sum(F.col("val") * F.col("val")).alias("__v2"),
+            F.sum(F.col("c") * F.col("c")).alias("__c2"),
+        )
+        .select(
+            "label",
+            F.sqrt("__v2").alias("__norm"),
+            (F.col("__dot") / (F.sqrt("__v2") * F.sqrt("__c2"))).alias("__cos"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.round(F.avg("__norm"), 6).alias("mean_norm"),
+            F.round(F.stddev_pop("__norm"), 6).alias("sd_norm"),
+            F.round(F.avg("__cos"), 6).alias("mean_cos_centroid"),
+            F.round(F.min("__cos"), 6).alias("min_cos_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+_EMBEDDING_ISOTROPY_AUDIT_SQL = """
+WITH expl AS (
+  SELECT vec_id, CAST(label AS BIGINT) AS label,
+         CAST(u[2] AS BIGINT) AS pos, CAST(u[1] AS DOUBLE) AS val
+  FROM (
+    SELECT vec_id, label,
+           unnest(list_zip(CAST(embedding AS DOUBLE[]),
+                           range(0, len(embedding)))) AS u
+    FROM embeddings
+  )
+), cent AS (
+  SELECT pos, round(avg(val), 6) AS c FROM expl GROUP BY pos
+), per_vec AS (
+  SELECT e.vec_id, e.label,
+         sqrt(sum(e.val * e.val)) AS nrm,
+         sum(e.val * c.c)
+           / (sqrt(sum(e.val * e.val)) * sqrt(sum(c.c * c.c))) AS cos_c
+  FROM expl e JOIN cent c ON e.pos = c.pos
+  GROUP BY e.vec_id, e.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(nrm), 6) AS mean_norm,
+       round(stddev_pop(nrm), 6) AS sd_norm,
+       round(avg(cos_c), 6) AS mean_cos_centroid,
+       round(min(cos_c), 6) AS min_cos_centroid
+FROM per_vec
+GROUP BY label
+ORDER BY label
+"""
+
+
 SPECS = [
     QuerySpec("hard_negatives", "contrastive hard-negative mining: top-k cross-label cosine", _hard_negatives, _HARD_NEGATIVES_SQL, tags=("similarity", "ml")),
+    QuerySpec("ann_recall_audit", "recall@k of the IVF probe path vs exact top-k, one dual-engine plan", _ann_recall_audit, _ann_recall_audit_sql, tags=("similarity", "audit")),
+    QuerySpec("embedding_isotropy_audit", "per-label norm dispersion + mean cosine to the global centroid (collapse detector)", _embedding_isotropy_audit, _EMBEDDING_ISOTROPY_AUDIT_SQL, tags=("similarity", "audit")),
     QuerySpec("retrieval_label_precision", "precision@k retrieval eval with label relevance", _retrieval_label_precision, _RETRIEVAL_LABEL_PRECISION_SQL, tags=("similarity", "ml", "audit")),
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),

@@ -318,3 +318,58 @@ def test_session_transcripts_agree_with_sessionization(spark):
     per_user = tr.groupby("user_id").size()
     for uid, n in per_user.items():
         assert n <= sess.loc[uid, "n_sessions"]
+
+
+def test_ann_recall_audit_is_the_topk_set_intersection(spark):
+    """hits/k must equal the literal intersection of the exact and
+    IVF-probe top-k neighbor sets per query — the audit is pure set
+    arithmetic over the two pipelines it reuses, so any drift means
+    the recall harness no longer measures the index it claims to."""
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.vectors import TOP_K
+
+    q = queries()
+    exact = q["cosine_topk"](spark, SF_SMOKE).toPandas()
+    approx = q["ivf_cosine_topk_exact"](spark, SF_SMOKE).toPandas()
+    audit = q["ann_recall_audit"](spark, SF_SMOKE).toPandas().set_index("query_id")
+    assert len(audit) == exact["query_id"].nunique()
+    for qid, grp in exact.groupby("query_id"):
+        e = set(grp["neighbor_id"])
+        a = set(approx.loc[approx["query_id"] == qid, "neighbor_id"])
+        row = audit.loc[qid]
+        assert row["k"] == len(e) == TOP_K
+        assert row["hits"] == len(e & a)
+        assert abs(row["recall"] - len(e & a) / len(e)) <= 1e-6
+    assert ((audit["recall"] >= 0) & (audit["recall"] <= 1)).all()
+
+
+def test_embedding_isotropy_matches_numpy(spark):
+    """Per-label norm dispersion and cosine-to-global-centroid must
+    match an independent numpy brute force (centroid rounded to 6 as
+    the dual-engine recipe does) — the collapse detector's arithmetic
+    is certified end to end, not just engine-agreed."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = (
+        queries()["embedding_isotropy_audit"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("label")
+    )
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    c = np.round(vecs.mean(axis=0), 6)
+    norms = np.linalg.norm(vecs, axis=1)
+    cos = (vecs @ c) / (norms * np.linalg.norm(c))
+    assert len(out) == len(np.unique(labels))
+    for lab in np.unique(labels):
+        m = labels == lab
+        row = out.loc[int(lab)]
+        assert row["n_vecs"] == m.sum()
+        assert abs(row["mean_norm"] - norms[m].mean()) < 1e-5
+        assert abs(row["sd_norm"] - norms[m].std()) < 1e-5
+        assert abs(row["mean_cos_centroid"] - cos[m].mean()) < 1e-5
+        assert abs(row["min_cos_centroid"] - cos[m].min()) < 1e-5
