@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "normalized_dedup_delta",  # r8: case/punct-masked duplication delta
+    "dedup_upsample_weights",  # r8: 1/cluster-size corrected mix weights
     "ann_recall_audit",  # r8: recall@k of the IVF probe path, dual-engine
     "embedding_isotropy_audit",  # r8: embedding-collapse detector
     "session_transcripts",  # r8: dialog assembly (chat-log -> training doc)
@@ -125,9 +127,8 @@ _WINDOW = (
     "top_customers", "revenue_by_nation", "weekly_chart_streak",
     "sessionization", "asof_purchase_value", "dedup_exact_docs",
     "text_stats", "near_dup_pairs",
-    # — stalest remaining green rows (rotation_report order):
-    "fuzzy_part_names", "large_volume_orders",
-    # (order_nav, unpivot_part_metrics displaced by the r8 vector-audit
+    # (fuzzy_part_names, large_volume_orders displaced by the r8
+    # corpus-economics prepends; order_nav, unpivot_part_metrics displaced by the r8 vector-audit
     # prepends; spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk, simhash_near_dups, canonical_docs, repetition_stats displaced by the late-r8
     # compliance-tier prepends; order_count_histogram, value_histogram, part_name_features,
     # math_scalar_features, calendar_features, idle_high_balance,

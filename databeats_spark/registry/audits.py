@@ -815,7 +815,155 @@ FROM p GROUP BY bucket ORDER BY bucket
 """
 
 
+# --- Q: normalized_dedup_delta — casefold/punct-masked duplication -------
+# Exact dedup keyed on raw bytes misses duplicates that differ only in
+# case, punctuation, or whitespace — the delta between raw-hash and
+# normalized-hash duplication is the mass a normalization pass would
+# recover before dedup. Normalization is engine-identical by
+# construction: lowercase → strip everything outside [a-z0-9 +
+# explicit whitespace] → collapse runs → trim, with the whitespace
+# class spelled out as [ \t\n\r\f] on BOTH engines (Java \s includes
+# \x0B, RE2 \s does not — the control-byte lesson applied
+# preemptively). Scale shape: project each doc to (source, md5(raw),
+# md5(norm)) FIRST, so the two per-hash count windows shuffle two
+# 32-char digests per row, never the text.
+
+_NORM_WS = r"[ \t\n\r\f]"
+
+
+def _normalized_text_col():
+    stripped = F.regexp_replace(
+        F.lower(F.col("text")), f"[^a-z0-9{_NORM_WS[1:-1]}]", ""
+    )
+    return F.trim(F.regexp_replace(stripped, f"{_NORM_WS}+", " "))
+
+
+def _normalized_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    slim = t.documents.select(
+        "source",
+        F.md5(F.col("text")).alias("h_raw"),
+        F.md5(_normalized_text_col()).alias("h_norm"),
+    )
+    cnt_raw = F.count(F.lit(1)).over(Window.partitionBy("h_raw"))
+    cnt_norm = F.count(F.lit(1)).over(Window.partitionBy("h_norm"))
+    flagged = slim.select(
+        "source",
+        (cnt_raw > 1).cast("bigint").alias("raw_dup"),
+        (cnt_norm > 1).cast("bigint").alias("norm_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("raw_dup").cast("bigint").alias("raw_dup_docs"),
+            F.sum("norm_dup").cast("bigint").alias("norm_dup_docs"),
+            F.sum(F.col("norm_dup") - F.col("raw_dup")).cast("bigint").alias("masked_dup_docs"),
+        )
+        .withColumn("masked_share", F.round(F.col("masked_dup_docs") / F.col("n_docs"), 6))
+        .orderBy("source")
+    )
+
+
+_NORMALIZED_DEDUP_DELTA_SQL = r"""
+WITH slim AS (
+  SELECT source, md5(text) AS h_raw,
+         md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 \t\n\r\f]', '', 'g'),
+               '[ \t\n\r\f]+', ' ', 'g'))) AS h_norm
+  FROM documents
+), flagged AS (
+  SELECT source,
+         CASE WHEN count(*) OVER (PARTITION BY h_raw) > 1 THEN 1 ELSE 0 END AS raw_dup,
+         CASE WHEN count(*) OVER (PARTITION BY h_norm) > 1 THEN 1 ELSE 0 END AS norm_dup
+  FROM slim
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(raw_dup) AS BIGINT) AS raw_dup_docs,
+       CAST(sum(norm_dup) AS BIGINT) AS norm_dup_docs,
+       CAST(sum(norm_dup - raw_dup) AS BIGINT) AS masked_dup_docs,
+       round(sum(norm_dup - raw_dup) * 1.0 / count(*), 6) AS masked_share
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --- Q: dedup_upsample_weights — duplication-corrected mix weights -------
+# The sampling-weights table a mix planner consumes: weighting every
+# doc by 1/(global exact-dup group size) makes each distinct text
+# count once no matter how many sources re-crawled it, so
+# sum(eff_docs) == |distinct texts| corpus-wide (pinned in pytest) and
+# per-source dup_inflation = n_docs / eff_docs is the factor by which
+# raw counts overstate that source's real contribution. Char-weighted
+# twins (eff_chars) give the token-budget view. Same slim-projection
+# posture as normalized_dedup_delta: one digest window, never the text.
+
+
+def _dedup_upsample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    slim = t.documents.select(
+        "source", F.col("n_chars").cast("double").alias("nc"),
+        F.md5(F.col("text")).alias("h_raw"),
+    )
+    g = F.count(F.lit(1)).over(Window.partitionBy("h_raw"))
+    per_doc = slim.select(
+        "source", "nc", (F.lit(1.0) / g).alias("w"), (F.col("nc") / g).alias("wc")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.sum("w"), 6).alias("eff_docs"),
+            F.round(F.count(F.lit(1)) / F.sum("w"), 6).alias("dup_inflation"),
+            F.sum("nc").cast("bigint").alias("n_chars"),
+            F.round(F.sum("wc"), 6).alias("eff_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_DEDUP_UPSAMPLE_WEIGHTS_SQL = """
+WITH slim AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS nc, md5(text) AS h_raw FROM documents
+), per_doc AS (
+  SELECT source, nc,
+         1.0 / count(*) OVER (PARTITION BY h_raw) AS w,
+         nc / count(*) OVER (PARTITION BY h_raw) AS wc
+  FROM slim
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(w), 6) AS eff_docs,
+       round(count(*) / sum(w), 6) AS dup_inflation,
+       CAST(CAST(sum(nc) AS DOUBLE) AS BIGINT) AS n_chars,
+       round(sum(wc), 6) AS eff_chars
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "normalized_dedup_delta",
+        "duplication masked by case/punct/whitespace: raw-hash vs normalized-hash dup counts per source",
+        _normalized_dedup_delta,
+        _NORMALIZED_DEDUP_DELTA_SQL,
+        tags=("dedup", "text", "audit"),
+    ),
+    QuerySpec(
+        "dedup_upsample_weights",
+        "duplication-corrected mix weights: 1/cluster-size effective doc and char mass per source",
+        _dedup_upsample_weights,
+        _DEDUP_UPSAMPLE_WEIGHTS_SQL,
+        tags=("dedup", "sampling", "audit"),
+    ),
     QuerySpec(
         "corpus_summary_cube",
         "dataset-card rollup: (source x lang) grouping lattice in one pass",

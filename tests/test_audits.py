@@ -373,3 +373,54 @@ def test_embedding_isotropy_matches_numpy(spark):
         assert abs(row["sd_norm"] - norms[m].std()) < 1e-5
         assert abs(row["mean_cos_centroid"] - cos[m].mean()) < 1e-5
         assert abs(row["min_cos_centroid"] - cos[m].min()) < 1e-5
+
+
+def test_normalized_dedup_delta_matches_pandas_brute_force(spark):
+    """Per-source raw/normalized dup counts must match an independent
+    pandas replica using the SAME explicit whitespace class the two
+    engines share — certifying the normalization arithmetic, not just
+    engine agreement."""
+    import re
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = (
+        queries()["normalized_dedup_delta"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("source")
+    )
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    strip = re.compile(r"[^a-z0-9 \t\n\r\f]")
+    ws = re.compile(r"[ \t\n\r\f]+")
+    norm = docs["text"].str.lower().map(lambda s: ws.sub(" ", strip.sub("", s)).strip())
+    raw_dup = docs["text"].map(docs["text"].value_counts()) > 1
+    norm_dup = norm.map(norm.value_counts()) > 1
+    ref = pd.DataFrame(
+        {"source": docs["source"], "raw": raw_dup, "norm": norm_dup}
+    ).groupby("source")
+    assert out["n_docs"].to_dict() == ref.size().to_dict()
+    assert out["raw_dup_docs"].to_dict() == ref["raw"].sum().to_dict()
+    assert out["norm_dup_docs"].to_dict() == ref["norm"].sum().to_dict()
+    assert (out["masked_dup_docs"] >= 0).all()
+    assert (out["norm_dup_docs"] >= out["raw_dup_docs"]).all()
+
+
+def test_dedup_upsample_weights_conserve_distinct_mass(spark):
+    """1/cluster-size weighting makes every distinct text count exactly
+    once corpus-wide: sum(eff_docs) == |distinct texts| == the row
+    count dedup_exact_docs keeps, and inflation is never below 1."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    q = queries()
+    out = q["dedup_upsample_weights"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    n_distinct = docs["text"].nunique()
+    assert abs(out["eff_docs"].sum() - n_distinct) < 1e-3
+    assert len(q["dedup_exact_docs"](spark, SF_SMOKE).toPandas()) == n_distinct
+    assert (out["n_docs"] >= out["eff_docs"] - 1e-9).all()
+    assert (out["dup_inflation"] >= 1 - 1e-9).all()
+    assert (out["n_chars"] >= out["eff_chars"] - 1e-9).all()
