@@ -1271,6 +1271,61 @@ GROUP BY 1
 ORDER BY 1"""
 
 
+# --- Q: bpe_fertility_by_lang — tokenizer fairness across languages ---
+# bpe_segmentation's fertility histogram is corpus-global; the equity
+# question an LLM data team actually asks is PER LANGUAGE: a vocab
+# trained on a mixed corpus over-fragments the minority languages
+# (high tokens-per-word = more sequence positions per unit of text =
+# less effective context and higher serving cost for those users).
+# Re-attach the final vocabulary's piece counts to the corpus word
+# stream by word and roll up by the document's language label. Scale
+# shape: the corpus is touched once (the word explode); the join side
+# is the Heaps-law-small vocabulary table keyed by word — AQE
+# broadcasts it at test scale and a word-keyed shuffle join handles
+# the 100 TB case; fertility is ONE division of two exact BIGINTs.
+
+def _bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.ml.bpe import train_bpe
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    _, vocab = train_bpe(t.documents, BPE_N_MERGES)
+    seg = vocab.select(
+        "w", F.size(F.split("syms", " ")).cast("long").alias("n_pieces")
+    )
+    words = (
+        t.documents.select("lang", F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    return (
+        words.join(seg, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
+_BPE_FERTILITY_BY_LANG_SQL = _bpe_cte(BPE_N_MERGES, final_vocab=True) + rf"""
+, seg AS (
+  SELECT w, CAST(len(string_split(syms, ' ')) AS BIGINT) AS n_pieces
+  FROM v{BPE_N_MERGES}
+), words AS (
+  SELECT lang, unnest(string_split_regex(text, '\s+')) AS w FROM documents
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_tokens,
+       round(sum(s.n_pieces) * 1.0 / count(*), 6) AS fertility
+FROM (SELECT lang, w FROM words WHERE w <> '') d
+JOIN seg s ON s.w = d.w
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+
+
 # --- Q: price_mad — median absolute deviation per group ---------------
 # The robust scale estimate beside trimmed_price_stats' robust
 # location: MAD = median(|x - median(x)|). Two passes over the same
@@ -1575,4 +1630,5 @@ SPECS = [
     QuerySpec("curation_funnel", "end-to-end curation pipeline stage counts", _curation_funnel, None, tags=("text", "dedup", "sampling", "pipeline")),
     QuerySpec("bpe_merges", "distributed BPE vocabulary training (first merge rules)", _bpe_merges, _BPE_MERGES_SQL, tags=("text", "ml", "pipeline")),
     QuerySpec("bpe_segmentation", "tokenizer-fertility histogram of the post-merge BPE vocabulary", _bpe_segmentation, _BPE_SEGMENTATION_SQL, tags=("text", "ml", "pipeline")),
+    QuerySpec("bpe_fertility_by_lang", "tokenizer-fairness audit: tokens-per-word of the learned vocab per language", _bpe_fertility_by_lang, _BPE_FERTILITY_BY_LANG_SQL, tags=("text", "ml", "audit")),
 ]

@@ -424,3 +424,18 @@ def test_dedup_upsample_weights_conserve_distinct_mass(spark):
     assert (out["n_docs"] >= out["eff_docs"] - 1e-9).all()
     assert (out["dup_inflation"] >= 1 - 1e-9).all()
     assert (out["n_chars"] >= out["eff_chars"] - 1e-9).all()
+
+
+def test_bpe_fertility_conserves_segmentation_mass(spark):
+    """The per-language fertility rollup and the corpus-global
+    segmentation histogram are two views of the SAME vocabulary apply:
+    total word occurrences and total pieces must agree exactly, and
+    fertility can never drop below 1 (every word is >=1 piece)."""
+    from databeats_spark.registry import queries
+
+    q = queries()
+    fert = q["bpe_fertility_by_lang"](spark, SF_SMOKE).toPandas()
+    hist = q["bpe_segmentation"](spark, SF_SMOKE).toPandas()
+    assert fert["n_words"].sum() == hist["total_tokens"].sum()
+    assert fert["n_tokens"].sum() == (hist["n_pieces"] * hist["total_tokens"]).sum()
+    assert (fert["fertility"] >= 1).all()
