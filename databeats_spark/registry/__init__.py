@@ -89,6 +89,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "zorder_locality_audit",  # r8: Z-order vs linear layout spans
     "bpe_fertility_by_lang",  # r8: tokenizer-fairness (tokens/word per lang)
     "normalized_dedup_delta",  # r8: case/punct-masked duplication delta
     "dedup_upsample_weights",  # r8: 1/cluster-size corrected mix weights
@@ -127,8 +128,8 @@ _WINDOW = (
     "cosine_topk", "pricing_summary", "filter_project",
     "top_customers", "revenue_by_nation", "weekly_chart_streak",
     "sessionization", "asof_purchase_value", "dedup_exact_docs",
-    "text_stats",
-    # (near_dup_pairs — pass(r7) — displaced by the fertility prepend;
+    # (text_stats — pass(r7) — displaced by the zorder prepend;
+    # near_dup_pairs — pass(r7) — displaced by the fertility prepend;
     # fuzzy_part_names, large_volume_orders displaced by the r8
     # corpus-economics prepends; order_nav, unpivot_part_metrics displaced by the r8 vector-audit
     # prepends; spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk, simhash_near_dups, canonical_docs, repetition_stats displaced by the late-r8

@@ -471,8 +471,113 @@ ORDER BY est_count DESC, term
 """
 
 
+# --- Q: zorder_locality_audit — multi-dimensional layout locality -----
+# The lakehouse data-layout decision, measured instead of asserted:
+# interleaving the bits of (custkey, order-day) into a Z-value and
+# chunking by Z-range bounds BOTH dimensions' spread per chunk
+# (~2^(s/2) each), while a linear custkey-major layout pins custkey
+# but lets the date span the whole table — so a date-range scan prunes
+# almost nothing. At 100 TB this is the difference between touching
+# every file and touching sqrt-of-them for 2-D predicates; the audit
+# emits per-layout chunk counts and average per-chunk spans as exact
+# integer arithmetic (the interleave is an unrolled DIV/% polynomial,
+# identical on both engines — no engine bit-op semantics to align).
+# Z_BITS=21 per dimension keeps custkey exact through ~sf100 and the
+# 42-bit Z inside BIGINT.
+
+Z_BITS = 21
+Z_CHUNK_SHIFT = 14  # 2^14 z-cells per chunk = a 2^7 x 2^7 block
+
+
+def _z_interleave_terms(div: str) -> str:
+    """The bit-interleave polynomial, spelled with floor division and
+    modulo only (``div`` is 'DIV' for Spark SQL, '//' for DuckDB) so
+    both engines run literally the same arithmetic."""
+    return " + ".join(
+        f"((d1 {div} {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        f" + ((d2 {div} {1 << b}) % 2) * {1 << (2 * b)}"
+        for b in range(Z_BITS)
+    )
+
+
+def _zorder_locality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    pts = t.orders.select(
+        F.col("o_custkey").cast("bigint").alias("d1"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    chunked = pts.select(
+        "d1",
+        "d2",
+        F.expr(f"({_z_interleave_terms('DIV')}) DIV {1 << Z_CHUNK_SHIFT}").alias(
+            "zchunk"
+        ),
+        F.expr(f"(d1 * {1 << Z_BITS} + d2) DIV {1 << Z_CHUNK_SHIFT}").alias("lchunk"),
+    )
+
+    def layout_stats(df: DataFrame, key: str, name: str) -> DataFrame:
+        per_chunk = df.groupBy(key).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.max("d1") - F.min("d1")).alias("s1"),
+            (F.max("d2") - F.min("d2")).alias("s2"),
+        )
+        return per_chunk.agg(
+            F.lit(name).alias("layout"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.round(F.sum("n") / F.count(F.lit(1)), 6).alias("avg_rows_per_chunk"),
+            F.round(F.sum("s1") / F.count(F.lit(1)), 6).alias("avg_span_custkey"),
+            F.round(F.sum("s2") / F.count(F.lit(1)), 6).alias("avg_span_days"),
+        )
+
+    return (
+        layout_stats(chunked, "lchunk", "linear")
+        .unionAll(layout_stats(chunked, "zchunk", "zorder"))
+        .orderBy("layout")
+    )
+
+
+def _zorder_locality_audit_sql() -> str:
+    return f"""
+WITH pts AS (
+  SELECT CAST(o_custkey AS BIGINT) AS d1,
+         CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS d2
+  FROM orders
+), chunked AS (
+  SELECT d1, d2,
+         ({_z_interleave_terms('//')}) // {1 << Z_CHUNK_SHIFT} AS zchunk,
+         (d1 * {1 << Z_BITS} + d2) // {1 << Z_CHUNK_SHIFT} AS lchunk
+  FROM pts
+), lstats AS (
+  SELECT lchunk, count(*) AS n, max(d1) - min(d1) AS s1, max(d2) - min(d2) AS s2
+  FROM chunked GROUP BY lchunk
+), zstats AS (
+  SELECT zchunk, count(*) AS n, max(d1) - min(d1) AS s1, max(d2) - min(d2) AS s2
+  FROM chunked GROUP BY zchunk
+)
+SELECT * FROM (
+  SELECT 'linear' AS layout, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         round(sum(n) * 1.0 / count(*), 6) AS avg_rows_per_chunk,
+         round(sum(s1) * 1.0 / count(*), 6) AS avg_span_custkey,
+         round(sum(s2) * 1.0 / count(*), 6) AS avg_span_days
+  FROM lstats
+  UNION ALL
+  SELECT 'zorder', CAST(count(*) AS BIGINT), CAST(sum(n) AS BIGINT),
+         round(sum(n) * 1.0 / count(*), 6),
+         round(sum(s1) * 1.0 / count(*), 6),
+         round(sum(s2) * 1.0 / count(*), 6)
+  FROM zstats
+)
+ORDER BY layout
+"""
+
+
 SPECS = [
     QuerySpec("recursive_week_spine", "WITH RECURSIVE calendar spine, identical ANSI on both engines", _recursive_week_spine, _RECURSIVE_WEEK_SPINE_SQL, tags=("sql", "timeseries")),
+    QuerySpec("zorder_locality_audit", "Z-order vs linear layout: per-chunk dimension spans (the 2-D pruning decision, measured)", _zorder_locality_audit, _zorder_locality_audit_sql, tags=("scale", "agg")),
     QuerySpec("variant_props_stats", "VARIANT parse_json + variant_get typed extraction", _variant_props_stats, _VARIANT_PROPS_STATS_SQL, tags=("sql", "scalar")),
     QuerySpec("pipe_syntax_returns", "SQL pipe syntax (|>) filter+aggregate vs classic ANSI oracle", _pipe_syntax_returns, _PIPE_SYNTAX_ORACLE, tags=("sql", "agg")),
     QuerySpec("collated_type_counts", "COLLATE UTF8_LCASE case-insensitive grouping vs lower() oracle", _collated_type_counts, _COLLATED_TYPE_COUNTS_SQL, tags=("sql", "scalar")),

@@ -439,3 +439,23 @@ def test_bpe_fertility_conserves_segmentation_mass(spark):
     assert fert["n_words"].sum() == hist["total_tokens"].sum()
     assert fert["n_tokens"].sum() == (hist["n_pieces"] * hist["total_tokens"]).sum()
     assert (fert["fertility"] >= 1).all()
+
+
+def test_zorder_chunks_bound_both_dimensions(spark):
+    """Structural guarantees of the layouts: a Z-chunk is a 2^7 x 2^7
+    block so BOTH average spans stay <= 127; the custkey-major linear
+    layout pins custkey per chunk (span 0, since the day offset never
+    reaches the 2^14 chunk width) but lets the date span the
+    customer's whole history — the measured pruning asymmetry."""
+    from databeats_spark.registry import queries
+
+    out = (
+        queries()["zorder_locality_audit"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("layout")
+    )
+    z, lin = out.loc["zorder"], out.loc["linear"]
+    assert z["n_rows"] == lin["n_rows"]
+    assert z["avg_span_custkey"] <= 127 and z["avg_span_days"] <= 127
+    assert lin["avg_span_custkey"] == 0
+    assert lin["avg_span_days"] > z["avg_span_days"]
