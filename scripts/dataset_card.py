@@ -55,15 +55,33 @@ SECTIONS = [
     ("Language mix vs labels", "lang_label_noise",
      "Disagreement between the stored lang label and the marker "
      "heuristic — the label noise a lang-keyed mix inherits.", None),
+    ("Tokenizer fertility by language", "bpe_fertility_by_lang",
+     "Tokens-per-word of the corpus-trained BPE vocab per language — "
+     "the fairness gap a mixed-corpus tokenizer imposes on minority "
+     "languages.", None),
     ("Duplication by provenance", "dup_rate_by_source",
      "Share of each source's docs that belong to a near-dup pair "
      "(bounded verifier slice).", 10),
+    ("Duplication economics", "dedup_upsample_weights",
+     "1/cluster-size weighting: each source's effective (distinct) doc "
+     "and char mass vs raw counts — dup_inflation is how much a raw "
+     "count overstates the source.", 10),
+    ("Normalization-masked duplication", "normalized_dedup_delta",
+     "Duplicates that only appear after case/punct/whitespace "
+     "normalization — the mass raw-byte exact dedup misses.", 10),
     ("Eval-set contamination — lexical", "benchmark_decontam",
      "4-gram overlap vs the held-out eval shingles (broadcast, "
      "benchmark-sized at any corpus scale); rows are flagged docs.", 8),
     ("Eval-set contamination — semantic", "semantic_decontam",
      "Embedding-cosine hits vs the eval vectors — catches the "
      "paraphrased leakage n-grams miss.", 8),
+    ("Embedding health (isotropy)", "embedding_isotropy_audit",
+     "Per-label norm dispersion and mean cosine to the global "
+     "centroid — collapse shows up as mean_cos_centroid near 1 before "
+     "ANN recall quietly degrades.", None),
+    ("ANN index quality", "ann_recall_audit",
+     "Recall@k of the IVF probe path vs exact brute force, computed "
+     "in-engine per query vector.", None),
     ("Privacy gate: k-anonymity", "k_anonymity_audit",
      "Rows in quasi-identifier groups smaller than k=5, per segment.", None),
     ("Privacy gate: l-diversity", "l_diversity_audit",
