@@ -159,6 +159,11 @@ def main() -> None:
         "fluency_buckets", "corpus_summary_cube",
         # r8 addition: the fully oracle-matched count-min heavy hitters
         "cms_heavy_hitters",
+        # r8 late additions (appended per the like-for-like convention):
+        # corpus economics, normalization-delta dedup, tokenizer
+        # fairness (runs BPE training), and the Z-order layout audit
+        "dedup_upsample_weights", "normalized_dedup_delta",
+        "bpe_fertility_by_lang", "zorder_locality_audit",
     ]
     audit: dict[str, float] = {}
     audit_cpu: dict[str, float] = {}

@@ -55,6 +55,9 @@ QUERIES = [
     "fluency_buckets", "corpus_summary_cube", "hard_negatives",
     "retrieval_label_precision", "cms_heavy_hitters",
     "substring_scrub_stats_hashed", "ngram_novelty_hashed",
+    "dedup_upsample_weights", "normalized_dedup_delta",
+    "bpe_fertility_by_lang", "zorder_locality_audit",
+    "embedding_isotropy_audit",
 ]
 
 

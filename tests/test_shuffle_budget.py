@@ -166,3 +166,17 @@ def test_filter_project_scan_prunes_columns(metrics):
     # full ~2.5 MB table. The only shuffle is the ordered result.
     assert m["n_shuffles"] <= 1, m
     assert m["scan_bytes"] < 2_000_000, m
+
+
+def test_digest_projection_keeps_dedup_audits_slim(metrics):
+    """normalized_dedup_delta / dedup_upsample_weights project docs to
+    (source, md5 digest[s]) BEFORE their count windows — the shuffles
+    carry 32-char hashes, never text. Measured 90/38 KB at sf0.01;
+    budgets carry ~5x headroom and trip if the text column ever rides
+    a window partition key again."""
+    m = metrics("normalized_dedup_delta")
+    assert m["shuffle_bytes"] < 500_000, m
+    assert m["spill_bytes"] == 0, m
+    m = metrics("dedup_upsample_weights")
+    assert m["shuffle_bytes"] < 250_000, m
+    assert m["spill_bytes"] == 0, m
