@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "lang_id_kappa",  # r8: chance-corrected label agreement
+    "k_eidetic_histogram",  # r8: memorization-risk replication curve
     "zorder_locality_audit",  # r8: Z-order vs linear layout spans
     "bpe_fertility_by_lang",  # r8: tokenizer-fairness (tokens/word per lang)
     "normalized_dedup_delta",  # r8: case/punct-masked duplication delta
@@ -127,8 +129,10 @@ _WINDOW = (
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
     "top_customers", "revenue_by_nation", "weekly_chart_streak",
-    "sessionization", "asof_purchase_value", "dedup_exact_docs",
-    # (text_stats — pass(r7) — displaced by the zorder prepend;
+    "sessionization",
+    # (asof_purchase_value, dedup_exact_docs — both pass(r7) — displaced
+    # by the kappa/k-eidetic prepends;
+    # text_stats — pass(r7) — displaced by the zorder prepend;
     # near_dup_pairs — pass(r7) — displaced by the fertility prepend;
     # fuzzy_part_names, large_volume_orders displaced by the r8
     # corpus-economics prepends; order_nav, unpivot_part_metrics displaced by the r8 vector-audit

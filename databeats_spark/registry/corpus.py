@@ -1018,6 +1018,83 @@ def _substring_scrub_stats_hashed(spark: SparkSession, sf_dir: str) -> DataFrame
     return _substring_scrub_stats(spark, sf_dir, hash_anchor=True)
 
 
+# --- Q: k_eidetic_histogram — memorization-risk replication curve -----
+# Carlini et al.'s k-eidetic framing: a span memorizable from k
+# training examples is risky in proportion to how SMALL k is. The
+# curve a release review reads is the replication histogram of
+# MIN_MATCH_TOKENS-gram anchors: for each replication level k>=2 (doc
+# count capped at 10+ for the tail band), how many distinct anchors
+# and how many total positions sit at that level. Pairwise span
+# length is substring_dup_spans' job; this is the ORTHOGONAL axis —
+# breadth of replication, not depth of match. Scale shape: one
+# explode + one anchor-keyed hash aggregate (map-side combined), then
+# a 9-row histogram; the xxhash64-anchor posture of the substring
+# family applies verbatim when the verbatim anchor outgrows the row.
+
+K_EIDETIC_CAP = 10
+
+
+def _k_eidetic_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+
+    def anchors_of(tk):
+        starts = F.sequence(F.lit(1), F.size(tk) - F.lit(MIN_MATCH_TOKENS - 1))
+        return F.transform(
+            starts, lambda i: F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ")
+        )
+
+    toks = tokens(F.regexp_replace(F.col("text"), _CTRL_BYTES_RE, " "))
+    anchors = F.element_at(F.transform(F.array(toks), anchors_of), 1)
+    pos_tbl = (
+        docs.filter(F.size(toks) >= MIN_MATCH_TOKENS)
+        .select("doc_id", F.explode(anchors).alias("anchor"))
+    )
+    per_anchor = pos_tbl.groupBy("anchor").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_positions"),
+    )
+    return (
+        per_anchor.filter(F.col("n_docs") >= 2)
+        .select(
+            F.least(F.col("n_docs"), F.lit(K_EIDETIC_CAP)).alias("replication"),
+            "n_positions",
+        )
+        .groupBy("replication")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+            F.sum("n_positions").cast("bigint").alias("n_positions"),
+        )
+        .orderBy("replication")
+    )
+
+
+_K_EIDETIC_HISTOGRAM_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(text, '[\x00\x01]', ' ', 'g')), '\s+') AS toks
+  FROM documents
+), pos_tbl AS (
+  SELECT doc_id, array_to_string(toks[i:i+{MIN_MATCH_TOKENS - 1}], ' ') AS anchor
+  FROM t, LATERAL (
+    SELECT unnest(range(1, greatest(len(toks) - {MIN_MATCH_TOKENS - 1}, 0) + 1)) AS i
+  ) r
+  WHERE len(toks) >= {MIN_MATCH_TOKENS}
+), per_anchor AS (
+  SELECT anchor, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_positions
+  FROM pos_tbl GROUP BY anchor
+)
+SELECT least(n_docs, {K_EIDETIC_CAP}) AS replication,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(sum(n_positions) AS BIGINT) AS n_positions
+FROM per_anchor
+WHERE n_docs >= 2
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 # --- Q: ngram_novelty — crawl-order novelty profile per source --------
 # How much NEW text each source contributes in crawl order (doc_id
 # stands in for arrival order): a distinct 3-gram is "novel" when the
@@ -1162,6 +1239,7 @@ SPECS = [
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
+    QuerySpec("k_eidetic_histogram", "memorization-risk curve: 8-gram replication histogram (Carlini k-eidetic axis)", _k_eidetic_histogram, _K_EIDETIC_HISTOGRAM_SQL, tags=("dedup", "text", "compliance")),
     QuerySpec("substring_dup_spans_hashed", "scale posture of the substring tier: xxhash64 BIGINT anchors fix shuffle row width, same results/oracle", _substring_dup_spans_hashed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("substring_dup_spans_packed", "full scale posture: hashed anchor + order-isomorphic packed suffix tail (>2x shuffle cut), same results/oracle", _substring_dup_spans_packed, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),
     QuerySpec("ngram_novelty", "crawl-order novelty profile: per-source share of first-seen 3-grams", _ngram_novelty, _NGRAM_NOVELTY_SQL, tags=("text", "agg", "audit")),

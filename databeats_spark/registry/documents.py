@@ -214,6 +214,100 @@ ORDER BY labeled_lang
 """
 
 
+# --- Q: lang_id_kappa — chance-corrected label agreement --------------
+# lang_label_noise reports the raw disagreement rate; the QA metric a
+# labeling team actually compares across segments is Cohen's kappa,
+# which discounts the agreement two skewed marginals produce by
+# chance (a source that is 95% English scores 0.95 accuracy with a
+# constant-'en' guesser — kappa correctly scores it 0). Per source:
+# kappa = (n·agree − Σ_l n_label(l)·n_guess(l)) /
+#         (n² − Σ_l n_label(l)·n_guess(l))
+# — ONE division of two exact BIGINT polynomials (no float sums), on
+# the same certified lang_guess replica the noise rollup shares.
+
+def _lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    t.documents = spread(t.documents, spark)
+    g = t.documents.select(
+        "source", F.col("lang").alias("labeled_lang"), lang_guess("text").alias("guess")
+    )
+    base = g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("guess") == F.col("labeled_lang")).cast("bigint"))
+        .cast("bigint")
+        .alias("agree"),
+    )
+    n_label = g.groupBy("source", F.col("labeled_lang").alias("l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl")
+    )
+    n_guess = g.groupBy("source", F.col("guess").alias("l")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng")
+    )
+    chance = (
+        n_label.join(n_guess, ["source", "l"])
+        .groupBy("source")
+        .agg(F.sum(F.col("nl") * F.col("ng")).cast("bigint").alias("sp"))
+    )
+    return (
+        base.join(chance, "source")
+        .select(
+            "source",
+            "n_docs",
+            "agree",
+            # degenerate-marginal guard (can trigger at sweep SFs with
+            # 2-3 docs per source): pe == 1 makes kappa 0/0 — define it
+            # as 1 on perfect agreement, 0 otherwise, on BOTH engines
+            F.round(
+                F.when(
+                    F.col("n_docs") * F.col("n_docs") == F.col("sp"),
+                    F.when(F.col("agree") == F.col("n_docs"), F.lit(1.0)).otherwise(
+                        F.lit(0.0)
+                    ),
+                ).otherwise(
+                    (F.col("n_docs") * F.col("agree") - F.col("sp"))
+                    / (F.col("n_docs") * F.col("n_docs") - F.col("sp"))
+                ),
+                6,
+            ).alias("kappa"),
+        )
+        .orderBy("source")
+    )
+
+
+def _lang_id_kappa_sql() -> str:
+    score_cols_sql, best_expr = _lang_guess_sql_parts()
+    return f"""
+WITH t AS (
+  SELECT source, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT source, lang, {score_cols_sql} FROM t
+), g AS (
+  SELECT source, lang AS labeled_lang, {best_expr} AS guess FROM s
+), base AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN guess = labeled_lang THEN 1 ELSE 0 END) AS BIGINT) AS agree
+  FROM g GROUP BY source
+), n_label AS (
+  SELECT source, labeled_lang AS l, CAST(count(*) AS BIGINT) AS nl
+  FROM g GROUP BY 1, 2
+), n_guess AS (
+  SELECT source, guess AS l, CAST(count(*) AS BIGINT) AS ng
+  FROM g GROUP BY 1, 2
+), chance AS (
+  SELECT a.source, CAST(sum(a.nl * b.ng) AS BIGINT) AS sp
+  FROM n_label a JOIN n_guess b ON a.source = b.source AND a.l = b.l
+  GROUP BY a.source
+)
+SELECT base.source, base.n_docs, base.agree,
+       round(CASE WHEN base.n_docs * base.n_docs = chance.sp
+                  THEN CASE WHEN base.agree = base.n_docs THEN 1.0 ELSE 0.0 END
+                  ELSE (base.n_docs * base.agree - chance.sp) * 1.0
+                       / (base.n_docs * base.n_docs - chance.sp) END, 6) AS kappa
+FROM base JOIN chance ON chance.source = base.source
+ORDER BY base.source
+"""
+
+
 def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
@@ -1089,6 +1183,7 @@ SPECS = [
     QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
     QuerySpec("lang_label_noise", "per-language label-noise rate: stored lang vs the heuristic guess", _lang_label_noise, _lang_label_noise_sql, tags=("text", "quality")),
+    QuerySpec("lang_id_kappa", "Cohen's kappa per source: chance-corrected lang-label agreement as exact integer polynomials", _lang_id_kappa, _lang_id_kappa_sql, tags=("text", "quality", "audit")),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),
     QuerySpec("dedup_components", "connected components of the near-dup graph (dedup clusters)", _dedup_components, _DEDUP_COMPONENTS_SQL, tags=("dedup", "graph")),
     QuerySpec("posexplode_tokens", "positional explode: (token, position) pairs", _posexplode_tokens, _POSEXPLODE_TOKENS_SQL, tags=("text", "reshape")),

@@ -459,3 +459,70 @@ def test_zorder_chunks_bound_both_dimensions(spark):
     assert z["avg_span_custkey"] <= 127 and z["avg_span_days"] <= 127
     assert lin["avg_span_custkey"] == 0
     assert lin["avg_span_days"] > z["avg_span_days"]
+
+
+def test_lang_id_kappa_matches_numpy_replica(spark):
+    """Kappa per source must equal the chance-corrected agreement
+    computed independently in pandas from the certified per-doc
+    lang_id output joined back to provenance — the integer-polynomial
+    shortcut in the query is exactly Cohen's formula."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    q = queries()
+    out = q["lang_id_kappa"](spark, SF_SMOKE).toPandas().set_index("source")
+    per_doc = q["lang_id"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "source"]]
+    j = per_doc.merge(docs, on="doc_id")
+    for src, grp in j.groupby("source"):
+        n = len(grp)
+        agree = int((grp["lang_guess"] == grp["labeled_lang"]).sum())
+        sp = sum(
+            (grp["labeled_lang"] == l).sum() * (grp["lang_guess"] == l).sum()
+            for l in set(grp["labeled_lang"]) | set(grp["lang_guess"])
+        )
+        row = out.loc[src]
+        assert row["n_docs"] == n and row["agree"] == agree
+        if n * n == sp:
+            expect = 1.0 if agree == n else 0.0
+        else:
+            expect = (n * agree - sp) / (n * n - sp)
+        assert abs(row["kappa"] - expect) <= 1e-6
+        assert -1 <= row["kappa"] <= 1
+
+
+def test_k_eidetic_histogram_matches_python_brute_force(spark):
+    """The replication curve must match a literal Python 8-gram count
+    over the same whitespace tokenization (control bytes scrubbed the
+    same way) — anchors, positions and the 10+ tail band all exact."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.corpus import K_EIDETIC_CAP, MIN_MATCH_TOKENS
+
+    out = queries()["k_eidetic_histogram"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    doc_sets: dict[str, set] = {}
+    positions: Counter = Counter()
+    for _, r in docs.iterrows():
+        toks = re.split(r"\s+", re.sub(r"[\x00\x01]", " ", r["text"]).strip())
+        toks = [t for t in toks if t != ""]
+        if len(toks) < MIN_MATCH_TOKENS:
+            continue
+        for i in range(len(toks) - MIN_MATCH_TOKENS + 1):
+            a = " ".join(toks[i : i + MIN_MATCH_TOKENS])
+            doc_sets.setdefault(a, set()).add(r["doc_id"])
+            positions[a] += 1
+    hist: Counter = Counter()
+    pos_hist: Counter = Counter()
+    for a, ds in doc_sets.items():
+        if len(ds) >= 2:
+            band = min(len(ds), K_EIDETIC_CAP)
+            hist[band] += 1
+            pos_hist[band] += positions[a]
+    got = {int(r["replication"]): (int(r["n_anchors"]), int(r["n_positions"])) for _, r in out.iterrows()}
+    assert got == {b: (hist[b], pos_hist[b]) for b in hist}
