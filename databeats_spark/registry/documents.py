@@ -224,6 +224,9 @@ ORDER BY labeled_lang
 #         (n² − Σ_l n_label(l)·n_guess(l))
 # — ONE division of two exact BIGINT polynomials (no float sums), on
 # the same certified lang_guess replica the noise rollup shares.
+# Range note: n² caps the exact form at ~3e9 docs per source (BIGINT);
+# beyond that compute the two polynomial terms in DOUBLE — the
+# chance-correction loses nothing measurable at that n.
 
 def _lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])

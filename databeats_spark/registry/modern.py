@@ -483,7 +483,10 @@ ORDER BY est_count DESC, term
 # integer arithmetic (the interleave is an unrolled DIV/% polynomial,
 # identical on both engines — no engine bit-op semantics to align).
 # Z_BITS=21 per dimension keeps custkey exact through ~sf100 and the
-# 42-bit Z inside BIGINT.
+# 42-bit Z inside BIGINT. Precondition: both dimensions are
+# non-negative (custkey >= 1; order dates start at the 1992-01-01
+# epoch) — on negatives Spark's DIV truncates toward zero while
+# DuckDB's // floors, so a signed dimension must be offset first.
 
 Z_BITS = 21
 Z_CHUNK_SHIFT = 14  # 2^14 z-cells per chunk = a 2^7 x 2^7 block
