@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "entity_match_pairs",  # r8: record linkage (blocked levenshtein)
+    "entity_clusters",  # r8: entity resolution end-to-end
     "lang_id_kappa",  # r8: chance-corrected label agreement
     "k_eidetic_histogram",  # r8: memorization-risk replication curve
     "zorder_locality_audit",  # r8: Z-order vs linear layout spans
@@ -128,9 +130,10 @@ _WINDOW = (
     # — bench headliners (frozen 14):
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
-    "top_customers", "revenue_by_nation", "weekly_chart_streak",
-    "sessionization",
-    # (asof_purchase_value, dedup_exact_docs — both pass(r7) — displaced
+    "top_customers", "revenue_by_nation",
+    # (weekly_chart_streak, sessionization — both pass(r7) — displaced
+    # by the entity-resolution prepends;
+    # asof_purchase_value, dedup_exact_docs — both pass(r7) — displaced
     # by the kappa/k-eidetic prepends;
     # text_stats — pass(r7) — displaced by the zorder prepend;
     # near_dup_pairs — pass(r7) — displaced by the fertility prepend;
@@ -157,13 +160,13 @@ def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
         audits, corpus, curation, decision, documents, events, extended, frames,
-        lifecycle, mining, modern, relational, shapes, signals, vectors,
+        lifecycle, linkage, mining, modern, relational, shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
                 curation, modern, decision, mining, signals, corpus, lifecycle,
-                audits):
+                audits, linkage):
         all_specs.extend(mod.SPECS)
     # Explicit raises, not asserts: these guard the driver gate's
     # coverage and must survive ``python -O`` (ADVICE r7).

@@ -1,0 +1,176 @@
+"""Record linkage / entity resolution over structured rows — the
+classic warehouse workload beside the text-dedup tier: the SAME
+block → pairwise-score → threshold → connected-components shape, but
+keyed on typed attributes and scored with string distance instead of
+shingle overlap.
+
+Deterministic (Fellegi-Sunter's deterministic tier): candidate pairs
+come from equality blocking on (nation, market segment) — the move
+that keeps pairwise scoring O(Σ block²) instead of O(n²) — and a pair
+matches when the name edit distance is within ER_NAME_DIST_MAX.
+``levenshtein`` has identical semantics on Spark and DuckDB, so every
+stage (blocking, scoring, the recursive closure, survivorship) is
+oracle-matched — nothing in this tier is left SQL-uncertified.
+
+Scale notes: the registry rows run on the bounded verifier slice
+(c_custkey < ER_CUST_LIMIT, the near_dup_pairs posture) because
+equality blocks grow linearly with the table and pairwise scoring
+re-quadratizes inside them; the production move at 100 TB is a finer
+blocking key (sorted-neighborhood window or an LSH block over name
+q-grams — the machinery operators/dedup.py already provides), and the
+downstream component/survivor stages are unchanged. Components reuse
+operators/graph.py::alternating_components (O(log n) star rounds).
+
+Reference parity: the reference dedups structured rows only via exact
+drop_duplicates (dag.py A2/A3); this extends the same north star the
+dedup/graph tiers serve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from databeats_spark.registry import QuerySpec
+from databeats_spark.sources.tables import load_tables
+
+ER_CUST_LIMIT = 3000  # bounded verifier slice (near_dup_pairs posture)
+ER_NAME_DIST_MAX = 2  # deterministic match rule: edit distance <= 2
+
+
+def _blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["customer"])
+    return t.customer.filter(F.col("c_custkey") < ER_CUST_LIMIT).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+def _match_pairs(cust: DataFrame) -> DataFrame:
+    a = cust.select(
+        F.col("id").alias("id_a"), F.col("name").alias("name_a"),
+        "nation", "segment",
+    )
+    b = cust.select(
+        F.col("id").alias("id_b"), F.col("name").alias("name_b"),
+        F.col("nation").alias("nation_b"), F.col("segment").alias("segment_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("nation") == F.col("nation_b"))
+            & (F.col("segment") == F.col("segment_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        # score only inside the block join's output — the distance
+        # predicate prunes in the same stage, never score-then-collect
+        .withColumn("name_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("name_dist") <= ER_NAME_DIST_MAX)
+        .select("id_a", "id_b", F.col("name_dist").cast("bigint").alias("name_dist"))
+    )
+
+
+def _entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _match_pairs(_blocked(spark, sf_dir)).orderBy("id_a", "id_b")
+
+
+_PAIRS_SQL_CTES = f"""c AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation,
+         c_mktsegment AS segment, c_acctbal AS acctbal
+  FROM customer WHERE c_custkey < {ER_CUST_LIMIT}
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(levenshtein(a.name, b.name) AS BIGINT) AS name_dist
+  FROM c a JOIN c b
+    ON a.nation = b.nation AND a.segment = b.segment AND a.id < b.id
+  WHERE levenshtein(a.name, b.name) <= {ER_NAME_DIST_MAX}
+)"""
+
+_ENTITY_MATCH_PAIRS_SQL = f"""
+WITH {_PAIRS_SQL_CTES}
+SELECT id_a, id_b, name_dist FROM pairs
+ORDER BY id_a, id_b
+"""
+
+
+def _entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.graph import alternating_components
+
+    cust = _blocked(spark, sf_dir)
+    pairs = _match_pairs(cust)
+    comps = alternating_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    # survivorship: the max-acctbal member (tie: min id) represents the
+    # entity — the keep-best rule every MDM pipeline applies
+    members = cust.join(comps, cust["id"] == comps["node"]).select(
+        F.col("component").alias("entity_id"), "id", "acctbal"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id").orderBy(F.desc("acctbal"), "id")
+    return (
+        members.withColumn("__rn", F.row_number().over(w))
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.max(F.when(F.col("__rn") == 1, F.col("id"))).alias("survivor_id"),
+            F.sum(F.col("acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+        .orderBy("entity_id")
+    )
+
+
+_ENTITY_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_PAIRS_SQL_CTES},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(node, label) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node
+),
+comp AS (
+  SELECT node, min(label) AS entity_id FROM reach GROUP BY node
+),
+members AS (
+  SELECT comp.entity_id, c.id, c.acctbal,
+         row_number() OVER (
+           PARTITION BY comp.entity_id ORDER BY c.acctbal DESC, c.id
+         ) AS rn
+  FROM comp JOIN c ON c.id = comp.node
+)
+SELECT entity_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(CASE WHEN rn = 1 THEN id END) AS survivor_id,
+       CAST(sum(CAST(acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM members
+GROUP BY entity_id
+ORDER BY entity_id
+"""
+
+
+SPECS = [
+    QuerySpec(
+        "entity_match_pairs",
+        "record linkage: blocked pairwise scoring, levenshtein <= 2 within (nation, segment)",
+        _entity_match_pairs,
+        _ENTITY_MATCH_PAIRS_SQL,
+        tags=("linkage", "dedup"),
+    ),
+    QuerySpec(
+        "entity_clusters",
+        "entity resolution end-to-end: blocked pairs -> star-alternation components -> keep-best survivor",
+        _entity_clusters,
+        _ENTITY_CLUSTERS_SQL,
+        tags=("linkage", "dedup", "graph"),
+    ),
+]
