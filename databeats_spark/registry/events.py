@@ -690,7 +690,116 @@ ORDER BY user_id
 """
 
 
+# --- Q: cuped_experiment_effect — variance-reduced A/B readout --------
+# The experimentation tier: a deterministic user-level split
+# (user_id % 2) read out with CUPED (Deng et al., WSDM'13) — the
+# pre-period spend covariate soaks up between-user variance so the
+# treatment effect needs a fraction of the sample. Per-user pre/post
+# sums are exact DECIMALs (the money recipe); the regression
+# coefficient theta = cov(X,Y)/var(X) and the adjusted means are the
+# repo's standard round-6 ratio doubles. The global moment scalars
+# come off the SHUFFLED per-user table, so they ride
+# attach_global_scalar (CLAUDE.md derived-scalar rule: AQE would
+# otherwise re-execute the aggregate under the broadcast side); the
+# whole readout is then ONE keyless aggregate — n_users, theta, raw
+# vs adjusted effect, and the realized variance-reduction ratio.
+
+CUPED_SPLIT_TS = "2024-01-16"  # pre/post boundary (events span Jan 2024)
+
+
+def _cuped_experiment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["events"])
+    pre = F.col("ts") < F.lit(CUPED_SPLIT_TS).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, dec("value")).otherwise(zero)).cast("double").alias("x"),
+            F.sum(F.when(~pre, dec("value")).otherwise(zero)).cast("double").alias("y"),
+        )
+        .withColumn("t", (F.col("user_id") % 2).cast("bigint"))
+    )
+    stats = attach_global_scalar(
+        per_user,
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    theta = F.when(var_x == 0, F.lit(0.0)).otherwise(
+        (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / var_x
+    )
+    adj = stats.withColumn("theta", theta).withColumn(
+        "y_adj",
+        F.col("y") - F.col("theta") * (F.col("x") - F.col("sx") / F.col("n")),
+    )
+    treated = F.when(F.col("t") == 1, F.col("y"))
+    control = F.when(F.col("t") == 0, F.col("y"))
+    treated_adj = F.when(F.col("t") == 1, F.col("y_adj"))
+    control_adj = F.when(F.col("t") == 0, F.col("y_adj"))
+    return adj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(F.min("theta"), 6).alias("theta"),
+        F.round(F.avg(treated) - F.avg(control), 6).alias("raw_effect"),
+        F.round(F.avg(treated_adj) - F.avg(control_adj), 6).alias("cuped_effect"),
+        F.round(
+            F.when(F.var_pop("y") == 0, F.lit(0.0)).otherwise(
+                F.lit(1.0) - F.var_pop("y_adj") / F.var_pop("y")
+            ),
+            6,
+        ).alias("var_reduction"),
+    )
+
+
+_CUPED_EXPERIMENT_EFFECT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '{CUPED_SPLIT_TS}')
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y,
+         CAST(user_id % 2 AS BIGINT) AS t
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM per_user
+), adj AS (
+  SELECT p.*,
+         CASE WHEN s.sxx - s.sx * s.sx / s.n = 0 THEN 0.0
+              ELSE (s.sxy - s.sx * s.sy / s.n) / (s.sxx - s.sx * s.sx / s.n)
+         END AS theta,
+         p.y - CASE WHEN s.sxx - s.sx * s.sx / s.n = 0 THEN 0.0
+                    ELSE (s.sxy - s.sx * s.sy / s.n) / (s.sxx - s.sx * s.sx / s.n)
+               END * (p.x - s.sx / s.n) AS y_adj
+  FROM per_user p CROSS JOIN s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       round(min(theta), 6) AS theta,
+       round(avg(CASE WHEN t = 1 THEN y END)
+             - avg(CASE WHEN t = 0 THEN y END), 6) AS raw_effect,
+       round(avg(CASE WHEN t = 1 THEN y_adj END)
+             - avg(CASE WHEN t = 0 THEN y_adj END), 6) AS cuped_effect,
+       round(CASE WHEN var_pop(y) = 0 THEN 0.0
+                  ELSE 1.0 - var_pop(y_adj) / var_pop(y) END, 6) AS var_reduction
+FROM adj
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "cuped_experiment_effect",
+        "CUPED variance-reduced A/B effect: per-user DECIMAL pre/post sums, global moments via attach_global_scalar",
+        _cuped_experiment_effect,
+        _CUPED_EXPERIMENT_EFFECT_SQL,
+        tags=("agg", "ml", "audit"),
+    ),
     QuerySpec("weekly_chart_streak", "W1+W3: per-week top-k chart + consecutive-week streak (reference get_week_on_chart)", _weekly_chart_streak, _WEEKLY_CHART_STREAK_SQL, bench=True, tags=("window", "streak")),
     QuerySpec("latest_event_per_user", "W2 latest row per entity over event time", _latest_event_per_user, _LATEST_EVENT_SQL, tags=("window",)),
     QuerySpec("time_features", "C1-C5 scalar time functions", _time_features, _TIME_FEATURES_SQL, tags=("scalar",)),

@@ -526,3 +526,34 @@ def test_k_eidetic_histogram_matches_python_brute_force(spark):
             pos_hist[band] += positions[a]
     got = {int(r["replication"]): (int(r["n_anchors"]), int(r["n_positions"])) for _, r in out.iterrows()}
     assert got == {b: (hist[b], pos_hist[b]) for b in hist}
+
+
+def test_cuped_matches_numpy_replica(spark):
+    """theta, both effects and the variance-reduction ratio must match
+    an independent numpy CUPED computation over the same per-user
+    pre/post split — and CUPED must actually reduce variance here
+    (pre/post spend are correlated through per-user activity)."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import CUPED_SPLIT_TS
+
+    out = queries()["cuped_experiment_effect"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["v"] = ev["value"].round(2)
+    split = pd.Timestamp(CUPED_SPLIT_TS)
+    pre = ev[ev["ts"] < split].groupby("user_id")["v"].sum()
+    post = ev[ev["ts"] >= split].groupby("user_id")["v"].sum()
+    users = ev["user_id"].unique()
+    x = np.array([pre.get(u, 0.0) for u in users])
+    y = np.array([post.get(u, 0.0) for u in users])
+    t = users % 2
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    y_adj = y - theta * (x - x.mean())
+    assert out["n_users"] == len(users)
+    assert abs(out["theta"] - theta) < 1e-5
+    assert abs(out["raw_effect"] - (y[t == 1].mean() - y[t == 0].mean())) < 1e-4
+    assert abs(out["cuped_effect"] - (y_adj[t == 1].mean() - y_adj[t == 0].mean())) < 1e-4
+    assert abs(out["var_reduction"] - (1 - y_adj.var() / y.var())) < 1e-5
+    assert 0 < out["var_reduction"] < 1
