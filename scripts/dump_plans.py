@@ -36,6 +36,10 @@ FLAGSHIPS = {
     "rolling_7d_active_users": "sliding distinct: bounded cover-day explode (blowup = window length) + per-day hash agg",
     "token_budget_allocation": "water-filling: BIGINT capped-prefix test; windows over the limit-bounded source catalog; scalars via checkpointed attach",
     "substring_dup_spans": "anchored suffix sort: window PARTITIONED BY the 8-token anchor (any >=8-token duplicate shares one), token-LCP of adjacent cross-doc suffixes",
+    "entity_clusters": "record linkage: equality-blocked self-join with levenshtein scored in-stage, star-alternation components, keep-best survivor window",
+    "cuped_experiment_effect": "CUPED readout: per-user DECIMAL sums, moment scalars via checkpointed attach, one keyless final aggregate",
+    "bpe_fertility_by_lang": "corpus word stream joined ONCE to the Heaps-small vocabulary (AQE broadcast; 440 B shuffled at both SFs)",
+    "zorder_locality_audit": "bit-interleave DIV/% polynomial + value-range chunking: two hash aggregates, no global sort",
 }
 
 

@@ -557,3 +557,23 @@ def test_cuped_matches_numpy_replica(spark):
     assert abs(out["cuped_effect"] - (y_adj[t == 1].mean() - y_adj[t == 0].mean())) < 1e-4
     assert abs(out["var_reduction"] - (1 - y_adj.var() / y.var())) < 1e-5
     assert 0 < out["var_reduction"] < 1
+
+
+def test_z_interleave_round_trips(spark):
+    """The DIV/% interleave polynomial must be the bijective Morton
+    code: for a grid + random sample of (d1, d2) pairs evaluated
+    through the SAME Spark expression the query uses, de-interleaving
+    the Z value bit-by-bit in Python recovers the inputs exactly."""
+    import random
+
+    from databeats_spark.registry.modern import Z_BITS, _z_interleave_terms
+
+    rnd = random.Random(8)
+    pts = [(a, b) for a in (0, 1, 2, 4095, 2**Z_BITS - 1) for b in (0, 1, 3, 2**Z_BITS - 1)]
+    pts += [(rnd.randrange(2**Z_BITS), rnd.randrange(2**Z_BITS)) for _ in range(200)]
+    df = spark.createDataFrame(pts, "d1: long, d2: long")
+    rows = df.selectExpr("d1", "d2", f"({_z_interleave_terms('DIV')}) AS z").collect()
+    for r in rows:
+        d1 = sum(((r["z"] >> (2 * b + 1)) & 1) << b for b in range(Z_BITS))
+        d2 = sum(((r["z"] >> (2 * b)) & 1) << b for b in range(Z_BITS))
+        assert (d1, d2) == (r["d1"], r["d2"]), r
