@@ -89,6 +89,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "holt_linear_forecast",  # r8: ordered-fold exponential smoothing
     "cuped_experiment_effect",  # r8: variance-reduced A/B readout
     "entity_match_pairs",  # r8: record linkage (blocked levenshtein)
     "entity_clusters",  # r8: entity resolution end-to-end
@@ -131,8 +132,8 @@ _WINDOW = (
     # — bench headliners (frozen 14):
     "top_terms", "rolling_7d_spend", "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
-    "top_customers",
-    # (revenue_by_nation — pass(r7) — displaced by the CUPED prepend;
+    # (top_customers — pass(r7) — displaced by the holt prepend;
+    # revenue_by_nation — pass(r7) — displaced by the CUPED prepend;
     # weekly_chart_streak, sessionization — both pass(r7) — displaced
     # by the entity-resolution prepends;
     # asof_purchase_value, dedup_exact_docs — both pass(r7) — displaced

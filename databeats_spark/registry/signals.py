@@ -485,7 +485,106 @@ ORDER BY source, bucket
 """
 
 
+# --- Q: holt_linear_forecast — exponential smoothing as an ordered fold
+# The forecasting family: Holt's linear trend method over per-priority
+# weekly order counts. The recurrence (l' = α·x + (1−α)(l+t);
+# t' = β(l'−l) + (1−β)t) is iterative, but the series is bounded by
+# the CALENDAR, not the data (≈340 weeks at any SF), so it folds as a
+# per-group ordered HOF — no driver loop, no checkpointing, one hash
+# aggregate to the weekly table then arrays of ≤ a few hundred
+# elements. Parity is engineered to be EXACT, not round-6-absorbed:
+# α=0.5 and β=0.25 are dyadic, counts cast to double are exact, so
+# every intermediate is exactly representable and Spark's
+# F.aggregate fold is bit-equal to DuckDB's recursive-CTE recurrence
+# (the level expression is spelled twice in both engines — no CSE
+# dependence, the lsh_cosine_topk_exact fold discipline).
+
+HOLT_ALPHA = 0.5  # dyadic: exact in binary floating point
+HOLT_BETA = 0.25
+
+
+def _holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    weekly = t.orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = weekly.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list(F.struct("wk", "x"))).alias("s")
+    )
+    xs = F.transform(F.col("s"), lambda r: r["x"])
+
+    def step(acc, x):
+        lvl = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (acc["l"] + acc["t"])
+        lvl2 = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (acc["l"] + acc["t"])
+        return F.struct(
+            lvl.alias("l"),
+            (HOLT_BETA * (lvl2 - acc["l"]) + (1 - HOLT_BETA) * acc["t"]).alias("t"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, F.lit(2), F.greatest(F.size(xs) - 1, F.lit(0))),
+        F.struct(F.element_at(xs, 1).alias("l"), F.lit(0.0).alias("t")),
+        step,
+    )
+    return (
+        series.select(
+            "o_orderpriority",
+            F.size(xs).cast("bigint").alias("n_weeks"),
+            folded["l"].alias("__l"),
+            folded["t"].alias("__t"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_weeks",
+            F.round("__l", 6).alias("level"),
+            F.round("__t", 6).alias("trend"),
+            F.round(F.col("__l") + F.col("__t"), 6).alias("f1"),
+            F.round(F.col("__l") + 2 * F.col("__t"), 6).alias("f2"),
+            F.round(F.col("__l") + 3 * F.col("__t"), 6).alias("f3"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_HOLT_LINEAR_FORECAST_SQL = f"""
+WITH RECURSIVE weekly AS (
+  SELECT o_orderpriority AS pri, date_trunc('week', o_orderdate) AS wk,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM orders GROUP BY 1, 2
+), seq AS (
+  SELECT pri, x, row_number() OVER (PARTITION BY pri ORDER BY wk) AS i
+  FROM weekly
+), rec(pri, i, l, t) AS (
+  -- the seed types the whole recursion: a bare 0.0 would make t
+  -- DECIMAL(1,1) and silently truncate the trend every round
+  SELECT pri, CAST(1 AS BIGINT), x, CAST(0.0 AS DOUBLE) FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.pri, s.i,
+         {HOLT_ALPHA} * s.x + {1 - HOLT_ALPHA} * (r.l + r.t),
+         {HOLT_BETA} * ({HOLT_ALPHA} * s.x + {1 - HOLT_ALPHA} * (r.l + r.t) - r.l)
+           + {1 - HOLT_BETA} * r.t
+  FROM rec r JOIN seq s ON s.pri = r.pri AND s.i = r.i + 1
+), fin AS (
+  SELECT pri, max(i) AS n FROM rec GROUP BY pri
+)
+SELECT r.pri AS o_orderpriority, CAST(f.n AS BIGINT) AS n_weeks,
+       round(r.l, 6) AS level, round(r.t, 6) AS trend,
+       round(r.l + r.t, 6) AS f1, round(r.l + 2 * r.t, 6) AS f2,
+       round(r.l + 3 * r.t, 6) AS f3
+FROM rec r JOIN fin f ON f.pri = r.pri AND r.i = f.n
+ORDER BY r.pri
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "holt_linear_forecast",
+        "Holt linear-trend forecast per priority: calendar-bounded ordered fold, dyadic coefficients (bit-exact parity)",
+        _holt_linear_forecast,
+        _HOLT_LINEAR_FORECAST_SQL,
+        tags=("timeseries", "ml"),
+    ),
     QuerySpec("fluency_buckets", "CCNet-style per-source head/middle/tail fluency terciles", _fluency_buckets, _FLUENCY_BUCKETS_SQL, tags=("text", "sampling", "scale")),
     QuerySpec("doc_chunks", "sliding context-window chunk layout (stride overlap)", _doc_chunks, _DOC_CHUNKS_SQL, tags=("text", "sampling")),
     QuerySpec("unigram_doc_logprob", "corpus-LM average token log-prob per document", _unigram_doc_logprob, _UNIGRAM_DOC_LOGPROB_SQL, tags=("text", "agg")),

@@ -577,3 +577,40 @@ def test_z_interleave_round_trips(spark):
         d1 = sum(((r["z"] >> (2 * b + 1)) & 1) << b for b in range(Z_BITS))
         d2 = sum(((r["z"] >> (2 * b)) & 1) << b for b in range(Z_BITS))
         assert (d1, d2) == (r["d1"], r["d2"]), r
+
+
+def test_holt_forecast_matches_python_exactly(spark):
+    """Dyadic alpha/beta make every Holt intermediate exactly
+    representable, so the Spark fold must equal a pure-Python
+    recurrence BIT-FOR-BIT (before the output round) — stronger than
+    the round-6 recipe, same discipline as the LSH fold twin."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.signals import HOLT_ALPHA, HOLT_BETA
+
+    out = (
+        queries()["holt_linear_forecast"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("o_orderpriority")
+    )
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    wk = pd.to_datetime(orders["o_orderdate"]).dt.to_period("W-SUN").dt.start_time
+    weekly = (
+        orders.assign(wk=wk)
+        .groupby(["o_orderpriority", "wk"])
+        .size()
+        .reset_index(name="x")
+    )
+    for pri, grp in weekly.groupby("o_orderpriority"):
+        xs = [float(v) for _, v in grp.sort_values("wk")["x"].items()]
+        l, t = xs[0], 0.0
+        for x in xs[1:]:
+            l2 = HOLT_ALPHA * x + (1 - HOLT_ALPHA) * (l + t)
+            t = HOLT_BETA * (l2 - l) + (1 - HOLT_BETA) * t
+            l = l2
+        row = out.loc[pri]
+        assert row["n_weeks"] == len(xs)
+        assert row["level"] == round(l, 6)
+        assert row["trend"] == round(t, 6)
+        assert row["f3"] == round(l + 3 * t, 6)
