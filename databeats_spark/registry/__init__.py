@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "did_experiment_effect",  # r8: diff-in-diff with pre-gap check
+    "sorted_neighborhood_pairs",  # r8: linear-cost linkage candidates
     "holt_linear_forecast",  # r8: ordered-fold exponential smoothing
     "cuped_experiment_effect",  # r8: variance-reduced A/B readout
     "entity_match_pairs",  # r8: record linkage (blocked levenshtein)
@@ -130,7 +132,9 @@ _WINDOW = (
     "order_priority_paths", "cube_quantity", "customer_deciles",
     "order_status_mix", "exact_moment_stats",
     # — bench headliners (frozen 14):
-    "top_terms", "rolling_7d_spend", "minhash_near_dups",
+    # (rolling_7d_spend — pass(r7) — displaced by the DiD prepend;
+    # top_terms — pass(r7) — displaced by the SNM prepend)
+    "minhash_near_dups",
     "cosine_topk", "pricing_summary", "filter_project",
     # (top_customers — pass(r7) — displaced by the holt prepend;
     # revenue_by_nation — pass(r7) — displaced by the CUPED prepend;

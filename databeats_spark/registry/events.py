@@ -792,7 +792,73 @@ FROM adj
 """
 
 
+# --- Q: did_experiment_effect — difference-in-differences readout -----
+# The experimentation tier's second estimator: where CUPED adjusts
+# post-period outcomes with a fitted coefficient, DiD subtracts each
+# arm's own pre-period mean — no regression, so the whole readout is
+# arithmetic on exact DECIMAL sums (doubles appear only in the final
+# four mean divisions, per the one-division recipe). pre_gap is the
+# falsification column a reviewer checks first: a deterministic
+# user_id%2 split should show ~no pre-period difference between arms.
+
+def _did_experiment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    pre = F.col("ts") < F.lit(CUPED_SPLIT_TS).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, dec("value")).otherwise(zero)).cast("double").alias("x"),
+            F.sum(F.when(~pre, dec("value")).otherwise(zero)).cast("double").alias("y"),
+        )
+        .withColumn("t", (F.col("user_id") % 2).cast("bigint"))
+    )
+    tx = F.avg(F.when(F.col("t") == 1, F.col("x")))
+    ty = F.avg(F.when(F.col("t") == 1, F.col("y")))
+    cx = F.avg(F.when(F.col("t") == 0, F.col("x")))
+    cy = F.avg(F.when(F.col("t") == 0, F.col("y")))
+    return per_user.agg(
+        F.sum((F.col("t") == 1).cast("bigint")).cast("bigint").alias("n_treated"),
+        F.sum((F.col("t") == 0).cast("bigint")).cast("bigint").alias("n_control"),
+        F.round(tx - cx, 6).alias("pre_gap"),
+        F.round(ty - cy, 6).alias("raw_post_effect"),
+        F.round((ty - tx) - (cy - cx), 6).alias("did_effect"),
+    )
+
+
+_DID_EXPERIMENT_EFFECT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS x,
+         CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '{CUPED_SPLIT_TS}')
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS y,
+         CAST(user_id % 2 AS BIGINT) AS t
+  FROM events GROUP BY user_id
+)
+SELECT CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treated,
+       CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+       round(avg(CASE WHEN t = 1 THEN x END)
+             - avg(CASE WHEN t = 0 THEN x END), 6) AS pre_gap,
+       round(avg(CASE WHEN t = 1 THEN y END)
+             - avg(CASE WHEN t = 0 THEN y END), 6) AS raw_post_effect,
+       round((avg(CASE WHEN t = 1 THEN y END) - avg(CASE WHEN t = 1 THEN x END))
+             - (avg(CASE WHEN t = 0 THEN y END) - avg(CASE WHEN t = 0 THEN x END)),
+             6) AS did_effect
+FROM per_user
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "did_experiment_effect",
+        "difference-in-differences A/B readout with the pre-gap falsification column",
+        _did_experiment_effect,
+        _DID_EXPERIMENT_EFFECT_SQL,
+        tags=("agg", "ml", "audit"),
+    ),
     QuerySpec(
         "cuped_experiment_effect",
         "CUPED variance-reduced A/B effect: per-user DECIMAL pre/post sums, global moments via attach_global_scalar",

@@ -158,7 +158,92 @@ ORDER BY entity_id
 """
 
 
+# --- Q: sorted_neighborhood_pairs — the linear-cost candidate path ----
+# The scale posture the blocked tier's docstring promises: sorted-
+# neighborhood candidate generation (Hernandez & Stolfo, SIGMOD'95).
+# Sort within a coarse partition (nation) by the match key and compare
+# each row only with its previous SNM_WINDOW neighbors — O(n·w)
+# candidates instead of O(Σ block²), expressible as w lag() columns
+# over ONE key-partitioned window (no self-join at all; the sort is
+# per-partition, never global). The trade vs equality blocking is
+# documented, not hidden: neighbors can cross segments (catches
+# cross-segment duplicates blocking misses) while far-apart same-
+# segment near-names fall outside the window. Candidate-set semantics
+# are pinned exactly in tests/test_linkage.py against a pandas replay.
+
+SNM_WINDOW = 5
+
+
+def _sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = _blocked(spark, sf_dir)
+    w = Window.partitionBy("nation").orderBy("name", "id")
+    lagged = cust.select(
+        "id",
+        "name",
+        "nation",
+        F.array(
+            *[
+                F.struct(
+                    F.lag("id", i).over(w).alias("nid"),
+                    F.lag("name", i).over(w).alias("nname"),
+                )
+                for i in range(1, SNM_WINDOW + 1)
+            ]
+        ).alias("nbrs"),
+    )
+    cand = lagged.select(
+        "id", "name", F.explode("nbrs").alias("nb")
+    ).filter(F.col("nb.nid").isNotNull())
+    return (
+        cand.withColumn("name_dist", F.levenshtein("name", F.col("nb.nname")))
+        .filter(F.col("name_dist") <= ER_NAME_DIST_MAX)
+        .select(
+            F.least("id", F.col("nb.nid")).alias("id_a"),
+            F.greatest("id", F.col("nb.nid")).alias("id_b"),
+            F.col("name_dist").cast("bigint").alias("name_dist"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _snm_sql() -> str:
+    lag_cols = ", ".join(
+        f"lag(id, {i}) OVER w AS nid{i}, lag(name, {i}) OVER w AS nname{i}"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT id, name, nid{i} AS nid, nname{i} AS nname FROM lagged"
+        for i in range(1, SNM_WINDOW + 1)
+    )
+    return f"""
+WITH c AS (
+  SELECT c_custkey AS id, c_name AS name, c_nationkey AS nation
+  FROM customer WHERE c_custkey < {ER_CUST_LIMIT}
+), lagged AS (
+  SELECT id, name, {lag_cols}
+  FROM c
+  WINDOW w AS (PARTITION BY nation ORDER BY name, id)
+), cand AS (
+{unions}
+)
+SELECT least(id, nid) AS id_a, greatest(id, nid) AS id_b,
+       CAST(levenshtein(name, nname) AS BIGINT) AS name_dist
+FROM cand
+WHERE nid IS NOT NULL AND levenshtein(name, nname) <= {ER_NAME_DIST_MAX}
+ORDER BY id_a, id_b
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "sorted_neighborhood_pairs",
+        "linear-cost linkage candidates: w lag columns over one key-partitioned sort (SNM, Hernandez-Stolfo)",
+        _sorted_neighborhood_pairs,
+        _snm_sql,
+        tags=("linkage", "dedup", "window"),
+    ),
     QuerySpec(
         "entity_match_pairs",
         "record linkage: blocked pairwise scoring, levenshtein <= 2 within (nation, segment)",

@@ -614,3 +614,32 @@ def test_holt_forecast_matches_python_exactly(spark):
         assert row["level"] == round(l, 6)
         assert row["trend"] == round(t, 6)
         assert row["f3"] == round(l + 3 * t, 6)
+
+
+def test_did_readout_matches_numpy_and_agrees_with_cuped_shape(spark):
+    """DiD must equal the four-mean identity computed independently in
+    numpy over the same per-user split; the pre_gap falsification
+    column stays small relative to the outcome scale for the
+    deterministic user_id%2 assignment."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import CUPED_SPLIT_TS
+
+    out = queries()["did_experiment_effect"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["v"] = ev["value"].round(2)
+    split = pd.Timestamp(CUPED_SPLIT_TS)
+    pre = ev[ev["ts"] < split].groupby("user_id")["v"].sum()
+    post = ev[ev["ts"] >= split].groupby("user_id")["v"].sum()
+    users = ev["user_id"].unique()
+    x = np.array([pre.get(u, 0.0) for u in users])
+    y = np.array([post.get(u, 0.0) for u in users])
+    t = users % 2
+    assert out["n_treated"] == (t == 1).sum() and out["n_control"] == (t == 0).sum()
+    assert abs(out["pre_gap"] - (x[t == 1].mean() - x[t == 0].mean())) < 1e-4
+    assert abs(out["raw_post_effect"] - (y[t == 1].mean() - y[t == 0].mean())) < 1e-4
+    did = (y[t == 1].mean() - x[t == 1].mean()) - (y[t == 0].mean() - x[t == 0].mean())
+    assert abs(out["did_effect"] - did) < 1e-4
+    assert abs(out["did_effect"] - (out["raw_post_effect"] - out["pre_gap"])) < 1e-5

@@ -78,3 +78,27 @@ def test_entity_clusters_match_union_find(spark):
         assert row["survivor_id"] == best
         expect = round(sum(round(float(cust.loc[m, "c_acctbal"]), 2) for m in members), 2)
         assert abs(row["total_acctbal"] - expect) < 0.01
+
+
+def test_sorted_neighborhood_candidates_match_pandas_replay(spark):
+    """The SNM pair set must equal a literal pandas replay: within each
+    nation, sort by (name, id) and compare each row with its previous
+    SNM_WINDOW neighbors at levenshtein <= max — pinning the exact
+    candidate semantics (including the cross-segment neighbors the
+    blocked tier cannot see)."""
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.linkage import ER_NAME_DIST_MAX, SNM_WINDOW
+
+    got = queries()["sorted_neighborhood_pairs"](spark, SF_SMOKE).toPandas()
+    cust = _load_slice()
+    expect = set()
+    for _, blk in cust.groupby("c_nationkey"):
+        rows = blk.sort_values(["c_name", "c_custkey"])[["c_custkey", "c_name"]].values
+        for p in range(len(rows)):
+            for i in range(1, SNM_WINDOW + 1):
+                if p - i < 0:
+                    break
+                if _lev(rows[p][1], rows[p - i][1]) <= ER_NAME_DIST_MAX:
+                    a, b = int(rows[p][0]), int(rows[p - i][0])
+                    expect.add((min(a, b), max(a, b)))
+    assert set(zip(got["id_a"], got["id_b"])) == expect
