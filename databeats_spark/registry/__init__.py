@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "mann_whitney_effect",  # r8: rank-sum readout via distributed prefix sum
+    "srm_daily_check",  # r8: sample-ratio-mismatch chi-square gate
     "did_experiment_effect",  # r8: diff-in-diff with pre-gap check
     "sorted_neighborhood_pairs",  # r8: linear-cost linkage candidates
     "holt_linear_forecast",  # r8: ordered-fold exponential smoothing
@@ -135,7 +137,10 @@ _WINDOW = (
     # (rolling_7d_spend — pass(r7) — displaced by the DiD prepend;
     # top_terms — pass(r7) — displaced by the SNM prepend)
     "minhash_near_dups",
-    "cosine_topk", "pricing_summary", "filter_project",
+    "cosine_topk",
+    # (pricing_summary, filter_project — both green in the r8
+    # session-2 window run — displaced by the SRM / Mann-Whitney
+    # prepends)
     # (top_customers — pass(r7) — displaced by the holt prepend;
     # revenue_by_nation — pass(r7) — displaced by the CUPED prepend;
     # weekly_chart_streak, sessionization — both pass(r7) — displaced

@@ -851,7 +851,162 @@ FROM per_user
 """
 
 
+# --- Q: srm_daily_check — sample-ratio-mismatch audit ------------------
+# The experimentation tier's health gate: before trusting CUPED/DiD
+# readouts, verify the randomization itself. Per exposure day, count
+# DISTINCT users per arm and test against the 50/50 design ratio with
+# the 1-df chi-square (for two equal-probability cells the statistic
+# collapses to (n1-n0)^2 / n — an exact BIGINT polynomial with ONE
+# division, per the one-division recipe). srm_flag applies the 0.05
+# critical value on the UNROUNDED statistic identically on both
+# engines. At 100 TB this is one hash aggregate over (day, user, arm)
+# partial-distinct — no window, no join.
+
+SRM_CRIT_05 = 3.841459  # chi-square 1-df critical value, alpha = 0.05
+
+
+def _srm_daily_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    arm = (F.col("user_id") % 2).cast("bigint")
+    daily = t.events.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count_distinct(F.when(arm == 1, F.col("user_id"))).cast("bigint").alias("n_treated"),
+        F.count_distinct(F.when(arm == 0, F.col("user_id"))).cast("bigint").alias("n_control"),
+    )
+    diff = F.col("n_treated") - F.col("n_control")
+    chi2 = (diff * diff).cast("double") / (F.col("n_treated") + F.col("n_control"))
+    return daily.select(
+        "day",
+        "n_treated",
+        "n_control",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(SRM_CRIT_05)).alias("srm_flag"),
+    ).orderBy("day")
+
+
+_SRM_DAILY_CHECK_SQL = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 1 THEN user_id END) AS BIGINT) AS n_treated,
+         CAST(count(DISTINCT CASE WHEN user_id % 2 = 0 THEN user_id END) AS BIGINT) AS n_control
+  FROM events GROUP BY 1
+)
+SELECT day, n_treated, n_control,
+       round(CAST((n_treated - n_control) * (n_treated - n_control) AS DOUBLE)
+             / (n_treated + n_control), 6) AS chi2,
+       CAST((n_treated - n_control) * (n_treated - n_control) AS DOUBLE)
+             / (n_treated + n_control) > {SRM_CRIT_05} AS srm_flag
+FROM daily
+ORDER BY day
+"""
+
+
+# --- Q: mann_whitney_effect — nonparametric A/B readout ----------------
+# The experimentation tier's third estimator: where CUPED/DiD compare
+# means, Mann-Whitney compares the whole distributions — robust to the
+# heavy-tailed spend outcomes a mean-based readout is hostage to. The
+# classic formulation ranks ALL users in one ordered pass (a global
+# window — the single-task funnel); here the rank sum is recovered
+# from the DISTINCT-value table instead: group per-user spend to
+# (y, cnt, cnt1), take a distributed prefix sum of cnt over y
+# (operators/scale.py::partitioned_running_total — the lint-proved
+# two-phase scan), and fold tie-averaged ranks as the exact BIGINT
+# identity 2*avg_rank(y) = 2*cum(y) - cnt(y) + 1. Everything through
+# 2*U1 is exact integer arithmetic; AUC, rank-biserial and the
+# tie-corrected z are single-expression doubles rounded per the
+# ratio recipe.
+
+
+def _mann_whitney_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("y"))
+        .withColumn("t", (F.col("user_id") % 2).cast("bigint"))
+    )
+    by_value = per_user.groupBy("y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum((F.col("t") == 1).cast("bigint")).cast("bigint").alias("cnt1"),
+    )
+    ranked = partitioned_running_total(by_value, [F.col("y")], "cnt", out_col="cum")
+    s = ranked.agg(
+        F.sum(F.col("cnt1") * (2 * F.col("cum") - F.col("cnt") + 1)).cast("bigint").alias("two_r1"),
+        F.sum("cnt1").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("bigint").alias("n0"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).cast("bigint").alias("tie"),
+    )
+    two_u = F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)
+    n = F.col("n1") + F.col("n0")
+    var_u = (F.col("n1") * F.col("n0") / F.lit(12.0)) * (
+        (n + 1) - F.col("tie").cast("double") / (n * (n - 1))
+    )
+    z = F.when(var_u <= 0, F.lit(0.0)).otherwise(
+        ((two_u - F.col("n1") * F.col("n0")) / F.lit(2.0)) / F.sqrt(var_u)
+    )
+    return s.select(
+        F.col("n1").alias("n_treated"),
+        F.col("n0").alias("n_control"),
+        two_u.cast("bigint").alias("two_u"),
+        F.round(two_u.cast("double") / (2.0 * F.col("n1") * F.col("n0")), 6).alias("auc"),
+        F.round((two_u - F.col("n1") * F.col("n0")).cast("double") / (F.col("n1") * F.col("n0")), 6).alias("rank_biserial"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+_MANN_WHITNEY_EFFECT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y,
+         CAST(user_id % 2 AS BIGINT) AS t
+  FROM events GROUP BY user_id
+), by_value AS (
+  SELECT y, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt1
+  FROM per_user GROUP BY y
+), ranked AS (
+  SELECT y, cnt, cnt1, CAST(sum(cnt) OVER (ORDER BY y) AS BIGINT) AS cum
+  FROM by_value
+), s AS (
+  SELECT CAST(sum(cnt1 * (2 * cum - cnt + 1)) AS BIGINT) AS two_r1,
+         CAST(sum(cnt1) AS BIGINT) AS n1,
+         CAST(sum(cnt - cnt1) AS BIGINT) AS n0,
+         CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie
+  FROM ranked
+)
+SELECT n1 AS n_treated, n0 AS n_control,
+       CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u,
+       round(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE) / (2.0 * n1 * n0), 6) AS auc,
+       round(CAST(two_r1 - n1 * (n1 + 1) - n1 * n0 AS DOUBLE) / (n1 * n0), 6)
+         AS rank_biserial,
+       round(CASE WHEN (n1 * n0 / 12.0)
+                       * ((n1 + n0 + 1) - CAST(tie AS DOUBLE) / ((n1 + n0) * (n1 + n0 - 1))) <= 0
+                  THEN 0.0
+                  ELSE ((two_r1 - n1 * (n1 + 1) - n1 * n0) / 2.0)
+                       / sqrt((n1 * n0 / 12.0)
+                              * ((n1 + n0 + 1) - CAST(tie AS DOUBLE) / ((n1 + n0) * (n1 + n0 - 1))))
+             END, 6) AS z_stat
+FROM s
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "srm_daily_check",
+        "sample-ratio-mismatch audit: per-day arm counts vs the 50/50 design, 1-df chi-square flag",
+        _srm_daily_check,
+        _SRM_DAILY_CHECK_SQL,
+        tags=("agg", "audit", "events"),
+    ),
+    QuerySpec(
+        "mann_whitney_effect",
+        "Mann-Whitney rank-sum A/B readout: exact 2U via distinct-value distributed prefix sum, AUC + rank-biserial + tie-corrected z",
+        _mann_whitney_effect,
+        _MANN_WHITNEY_EFFECT_SQL,
+        tags=("agg", "ml", "audit", "scale"),
+    ),
     QuerySpec(
         "did_experiment_effect",
         "difference-in-differences A/B readout with the pre-gap falsification column",

@@ -643,3 +643,56 @@ def test_did_readout_matches_numpy_and_agrees_with_cuped_shape(spark):
     did = (y[t == 1].mean() - x[t == 1].mean()) - (y[t == 0].mean() - x[t == 0].mean())
     assert abs(out["did_effect"] - did) < 1e-4
     assert abs(out["did_effect"] - (out["raw_post_effect"] - out["pre_gap"])) < 1e-5
+
+
+def test_mann_whitney_matches_pandas_rank_replica(spark):
+    """The prefix-sum rank recovery must equal the classic formulation:
+    pandas average ranks over per-user spend, R1 -> U1, AUC,
+    rank-biserial and the tie-corrected z — computed independently."""
+    import math
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["mann_whitney_effect"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["v"] = ev["value"].round(2)
+    per_user = ev.groupby("user_id")["v"].sum().round(2)
+    t = per_user.index.values % 2
+    ranks = per_user.rank(method="average")
+    n1, n0 = int((t == 1).sum()), int((t == 0).sum())
+    r1 = float(ranks[t == 1].sum())
+    u1 = r1 - n1 * (n1 + 1) / 2
+    assert out["n_treated"] == n1 and out["n_control"] == n0
+    assert out["two_u"] == round(2 * u1)
+    assert abs(out["auc"] - u1 / (n1 * n0)) < 1e-6
+    assert abs(out["rank_biserial"] - (2 * u1 / (n1 * n0) - 1)) < 1e-6
+    n = n1 + n0
+    tie = sum(c**3 - c for c in per_user.value_counts())
+    var_u = n1 * n0 / 12 * ((n + 1) - tie / (n * (n - 1)))
+    assert abs(out["z_stat"] - (u1 - n1 * n0 / 2) / math.sqrt(var_u)) < 1e-6
+
+
+def test_srm_daily_check_matches_pandas_and_stays_calm(spark):
+    """Per-day chi-square must equal the two-cell identity computed in
+    pandas, and the deterministic user_id%2 split must NOT trip the
+    0.05 gate on a majority of days (a designed 50/50 assignment)."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import SRM_CRIT_05
+
+    out = queries()["srm_daily_check"](spark, SF_SMOKE).toPandas().set_index("day")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["day"] = ev["ts"].dt.strftime("%Y-%m-%d")
+    for day, grp in ev.groupby("day"):
+        users = grp["user_id"].unique()
+        n1 = int((users % 2 == 1).sum())
+        n0 = int((users % 2 == 0).sum())
+        row = out.loc[day]
+        assert (row["n_treated"], row["n_control"]) == (n1, n0)
+        chi2 = (n1 - n0) ** 2 / (n1 + n0)
+        assert abs(row["chi2"] - chi2) < 1e-6
+        assert row["srm_flag"] == (chi2 > SRM_CRIT_05)
+    assert (~out["srm_flag"]).mean() > 0.5
