@@ -89,6 +89,9 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "holt_winters_forecast",  # r8: seasonal fold with array state
+    "dow_seasonal_decompose",  # r8: trend/seasonal/remainder in x7 space
+    "cusum_changepoint",  # r8: exact-integer CUSUM mean-shift detection
     "mann_whitney_effect",  # r8: rank-sum readout via distributed prefix sum
     "srm_daily_check",  # r8: sample-ratio-mismatch chi-square gate
     "did_experiment_effect",  # r8: diff-in-diff with pre-gap check
@@ -132,12 +135,14 @@ _WINDOW = (
     "above_average_customers", "approx_distinct_parts",
     "lineitem_profile", "regex_extract_ids", "null_safe_compare",
     "order_priority_paths", "cube_quantity", "customer_deciles",
-    "order_status_mix", "exact_moment_stats",
+    "order_status_mix",
+    # (exact_moment_stats — green in the r8 session-2 window run —
+    # displaced by the CUSUM prepend)
     # — bench headliners (frozen 14):
     # (rolling_7d_spend — pass(r7) — displaced by the DiD prepend;
-    # top_terms — pass(r7) — displaced by the SNM prepend)
-    "minhash_near_dups",
-    "cosine_topk",
+    # top_terms — pass(r7) — displaced by the SNM prepend;
+    # minhash_near_dups, cosine_topk — both green in the r8 session-2
+    # window run — displaced by the Holt-Winters / decompose prepends)
     # (pricing_summary, filter_project — both green in the r8
     # session-2 window run — displaced by the SRM / Mann-Whitney
     # prepends)

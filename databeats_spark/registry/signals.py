@@ -577,7 +577,326 @@ ORDER BY r.pri
 """
 
 
+# --- Q: cusum_changepoint — mean-shift detection per series -----------
+# The temporal tier's monitoring rung: Page's CUSUM over per-priority
+# weekly order counts. S_k = cum_k − k·mean is kept EXACT-integer
+# until one division: cum and k·total are BIGINT, so
+# S_k = cum − (k·total)/n has a single double division in a fixed
+# position — bit-identical across engines, no round-absorption needed
+# until the output. The changepoint is the interior argmax of |S_k|
+# (tie-break earliest week), and the mean shift it implies is read
+# off the same prefix values (before = cum/k, after =
+# (total−cum)/(n−k)). All windows are partitioned by the series key —
+# no global sort; at 100 TB this is one shuffle on (priority) and
+# per-series sorted scans.
+
+
+def _cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    weekly = t.orders.groupBy(
+        "o_orderpriority",
+        F.date_format(F.date_trunc("week", F.col("o_orderdate")), "yyyy-MM-dd").alias("wk"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    part = Window.partitionBy("o_orderpriority")
+    ordered = part.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = weekly.select(
+        "o_orderpriority",
+        "wk",
+        F.sum("x").over(ordered).cast("bigint").alias("cum"),
+        F.row_number().over(part.orderBy("wk")).cast("bigint").alias("k"),
+        F.sum("x").over(part).cast("bigint").alias("total"),
+        F.count(F.lit(1)).over(part).cast("bigint").alias("n"),
+    )
+    s_k = F.col("cum") - (F.col("k") * F.col("total")).cast("double") / F.col("n")
+    interior = scanned.filter(F.col("k") < F.col("n")).withColumn("s_k", s_k)
+    pick = F.row_number().over(part.orderBy(F.abs(F.col("s_k")).desc(), "wk"))
+    return (
+        interior.withColumn("__r", pick)
+        .filter(F.col("__r") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_weeks"),
+            F.col("wk").alias("cp_week"),
+            F.col("k").alias("cp_index"),
+            F.round("s_k", 6).alias("cusum_peak"),
+            F.round(F.col("cum").cast("double") / F.col("k"), 6).alias("mean_before"),
+            F.round(
+                (F.col("total") - F.col("cum")).cast("double") / (F.col("n") - F.col("k")), 6
+            ).alias("mean_after"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_CUSUM_CHANGEPOINT_SQL = """
+WITH weekly AS (
+  SELECT o_orderpriority AS pri,
+         strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS wk,
+         CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1, 2
+), scanned AS (
+  SELECT pri, wk,
+         CAST(sum(x) OVER (PARTITION BY pri ORDER BY wk) AS BIGINT) AS cum,
+         CAST(row_number() OVER (PARTITION BY pri ORDER BY wk) AS BIGINT) AS k,
+         CAST(sum(x) OVER (PARTITION BY pri) AS BIGINT) AS total,
+         CAST(count(*) OVER (PARTITION BY pri) AS BIGINT) AS n
+  FROM weekly
+), interior AS (
+  SELECT *, cum - CAST(k * total AS DOUBLE) / n AS s_k
+  FROM scanned WHERE k < n
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY pri ORDER BY abs(s_k) DESC, wk) AS r
+  FROM interior
+)
+SELECT pri AS o_orderpriority, n AS n_weeks, wk AS cp_week, k AS cp_index,
+       round(s_k, 6) AS cusum_peak,
+       round(CAST(cum AS DOUBLE) / k, 6) AS mean_before,
+       round(CAST(total - cum AS DOUBLE) / (n - k), 6) AS mean_after
+FROM picked WHERE r = 1
+ORDER BY o_orderpriority
+"""
+
+
+# --- Q: dow_seasonal_decompose — trend/seasonal/remainder split -------
+# Classical additive decomposition of the per-type daily event series:
+# trend = centered 7-day moving average, seasonality keyed by
+# day-of-week, remainder = what's left, with a relative-deviation
+# anomaly flag on the remainder. Parity is engineered by working in
+# x7 SPACE: trend7 = the 7-row window SUM (BIGINT, exact),
+# detrended7 = 7·x − trend7 (still BIGINT), the day-of-week seasonal
+# mean is one division of a BIGINT sum, and every output double
+# divides by 7.0 in a fixed final position. Day-of-week is computed
+# as Monday=0 explicitly on both engines (Spark weekday() vs DuckDB
+# isodow−1 — the built-in dayofweek()s disagree on the week origin).
+
+
+def _dow_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    daily = t.events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    ma = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    with_trend = daily.select(
+        "event_type",
+        "day",
+        F.weekday(F.to_date("day")).cast("bigint").alias("dow"),
+        "x",
+        F.when(F.count(F.lit(1)).over(ma) == 7, F.sum("x").over(ma)).cast("bigint").alias("trend7"),
+    ).withColumn("detrended7", F.lit(7) * F.col("x") - F.col("trend7"))
+    dow_w = Window.partitionBy("event_type", "dow")
+    seasonal7 = F.sum("detrended7").over(dow_w).cast("double") / F.count("detrended7").over(dow_w)
+    out = with_trend.withColumn("seasonal7", seasonal7).withColumn(
+        "remainder7", F.col("detrended7") - F.col("seasonal7")
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "dow",
+        "x",
+        F.round(F.col("trend7").cast("double") / 7.0, 6).alias("trend"),
+        F.round(F.col("seasonal7") / 7.0, 6).alias("seasonal"),
+        F.round(F.col("remainder7") / 7.0, 6).alias("remainder"),
+        F.coalesce(
+            F.abs(F.col("remainder7")) > 0.5 * F.col("trend7"), F.lit(False)
+        ).alias("anom_flag"),
+    ).orderBy("event_type", "day")
+
+
+_DOW_SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), with_trend AS (
+  SELECT event_type, day,
+         CAST(isodow(CAST(day AS DATE)) - 1 AS BIGINT) AS dow,
+         x,
+         CAST(CASE WHEN count(*) OVER w = 7 THEN sum(x) OVER w END AS BIGINT) AS trend7
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT *, 7 * x - trend7 AS detrended7 FROM with_trend
+), seas AS (
+  SELECT *,
+         CAST(sum(detrended7) OVER d AS DOUBLE) / count(detrended7) OVER d AS seasonal7
+  FROM detr
+  WINDOW d AS (PARTITION BY event_type, dow)
+)
+SELECT event_type, day, dow, x,
+       round(CAST(trend7 AS DOUBLE) / 7.0, 6) AS trend,
+       round(seasonal7 / 7.0, 6) AS seasonal,
+       round((detrended7 - seasonal7) / 7.0, 6) AS remainder,
+       coalesce(abs(detrended7 - seasonal7) > 0.5 * trend7, FALSE) AS anom_flag
+FROM seas
+ORDER BY event_type, day
+"""
+
+
+# --- Q: holt_winters_forecast — seasonal exponential smoothing --------
+# The forecasting family's seasonal rung: additive Holt-Winters with
+# period 7 over per-type daily event counts. The state is
+# (level, trend, seasonal[7], i) — an ordered fold like Holt linear,
+# but the accumulator carries the seasonal ARRAY and each step
+# rewrites exactly one slot ((i mod 7), via an indexed transform).
+# Parity discipline: dyadic alpha/beta/gamma, the seed level is an
+# ORDERED fold over the first season (Spark F.aggregate from 0.0 ==
+# DuckDB list_reduce from the first element, because 0.0 + x == x
+# bit-exactly — the LSH-twin lesson), and the level expression is
+# re-spelled at every use site on BOTH engines (no CSE dependence
+# inside HOF lambdas). Series shorter than season+1 are excluded on
+# both engines (the seed needs one full season).
+
+HW_ALPHA = 0.5  # dyadic: exact in binary floating point
+HW_BETA = 0.25
+HW_GAMMA = 0.5
+HW_PERIOD = 7
+
+
+def _holt_winters_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    daily = t.events.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("day", "x"))).alias("srt")
+    )
+    xs = F.transform(F.col("srt"), lambda r: r["x"])
+    first7 = F.slice(xs, 1, HW_PERIOD)
+    l0 = F.aggregate(first7, F.lit(0.0), lambda a, b: a + b) / float(HW_PERIOD)
+    s0 = F.transform(first7, lambda v: v - l0)
+    seed = F.struct(
+        l0.alias("l"),
+        F.lit(0.0).alias("b"),
+        s0.alias("s"),
+        F.lit(HW_PERIOD).cast("bigint").alias("i"),
+    )
+
+    def step(acc, x):
+        slot = (acc["i"] % HW_PERIOD).cast("int")
+        si = F.element_at(acc["s"], slot + 1)
+        lvl = HW_ALPHA * (x - si) + (1 - HW_ALPHA) * (acc["l"] + acc["b"])
+        lvl_b = HW_ALPHA * (x - si) + (1 - HW_ALPHA) * (acc["l"] + acc["b"])
+        lvl_s = HW_ALPHA * (x - si) + (1 - HW_ALPHA) * (acc["l"] + acc["b"])
+        return F.struct(
+            lvl.alias("l"),
+            (HW_BETA * (lvl_b - acc["l"]) + (1 - HW_BETA) * acc["b"]).alias("b"),
+            F.transform(
+                acc["s"],
+                lambda v, j: F.when(
+                    j == slot, HW_GAMMA * (x - lvl_s) + (1 - HW_GAMMA) * si
+                ).otherwise(v),
+            ).alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    folded = F.aggregate(
+        F.slice(xs, HW_PERIOD + 1, F.greatest(F.size(xs) - HW_PERIOD, F.lit(0))),
+        seed,
+        step,
+    )
+
+    def fc(h):
+        slot = ((F.col("__i") + (h - 1)) % HW_PERIOD).cast("int")
+        return F.round(
+            F.col("__l") + h * F.col("__b") + F.element_at(F.col("__s"), slot + 1), 6
+        )
+
+    return (
+        series.filter(F.size(xs) >= HW_PERIOD + 1)
+        .select(
+            "event_type",
+            F.size(xs).cast("bigint").alias("n_days"),
+            folded["l"].alias("__l"),
+            folded["b"].alias("__b"),
+            folded["s"].alias("__s"),
+            folded["i"].alias("__i"),
+        )
+        .select(
+            "event_type",
+            "n_days",
+            F.round("__l", 6).alias("level"),
+            F.round("__b", 6).alias("trend"),
+            fc(1).alias("f1"),
+            fc(2).alias("f2"),
+            fc(HW_PERIOD).alias("f7"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_HOLT_WINTERS_FORECAST_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS et, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT et, x, row_number() OVER (PARTITION BY et ORDER BY day) AS i FROM daily
+), grp AS (
+  SELECT et, list(x ORDER BY i) AS xs, CAST(count(*) AS BIGINT) AS n
+  FROM seq GROUP BY et
+), eligible AS (
+  SELECT * FROM grp WHERE n >= {HW_PERIOD + 1}
+), init AS (
+  -- list_reduce seeds from the first element; 0.0 + x == x bit-exactly,
+  -- so this equals Spark's F.aggregate fold from 0.0
+  SELECT et, n, list_reduce(xs[1:{HW_PERIOD}], (a, b) -> a + b) / {float(HW_PERIOD)} AS l0
+  FROM eligible
+), rec(et, i, l, b, s) AS (
+  SELECT g.et, CAST({HW_PERIOD} AS BIGINT), i0.l0, CAST(0.0 AS DOUBLE),
+         list_transform(g.xs[1:{HW_PERIOD}], v -> v - i0.l0)
+  FROM eligible g JOIN init i0 ON i0.et = g.et
+  UNION ALL
+  SELECT r.et, r.i + 1,
+         {HW_ALPHA} * (q.x - r.s[CAST(r.i % {HW_PERIOD} AS INTEGER) + 1])
+           + {1 - HW_ALPHA} * (r.l + r.b),
+         {HW_BETA} * ({HW_ALPHA} * (q.x - r.s[CAST(r.i % {HW_PERIOD} AS INTEGER) + 1])
+                      + {1 - HW_ALPHA} * (r.l + r.b) - r.l)
+           + {1 - HW_BETA} * r.b,
+         list_transform(generate_series(0, {HW_PERIOD - 1}),
+           j -> CASE WHEN j = CAST(r.i % {HW_PERIOD} AS INTEGER)
+                     THEN {HW_GAMMA} * (q.x - ({HW_ALPHA} * (q.x - r.s[CAST(r.i % {HW_PERIOD} AS INTEGER) + 1])
+                                               + {1 - HW_ALPHA} * (r.l + r.b)))
+                          + {1 - HW_GAMMA} * r.s[CAST(r.i % {HW_PERIOD} AS INTEGER) + 1]
+                     ELSE r.s[j + 1] END)
+  FROM rec r JOIN seq q ON q.et = r.et AND q.i = r.i + 1
+), fin AS (
+  SELECT r.et, g.n, r.l, r.b, r.s, r.i
+  FROM rec r JOIN eligible g ON g.et = r.et AND r.i = g.n
+)
+SELECT et AS event_type, n AS n_days,
+       round(l, 6) AS level, round(b, 6) AS trend,
+       round(l + 1 * b + s[CAST(i % {HW_PERIOD} AS INTEGER) + 1], 6) AS f1,
+       round(l + 2 * b + s[CAST((i + 1) % {HW_PERIOD} AS INTEGER) + 1], 6) AS f2,
+       round(l + {HW_PERIOD} * b + s[CAST((i + {HW_PERIOD - 1}) % {HW_PERIOD} AS INTEGER) + 1], 6) AS f7
+FROM fin
+ORDER BY et
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "cusum_changepoint",
+        "CUSUM mean-shift detection per priority series: exact-integer prefix deviations, interior argmax, before/after means",
+        _cusum_changepoint,
+        _CUSUM_CHANGEPOINT_SQL,
+        tags=("timeseries", "window", "audit"),
+    ),
+    QuerySpec(
+        "dow_seasonal_decompose",
+        "additive trend/seasonal/remainder decomposition in exact x7 space, day-of-week seasonality + anomaly flags",
+        _dow_seasonal_decompose,
+        _DOW_SEASONAL_DECOMPOSE_SQL,
+        tags=("timeseries", "window", "audit"),
+    ),
+    QuerySpec(
+        "holt_winters_forecast",
+        "additive Holt-Winters (period 7): ordered fold carrying the seasonal array, dyadic coefficients, one-slot indexed update",
+        _holt_winters_forecast,
+        _HOLT_WINTERS_FORECAST_SQL,
+        tags=("timeseries", "ml"),
+    ),
     QuerySpec(
         "holt_linear_forecast",
         "Holt linear-trend forecast per priority: calendar-bounded ordered fold, dyadic coefficients (bit-exact parity)",

@@ -696,3 +696,122 @@ def test_srm_daily_check_matches_pandas_and_stays_calm(spark):
         assert abs(row["chi2"] - chi2) < 1e-6
         assert row["srm_flag"] == (chi2 > SRM_CRIT_05)
     assert (~out["srm_flag"]).mean() > 0.5
+
+
+def test_cusum_changepoint_matches_numpy_brute_force(spark):
+    """The interior argmax of S_k = cum_k - k*mean must equal a numpy
+    scan over the same weekly series, and the before/after means must
+    straddle it consistently with the decomposition identity
+    n_before*mean_before + n_after*mean_after == total."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["cusum_changepoint"](spark, SF_SMOKE).toPandas().set_index("o_orderpriority")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    wk = orders["o_orderdate"].astype("datetime64[ns]")
+    monday = (wk - pd.to_timedelta(wk.dt.weekday, unit="D")).dt.strftime("%Y-%m-%d")
+    weekly = (
+        orders.assign(wk=monday).groupby(["o_orderpriority", "wk"]).size().rename("x").reset_index()
+    )
+    for pri, grp in weekly.groupby("o_orderpriority"):
+        g = grp.sort_values("wk")
+        x = g["x"].to_numpy(dtype=np.int64)
+        n, total = len(x), int(x.sum())
+        cum = np.cumsum(x)
+        k = np.arange(1, n + 1)
+        s = cum - (k * total) / n
+        interior = np.abs(s[:-1])
+        best = int(np.argmax(interior))  # numpy argmax = first max = earliest-week tie-break
+        row = out.loc[pri]
+        assert row["n_weeks"] == n
+        assert row["cp_index"] == best + 1
+        assert row["cp_week"] == g["wk"].iloc[best]
+        assert abs(row["cusum_peak"] - s[best]) < 1e-6
+        nb, na = best + 1, n - best - 1
+        assert abs(nb * row["mean_before"] + na * row["mean_after"] - total) < 1e-3
+
+
+def test_dow_seasonal_decompose_identity_and_replica(spark):
+    """Every defined row must satisfy x == trend + seasonal + remainder
+    (to rounding), and trend must equal the pandas centered 7-day
+    moving average while the seasonal component is the per-(type, dow)
+    mean of the detrended series."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["dow_seasonal_decompose"](spark, SF_SMOKE).toPandas()
+    defined = out[out["trend"].notna()]
+    assert len(defined) > 0
+    resid = (defined["x"] - (defined["trend"] + defined["seasonal"] + defined["remainder"])).abs()
+    assert resid.max() < 1e-5
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = (
+        ev.assign(day=ev["ts"].dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"])
+        .size()
+        .rename("x")
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    for et, grp in daily.groupby("event_type"):
+        g = grp.reset_index(drop=True)
+        trend = g["x"].rolling(7, center=True).mean()
+        det = g["x"] - trend
+        dow = pd.to_datetime(g["day"]).dt.weekday
+        seasonal = det.groupby(dow).transform("mean")
+        sub = out[out["event_type"] == et].reset_index(drop=True)
+        assert (sub["day"] == g["day"]).all()
+        assert (sub["dow"] == dow).all()
+        mask = trend.notna()
+        assert (sub["trend"][mask] - trend[mask]).abs().max() < 1e-5
+        assert (sub["seasonal"][mask] - seasonal[mask]).abs().max() < 1e-5
+
+
+def test_holt_winters_matches_python_exactly(spark):
+    """Identical operation order on both engines makes the seasonal
+    fold deterministic; the Spark fold must equal a pure-Python
+    Holt-Winters recurrence bit-for-bit (before the output round),
+    same discipline as the Holt linear twin."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.signals import HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+
+    out = queries()["holt_winters_forecast"](spark, SF_SMOKE).toPandas().set_index("event_type")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    daily = (
+        ev.assign(day=ev["ts"].dt.strftime("%Y-%m-%d"))
+        .groupby(["event_type", "day"])
+        .size()
+        .reset_index(name="x")
+    )
+    for et, grp in daily.groupby("event_type"):
+        xs = [float(v) for _, v in grp.sort_values("day")["x"].items()]
+        if len(xs) < HW_PERIOD + 1:
+            assert et not in out.index
+            continue
+        acc = 0.0
+        for v in xs[:HW_PERIOD]:
+            acc = acc + v
+        l = acc / float(HW_PERIOD)
+        b = 0.0
+        s = [v - l for v in xs[:HW_PERIOD]]
+        i = HW_PERIOD
+        for x in xs[HW_PERIOD:]:
+            slot = i % HW_PERIOD
+            si = s[slot]
+            l2 = HW_ALPHA * (x - si) + (1 - HW_ALPHA) * (l + b)
+            b = HW_BETA * (l2 - l) + (1 - HW_BETA) * b
+            s[slot] = HW_GAMMA * (x - l2) + (1 - HW_GAMMA) * si
+            l = l2
+            i += 1
+        row = out.loc[et]
+        assert row["n_days"] == len(xs)
+        assert row["level"] == round(l, 6)
+        assert row["trend"] == round(b, 6)
+        assert row["f1"] == round(l + b + s[i % HW_PERIOD], 6)
+        assert row["f2"] == round(l + 2 * b + s[(i + 1) % HW_PERIOD], 6)
+        assert row["f7"] == round(l + HW_PERIOD * b + s[(i + HW_PERIOD - 1) % HW_PERIOD], 6)
