@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "cdc_snapshot_merge",  # r8: incremental MERGE apply vs direct-state oracle
+    "scd2_band_history",  # r8: SCD type-2 validity-interval build
     "holt_winters_forecast",  # r8: seasonal fold with array state
     "dow_seasonal_decompose",  # r8: trend/seasonal/remainder in x7 space
     "cusum_changepoint",  # r8: exact-integer CUSUM mean-shift detection
@@ -134,9 +136,10 @@ _WINDOW = (
     # — r7 window debt (displaced past slot 50, oldest driver rows):
     "above_average_customers", "approx_distinct_parts",
     "lineitem_profile", "regex_extract_ids", "null_safe_compare",
-    "order_priority_paths", "cube_quantity", "customer_deciles",
-    "order_status_mix",
-    # (exact_moment_stats — green in the r8 session-2 window run —
+    "order_priority_paths", "cube_quantity",
+    # (order_status_mix, customer_deciles — green in the r8 session-2
+    # window run — displaced by the SCD2 / CDC-merge prepends;
+    # exact_moment_stats — green in the r8 session-2 window run —
     # displaced by the CUSUM prepend)
     # — bench headliners (frozen 14):
     # (rolling_7d_spend — pass(r7) — displaced by the DiD prepend;

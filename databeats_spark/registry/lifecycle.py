@@ -132,6 +132,149 @@ ORDER BY user_id
 """
 
 
+# --- Q: scd2_band_history — slowly-changing-dimension type 2 build ----
+# The warehouse-maintenance rung the snapshot diff implies: turn the
+# purchase stream into a validity-interval (SCD2) dimension of each
+# user's spend band. Change detection = lag over the per-user ordered
+# stream (keep rows where the band moved), then valid_to = the NEXT
+# change's valid_from over the FILTERED set, is_current on the open
+# interval. Interval bounds are integer microseconds (the repo's
+# exact time-math recipe); both windows are key-partitioned — at
+# 100 TB this is one shuffle on user_id and two sorted passes.
+
+SCD2_BANDS = (25.0, 75.0)  # low < 25 <= mid < 75 <= high
+
+
+def _scd2_band_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    band = (
+        F.when(F.col("value") < SCD2_BANDS[0], F.lit("low"))
+        .when(F.col("value") < SCD2_BANDS[1], F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        band.alias("band"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    changes = (
+        purchases.withColumn("__prev", F.lag("band").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col("band")))
+        .drop("__prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("us", "event_id")
+    return (
+        changes.withColumn("valid_to_us", F.lead("us").over(w2))
+        .select(
+            "user_id",
+            "band",
+            F.col("us").alias("valid_from_us"),
+            "valid_to_us",
+            F.col("valid_to_us").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )
+
+
+_SCD2_BAND_HISTORY_SQL = f"""
+WITH purchases AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN value < {SCD2_BANDS[0]} THEN 'low'
+              WHEN value < {SCD2_BANDS[1]} THEN 'mid'
+              ELSE 'high' END AS band
+  FROM events WHERE event_type = 'purchase'
+), marked AS (
+  SELECT *, lag(band) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM purchases
+), changes AS (
+  SELECT user_id, event_id, us, band FROM marked
+  WHERE prev IS NULL OR prev <> band
+)
+SELECT user_id, band, us AS valid_from_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to_us,
+       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL AS is_current
+FROM changes
+ORDER BY user_id, valid_from_us
+"""
+
+
+# --- Q: cdc_snapshot_merge — incremental upsert-apply, proven --------
+# The MERGE INTO pattern as a Spark plan: the state at T2 is built
+# INCREMENTALLY — base = latest row per user before T1, delta = the
+# [T1, T2) changelog's latest row, one full-outer key join where the
+# delta side wins and 'error' rows act as tombstones (delete-on-
+# merge, re-insert allowed). The ORACLE computes the T2 state
+# DIRECTLY from the full history — hash equality proves
+# merge(state(T1), delta) == state(T2), the invariant that makes
+# incremental materialized views legal (the key-dimension sibling of
+# daily_from_hourly_rollup's rollup-decomposition proof).
+
+def _cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    ev = t.events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+        (F.col("event_type") == "error").alias("is_tombstone"),
+    )
+    t1 = F.unix_micros(F.to_timestamp(F.lit(SNAP_T1)))
+    t2 = F.unix_micros(F.to_timestamp(F.lit(SNAP_T2)))
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
+
+    base = latest(ev.filter(F.col("us") < t1)).select(
+        "user_id",
+        F.col("value").alias("b_value"),
+        F.col("us").alias("b_us"),
+        F.col("is_tombstone").alias("b_dead"),
+    )
+    delta = latest(ev.filter((F.col("us") >= t1) & (F.col("us") < t2))).select(
+        "user_id",
+        F.col("value").alias("d_value"),
+        F.col("us").alias("d_us"),
+        F.col("is_tombstone").alias("d_dead"),
+    )
+    merged = base.join(delta, "user_id", "full_outer")
+    from_delta = F.col("d_us").isNotNull()
+    return (
+        merged.withColumn("src", F.when(from_delta, F.lit("delta")).otherwise(F.lit("base")))
+        .withColumn("dead", F.when(from_delta, F.col("d_dead")).otherwise(F.col("b_dead")))
+        .filter(~F.col("dead"))
+        .select(
+            "user_id",
+            F.round(F.when(from_delta, F.col("d_value")).otherwise(F.col("b_value")), 6).alias(
+                "value"
+            ),
+            F.when(from_delta, F.col("d_us")).otherwise(F.col("b_us")).alias("last_us"),
+            "src",
+        )
+        .orderBy("user_id")
+    )
+
+
+_CDC_SNAPSHOT_MERGE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         event_type = 'error' AS is_tombstone
+  FROM events
+), direct AS (
+  SELECT user_id, value, us, is_tombstone,
+         row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+  FROM ev WHERE us < epoch_us(TIMESTAMP '{SNAP_T2}')
+)
+SELECT user_id, round(value, 6) AS value, us AS last_us,
+       CASE WHEN us >= epoch_us(TIMESTAMP '{SNAP_T1}') THEN 'delta' ELSE 'base' END AS src
+FROM direct
+WHERE rn = 1 AND NOT is_tombstone
+ORDER BY user_id
+"""
+
+
 # --- Q: user_erasure_audit — right-to-be-forgotten blast radius -------
 # Given an erasure key set (every 97th customer), count the rows each
 # table loses: customers directly, orders via custkey, lineitems via
@@ -791,6 +934,8 @@ ORDER BY event_id
 
 SPECS = [
     QuerySpec("snapshot_user_diff", "CDC snapshot compare of the latest-value-per-user dimension", _snapshot_user_diff, _SNAPSHOT_USER_DIFF_SQL, tags=("join", "cdc")),
+    QuerySpec("scd2_band_history", "SCD type-2 build: validity intervals of each user's spend band from the purchase stream", _scd2_band_history, _SCD2_BAND_HISTORY_SQL, tags=("window", "cdc")),
+    QuerySpec("cdc_snapshot_merge", "incremental MERGE apply: base+delta full-outer upsert with tombstones, oracle = the direct T2 state (the incremental-view proof)", _cdc_snapshot_merge, _CDC_SNAPSHOT_MERGE_SQL, tags=("join", "cdc")),
     QuerySpec("user_erasure_audit", "GDPR erasure blast radius: rows per table via key-cascade semi joins", _user_erasure_audit, _USER_ERASURE_AUDIT_SQL, tags=("join", "compliance")),
     QuerySpec("k_anonymity_audit", "quasi-identifier re-identification risk: rows in groups smaller than k", _k_anonymity_audit, _K_ANONYMITY_AUDIT_SQL, tags=("agg", "compliance")),
     QuerySpec("l_diversity_audit", "sensitive-attribute homogeneity: QI groups spanning fewer than l distinct values", _l_diversity_audit, _L_DIVERSITY_AUDIT_SQL, tags=("agg", "join", "compliance")),

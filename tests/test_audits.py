@@ -815,3 +815,71 @@ def test_holt_winters_matches_python_exactly(spark):
         assert row["f1"] == round(l + b + s[i % HW_PERIOD], 6)
         assert row["f2"] == round(l + 2 * b + s[(i + 1) % HW_PERIOD], 6)
         assert row["f7"] == round(l + HW_PERIOD * b + s[(i + HW_PERIOD - 1) % HW_PERIOD], 6)
+
+
+def test_scd2_band_history_tiles_and_matches_pandas(spark):
+    """SCD2 invariants: per user the intervals tile exactly (each
+    valid_to equals the next valid_from), adjacent intervals never
+    carry the same band (compression is maximal), exactly one open
+    interval per user — and the whole table equals a pandas replay."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.lifecycle import SCD2_BANDS
+
+    out = queries()["scd2_band_history"](spark, SF_SMOKE).toPandas()
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    p = ev[ev["event_type"] == "purchase"].copy()
+    p["us"] = p["ts"].astype("datetime64[us]").astype("int64")
+    p["band"] = p["value"].map(
+        lambda v: "low" if v < SCD2_BANDS[0] else ("mid" if v < SCD2_BANDS[1] else "high")
+    )
+    rows = []
+    for uid, grp in p.sort_values(["us", "event_id"]).groupby("user_id"):
+        prev = None
+        for _, r in grp.iterrows():
+            if prev is None or r["band"] != prev:
+                rows.append((uid, r["band"], r["us"]))
+            prev = r["band"]
+    rep = pd.DataFrame(rows, columns=["user_id", "band", "valid_from_us"])
+    rep["valid_to_us"] = rep.groupby("user_id")["valid_from_us"].shift(-1)
+    assert len(out) == len(rep)
+    got = out.sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    exp = rep.sort_values(["user_id", "valid_from_us"]).reset_index(drop=True)
+    assert (got["user_id"].values == exp["user_id"].values).all()
+    assert (got["band"].values == exp["band"].values).all()
+    assert (got["valid_from_us"].values == exp["valid_from_us"].values).all()
+    for _, grp in got.groupby("user_id"):
+        assert grp["is_current"].sum() == 1 and bool(grp["is_current"].iloc[-1])
+        assert (grp["valid_to_us"].iloc[:-1].values == grp["valid_from_us"].iloc[1:].values).all()
+        assert (grp["band"].iloc[:-1].values != grp["band"].iloc[1:].values).all()
+
+
+def test_cdc_snapshot_merge_equals_direct_state(spark):
+    """The oracle already proves merge == direct cross-engine; this
+    pins the SEMANTICS in Python: per user the surviving row is the
+    latest pre-T2 event, absent iff that event is a tombstone, and
+    src says whether the delta window touched the user."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.lifecycle import SNAP_T1, SNAP_T2
+
+    out = queries()["cdc_snapshot_merge"](spark, SF_SMOKE).toPandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    t1 = pd.Timestamp(SNAP_T1).value // 1000
+    t2 = pd.Timestamp(SNAP_T2).value // 1000
+    hist = ev[ev["us"] < t2].sort_values(["us", "event_id"])
+    seen = 0
+    for uid, grp in hist.groupby("user_id"):
+        last = grp.iloc[-1]
+        if last["event_type"] == "error":
+            assert uid not in out.index
+            continue
+        row = out.loc[uid]
+        assert row["last_us"] == last["us"]
+        assert abs(row["value"] - round(last["value"], 6)) < 1e-9
+        assert row["src"] == ("delta" if last["us"] >= t1 else "base")
+        seen += 1
+    assert seen == len(out)
