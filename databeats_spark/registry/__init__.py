@@ -89,6 +89,7 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "hits_copurchase",  # r8: exact-BIGINT HITS rounds, one final division
     "cdc_snapshot_merge",  # r8: incremental MERGE apply vs direct-state oracle
     "scd2_band_history",  # r8: SCD type-2 validity-interval build
     "holt_winters_forecast",  # r8: seasonal fold with array state
@@ -136,7 +137,9 @@ _WINDOW = (
     # — r7 window debt (displaced past slot 50, oldest driver rows):
     "above_average_customers", "approx_distinct_parts",
     "lineitem_profile", "regex_extract_ids", "null_safe_compare",
-    "order_priority_paths", "cube_quantity",
+    "order_priority_paths",
+    # (cube_quantity — green in the r8 session-2 window run —
+    # displaced by the HITS prepend)
     # (order_status_mix, customer_deciles — green in the r8 session-2
     # window run — displaced by the SCD2 / CDC-merge prepends;
     # exact_moment_stats — green in the r8 session-2 window run —

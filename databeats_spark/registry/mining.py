@@ -1604,7 +1604,115 @@ GROUP BY t.n0, t.n1, t.k
 """
 
 
+# --- Q: hits_copurchase — hubs & authorities, exact-integer rounds ----
+# Kleinberg's HITS over the bipartite co-purchase graph (customer →
+# part via orders ⋈ lineitem, distinct). The link-analysis pair to
+# pagerank_docs: where PageRank needed round-6 to absorb ~1e-15
+# float-summation noise (ADVICE r7 called it the least-engineered
+# oracle), HITS is run WITHOUT per-round normalization so every
+# hub/authority score stays a BIGINT sum of BIGINTs — integer-exact
+# on both engines for all ROUNDS iterations — and the single L1
+# division happens once at the end (round 6, ties broken by id on
+# the exact integers). ROUNDS=3 keeps the worst-case magnitude
+# (n·max_degᵗ) far inside BIGINT at every test SF. Each round joins
+# ONE round-dependent relation against the static edge table (the
+# CLAUDE.md linear-stats shape); the final authority table is pinned
+# once via attach_global_scalar's checkpoint and the hub chain is
+# built on top of it, so the 6-join chain executes once.
+
+HITS_ROUNDS = 3
+HITS_TOP_K = 20
+
+
+def _hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    edges = (
+        t.orders.select("o_orderkey", "o_custkey")
+        .join(
+            t.lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    for _ in range(HITS_ROUNDS - 1):
+        h = edges.join(a, "p").groupBy("u").agg(F.sum("a").cast("bigint").alias("h"))
+        a = edges.join(h, "u").groupBy("p").agg(F.sum("h").cast("bigint").alias("a"))
+    auth = attach_global_scalar(a, F.sum("a").alias("norm"))
+    h_last = (
+        edges.join(auth.select("p", "a"), "p")
+        .groupBy("u")
+        .agg(F.sum("a").cast("bigint").alias("h"))
+    )
+    hubs = attach_global_scalar(h_last, F.sum("h").alias("norm"))
+    top_auth = (
+        auth.select(
+            F.lit("authority").alias("role"),
+            F.col("p").cast("bigint").alias("id"),
+            F.round(F.col("a").cast("double") / F.col("norm"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "id")
+        .limit(HITS_TOP_K)
+    )
+    top_hubs = (
+        hubs.select(
+            F.lit("hub").alias("role"),
+            F.col("u").cast("bigint").alias("id"),
+            F.round(F.col("h").cast("double") / F.col("norm"), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "id")
+        .limit(HITS_TOP_K)
+    )
+    return top_auth.unionAll(top_hubs).orderBy("role", F.col("score").desc(), "id")
+
+
+def _hits_copurchase_sql() -> str:
+    """Unrolled BIGINT hub/authority rounds mirroring the Spark chain
+    exactly; the only division is the final L1 normalization."""
+    ctes = [
+        """edges AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), a1 AS MATERIALIZED (
+  SELECT p, CAST(count(*) AS BIGINT) AS a FROM edges GROUP BY p
+)"""
+    ]
+    for k in range(2, HITS_ROUNDS + 1):
+        ctes.append(
+            f"""h{k - 1} AS MATERIALIZED (
+  SELECT u, CAST(sum(a) AS BIGINT) AS h FROM edges JOIN a{k - 1} USING (p) GROUP BY u
+), a{k} AS MATERIALIZED (
+  SELECT p, CAST(sum(h) AS BIGINT) AS a FROM edges JOIN h{k - 1} USING (u) GROUP BY p
+)"""
+        )
+    last = HITS_ROUNDS
+    return f"""
+WITH {", ".join(ctes)},
+h{last} AS MATERIALIZED (
+  SELECT u, CAST(sum(a) AS BIGINT) AS h FROM edges JOIN a{last} USING (p) GROUP BY u
+), an AS (
+  SELECT CAST(sum(a) AS BIGINT) AS norm FROM a{last}
+), hn AS (
+  SELECT CAST(sum(h) AS BIGINT) AS norm FROM h{last}
+)
+SELECT * FROM (
+  (SELECT 'authority' AS role, CAST(p AS BIGINT) AS id,
+          round(CAST(a AS DOUBLE) / norm, 6) AS score
+   FROM a{last} CROSS JOIN an
+   ORDER BY score DESC, id LIMIT {HITS_TOP_K})
+  UNION ALL
+  (SELECT 'hub' AS role, CAST(u AS BIGINT) AS id,
+          round(CAST(h AS DOUBLE) / norm, 6) AS score
+   FROM h{last} CROSS JOIN hn
+   ORDER BY score DESC, id LIMIT {HITS_TOP_K})
+)
+ORDER BY role, score DESC, id
+"""
+
+
 SPECS = [
+    QuerySpec("hits_copurchase", "HITS hubs/authorities over the customer-part graph: exact-BIGINT rounds, one final L1 division", _hits_copurchase, _hits_copurchase_sql, tags=("graph", "join")),
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
     QuerySpec("containment_pairs", "asymmetric n-gram containment pairs (quote/subset dedup)", _containment_pairs, _CONTAINMENT_PAIRS_SQL, tags=("text", "dedup")),

@@ -883,3 +883,48 @@ def test_cdc_snapshot_merge_equals_direct_state(spark):
         assert row["src"] == ("delta" if last["us"] >= t1 else "base")
         seen += 1
     assert seen == len(out)
+
+
+def test_hits_copurchase_matches_numpy_integer_replica(spark):
+    """Three exact-integer HITS rounds over the same co-purchase edges
+    replayed in numpy (object dtype — arbitrary-precision, so the
+    replica can't silently overflow): the top-k normalized scores and
+    their ordering must match exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.mining import HITS_ROUNDS, HITS_TOP_K
+
+    out = queries()["hits_copurchase"](spark, SF_SMOKE).toPandas()
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    edges = (
+        orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")[["o_custkey", "l_partkey"]]
+        .drop_duplicates()
+    )
+    users = {u: i for i, u in enumerate(sorted(edges["o_custkey"].unique()))}
+    parts = {p: i for i, p in enumerate(sorted(edges["l_partkey"].unique()))}
+    m = np.zeros((len(users), len(parts)), dtype=object)
+    for _, r in edges.iterrows():
+        m[users[r["o_custkey"]], parts[r["l_partkey"]]] = 1
+    a = m.sum(axis=0)  # round 1: h0 = 1
+    for _ in range(HITS_ROUNDS - 1):
+        h = m @ a
+        a = h @ m
+    h = m @ a
+    inv_p = {i: p for p, i in parts.items()}
+    inv_u = {i: u for u, i in users.items()}
+    a_norm, h_norm = int(a.sum()), int(h.sum())
+    exp_auth = sorted(
+        ((round(int(v) / a_norm, 6), inv_p[i]) for i, v in enumerate(a)),
+        key=lambda t: (-t[0], t[1]),
+    )[:HITS_TOP_K]
+    exp_hub = sorted(
+        ((round(int(v) / h_norm, 6), inv_u[i]) for i, v in enumerate(h)),
+        key=lambda t: (-t[0], t[1]),
+    )[:HITS_TOP_K]
+    got_auth = out[out["role"] == "authority"][["score", "id"]].to_records(index=False)
+    got_hub = out[out["role"] == "hub"][["score", "id"]].to_records(index=False)
+    assert [(s, i) for s, i in got_auth] == exp_auth
+    assert [(s, i) for s, i in got_hub] == exp_hub
