@@ -89,6 +89,11 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "time_weighted_value",  # r8: exact DECIMALxBIGINT interval TWAP
+    "theil_sen_trend",  # r8: robust median-of-slopes + exact-moment OLS
+    "numeric_corr_matrix",  # r8: Pearson pairs from exact DECIMAL moments
+    "gini_by_source",  # r8: rank-weighted exact Gini
+    "benford_first_digit",  # r8: fabricated-number first-digit audit
     "hits_copurchase",  # r8: exact-BIGINT HITS rounds, one final division
     "cdc_snapshot_merge",  # r8: incremental MERGE apply vs direct-state oracle
     "scd2_band_history",  # r8: SCD type-2 validity-interval build
@@ -135,10 +140,11 @@ _WINDOW = (
     "substring_dup_spans_hashed",  # r8: same sanitizer, shared oracle
     "weekly_resample",  # r8: spine restructured (users x 1-row span, then explode)
     # — r7 window debt (displaced past slot 50, oldest driver rows):
-    "above_average_customers", "approx_distinct_parts",
-    "lineitem_profile", "regex_extract_ids", "null_safe_compare",
-    "order_priority_paths",
-    # (cube_quantity — green in the r8 session-2 window run —
+    "above_average_customers",
+    # (approx_distinct_parts, lineitem_profile, regex_extract_ids,
+    # null_safe_compare, order_priority_paths — all green in the r8
+    # session-2 window run — displaced by the statistical-audit batch
+    # prepends; cube_quantity — green in the r8 session-2 window run —
     # displaced by the HITS prepend)
     # (order_status_mix, customer_deciles — green in the r8 session-2
     # window run — displaced by the SCD2 / CDC-merge prepends;

@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 from databeats_spark.functions.text import tokens
 from databeats_spark.operators.dedup import ngram_jaccard_pairs
 from databeats_spark.operators.graph import connected_components, dedup_keep_best
+from databeats_spark.operators.scale import attach_global_scalar
 from databeats_spark.registry import QuerySpec
 from databeats_spark.registry.documents import (
     JACCARD_THRESHOLD,
@@ -949,7 +950,198 @@ ORDER BY source
 """
 
 
+# --- Q: benford_first_digit — fabricated-number fraud audit -----------
+# First-digit distribution of order totals vs Benford's law — the
+# classic synthetic/fabricated-data detector for a numeric column.
+# Counts are exact BIGINT (first digit via string head — no float
+# log tricks on the data side); the Benford expectation
+# log10(1 + 1/d) and the per-digit excess are the only doubles,
+# computed in identical expression order on both engines. Per-digit
+# ROWS, not a cross-digit chi-square scalar — the readout a reviewer
+# actually scans, and no cross-row double summation to absorb.
+
+def _benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    digit = F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+    per_digit = t.orders.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    stats = attach_global_scalar(per_digit, F.sum("n_obs").cast("bigint").alias("n"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    obs = F.col("n_obs").cast("double") / F.col("n")
+    return stats.select(
+        "digit",
+        "n_obs",
+        F.round(obs, 6).alias("obs_share"),
+        F.round(benford, 6).alias("benford_share"),
+        F.round(obs - benford, 6).alias("excess"),
+    ).orderBy("digit")
+
+
+_BENFORD_FIRST_DIGIT_SQL = """
+WITH per_digit AS (
+  SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT *, CAST(sum(n_obs) OVER () AS BIGINT) AS n FROM per_digit
+)
+SELECT digit, n_obs,
+       round(CAST(n_obs AS DOUBLE) / n, 6) AS obs_share,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS benford_share,
+       round(CAST(n_obs AS DOUBLE) / n - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS excess
+FROM s
+ORDER BY digit
+"""
+
+
+# --- Q: gini_by_source — corpus-mass inequality scalar ----------------
+# The Gini coefficient of document char mass per source — the scalar
+# summary of source_pareto's concentration curve. Ranks come from a
+# key-partitioned row_number (ties carry equal x, so the Σ i·x_i fold
+# is invariant to tie order); Σ i·x_i and Σ x_i are exact BIGINTs, and
+# G = (2·Σi·x_i)/(n·Σx) − (n+1)/n has two divisions in fixed
+# positions. One shuffle on source at any scale.
+
+def _gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = t.documents.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    g = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    gini = (2 * F.col("six")).cast("double") / (F.col("n") * F.col("sx")) - (
+        F.col("n") + 1
+    ).cast("double") / F.col("n")
+    return g.select(
+        "source", "n", F.col("sx").alias("total_chars"), F.round(gini, 6).alias("gini")
+    ).orderBy("source")
+
+
+_GINI_BY_SOURCE_SQL = """
+WITH ranked AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS i
+  FROM documents
+), g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(i * x) AS BIGINT) AS six
+  FROM ranked GROUP BY source
+)
+SELECT source, n, sx AS total_chars,
+       round(CAST(2 * six AS DOUBLE) / (n * sx) - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+FROM g
+ORDER BY source
+"""
+
+
+# --- Q: numeric_corr_matrix — column-profiling correlations -----------
+# Pairwise Pearson correlation of the lineitem numeric columns from
+# EXACT DECIMAL moment sums (sums and sums-of-products are
+# order-independent decimals; each sum is cast to double once and the
+# correlation is a single fixed-shape expression). The profiling
+# readout a feature platform runs before training; one hash aggregate
+# over the scan — the six pairs reuse the same ten moments.
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _numeric_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    d = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(d[c]).cast("double").alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).cast("double").alias(f"s_{c}_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(F.sum(d[a] * d[b]).cast("double").alias(f"s_{a}_{b}"))
+    m = t.lineitem.agg(*aggs)
+    # one scan, six output rows: the pair table explodes out of the
+    # single moment row instead of unioning six scalar branches
+    pair_structs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            n = F.col("n").cast("double")
+            cov = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            va = n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            vb = n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n").alias("n"),
+                    F.round(cov / F.sqrt(va * vb), 6).alias("corr"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*pair_structs)).alias("r"))
+        .select("r.col_a", "r.col_b", "r.n", "r.corr")
+        .orderBy("col_a", "col_b")
+    )
+
+
+def _numeric_corr_matrix_sql() -> str:
+    moment_cols = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in _CORR_COLS:
+        moment_cols.append(f"CAST(sum(CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}")
+        moment_cols.append(
+            f"CAST(sum(CAST({c} AS DECIMAL(18,2)) * CAST({c} AS DECIMAL(18,2))) AS DOUBLE) AS s_{c}_{c}"
+        )
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            moment_cols.append(
+                f"CAST(sum(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2))) AS DOUBLE) AS s_{a}_{b}"
+            )
+            pairs.append(
+                f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+       round((CAST(n AS DOUBLE) * s_{a}_{b} - s_{a} * s_{b})
+             / sqrt((CAST(n AS DOUBLE) * s_{a}_{a} - s_{a} * s_{a})
+                    * (CAST(n AS DOUBLE) * s_{b}_{b} - s_{b} * s_{b})), 6) AS corr
+FROM m"""
+            )
+    return f"""
+WITH m AS (
+  SELECT {", ".join(moment_cols)} FROM lineitem
+)
+SELECT * FROM (
+  {" UNION ALL ".join(pairs)}
+)
+ORDER BY col_a, col_b
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "benford_first_digit",
+        "Benford's-law first-digit audit of order totals: exact digit counts, per-digit expectation and excess",
+        _benford_first_digit,
+        _BENFORD_FIRST_DIGIT_SQL,
+        tags=("agg", "audit"),
+    ),
+    QuerySpec(
+        "gini_by_source",
+        "Gini coefficient of per-source doc char mass: exact BIGINT rank-weighted sums, two fixed divisions",
+        _gini_by_source,
+        _GINI_BY_SOURCE_SQL,
+        tags=("agg", "window", "audit"),
+    ),
+    QuerySpec(
+        "numeric_corr_matrix",
+        "pairwise Pearson correlations of lineitem numerics from exact DECIMAL moments (one aggregate, six pairs)",
+        _numeric_corr_matrix,
+        _numeric_corr_matrix_sql,
+        tags=("agg", "audit"),
+    ),
     QuerySpec(
         "normalized_dedup_delta",
         "duplication masked by case/punct/whitespace: raw-hash vs normalized-hash dup counts per source",

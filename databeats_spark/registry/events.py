@@ -851,6 +851,60 @@ FROM per_user
 """
 
 
+# --- Q: time_weighted_value — TWAP per user ---------------------------
+# Interval-weighted average of each user's event value: value_i is
+# held from ts_i until the next event (the last interval closes at
+# the fixed window end). The weighted sum is DECIMAL(18,2) × BIGINT
+# microseconds — exact decimal arithmetic, order-independent — and
+# the single division to double happens once at the end. One
+# key-partitioned window (lead) + one hash aggregate; the shape every
+# billing/metering pipeline runs at scale.
+
+TWAP_END_TS = "2024-01-31"  # events span Jan 2024
+
+
+def _time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    end_us = F.unix_micros(F.to_timestamp(F.lit(TWAP_END_TS)))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = t.events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), dec("value").alias("v")
+    )
+    with_delta = ev.withColumn(
+        "delta", F.coalesce(F.lead("us").over(w), end_us) - F.col("us")
+    )
+    g = with_delta.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.col("v") * F.col("delta")).alias("wsum"),
+        F.sum("delta").cast("bigint").alias("tsum"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("wsum").cast("double") / F.col("tsum"), 6).alias("twap"),
+    ).orderBy("user_id")
+
+
+_TIME_WEIGHTED_VALUE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,2)) AS v
+  FROM events
+), with_delta AS (
+  SELECT *,
+         coalesce(lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id),
+                  epoch_us(TIMESTAMP '{TWAP_END_TS}')) - us AS delta
+  FROM ev
+), g AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         sum(v * delta) AS wsum, CAST(sum(delta) AS BIGINT) AS tsum
+  FROM with_delta GROUP BY user_id
+)
+SELECT user_id, n_events, round(CAST(wsum AS DOUBLE) / tsum, 6) AS twap
+FROM g
+ORDER BY user_id
+"""
+
+
 # --- Q: srm_daily_check — sample-ratio-mismatch audit ------------------
 # The experimentation tier's health gate: before trusting CUPED/DiD
 # readouts, verify the randomization itself. Per exposure day, count
@@ -993,6 +1047,13 @@ FROM s
 
 
 SPECS = [
+    QuerySpec(
+        "time_weighted_value",
+        "per-user TWAP: interval-weighted value with exact DECIMAL x microsecond arithmetic, one final division",
+        _time_weighted_value,
+        _TIME_WEIGHTED_VALUE_SQL,
+        tags=("window", "agg", "timeseries"),
+    ),
     QuerySpec(
         "srm_daily_check",
         "sample-ratio-mismatch audit: per-day arm counts vs the 50/50 design, 1-df chi-square flag",

@@ -733,6 +733,96 @@ ORDER BY event_type, day
 """
 
 
+# --- Q: theil_sen_trend — robust trend estimation ---------------------
+# The forecasting tier's robust rung: the Theil-Sen slope (median of
+# all pairwise slopes) of weekly revenue per priority, beside the OLS
+# slope it is robust against. The pairwise table is bounded by the
+# CALENDAR squared (~345² per series — data volume only changes the
+# per-week aggregate, never the pair count), built as an equi-join on
+# the series key with a week-index inequality. Pair slopes have one
+# division off exact DECIMAL revenue deltas; the median is the
+# engine-shared type-7 interpolated percentile (the
+# approx_price_quantiles_exact precedent); OLS comes from exact
+# BIGINT/DECIMAL moment sums combined in one fixed-shape double
+# expression.
+
+def _theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.registry.relational import dec
+
+    t = load_tables(spark, sf_dir, ["orders"])
+    weekly = t.orders.groupBy(
+        "o_orderpriority",
+        F.floor(
+            F.unix_timestamp(F.date_trunc("week", F.col("o_orderdate"))) / 604800
+        ).cast("bigint").alias("wk"),
+    ).agg(F.sum(dec("o_totalprice")).cast("decimal(18,2)").alias("rev"))
+    a = weekly.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("wk").alias("wk1"),
+        F.col("rev").alias("rev1"),
+    )
+    b = weekly.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("wk").alias("wk2"),
+        F.col("rev").alias("rev2"),
+    )
+    pairs = a.join(b, ["pri"]).filter(F.col("wk1") < F.col("wk2"))
+    slope = (F.col("rev2") - F.col("rev1")).cast("double") / (F.col("wk2") - F.col("wk1"))
+    ts = pairs.groupBy("pri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.percentile(slope, F.lit(0.5)), 6).alias("ts_slope"),
+    )
+    m = weekly.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("wk").cast("double").alias("sx"),
+        F.sum("rev").cast("double").alias("sy"),
+        F.sum(F.col("wk") * F.col("wk")).cast("double").alias("sxx"),
+        F.sum(F.col("wk") * F.col("rev")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    ols = (nd * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        m.join(ts, m["o_orderpriority"] == ts["pri"])
+        .select(
+            "o_orderpriority",
+            F.col("n").alias("n_weeks"),
+            "n_pairs",
+            "ts_slope",
+            F.round(ols, 6).alias("ols_slope"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_THEIL_SEN_TREND_SQL = """
+WITH weekly AS (
+  SELECT o_orderpriority AS pri,
+         CAST(floor(epoch(CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)) / 604800) AS BIGINT) AS wk,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1, 2
+), pairs AS (
+  SELECT a.pri, CAST(b.rev - a.rev AS DOUBLE) / (b.wk - a.wk) AS slope
+  FROM weekly a JOIN weekly b ON b.pri = a.pri AND a.wk < b.wk
+), ts AS (
+  SELECT pri, CAST(count(*) AS BIGINT) AS n_pairs,
+         round(quantile_cont(slope, 0.5), 6) AS ts_slope
+  FROM pairs GROUP BY pri
+), m AS (
+  SELECT pri, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(wk) AS DOUBLE) AS sx, CAST(sum(rev) AS DOUBLE) AS sy,
+         CAST(sum(wk * wk) AS DOUBLE) AS sxx, CAST(sum(wk * rev) AS DOUBLE) AS sxy
+  FROM weekly GROUP BY pri
+)
+SELECT m.pri AS o_orderpriority, m.n AS n_weeks, ts.n_pairs, ts.ts_slope,
+       round((CAST(m.n AS DOUBLE) * m.sxy - m.sx * m.sy)
+             / (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx), 6) AS ols_slope
+FROM m JOIN ts ON ts.pri = m.pri
+ORDER BY m.pri
+"""
+
+
 # --- Q: holt_winters_forecast — seasonal exponential smoothing --------
 # The forecasting family's seasonal rung: additive Holt-Winters with
 # period 7 over per-type daily event counts. The state is
@@ -889,6 +979,13 @@ SPECS = [
         _dow_seasonal_decompose,
         _DOW_SEASONAL_DECOMPOSE_SQL,
         tags=("timeseries", "window", "audit"),
+    ),
+    QuerySpec(
+        "theil_sen_trend",
+        "Theil-Sen robust slope (median of calendar-bounded pairwise slopes) beside the exact-moment OLS slope, per priority",
+        _theil_sen_trend,
+        _THEIL_SEN_TREND_SQL,
+        tags=("timeseries", "ml", "join"),
     ),
     QuerySpec(
         "holt_winters_forecast",

@@ -928,3 +928,119 @@ def test_hits_copurchase_matches_numpy_integer_replica(spark):
     got_hub = out[out["role"] == "hub"][["score", "id"]].to_records(index=False)
     assert [(s, i) for s, i in got_auth] == exp_auth
     assert [(s, i) for s, i in got_hub] == exp_hub
+
+
+def test_benford_first_digit_matches_pandas(spark):
+    """Digit counts must equal a pandas string-head replay and the
+    shares must sum to 1; the Benford column must match math.log10."""
+    import math
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["benford_first_digit"](spark, SF_SMOKE).toPandas().set_index("digit")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_totalprice"])
+    first = orders["o_totalprice"].round(2).map(lambda v: f"{v:.2f}"[0])
+    counts = first.value_counts()
+    n = len(orders)
+    assert out["n_obs"].sum() == n
+    for d in out.index:
+        assert out.loc[d, "n_obs"] == counts[d]
+        assert abs(out.loc[d, "obs_share"] - counts[d] / n) < 1e-6
+        assert abs(out.loc[d, "benford_share"] - math.log10(1 + 1 / int(d))) < 1e-6
+
+
+def test_gini_by_source_matches_numpy(spark):
+    """Per-source Gini must equal the numpy rank formula, sit in
+    [0, 1), and be 0 for a constant series by construction."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["gini_by_source"](spark, SF_SMOKE).toPandas().set_index("source")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["source", "n_chars"])
+    for src, grp in docs.groupby("source"):
+        x = np.sort(grp["n_chars"].to_numpy(dtype=np.int64))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        g = 2 * (i * x).sum() / (n * x.sum()) - (n + 1) / n
+        row = out.loc[src]
+        assert row["n"] == n and row["total_chars"] == x.sum()
+        assert abs(row["gini"] - g) < 1e-6
+        assert 0 <= row["gini"] < 1
+
+
+def test_numeric_corr_matrix_matches_numpy(spark):
+    """Each pair's correlation must match numpy corrcoef over the same
+    2-decimal-rounded columns."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.audits import _CORR_COLS
+
+    out = queries()["numeric_corr_matrix"](spark, SF_SMOKE).toPandas()
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=list(_CORR_COLS)).round(2)
+    for _, r in out.iterrows():
+        expect = np.corrcoef(li[r["col_a"]], li[r["col_b"]])[0, 1]
+        assert abs(r["corr"] - expect) < 1e-5
+        assert r["n"] == len(li)
+
+
+def test_theil_sen_matches_numpy_brute_force(spark):
+    """ts_slope must equal the numpy median of all pairwise slopes and
+    ols_slope the lstsq slope over the same weekly series."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["theil_sen_trend"](spark, SF_SMOKE).toPandas().set_index("o_orderpriority")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    d = pd.to_datetime(orders["o_orderdate"])
+    monday = d - pd.to_timedelta(d.dt.weekday, unit="D")
+    wk = (monday.astype("int64") // 10**9) // 604800
+    weekly = (
+        orders.assign(wk=wk, rev=orders["o_totalprice"].round(2))
+        .groupby(["o_orderpriority", "wk"])["rev"]
+        .sum()
+        .reset_index()
+    )
+    for pri, grp in weekly.groupby("o_orderpriority"):
+        x = grp["wk"].to_numpy(dtype=np.float64)
+        y = grp["rev"].round(2).to_numpy(dtype=np.float64)
+        slopes = [
+            (y[j] - y[i]) / (x[j] - x[i])
+            for i in range(len(x))
+            for j in range(i + 1, len(x))
+        ]
+        row = out.loc[pri]
+        assert row["n_weeks"] == len(x)
+        assert row["n_pairs"] == len(slopes)
+        assert abs(row["ts_slope"] - np.median(slopes)) < 1e-4
+        ols = np.polyfit(x, y, 1)[0]
+        assert abs(row["ols_slope"] - ols) < 1e-4
+
+
+def test_time_weighted_value_matches_pandas(spark):
+    """TWAP must equal a pandas interval replay, and the total held
+    time per user must span first-event -> window end exactly."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import TWAP_END_TS
+
+    out = queries()["time_weighted_value"](spark, SF_SMOKE).toPandas().set_index("user_id")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").copy()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    end = pd.Timestamp(TWAP_END_TS).value // 1000
+    for uid, grp in ev.sort_values(["us", "event_id"]).groupby("user_id"):
+        us = grp["us"].to_numpy()
+        v = grp["value"].round(2).to_numpy()
+        deltas = list(us[1:] - us[:-1]) + [end - us[-1]]
+        twap = sum(a * b for a, b in zip(v, deltas)) / sum(deltas)
+        row = out.loc[uid]
+        assert row["n_events"] == len(grp)
+        assert abs(row["twap"] - twap) < 1e-5
