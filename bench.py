@@ -164,6 +164,11 @@ def main() -> None:
         # fairness (runs BPE training), and the Z-order layout audit
         "dedup_upsample_weights", "normalized_dedup_delta",
         "bpe_fertility_by_lang", "zorder_locality_audit",
+        # r8 session-3 additions (appended per the like-for-like
+        # convention): exact-integer HITS rounds, the rank-sum readout's
+        # distributed prefix sum, the seasonal fold, and CUSUM
+        "hits_copurchase", "mann_whitney_effect",
+        "holt_winters_forecast", "cusum_changepoint",
     ]
     audit: dict[str, float] = {}
     audit_cpu: dict[str, float] = {}

@@ -40,6 +40,10 @@ FLAGSHIPS = {
     "cuped_experiment_effect": "CUPED readout: per-user DECIMAL sums, moment scalars via checkpointed attach, one keyless final aggregate",
     "bpe_fertility_by_lang": "corpus word stream joined ONCE to the Heaps-small vocabulary (AQE broadcast; 440 B shuffled at both SFs)",
     "zorder_locality_audit": "bit-interleave DIV/% polynomial + value-range chunking: two hash aggregates, no global sort",
+    "mann_whitney_effect": "rank-sum via distinct-value distributed prefix sum: range partition -> subtotal offsets -> exact BIGINT 2U fold",
+    "hits_copurchase": "HITS rounds: one round-dependent relation joined to static edges per round, exact BIGINT scores, top-k behind limits",
+    "holt_winters_forecast": "seasonal ordered fold: one hash agg to the daily table, then per-group array fold (no driver loop, no iteration shuffle)",
+    "theil_sen_trend": "calendar-bounded pairwise slopes: series-key equi-join (pair count fixed by the calendar, not data volume) + type-7 median",
 }
 
 

@@ -58,6 +58,9 @@ QUERIES = [
     "dedup_upsample_weights", "normalized_dedup_delta",
     "bpe_fertility_by_lang", "zorder_locality_audit",
     "embedding_isotropy_audit",
+    # r8 session-3 single-plan additions
+    "hits_copurchase", "mann_whitney_effect",
+    "holt_winters_forecast", "cusum_changepoint",
 ]
 
 
