@@ -89,6 +89,8 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "quantile_normalized_lengths",  # r8: all-integer cross-source alignment
+    "stratified_effect",  # r8: post-stratification A/B readout
     "time_weighted_value",  # r8: exact DECIMALxBIGINT interval TWAP
     "theil_sen_trend",  # r8: robust median-of-slopes + exact-moment OLS
     "numeric_corr_matrix",  # r8: Pearson pairs from exact DECIMAL moments
@@ -138,10 +140,13 @@ _WINDOW = (
     # — changed in r8 (re-verify first):
     "substring_dup_spans",  # r8: control-byte sanitizer (both engines)
     "substring_dup_spans_hashed",  # r8: same sanitizer, shared oracle
-    "weekly_resample",  # r8: spine restructured (users x 1-row span, then explode)
+    # (weekly_resample — restructured spine verified green in the r8
+    # session-2 window run — displaced by the quantile-normalize
+    # prepend)
     # — r7 window debt (displaced past slot 50, oldest driver rows):
-    "above_average_customers",
-    # (approx_distinct_parts, lineitem_profile, regex_extract_ids,
+    # (above_average_customers — green in the r8 session-2 window run —
+    # displaced by the stratified-effect prepend;
+    # approx_distinct_parts, lineitem_profile, regex_extract_ids,
     # null_safe_compare, order_priority_paths — all green in the r8
     # session-2 window run — displaced by the statistical-audit batch
     # prepends; cube_quantity — green in the r8 session-2 window run —

@@ -1177,7 +1177,84 @@ ORDER BY source, decile
 """
 
 
+# --- Q: quantile_normalized_lengths — cross-source score alignment ----
+# Quantile normalization (the expression-array classic, here over doc
+# lengths): every document's within-source rank is mapped to the
+# POOLED distribution's value at the equivalent rank, so every
+# source's length profile becomes comparable before mixing. Parity is
+# all-integer: within-source rank r and source size n_s are
+# key-partitioned window BIGINTs, the pooled index is a distributed
+# prefix count (partitioned_running_total — no global window), the
+# target index k = 1 + ((r−1)(N−1)) DIV (n_s−1) is integer division
+# on both engines (singleton sources map to the pooled median), and
+# the lookup is one equi-join on k = idx. Nothing is floating point
+# anywhere.
+
+def _quantile_normalized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select("doc_id", "source", F.col("n_chars").cast("bigint").alias("n_chars"))
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w).cast("bigint").alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint").alias("ns"),
+    )
+    pooled = partitioned_running_total(
+        docs.withColumn("one", F.lit(1).cast("bigint")),
+        [F.col("n_chars"), F.col("doc_id")],
+        "one",
+        out_col="idx",
+    ).select(F.col("idx").cast("bigint").alias("idx"), F.col("n_chars").alias("norm_chars"))
+    n_total = docs.agg(F.count(F.lit(1)).cast("bigint").alias("N"))
+    k = F.when(
+        F.col("ns") == 1, F.expr("(N + 1) DIV 2")
+    ).otherwise(F.expr("1 + ((r - 1) * (N - 1)) DIV (ns - 1)"))
+    keyed = ranked.crossJoin(F.broadcast(n_total)).withColumn("k", k)
+    return (
+        keyed.join(pooled, keyed["k"] == pooled["idx"])
+        .select("doc_id", "source", "n_chars", F.col("r").alias("src_rank"), "norm_chars")
+        .orderBy("doc_id")
+    )
+
+
+_QUANTILE_NORMALIZED_LENGTHS_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+  FROM documents
+), pooled AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS idx,
+         CAST(n_chars AS BIGINT) AS norm_chars
+  FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS N FROM documents
+), keyed AS (
+  SELECT ranked.*,
+         CASE WHEN ns = 1 THEN (N + 1) // 2
+              ELSE 1 + ((r - 1) * (N - 1)) // (ns - 1) END AS k
+  FROM ranked CROSS JOIN nn
+)
+SELECT keyed.doc_id, keyed.source, keyed.n_chars, keyed.r AS src_rank, p.norm_chars
+FROM keyed JOIN pooled p ON p.idx = keyed.k
+ORDER BY keyed.doc_id
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "quantile_normalized_lengths",
+        "quantile normalization across sources: all-integer rank mapping through the pooled distribution (prefix-count index, one equi-join)",
+        _quantile_normalized_lengths,
+        _QUANTILE_NORMALIZED_LENGTHS_SQL,
+        tags=("window", "join", "scale", "text"),
+    ),
     QuerySpec("quality_decile_mix", "per-source quality-score decile histogram (value buckets, no sort)", _quality_decile_mix, _quality_decile_mix_sql(), tags=("text", "agg", "audit")),
     QuerySpec("deterministic_sample", "hash-threshold reproducible sampling (auditable subsets)", _deterministic_sample, _DETERMINISTIC_SAMPLE_SQL, tags=("sampling",)),
     QuerySpec("stratified_sample", "per-stratum hash-threshold sampling (corpus balancing)", _stratified_sample, _STRATIFIED_SAMPLE_SQL, tags=("sampling",)),

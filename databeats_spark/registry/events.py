@@ -851,6 +851,119 @@ FROM per_user
 """
 
 
+# --- Q: stratified_effect — post-stratification A/B readout -----------
+# The experimentation tier's fourth estimator: stratify users by
+# PRE-period activity band (the strongest observed confounder), read
+# the treatment effect within each stratum, and combine with
+# population weights — the design-based alternative to CUPED's
+# regression adjustment. Per-stratum sums are exact DECIMALs; each
+# stratum row carries its own one-division means; the 'ALL' row's
+# weighted combination sums three fixed-band doubles (round-6
+# absorbs partial-agg order, the var_pop precedent). N rides
+# attach_global_scalar off the stratum table (derived-scalar rule),
+# and the checkpoint lets the per-stratum and ALL branches share one
+# materialization.
+
+STRAT_BANDS = (1400.0, 1800.0)  # pre-spend terciles at the test SFs
+
+
+def _stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["events"])
+    pre = F.col("ts") < F.lit(CUPED_SPLIT_TS).cast("timestamp")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.sum(F.when(pre, dec("value")).otherwise(zero)).cast("decimal(18,2)").alias("x"),
+            F.sum(F.when(~pre, dec("value")).otherwise(zero)).cast("decimal(18,2)").alias("y"),
+        )
+        .withColumn("t", (F.col("user_id") % 2).cast("bigint"))
+        .withColumn(
+            "stratum",
+            F.when(F.col("x") < STRAT_BANDS[0], F.lit("1_low"))
+            .when(F.col("x") < STRAT_BANDS[1], F.lit("2_mid"))
+            .otherwise(F.lit("3_high")),
+        )
+    )
+    st = per_user.groupBy("stratum").agg(
+        F.sum((F.col("t") == 1).cast("bigint")).cast("bigint").alias("n1"),
+        F.sum((F.col("t") == 0).cast("bigint")).cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("t") == 1, F.col("y")).otherwise(zero)).cast("decimal(18,2)").alias("sy1"),
+        F.sum(F.when(F.col("t") == 0, F.col("y")).otherwise(zero)).cast("decimal(18,2)").alias("sy0"),
+    )
+    stw = attach_global_scalar(st, F.sum(F.col("n1") + F.col("n0")).cast("bigint").alias("N"))
+    # a one-arm stratum (possible at tiny SFs) has no within-stratum
+    # contrast: its effect is NULL and the ALL row's sum skips it —
+    # identically on both engines (sum ignores NULLs)
+    diff = F.when(
+        (F.col("n1") == 0) | (F.col("n0") == 0), F.lit(None).cast("double")
+    ).otherwise(
+        F.col("sy1").cast("double") / F.col("n1") - F.col("sy0").cast("double") / F.col("n0")
+    )
+    w = (F.col("n1") + F.col("n0")).cast("double") / F.col("N")
+    per_stratum = stw.select(
+        "stratum",
+        "n1",
+        "n0",
+        F.round(diff, 6).alias("effect"),
+        F.round(w, 6).alias("weight"),
+    )
+    all_row = stw.agg(
+        F.sum("n1").cast("bigint").alias("n1"),
+        F.sum("n0").cast("bigint").alias("n0"),
+        F.round(F.sum(w * diff), 6).alias("effect"),
+    ).select(F.lit("4_all_stratified").alias("stratum"), "n1", "n0", "effect", F.lit(1.0).alias("weight"))
+    return per_stratum.unionAll(all_row).orderBy("stratum")
+
+
+_STRATIFIED_EFFECT_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT_TS}'
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS x,
+         CAST(sum(CASE WHEN NOT (ts < TIMESTAMP '{CUPED_SPLIT_TS}')
+                       THEN CAST(value AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS y,
+         CAST(user_id % 2 AS BIGINT) AS t
+  FROM events GROUP BY user_id
+), banded AS (
+  SELECT *, CASE WHEN x < {STRAT_BANDS[0]} THEN '1_low'
+                 WHEN x < {STRAT_BANDS[1]} THEN '2_mid'
+                 ELSE '3_high' END AS stratum
+  FROM per_user
+), st AS (
+  SELECT stratum,
+         CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN t = 1 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS sy1,
+         CAST(sum(CASE WHEN t = 0 THEN y ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS sy0
+  FROM banded GROUP BY stratum
+), stw AS (
+  SELECT *, CAST(sum(n1 + n0) OVER () AS BIGINT) AS N FROM st
+)
+SELECT * FROM (
+  SELECT stratum, n1, n0,
+         round(CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                    ELSE CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0
+               END, 6) AS effect,
+         round(CAST(n1 + n0 AS DOUBLE) / N, 6) AS weight
+  FROM stw
+  UNION ALL
+  SELECT '4_all_stratified', CAST(sum(n1) AS BIGINT), CAST(sum(n0) AS BIGINT),
+         round(sum((CAST(n1 + n0 AS DOUBLE) / N)
+                   * (CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                           ELSE CAST(sy1 AS DOUBLE) / n1 - CAST(sy0 AS DOUBLE) / n0
+                      END)), 6),
+         1.0
+  FROM stw
+)
+ORDER BY stratum
+"""
+
+
 # --- Q: time_weighted_value — TWAP per user ---------------------------
 # Interval-weighted average of each user's event value: value_i is
 # held from ts_i until the next event (the last interval closes at
@@ -1047,6 +1160,13 @@ FROM s
 
 
 SPECS = [
+    QuerySpec(
+        "stratified_effect",
+        "post-stratification A/B readout: pre-activity bands, exact per-stratum DECIMAL sums, population-weighted combination",
+        _stratified_effect,
+        _STRATIFIED_EFFECT_SQL,
+        tags=("agg", "ml", "audit"),
+    ),
     QuerySpec(
         "time_weighted_value",
         "per-user TWAP: interval-weighted value with exact DECIMAL x microsecond arithmetic, one final division",

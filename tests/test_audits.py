@@ -1044,3 +1044,64 @@ def test_time_weighted_value_matches_pandas(spark):
         row = out.loc[uid]
         assert row["n_events"] == len(grp)
         assert abs(row["twap"] - twap) < 1e-5
+
+
+def test_stratified_effect_matches_numpy_replica(spark):
+    """Each stratum's contrast and the population-weighted combination
+    must match a numpy replay over the same per-user split; the ALL
+    row must equal the weighted sum of the stratum rows."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import CUPED_SPLIT_TS, STRAT_BANDS
+
+    out = queries()["stratified_effect"](spark, SF_SMOKE).toPandas().set_index("stratum")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["v"] = ev["value"].round(2)
+    split = pd.Timestamp(CUPED_SPLIT_TS)
+    pre = ev[ev["ts"] < split].groupby("user_id")["v"].sum()
+    post = ev[ev["ts"] >= split].groupby("user_id")["v"].sum()
+    users = np.array(sorted(ev["user_id"].unique()))
+    x = np.array([round(pre.get(u, 0.0), 2) for u in users])
+    y = np.array([round(post.get(u, 0.0), 2) for u in users])
+    t = users % 2
+    strata = np.where(x < STRAT_BANDS[0], "1_low", np.where(x < STRAT_BANDS[1], "2_mid", "3_high"))
+    total, n_all = 0.0, len(users)
+    for s in ("1_low", "2_mid", "3_high"):
+        m = strata == s
+        row = out.loc[s]
+        assert row["n1"] == (m & (t == 1)).sum() and row["n0"] == (m & (t == 0)).sum()
+        assert abs(row["weight"] - m.sum() / n_all) < 1e-6
+        if row["n1"] and row["n0"]:
+            eff = y[m & (t == 1)].mean() - y[m & (t == 0)].mean()
+            assert abs(row["effect"] - eff) < 1e-4
+            total += (m.sum() / n_all) * eff
+    assert abs(out.loc["4_all_stratified", "effect"] - total) < 1e-4
+
+
+def test_quantile_normalized_lengths_aligns_distributions(spark):
+    """After normalization every source's value multiset must be a
+    rank-indexed slice of the POOLED sorted lengths (numpy replay of
+    the integer index formula), and a source's normalized min/max must
+    span the pooled extremes."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    out = queries()["quantile_normalized_lengths"](spark, SF_SMOKE).toPandas()
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "source", "n_chars"])
+    pooled = docs.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+    pooled_vals = pooled["n_chars"].to_numpy()
+    n_total = len(pooled)
+    for src, grp in docs.groupby("source"):
+        g = grp.sort_values(["n_chars", "doc_id"]).reset_index(drop=True)
+        ns = len(g)
+        sub = out[out["source"] == src].sort_values("src_rank").reset_index(drop=True)
+        assert (sub["doc_id"].values == g["doc_id"].values).all()
+        for r in range(1, ns + 1):
+            k = (n_total + 1) // 2 if ns == 1 else 1 + ((r - 1) * (n_total - 1)) // (ns - 1)
+            assert sub.loc[r - 1, "norm_chars"] == pooled_vals[k - 1]
+        assert sub["norm_chars"].iloc[0] == pooled_vals[0]
+        assert sub["norm_chars"].iloc[-1] == pooled_vals[-1]
