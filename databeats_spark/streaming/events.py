@@ -139,6 +139,45 @@ def stream_stream_click_attribution(
     )
 
 
+def streaming_srm_guard(
+    events: DataFrame,
+    window: str = "1 day",
+    watermark: str = "2 days",
+    crit: float = 3.841459,
+) -> DataFrame:
+    """Live sample-ratio-mismatch guardrail — the streaming sibling of
+    the batch ``srm_daily_check`` registry query. A broken assignment
+    (an SDK shipping one arm, a filter eating the other) should page
+    BEFORE the readout runs, so the chi-square runs per tumbling
+    window as events arrive.
+
+    Streaming-state note: exact DISTINCT users per window is a second
+    stateful op, so the live guard counts EVENTS per arm — the
+    design-ratio test is equally valid over any unit assigned by the
+    same deterministic hash, and the batch query stays the
+    user-grained authority. Counts are exact per window; the two-cell
+    chi-square collapses to (n1-n0)^2/n with one division, as in the
+    batch form."""
+    arm = (F.col("user_id") % 2).cast("bigint")
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("n_treated"),
+            F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        )
+    )
+    diff = F.col("n_treated") - F.col("n_control")
+    chi2 = (diff * diff).cast("double") / (F.col("n_treated") + F.col("n_control"))
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "n_treated",
+        "n_control",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > F.lit(crit)).alias("srm_flag"),
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, output_mode: str = "append") -> StreamingQuery:
     """Drain everything currently available into a memory sink and stop
     — synchronous batch-incremental execution for tests/backfills."""

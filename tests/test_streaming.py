@@ -198,3 +198,37 @@ def test_streaming_anomalies_match_batch_outliers(spark, tmp_path):
     )
     assert len(got) == len(want) > 0
     assert got.equals(want)
+
+
+def test_streaming_srm_guard_matches_batch(spark, events_dir):
+    """The drained SRM guard must equal the batch computation of the
+    same per-window arm counts and chi-square over the same file, and
+    the deterministic user_id%2 assignment must stay mostly unflagged."""
+    from databeats_spark.streaming.events import streaming_srm_guard
+
+    stream = stream_events(spark, events_dir)
+    guard = streaming_srm_guard(stream, window="1 day", watermark="2 days")
+    run_available_now(guard, "srm_guard", output_mode="complete")
+    got = spark.sql("SELECT * FROM srm_guard").toPandas()
+
+    batch = load_tables(spark, SF_SMOKE, ["events"]).events
+    arm = (F.col("user_id") % 2).cast("bigint")
+    exp = (
+        batch.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("n_treated"),
+            F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("n_control"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_treated", "n_control")
+        .toPandas()
+    )
+    got_s = got.sort_values("window_start").reset_index(drop=True)
+    exp_s = exp.sort_values("window_start").reset_index(drop=True)
+    assert len(got_s) == len(exp_s) > 0
+    assert (got_s["n_treated"].values == exp_s["n_treated"].values).all()
+    assert (got_s["n_control"].values == exp_s["n_control"].values).all()
+    chi2 = (exp_s["n_treated"] - exp_s["n_control"]) ** 2 / (
+        exp_s["n_treated"] + exp_s["n_control"]
+    )
+    assert (got_s["chi2"] - chi2).abs().max() < 1e-6
+    assert (~got_s["srm_flag"]).mean() > 0.5
