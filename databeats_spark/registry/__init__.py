@@ -89,6 +89,10 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "bm25_topk",  # r8: shuffle-free lexical retrieval scoring
+    "rrf_hybrid_topk",  # r8: reciprocal-rank fusion of lex+dense pools
+    "kaplan_meier_retention",  # r8: product-limit fold, recursive-CTE oracle
+    "poisson_bootstrap_ci",  # r8: one-pass deterministic bootstrap CI
     "quantile_normalized_lengths",  # r8: all-integer cross-source alignment
     "stratified_effect",  # r8: post-stratification A/B readout
     "time_weighted_value",  # r8: exact DECIMALxBIGINT interval TWAP
@@ -135,11 +139,9 @@ _WINDOW = (
     "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
     "approx_price_quantiles_exact",  # r8: sketch-tier oracle twin
     "substring_dup_spans_packed",  # r8: packed-tail scale twin (>2x shuffle cut)
-    "phash_near_dups",  # r8: perceptual media near-dup (rows-only)
-    "phash_near_dups_exact",  # r8: md5-bit banding twin of the perceptual tier
-    # — changed in r8 (re-verify first):
-    "substring_dup_spans",  # r8: control-byte sanitizer (both engines)
-    "substring_dup_spans_hashed",  # r8: same sanitizer, shared oracle
+    # (phash_near_dups, phash_near_dups_exact, substring_dup_spans,
+    # substring_dup_spans_hashed — all green in the r8 session-4
+    # front-50 run — displaced by the retrieval/inference prepends)
     # (weekly_resample — restructured spine verified green in the r8
     # session-2 window run — displaced by the quantile-normalize
     # prepend)
@@ -194,13 +196,14 @@ def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
         audits, corpus, curation, decision, documents, events, extended, frames,
-        lifecycle, linkage, mining, modern, relational, shapes, signals, vectors,
+        inference, lifecycle, linkage, mining, modern, relational, retrieval,
+        shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
                 curation, modern, decision, mining, signals, corpus, lifecycle,
-                audits, linkage):
+                audits, linkage, retrieval, inference):
         all_specs.extend(mod.SPECS)
     # Explicit raises, not asserts: these guard the driver gate's
     # coverage and must survive ``python -O`` (ADVICE r7).
