@@ -89,6 +89,9 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "basket_lift_rules",  # r8: bounded-basket association rules
+    "source_kmv_overlap",  # r8: self-auditing KMV sketch overlap
+    "conformal_token_interval",  # r8: rank-exact split-conformal CI
     "bm25_topk",  # r8: shuffle-free lexical retrieval scoring
     "rrf_hybrid_topk",  # r8: reciprocal-rank fusion of lex+dense pools
     "kaplan_meier_retention",  # r8: product-limit fold, recursive-CTE oracle
@@ -135,9 +138,9 @@ _WINDOW = (
     "ngram_novelty_hashed",  # r8: xxhash64-gram novelty twin
     "padding_waste_by_bucket",  # r8: batching-efficiency audit
     "cms_heavy_hitters",  # r8: count-min sketch, fully oracle-matched
-    "hll_distinct_users_exact",  # r8: sketch-tier oracle twin
-    "approx_distinct_parts_exact",  # r8: sketch-tier oracle twin
-    "approx_price_quantiles_exact",  # r8: sketch-tier oracle twin
+    # (hll_distinct_users_exact, approx_distinct_parts_exact,
+    # approx_price_quantiles_exact — green in the r8 session-1/2/4
+    # window runs — displaced by the basket/KMV/conformal prepends)
     "substring_dup_spans_packed",  # r8: packed-tail scale twin (>2x shuffle cut)
     # (phash_near_dups, phash_near_dups_exact, substring_dup_spans,
     # substring_dup_spans_hashed — all green in the r8 session-4
@@ -195,15 +198,15 @@ _GATE_WIDTH = 50
 def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
-        audits, corpus, curation, decision, documents, events, extended, frames,
-        inference, lifecycle, linkage, mining, modern, relational, retrieval,
-        shapes, signals, vectors,
+        audits, basket, corpus, curation, decision, documents, events, extended,
+        frames, inference, lifecycle, linkage, mining, modern, relational,
+        retrieval, shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
                 curation, modern, decision, mining, signals, corpus, lifecycle,
-                audits, linkage, retrieval, inference):
+                audits, linkage, retrieval, inference, basket):
         all_specs.extend(mod.SPECS)
     # Explicit raises, not asserts: these guard the driver gate's
     # coverage and must survive ``python -O`` (ADVICE r7).

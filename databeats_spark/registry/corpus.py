@@ -1235,7 +1235,164 @@ ORDER BY perm, doc_id
 """
 
 
+# --- Q: source_kmv_overlap — mergeable-sketch corpus overlap ----------
+# Cross-source n-gram overlap via K-MINIMUM-VALUES sketches (Bar-Yossef
+# et al. 2002), the self-auditing way: the KMV Jaccard estimate AND the
+# exact shingle-set Jaccard ride ONE dual-engine plan (the
+# ann_recall_audit posture), so the sketch's error column is itself
+# oracle-certified. The sketch is the 100 TB product — k md5-hex
+# strings per source, mergeable by construction (the union's k-min is
+# the k-min of the concatenated sketches, exactly what the merged-rank
+# window computes); the exact side is the verifier the registry can
+# afford at correctness SFs. Hash family = md5 hex compared
+# LEXICOGRAPHICALLY (the minhash_near_dups_exact recipe), so every min
+# and every rank is a total order both engines share byte-for-byte;
+# estimate arithmetic is BIGINT counts with one division. The source
+# catalog is cross-joined behind explicit LIMITs (catalog-bounded,
+# lint-provable).
+
+KMV_K = 64
+KMV_SRC_CAP = 32  # semantic no-op bound on the source catalog
+
+
+def _source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.functions.text import word_shingles
+    from databeats_spark.sources.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    d = docs.select(
+        "source", F.explode(word_shingles("text", 3)).alias("sh")
+    ).distinct()
+    h = d.select("source", F.md5("sh").alias("h"), "sh")
+    wsk = Window.partitionBy("source").orderBy("h", "sh")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wsk))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = d.select("source").distinct().orderBy("source").limit(KMV_SRC_CAP)
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    ua = pairs.join(sk, F.col("source") == F.col("sa")).select("sa", "sb", "h")
+    ub = pairs.join(sk, F.col("source") == F.col("sb")).select("sa", "sb", "h")
+    g = (
+        ua.unionByName(ub)
+        .groupBy("sa", "sb", "h")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_side"))
+    )
+    wm = Window.partitionBy("sa", "sb").orderBy("h")
+    est = (
+        g.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("sa", "sb")
+        .agg(
+            F.sum((F.col("n_side") == 2).cast("bigint")).cast("bigint").alias("kmv_common"),
+            F.count(F.lit(1)).cast("bigint").alias("kmv_size"),
+        )
+    )
+    sizes = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (
+        d.select(F.col("source").alias("sa"), "sh")
+        .join(d.select(F.col("source").alias("sb"), "sh"), "sh")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    base = (
+        pairs.join(est, ["sa", "sb"])
+        .join(inter, ["sa", "sb"], "left")
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))),
+            "sb",
+        )
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0).cast("bigint")))
+    )
+    j_exact = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    j_kmv = F.col("kmv_common").cast("double") / F.col("kmv_size").cast("double")
+    return base.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(j_exact, 6).alias("j_exact"),
+        F.round(j_kmv, 6).alias("j_kmv"),
+        F.round(F.abs(j_kmv - j_exact), 6).alias("kmv_abs_err"),
+    ).orderBy("source_a", "source_b")
+
+
+_SOURCE_KMV_OVERLAP_SQL = rf"""
+WITH tkn AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), sh3 AS (
+  SELECT source, list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM tkn
+), d AS (
+  SELECT DISTINCT source, unnest(shingles) AS sh FROM sh3
+), h AS (
+  SELECT source, md5(sh) AS h, sh FROM d
+), sk AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h, sh) AS rn
+    FROM h
+  ) WHERE rn <= {KMV_K}
+), srcs AS (
+  SELECT DISTINCT source FROM d
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source
+), u AS (
+  SELECT p.sa, p.sb, sk.h FROM pairs p JOIN sk ON sk.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, sk.h FROM pairs p JOIN sk ON sk.source = p.sb
+), g AS (
+  SELECT sa, sb, h, CAST(count(*) AS BIGINT) AS n_side FROM u GROUP BY 1, 2, 3
+), est AS (
+  SELECT sa, sb,
+         CAST(sum(CASE WHEN n_side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS kmv_common,
+         CAST(count(*) AS BIGINT) AS kmv_size
+  FROM (
+    SELECT sa, sb, n_side, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+    FROM g
+  ) WHERE rn <= {KMV_K}
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_common
+  FROM d a JOIN d b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.sa AS source_a, p.sb AS source_b, na.n AS n_a, nb.n AS n_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       round(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+             / CAST(na.n + nb.n - COALESCE(i.n_common, 0) AS DOUBLE), 6) AS j_exact,
+       round(CAST(e.kmv_common AS DOUBLE) / CAST(e.kmv_size AS DOUBLE), 6) AS j_kmv,
+       round(abs(CAST(e.kmv_common AS DOUBLE) / CAST(e.kmv_size AS DOUBLE)
+             - CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / CAST(na.n + nb.n - COALESCE(i.n_common, 0) AS DOUBLE)), 6) AS kmv_abs_err
+FROM pairs p
+JOIN est e ON e.sa = p.sa AND e.sb = p.sb
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+JOIN sizes na ON na.source = p.sa
+JOIN sizes nb ON nb.source = p.sb
+ORDER BY source_a, source_b
+"""
+
+
 SPECS = [
+    QuerySpec("source_kmv_overlap", "cross-source shingle overlap: KMV sketch Jaccard vs exact in one self-auditing dual-engine plan", _source_kmv_overlap, _SOURCE_KMV_OVERLAP_SQL, tags=("text", "dedup", "audit", "sketch")),
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),
     QuerySpec("substring_dup_spans", "variable-length duplicated substrings via anchored suffix sort (Lee et al. 2022)", _substring_dup_spans, _SUBSTRING_DUP_SPANS_SQL, tags=("dedup", "text", "window")),

@@ -305,7 +305,153 @@ ORDER BY source
 """
 
 
+# --- Q: conformal_token_interval ---------------------------------------
+# Split-conformal prediction intervals (Vovk; Lei et al. 2018) for a
+# per-source token-count predictor — distribution-free uncertainty for
+# ANY scorer, the eval-tier rung the bootstrap (sampling uncertainty of
+# a MEAN) doesn't cover (per-PREDICTION uncertainty). Deterministic
+# md5 calibration/test split; predictor = the calibration half's
+# tokens-per-char ratio (one exact-BIGINT ratio per source); qhat = the
+# ceil((n+1)(1−α))-th smallest calibration residual — a RANK-BASED
+# order statistic (integer k, total-order tie-break), so nothing
+# interpolates; the test half's empirical coverage is an exact count
+# ratio. The conformal guarantee is MARGINAL (≥ 1−α in expectation
+# over splits) — per-source coverage swings at small calibration sets,
+# so the pytest pins the POOLED coverage plus a literal Python replica.
+
+CONF_ALPHA_NUM = 1  # α = 1/10 → 90% target coverage
+CONF_ALPHA_DEN = 10
+CONF_SPLIT_HEX = "8000"  # md5 head < this → calibration half
+
+
+def _conformal_token_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import token_count
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count("text").cast("bigint").alias("n_tok"),
+        (
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < CONF_SPLIT_HEX
+        ).alias("is_cal"),
+    )
+    cal = docs.filter(F.col("is_cal"))
+    test = docs.filter(~F.col("is_cal"))
+    ratios = cal.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("st"),
+        F.sum("n_chars").cast("bigint").alias("sc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cal"),
+    )
+    resid = F.abs(
+        F.col("n_tok").cast("double")
+        - F.col("n_chars").cast("double")
+        * (F.col("st").cast("double") / F.col("sc").cast("double"))
+    )
+    k_rank = F.expr(
+        f"CAST((((n_cal + 1) * ({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM}))"
+        f" + ({CONF_ALPHA_DEN} - 1)) DIV {CONF_ALPHA_DEN} AS BIGINT)"
+    )
+    cal_res = (
+        cal.join(F.broadcast(ratios), "source")
+        .withColumn("resid", resid)
+        .withColumn("k_rank", k_rank)
+    )
+    rw = Window.partitionBy("source").orderBy("resid", "doc_id")
+    qhats = (
+        cal_res.withColumn("rn", F.row_number().over(rw))
+        .groupBy("source")
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("k_rank").alias("k_rank"),
+            F.max(
+                F.when(F.col("rn") == F.col("k_rank"), F.col("resid"))
+            ).alias("qhat"),
+        )
+    )
+    cov = (
+        test.join(F.broadcast(ratios.select("source", "st", "sc")), "source")
+        .withColumn("resid", resid)
+        .join(F.broadcast(qhats.select("source", "qhat")), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum((F.col("resid") <= F.col("qhat")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        qhats.join(cov, "source")
+        .select(
+            "source",
+            "n_cal",
+            "n_test",
+            "k_rank",
+            F.round("qhat", 6).alias("qhat"),
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test").cast("double"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("source")
+    )
+
+
+_CONFORMAL_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, n_chars,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{CONF_SPLIT_HEX}' AS is_cal
+  FROM documents
+), ratios AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS st,
+         CAST(sum(n_chars) AS BIGINT) AS sc,
+         CAST(count(*) AS BIGINT) AS n_cal
+  FROM docs WHERE is_cal GROUP BY source
+), cal_res AS (
+  SELECT d.source, d.doc_id, r.n_cal,
+         CAST((((r.n_cal + 1) * ({CONF_ALPHA_DEN} - {CONF_ALPHA_NUM}))
+               + ({CONF_ALPHA_DEN} - 1)) // {CONF_ALPHA_DEN} AS BIGINT) AS k_rank,
+         abs(CAST(d.n_tok AS DOUBLE) - CAST(d.n_chars AS DOUBLE)
+             * (CAST(r.st AS DOUBLE) / CAST(r.sc AS DOUBLE))) AS resid
+  FROM docs d JOIN ratios r USING (source) WHERE d.is_cal
+), qhats AS (
+  SELECT source, max(n_cal) AS n_cal, max(k_rank) AS k_rank,
+         max(CASE WHEN rn = k_rank THEN resid END) AS qhat
+  FROM (
+    SELECT source, n_cal, k_rank, resid,
+           row_number() OVER (PARTITION BY source ORDER BY resid, doc_id) AS rn
+    FROM cal_res
+  ) GROUP BY source
+), cov AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(CAST(d.n_tok AS DOUBLE) - CAST(d.n_chars AS DOUBLE)
+                    * (CAST(r.st AS DOUBLE) / CAST(r.sc AS DOUBLE))) <= q.qhat
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+  FROM docs d
+  JOIN ratios r USING (source)
+  JOIN qhats q USING (source)
+  WHERE NOT d.is_cal
+  GROUP BY d.source
+)
+SELECT q.source, q.n_cal, c.n_test, q.k_rank,
+       round(q.qhat, 6) AS qhat,
+       round(CAST(c.n_covered AS DOUBLE) / CAST(c.n_test AS DOUBLE), 6) AS coverage
+FROM qhats q JOIN cov c USING (source)
+ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "conformal_token_interval",
+        "split-conformal prediction interval per source: rank-based qhat off a deterministic calibration split, exact-count test coverage",
+        _conformal_token_interval,
+        _CONFORMAL_SQL,
+        tags=("stats", "audit", "ml"),
+    ),
     QuerySpec(
         "kaplan_meier_retention",
         "Kaplan-Meier time-to-repeat-purchase curve: distributed duration extraction, one calendar-bounded ordered fold (recursive-CTE oracle)",

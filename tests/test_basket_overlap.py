@@ -1,0 +1,144 @@
+"""Semantics pins for the basket-rules, KMV-overlap and conformal
+tiers: each query is re-derived brute-force in Python from the parquet
+(counts, sketches, order statistics), certifying the arithmetic —
+support/confidence/lift definitions, the k-min sketch merge, the
+conformal rank rule — not just Spark↔DuckDB agreement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+
+def test_basket_lift_rules_match_pandas_counts(spark):
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.basket import BASKET_MIN_SUPPORT_PCT
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")
+    items = (
+        li.merge(part, left_on="l_partkey", right_on="p_partkey")[
+            ["l_orderkey", "p_brand"]
+        ]
+        .drop_duplicates()
+    )
+    n_baskets = li["l_orderkey"].nunique()
+    supp = items.groupby("p_brand").size().to_dict()
+    pair_supp: dict[tuple[str, str], int] = {}
+    for _, basket in items.groupby("l_orderkey"):
+        brands = sorted(basket["p_brand"])
+        for i in range(len(brands)):
+            for j in range(i + 1, len(brands)):
+                pair_supp[(brands[i], brands[j])] = (
+                    pair_supp.get((brands[i], brands[j]), 0) + 1
+                )
+
+    got = queries()["basket_lift_rules"](spark, SF_SMOKE).toPandas()
+    expect = {
+        p: c
+        for p, c in pair_supp.items()
+        if c * 100 >= n_baskets * BASKET_MIN_SUPPORT_PCT
+    }
+    assert set(zip(got["brand_a"], got["brand_b"])) == set(expect)
+    for row in got.itertuples():
+        sab = expect[(row.brand_a, row.brand_b)]
+        sa, sb = supp[row.brand_a], supp[row.brand_b]
+        assert row.supp_ab == sab and row.supp_a == sa and row.supp_b == sb
+        assert row.support == round(float(sab) / float(n_baskets), 6)
+        assert row.conf_a_to_b == round(float(sab) / float(sa), 6)
+        assert row.conf_b_to_a == round(float(sab) / float(sb), 6)
+        assert row.lift == round(float(sab * n_baskets) / float(sa * sb), 6)
+    # lift-descending presentation with total tie-break
+    key = list(zip(-got["lift"], got["brand_a"], got["brand_b"]))
+    assert key == sorted(key)
+
+
+def _shingle_sets() -> dict[str, set[str]]:
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    out: dict[str, set[str]] = {}
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", str(r.text).strip())
+        sh = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+        out.setdefault(str(r.source), set()).update(sh)
+    return out
+
+
+def test_source_kmv_overlap_matches_python_sketches(spark):
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.corpus import KMV_K
+
+    sets = _shingle_sets()
+    hexes = {
+        s: {hashlib.md5(x.encode()).hexdigest() for x in v}
+        for s, v in sets.items()
+    }
+    sketches = {s: set(sorted(v)[:KMV_K]) for s, v in hexes.items()}
+
+    got = queries()["source_kmv_overlap"](spark, SF_SMOKE).toPandas()
+    srcs = sorted(sets)
+    expect_pairs = [(a, b) for a in srcs for b in srcs if a < b]
+    assert list(zip(got["source_a"], got["source_b"])) == expect_pairs
+    for row in got.itertuples():
+        a, b = row.source_a, row.source_b
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        assert row.n_a == len(sets[a]) and row.n_b == len(sets[b])
+        assert row.n_common == inter
+        assert row.j_exact == round(inter / union, 6)
+        merged = sorted(sketches[a] | sketches[b])[:KMV_K]
+        common = sum(1 for h in merged if h in sketches[a] and h in sketches[b])
+        assert row.j_kmv == round(common / len(merged), 6)
+        # the sketch is an estimator, not a hash trick: it lands near truth
+        assert abs(row.j_kmv - row.j_exact) <= 0.25
+
+
+def test_conformal_interval_matches_python_and_covers(spark):
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.inference import (
+        CONF_ALPHA_DEN, CONF_ALPHA_NUM, CONF_SPLIT_HEX,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    got = queries()["conformal_token_interval"](spark, SF_SMOKE).toPandas()
+    pooled_covered = pooled_test = 0
+    for src, grp in docs.groupby("source"):
+        rows = []
+        for r in grp.itertuples():
+            n_tok = len(re.split(r"\s+", str(r.text).strip()))
+            is_cal = hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4] < CONF_SPLIT_HEX
+            rows.append((int(r.doc_id), int(r.n_chars), n_tok, is_cal))
+        cal = [r for r in rows if r[3]]
+        test = [r for r in rows if not r[3]]
+        st = sum(r[2] for r in cal)
+        sc = sum(r[1] for r in cal)
+        ratio = float(st) / float(sc)
+        resid = sorted(
+            (abs(float(r[2]) - float(r[1]) * ratio), r[0]) for r in cal
+        )
+        n_cal = len(cal)
+        k = math.ceil(
+            (n_cal + 1) * (CONF_ALPHA_DEN - CONF_ALPHA_NUM) / CONF_ALPHA_DEN
+        )
+        qhat = resid[k - 1][0]
+        covered = sum(
+            1 for r in test if abs(float(r[2]) - float(r[1]) * ratio) <= qhat
+        )
+        row = got[got["source"] == src].iloc[0]
+        assert row["n_cal"] == n_cal and row["n_test"] == len(test)
+        assert row["k_rank"] == k
+        assert row["qhat"] == round(qhat, 6)
+        assert row["coverage"] == round(covered / len(test), 6)
+        pooled_covered += covered
+        pooled_test += len(test)
+    # the conformal guarantee is MARGINAL (in expectation over splits):
+    # per-source coverage swings widely at ~12-doc calibration sets, so
+    # the empirical pin is the pooled coverage across all sources
+    assert pooled_covered / pooled_test >= 0.82
