@@ -169,6 +169,11 @@ def main() -> None:
         # distributed prefix sum, the seasonal fold, and CUSUM
         "hits_copurchase", "mann_whitney_effect",
         "holt_winters_forecast", "cusum_changepoint",
+        # r8 session-4 additions (appended per the like-for-like
+        # convention): lexical retrieval, sketch overlap + its exact
+        # verifier, the one-pass bootstrap, the KM fold, basket rules
+        "bm25_topk", "source_kmv_overlap", "poisson_bootstrap_ci",
+        "kaplan_meier_retention", "basket_lift_rules",
     ]
     audit: dict[str, float] = {}
     audit_cpu: dict[str, float] = {}

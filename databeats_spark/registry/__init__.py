@@ -89,6 +89,9 @@ _WINDOW = (
     # here as they land — they displace the tail (most-recently
     # re-verified), never the debt block.
     # — new in r8 (never driver-verified):
+    "js_source_drift",  # r8: ordered-fold JS content drift per source pair
+    "entity_kcore",  # r8: integer-exact k-core peel of the match graph
+    "chao1_vocab_richness",  # r8: unseen-vocab Chao1 + GT coverage
     "basket_lift_rules",  # r8: bounded-basket association rules
     "source_kmv_overlap",  # r8: self-auditing KMV sketch overlap
     "conformal_token_interval",  # r8: rank-exact split-conformal CI
@@ -136,12 +139,15 @@ _WINDOW = (
     "l_diversity_audit",  # r8: QI homogeneity risk (compliance tier)
     "substring_scrub_stats_hashed",  # r8: xxhash64-anchor scrub twin
     "ngram_novelty_hashed",  # r8: xxhash64-gram novelty twin
-    "padding_waste_by_bucket",  # r8: batching-efficiency audit
-    "cms_heavy_hitters",  # r8: count-min sketch, fully oracle-matched
-    # (hll_distinct_users_exact, approx_distinct_parts_exact,
-    # approx_price_quantiles_exact — green in the r8 session-1/2/4
-    # window runs — displaced by the basket/KMV/conformal prepends)
-    "substring_dup_spans_packed",  # r8: packed-tail scale twin (>2x shuffle cut)
+    # (padding_waste_by_bucket — green in the r8 session-1/2/4 window
+    # runs — displaced by the JS-drift prepend)
+    # (cms_heavy_hitters — green in the r8 session-1/2/4 window runs —
+    # displaced by the chao1 prepend; hll_distinct_users_exact,
+    # approx_distinct_parts_exact, approx_price_quantiles_exact —
+    # green in the r8 session-1/2/4 window runs — displaced by the
+    # basket/KMV/conformal prepends; substring_dup_spans_packed —
+    # green in the r8 session-1/2/4 window runs — displaced by the
+    # kcore prepend)
     # (phash_near_dups, phash_near_dups_exact, substring_dup_spans,
     # substring_dup_spans_hashed — all green in the r8 session-4
     # front-50 run — displaced by the retrieval/inference prepends)

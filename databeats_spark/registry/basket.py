@@ -31,24 +31,31 @@ BASKET_MIN_SUPPORT_PCT = 1  # pair must appear in >= 1% of baskets
 
 def _basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
-    items = (
-        t.lineitem.join(
-            F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+    items = t.lineitem.join(
+        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+    # ONE basket-keyed shuffle (collect_set subsumes the distinct), then
+    # the ≤basket² pair expansion happens MAP-SIDE off the sorted array
+    # — no self-join, so neither join side re-executes the item scan
+    # and the plan keeps the same shape at every SF (the original
+    # items⋈items form flipped broadcast→sort-merge between SFs)
+    baskets = items.groupBy("ok").agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+    bs = F.col("bs")
+    pair_structs = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + F.lit(2), F.size(bs)),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
         )
-        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
-        .distinct()
     )
-    a = items.select(F.col("ok"), F.col("brand").alias("brand_a"))
-    b = items.select(F.col("ok").alias("ok_b"), F.col("brand").alias("brand_b"))
     pair_supp = (
-        a.join(
-            b,
-            (F.col("ok") == F.col("ok_b")) & (F.col("brand_a") < F.col("brand_b")),
-        )
-        .groupBy("brand_a", "brand_b")
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy("p.brand_a", "p.brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("supp_ab"))
     )
-    supports = items.groupBy("brand").agg(
+    supports = baskets.select(F.explode("bs").alias("brand")).groupBy("brand").agg(
         F.count(F.lit(1)).cast("bigint").alias("supp")
     )
     # basket universe: scalar over the raw lineitem scan — naive 1-row

@@ -1235,6 +1235,253 @@ ORDER BY perm, doc_id
 """
 
 
+# --- Q: chao1_vocab_richness — unseen-vocabulary estimation -----------
+# Species-richness estimation applied to corpus planning: per source,
+# the Chao1 lower bound on TOTAL vocabulary (bias-corrected form
+# D + f1(f1−1)/(2(f2+1)) — total by frequency-1/2 counts alone) and the
+# Good-Turing sample coverage 1 − f1/N — together they answer "how much
+# new vocabulary would more crawl from this source actually buy".
+# Shape: one (source, term) hash aggregate (map-side partial combine),
+# then a catalog-sized per-source rollup; every estimator input is an
+# exact BIGINT (D, f1, f2, N), each derived column is one fixed-order
+# double expression off a SINGLE computed chao1 value reused on both
+# engines — nothing accumulates in floating point.
+
+def _chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import tokens
+    from databeats_spark.sources.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    per_src = tf.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("f") == 1).cast("bigint")).cast("bigint").alias("f1"),
+        F.sum((F.col("f") == 2).cast("bigint")).cast("bigint").alias("f2"),
+    )
+    chao1 = F.col("vocab").cast("double") + (
+        F.col("f1") * (F.col("f1") - 1)
+    ).cast("double") / (F.lit(2) * (F.col("f2") + 1)).cast("double")
+    with_est = per_src.withColumn("chao1_raw", chao1)
+    return with_est.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round("chao1_raw", 6).alias("chao1"),
+        F.round(
+            F.lit(1.0) - F.col("f1").cast("double") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("gt_coverage"),
+        F.round(
+            (F.col("chao1_raw") - F.col("vocab").cast("double")) / F.col("chao1_raw"),
+            6,
+        ).alias("unseen_share"),
+    ).orderBy("source")
+
+
+_CHAO1_SQL = r"""
+WITH tf AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), freq AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS f
+  FROM tf GROUP BY source, term
+), per_src AS (
+  SELECT source,
+         CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM freq GROUP BY source
+), est AS (
+  SELECT *, CAST(vocab AS DOUBLE)
+           + CAST(f1 * (f1 - 1) AS DOUBLE) / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1_raw
+  FROM per_src
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       round(chao1_raw, 6) AS chao1,
+       round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS gt_coverage,
+       round((chao1_raw - CAST(vocab AS DOUBLE)) / chao1_raw, 6) AS unseen_share
+FROM est
+ORDER BY source
+"""
+
+
+# --- Q: js_source_drift — content drift between sources ---------------
+# Pairwise Jensen-Shannon divergence between source unigram
+# distributions over the GLOBAL top-K vocabulary + one OOV bucket —
+# the content-drift readout beside the length-drift KS/PSI pair (a mix
+# planner cares whether sources differ in WHAT they say, not just how
+# long the docs are). Catalog-bounded by construction: K+1 cells per
+# pair regardless of corpus size (the vocabulary head is a
+# TakeOrdered catalog, OOV absorbs the tail), so the per-pair fold
+# input is tiny at any scale. Parity: all cell counts exact BIGINT;
+# the JS sum is an ORDERED fold over the (is_oov, term)-sorted cell
+# list — Spark F.aggregate from a 0.0 seed vs DuckDB list_reduce over
+# the 0.0-prepended transformed list, the identical float sequence
+# (the LSH-twin fold recipe), with 0·ln0 terms gated by integer
+# comparisons, then round(…, 6).
+
+JS_TOP_TERMS = 128
+
+
+def _js_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import tokens
+    from databeats_spark.sources.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    topk = (
+        tf.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("tc"))
+        .orderBy(F.desc("tc"), "term")
+        .limit(JS_TOP_TERMS)
+        .select("term", F.lit(1).alias("hit"))
+    )
+    cells = (
+        tf.join(F.broadcast(topk), "term", "left")
+        .select(
+            "source",
+            F.when(F.col("hit").isNotNull(), F.col("term")).otherwise(F.lit("")).alias("term"),
+            F.when(F.col("hit").isNotNull(), F.lit(0)).otherwise(F.lit(1)).cast("int").alias("is_oov"),
+            "c",
+        )
+        .groupBy("source", "term", "is_oov")
+        .agg(F.sum("c").cast("bigint").alias("cnt"))
+    )
+    totals = cells.groupBy("source").agg(F.sum("cnt").cast("bigint").alias("n"))
+    srcs = cells.select("source").distinct().orderBy("source").limit(KMV_SRC_CAP)
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    zero = F.lit(0).cast("bigint")
+    ua = pairs.join(cells, F.col("source") == F.col("sa")).select(
+        "sa", "sb", "term", "is_oov", F.col("cnt").alias("ca"), zero.alias("cb")
+    )
+    ub = pairs.join(cells, F.col("source") == F.col("sb")).select(
+        "sa", "sb", "term", "is_oov", zero.alias("ca"), F.col("cnt").alias("cb")
+    )
+    g = (
+        ua.unionByName(ub)
+        .groupBy("sa", "sb", "term", "is_oov")
+        .agg(
+            F.sum("ca").cast("bigint").alias("ca"),
+            F.sum("cb").cast("bigint").alias("cb"),
+        )
+    )
+    with_tot = g.join(
+        F.broadcast(totals.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))), "sa"
+    ).join(
+        F.broadcast(totals.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))), "sb"
+    )
+    packed = with_tot.groupBy("sa", "sb", "n_a", "n_b").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("is_oov").alias("is_oov"),
+                    F.col("term").alias("term"),
+                    F.col("ca").alias("ca"),
+                    F.col("cb").alias("cb"),
+                )
+            )
+        ).alias("cells")
+    )
+
+    def contrib(x):
+        pi = x["ca"].cast("double") / F.col("n_a").cast("double")
+        qi = x["cb"].cast("double") / F.col("n_b").cast("double")
+        m = (pi + qi) / F.lit(2.0)
+        return F.lit(0.5) * F.when(x["ca"] > 0, pi * F.log(pi / m)).otherwise(
+            F.lit(0.0)
+        ) + F.lit(0.5) * F.when(x["cb"] > 0, qi * F.log(qi / m)).otherwise(F.lit(0.0))
+
+    js = F.aggregate(
+        F.transform(F.col("cells"), contrib), F.lit(0.0), lambda a, x: a + x
+    )
+    return packed.select(
+        F.col("sa").alias("source_a"),
+        F.col("sb").alias("source_b"),
+        F.col("n_a").alias("n_a_tokens"),
+        F.col("n_b").alias("n_b_tokens"),
+        F.round(js, 6).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")
+
+
+_JS_SOURCE_DRIFT_SQL = rf"""
+WITH tok AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+), topk AS (
+  SELECT term FROM (
+    SELECT term, sum(c) AS tc FROM tf GROUP BY term
+    ORDER BY tc DESC, term LIMIT {JS_TOP_TERMS}
+  )
+), cells AS (
+  SELECT source,
+         CASE WHEN t.term IS NOT NULL THEN tf.term ELSE '' END AS term,
+         CASE WHEN t.term IS NOT NULL THEN 0 ELSE 1 END AS is_oov,
+         CAST(sum(c) AS BIGINT) AS cnt
+  FROM tf LEFT JOIN topk t USING (term)
+  GROUP BY 1, 2, 3
+), totals AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM cells GROUP BY source
+), srcs AS (
+  SELECT DISTINCT source FROM cells
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb FROM srcs a JOIN srcs b ON a.source < b.source
+), u AS (
+  SELECT p.sa, p.sb, c.term, c.is_oov, c.cnt AS ca, CAST(0 AS BIGINT) AS cb
+  FROM pairs p JOIN cells c ON c.source = p.sa
+  UNION ALL
+  SELECT p.sa, p.sb, c.term, c.is_oov, CAST(0 AS BIGINT), c.cnt
+  FROM pairs p JOIN cells c ON c.source = p.sb
+), g AS (
+  SELECT sa, sb, term, is_oov,
+         CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb
+  FROM u GROUP BY 1, 2, 3, 4
+), packed AS (
+  SELECT g.sa, g.sb, na.n AS n_a, nb.n AS n_b,
+         list(struct_pack(is_oov := g.is_oov, term := g.term, ca := g.ca, cb := g.cb)
+              ORDER BY g.is_oov, g.term) AS cells
+  FROM g
+  JOIN totals na ON na.source = g.sa
+  JOIN totals nb ON nb.source = g.sb
+  GROUP BY g.sa, g.sb, na.n, nb.n
+)
+SELECT sa AS source_a, sb AS source_b, n_a AS n_a_tokens, n_b AS n_b_tokens,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cells,
+         x -> 0.5 * (CASE WHEN x.ca > 0
+                     THEN (CAST(x.ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                          * ln((CAST(x.ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                               / (((CAST(x.ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                                   + (CAST(x.cb AS DOUBLE) / CAST(n_b AS DOUBLE))) / 2.0))
+                     ELSE 0.0 END)
+            + 0.5 * (CASE WHEN x.cb > 0
+                     THEN (CAST(x.cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                          * ln((CAST(x.cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+                               / (((CAST(x.ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+                                   + (CAST(x.cb AS DOUBLE) / CAST(n_b AS DOUBLE))) / 2.0))
+                     ELSE 0.0 END)
+       )), (acc, v) -> acc + v), 6) AS js_divergence
+FROM packed
+ORDER BY source_a, source_b
+"""
+
+
 # --- Q: source_kmv_overlap — mergeable-sketch corpus overlap ----------
 # Cross-source n-gram overlap via K-MINIMUM-VALUES sketches (Bar-Yossef
 # et al. 2002), the self-auditing way: the KMV Jaccard estimate AND the
@@ -1392,6 +1639,8 @@ ORDER BY source_a, source_b
 
 
 SPECS = [
+    QuerySpec("js_source_drift", "content drift: pairwise Jensen-Shannon over the top-K vocabulary + OOV bucket, ordered-fold exact parity", _js_source_drift, _JS_SOURCE_DRIFT_SQL, tags=("text", "audit", "stats")),
+    QuerySpec("chao1_vocab_richness", "unseen-vocabulary planning: Chao1 richness bound + Good-Turing coverage per source, all-BIGINT estimator inputs", _chao1_vocab_richness, _CHAO1_SQL, tags=("text", "audit", "stats")),
     QuerySpec("source_kmv_overlap", "cross-source shingle overlap: KMV sketch Jaccard vs exact in one self-auditing dual-engine plan", _source_kmv_overlap, _SOURCE_KMV_OVERLAP_SQL, tags=("text", "dedup", "audit", "sketch")),
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),
     QuerySpec("span_dedup_docs", "C4-style duplicate-span accounting (global first-occurrence keep)", _span_dedup_docs, _SPAN_DEDUP_DOCS_SQL, tags=("dedup", "text")),

@@ -236,7 +236,88 @@ ORDER BY id_a, id_b
 """
 
 
+# --- Q: entity_kcore — dense-duplicate-neighborhood extraction --------
+# K-core peeling over the entity-match graph: iteratively drop nodes
+# with fewer than K surviving match edges. The survivors are the DENSE
+# duplicate neighborhoods — where pairwise match evidence corroborates
+# itself — vs the bare pairs that dominate the raw edge list (the
+# precision lens the component partition can't give: CC merges through
+# single weak edges, the k-core demands K independent ones).
+# Exactness posture = the HITS recipe: a FIXED number of unrolled peel
+# rounds (no fixpoint test inside the plan), every round pure integer
+# degree counting — both engines run the identical R rounds, so parity
+# is exact BIGINT, nothing to absorb. R is sized so the peel reaches
+# its fixpoint at test scale (pinned in tests/test_linkage.py: round
+# R-1 == round R); each round joins the STATIC edge table against the
+# previous alive set (the alive set appears on both endpoints, but the
+# plan is never checkpointed and R is small, so Catalyst's stat
+# product stays tiny — see CLAUDE.md's iterative-op note).
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def _entity_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _match_pairs(_blocked(spark, sf_dir))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(KCORE_ROUNDS):
+        e_alive = (
+            edges.join(alive.select(F.col("node").alias("src")), "src")
+            .join(alive.select(F.col("node").alias("dst")), "dst")
+        )
+        deg = e_alive.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree")
+        )
+        alive = deg.filter(F.col("degree") >= KCORE_K).select(
+            F.col("src").alias("node")
+        )
+    return (
+        deg.filter(F.col("degree") >= KCORE_K)
+        .select(F.col("src").alias("node"), "degree")
+        .orderBy("node")
+    )
+
+
+def _entity_kcore_sql() -> str:
+    rounds = []
+    prev = "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""a{i} AS (
+  SELECT e.src AS node, CAST(count(*) AS BIGINT) AS degree
+  FROM edges e
+  JOIN {prev} x ON e.src = x.node
+  JOIN {prev} y ON e.dst = y.node
+  GROUP BY e.src HAVING count(*) >= {KCORE_K}
+)"""
+        )
+        prev = f"a{i}"
+    return f"""
+WITH {_PAIRS_SQL_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+a0 AS (SELECT DISTINCT src AS node FROM edges),
+{','.join(rounds)}
+SELECT node, degree FROM a{KCORE_ROUNDS}
+ORDER BY node
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "entity_kcore",
+        "dense duplicate neighborhoods: K-core peeling of the match graph, fixed unrolled integer-exact rounds (HITS posture)",
+        _entity_kcore,
+        _entity_kcore_sql,
+        tags=("linkage", "graph", "dedup"),
+    ),
     QuerySpec(
         "sorted_neighborhood_pairs",
         "linear-cost linkage candidates: w lag columns over one key-partitioned sort (SNM, Hernandez-Stolfo)",

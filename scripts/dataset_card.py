@@ -101,6 +101,18 @@ SECTIONS = [
     ("Packing efficiency", "padding_waste_by_bucket",
      "Pad tokens burned per length bucket if batches were padded "
      "instead of packed — the cost sequence packing avoids.", None),
+    ("Statistical uncertainty (Poisson bootstrap)", "poisson_bootstrap_ci",
+     "Rank-based bootstrap CI on each source's mean doc length — the "
+     "one-pass (Poisson-weight) bootstrap, so the uncertainty column "
+     "costs one extra scan at any corpus scale.", 10),
+    ("Vocabulary saturation", "chao1_vocab_richness",
+     "Chao1 richness bound + Good-Turing coverage per source — "
+     "unseen_share estimates how much new vocabulary more crawl from "
+     "this source would still buy.", 10),
+    ("Cross-source n-gram overlap", "source_kmv_overlap",
+     "KMV-sketch Jaccard between sources with its exact verifier in "
+     "the same plan — at scale only the k-row mergeable sketches are "
+     "kept.", 10),
 ]
 
 

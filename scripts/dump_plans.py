@@ -44,6 +44,11 @@ FLAGSHIPS = {
     "hits_copurchase": "HITS rounds: one round-dependent relation joined to static edges per round, exact BIGINT scores, top-k behind limits",
     "holt_winters_forecast": "seasonal ordered fold: one hash agg to the daily table, then per-group array fold (no driver loop, no iteration shuffle)",
     "theil_sen_trend": "calendar-bounded pairwise slopes: series-key equi-join (pair count fixed by the calendar, not data volume) + type-7 median",
+    "bm25_topk": "shuffle-free BM25: tf/dl off the token array (no explode), one keyless stats aggregate crossJoin, TakeOrderedAndProject top-k",
+    "source_kmv_overlap": "mergeable KMV sketches: per-source rank window to k rows, pair-merged rank, exact-Jaccard verifier join in the same plan",
+    "kaplan_meier_retention": "KM curve: distributed duration extraction (one customer-keyed window) + one calendar-bounded ordered fold",
+    "poisson_bootstrap_ci": "one-pass bootstrap: 32x replicate explode with map-side partial combine; shuffle is catalog-sized (sources x replicates)",
+    "basket_lift_rules": "one basket-keyed collect_set shuffle; <=basket^2 pair expansion MAP-SIDE off the sorted array (no self-join); catalog-bounded aggregate",
 }
 
 

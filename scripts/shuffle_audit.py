@@ -61,6 +61,9 @@ QUERIES = [
     # r8 session-3 single-plan additions
     "hits_copurchase", "mann_whitney_effect",
     "holt_winters_forecast", "cusum_changepoint",
+    # r8 session-4 single-plan additions
+    "bm25_topk", "source_kmv_overlap", "poisson_bootstrap_ci",
+    "kaplan_meier_retention", "basket_lift_rules",
 ]
 
 

@@ -100,6 +100,32 @@ def test_source_kmv_overlap_matches_python_sketches(spark):
         assert abs(row.j_kmv - row.j_exact) <= 0.25
 
 
+def test_chao1_matches_counter_replica(spark):
+    from collections import Counter
+
+    from databeats_spark.registry import queries
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    got = queries()["chao1_vocab_richness"](spark, SF_SMOKE).toPandas()
+    for src, grp in docs.groupby("source"):
+        c: Counter = Counter()
+        for t in grp["text"]:
+            c.update(re.split(r"\s+", str(t).strip()))
+        n = sum(c.values())
+        vocab = len(c)
+        f1 = sum(1 for v in c.values() if v == 1)
+        f2 = sum(1 for v in c.values() if v == 2)
+        chao1 = float(vocab) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1))
+        row = got[got["source"] == src].iloc[0]
+        assert row["n_tokens"] == n and row["vocab"] == vocab
+        assert row["f1"] == f1 and row["f2"] == f2
+        assert row["chao1"] == round(chao1, 6)
+        assert row["gt_coverage"] == round(1.0 - float(f1) / float(n), 6)
+        assert row["unseen_share"] == round((chao1 - float(vocab)) / chao1, 6)
+        # estimator sanity: richness bound >= observed vocabulary
+        assert row["chao1"] >= vocab
+
+
 def test_conformal_interval_matches_python_and_covers(spark):
     from databeats_spark.registry import queries
     from databeats_spark.registry.inference import (
@@ -142,3 +168,43 @@ def test_conformal_interval_matches_python_and_covers(spark):
     # per-source coverage swings widely at ~12-doc calibration sets, so
     # the empirical pin is the pooled coverage across all sources
     assert pooled_covered / pooled_test >= 0.82
+
+
+def test_js_source_drift_matches_python_replica(spark):
+    from collections import Counter
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.corpus import JS_TOP_TERMS
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    per_src: dict[str, Counter] = {}
+    total: Counter = Counter()
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", str(r.text).strip())
+        per_src.setdefault(str(r.source), Counter()).update(toks)
+        total.update(toks)
+    topk = {
+        t for t, _ in sorted(total.items(), key=lambda kv: (-kv[1], kv[0]))[:JS_TOP_TERMS]
+    }
+
+    def cells(c: Counter) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for t, n in c.items():
+            out[t if t in topk else ""] = out.get(t if t in topk else "", 0) + n
+        return out
+
+    got = queries()["js_source_drift"](spark, SF_SMOKE).toPandas()
+    for row in got.itertuples():
+        ca, cb = cells(per_src[row.source_a]), cells(per_src[row.source_b])
+        na, nb = sum(ca.values()), sum(cb.values())
+        assert row.n_a_tokens == na and row.n_b_tokens == nb
+        js = 0.0
+        for t in set(ca) | set(cb):
+            pi, qi = ca.get(t, 0) / na, cb.get(t, 0) / nb
+            m = (pi + qi) / 2.0
+            js += 0.5 * (pi * math.log(pi / m) if pi > 0 else 0.0)
+            js += 0.5 * (qi * math.log(qi / m) if qi > 0 else 0.0)
+        # the query rounds to 6 decimals; the replica is unrounded
+        assert abs(row.js_divergence - js) < 1e-6
+        # JS is bounded by ln 2 and strictly positive for distinct mixes
+        assert 0.0 <= row.js_divergence <= math.log(2.0) + 1e-12

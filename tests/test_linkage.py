@@ -102,3 +102,29 @@ def test_sorted_neighborhood_candidates_match_pandas_replay(spark):
                     a, b = int(rows[p][0]), int(rows[p - i][0])
                     expect.add((min(a, b), max(a, b)))
     assert set(zip(got["id_a"], got["id_b"])) == expect
+
+
+def test_entity_kcore_matches_peel_replica_and_reaches_fixpoint(spark):
+    """The k-core must equal a literal Python peel (iterate-to-fixpoint
+    union of degree filters), which simultaneously proves KCORE_ROUNDS
+    is enough at test scale: if the fixed unroll stopped early, the
+    fixpoint replica would disagree."""
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.linkage import KCORE_K
+
+    pairs = _brute_pairs(_load_slice())
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    expect = {n: len(adj[n] & alive) for n in alive}
+
+    got = queries()["entity_kcore"](spark, SF_SMOKE).toPandas()
+    assert dict(zip(got["node"], got["degree"])) == expect
+    assert (got["degree"] >= KCORE_K).all()

@@ -180,3 +180,32 @@ def test_digest_projection_keeps_dedup_audits_slim(metrics):
     m = metrics("dedup_upsample_weights")
     assert m["shuffle_bytes"] < 250_000, m
     assert m["spill_bytes"] == 0, m
+
+
+def test_bm25_is_shuffle_free_scoring(metrics):
+    """BM25's whole scoring path is map-side: tf/dl off the token
+    array, corpus stats in ONE keyless aggregate (the 56 B / 1 record
+    exchange), top-k via TakeOrdered. Any explode+groupBy tf pipeline
+    would shuffle the term stream (MBs)."""
+    m = metrics("bm25_topk")
+    assert m["n_shuffles"] <= 1, m
+    assert m["shuffle_bytes"] < 10_000, m
+
+
+def test_poisson_bootstrap_shuffle_is_catalog_sized(metrics):
+    """The one-pass bootstrap's promise: 32x replicate weights combine
+    map-side, so the shuffle carries sources x replicates partials
+    (~57 KB measured, flat across SFs) — never the replicated corpus."""
+    m = metrics("poisson_bootstrap_ci")
+    assert m["shuffle_bytes"] < 600_000, m
+
+
+def test_basket_rules_expand_pairs_map_side(metrics):
+    """Pair generation rides the basket array AFTER the collect_set
+    aggregate: the shuffles carry (order, brand) partials (~30k
+    records measured), never the expanded pair stream — the original
+    items-self-join form moved 126k records at this SF and flipped
+    broadcast->sort-merge between SFs."""
+    m = metrics("basket_lift_rules")
+    assert m["shuffle_records"] < 100_000, m
+    assert m["spill_bytes"] == 0, m
