@@ -1,8 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline registry queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS] and prints TWO JSON lines — the rich
+per-query/cpu detail first (also written to artifacts/BENCH_LOCAL.json),
+then a compact driver-facing summary LAST:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+The driver parses the last line of its 2,000-char stdout tail, so only
+the compact line is required to fit (pytest-pinned, see
+COMPACT_LINE_BUDGET below).
 
 Each query executes to completion through the noop sink (full plan
 runs, nothing serialized to the driver — the standard Spark engine-
@@ -41,6 +46,37 @@ import json
 import os
 import sys
 import time
+
+# The grading driver keeps only the LAST 2,000 chars of stdout. Round 8
+# shipped no driver-legible benchmark because the single rich JSON line
+# grew past that window (~4.6 KB on the driver run) and its HEAD was
+# truncated (BENCH_r08.json parsed: null — VERDICT r8 item 1). The fix:
+# print the rich per-query/cpu JSON FIRST (and persist it to
+# artifacts/BENCH_LOCAL.json), then print LAST a compact summary line
+# that always fits the window. tests/test_entry_contract.py pins the
+# compact line's worst-case serialized length under this budget so
+# growth can never silently re-break the channel.
+DRIVER_STDOUT_TAIL = 2000
+COMPACT_LINE_BUDGET = 1900
+
+# Keys copied verbatim from the rich dict into the compact driver line:
+# headline total + per-query wall (the frozen 14, unchanged since r1),
+# per-section cpu totals (the steal-immune signal), mining/audit section
+# wall totals, and sf. Per-query mining/audit/cpu detail lives in the
+# rich line + committed artifact only — those sections grow every round
+# and are exactly what overflowed the r8 line.
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "queries", "cpu_seconds_total",
+    "mining_queries_total_runtime", "mining_cpu_seconds_total",
+    "audit_queries_total_runtime", "audit_cpu_seconds_total", "sf",
+)
+
+
+def compact_summary(rich: dict) -> dict:
+    """Project the rich bench dict onto the driver-facing compact line."""
+    out = {k: rich[k] for k in _COMPACT_KEYS if k in rich}
+    out["detail"] = "artifacts/BENCH_LOCAL.json"
+    return out
 
 
 def shuffle_partitions_for(sf_dir: str) -> int:
@@ -205,7 +241,21 @@ def main() -> None:
         "audit_cpu_seconds_total": round(sum(audit_cpu.values()), 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    # rich line first: head-truncated in the driver's stdout tail but
+    # fully recoverable from the committed artifact (and the tail of
+    # this line — the audit section — still lands inside the window)
+    rich_line = json.dumps(out)
+    print(rich_line)
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        os.makedirs(os.path.join(repo, "artifacts"), exist_ok=True)
+        with open(os.path.join(repo, "artifacts", "BENCH_LOCAL.json"), "w") as f:
+            f.write(rich_line + "\n")
+    except OSError:
+        pass  # a read-only checkout must not sink the bench itself
+    # compact driver-facing line LAST — this is the line the driver
+    # parses; its worst-case length is pytest-pinned < COMPACT_LINE_BUDGET
+    print(json.dumps(compact_summary(out)))
     spark.stop()
 
 

@@ -81,116 +81,67 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r8 rotation (rotation_report, zero never-verified backlog): the 10
-    # queries displaced past slot 50 by r7's prepends first (the oldest
-    # re-verification debt, per VERDICT r7 item 1), then the bench
-    # headliners so BENCH and CORRECTNESS cover the same queries, then
-    # the stalest remaining green rows. PREPEND new/changed r8 queries
-    # here as they land — they displace the tail (most-recently
-    # re-verified), never the debt block.
-    # — new in r8 (never driver-verified):
-    "js_source_drift",  # r8: ordered-fold JS content drift per source pair
-    "entity_kcore",  # r8: integer-exact k-core peel of the match graph
-    "chao1_vocab_richness",  # r8: unseen-vocab Chao1 + GT coverage
-    "basket_lift_rules",  # r8: bounded-basket association rules
-    "source_kmv_overlap",  # r8: self-auditing KMV sketch overlap
-    "conformal_token_interval",  # r8: rank-exact split-conformal CI
-    "bm25_topk",  # r8: shuffle-free lexical retrieval scoring
-    "rrf_hybrid_topk",  # r8: reciprocal-rank fusion of lex+dense pools
-    "kaplan_meier_retention",  # r8: product-limit fold, recursive-CTE oracle
-    "poisson_bootstrap_ci",  # r8: one-pass deterministic bootstrap CI
-    "quantile_normalized_lengths",  # r8: all-integer cross-source alignment
-    "stratified_effect",  # r8: post-stratification A/B readout
-    "time_weighted_value",  # r8: exact DECIMALxBIGINT interval TWAP
-    "theil_sen_trend",  # r8: robust median-of-slopes + exact-moment OLS
-    "numeric_corr_matrix",  # r8: Pearson pairs from exact DECIMAL moments
-    "gini_by_source",  # r8: rank-weighted exact Gini
-    "benford_first_digit",  # r8: fabricated-number first-digit audit
-    "hits_copurchase",  # r8: exact-BIGINT HITS rounds, one final division
-    "cdc_snapshot_merge",  # r8: incremental MERGE apply vs direct-state oracle
-    "scd2_band_history",  # r8: SCD type-2 validity-interval build
-    "holt_winters_forecast",  # r8: seasonal fold with array state
-    "dow_seasonal_decompose",  # r8: trend/seasonal/remainder in x7 space
-    "cusum_changepoint",  # r8: exact-integer CUSUM mean-shift detection
-    "mann_whitney_effect",  # r8: rank-sum readout via distributed prefix sum
-    "srm_daily_check",  # r8: sample-ratio-mismatch chi-square gate
-    "did_experiment_effect",  # r8: diff-in-diff with pre-gap check
-    "sorted_neighborhood_pairs",  # r8: linear-cost linkage candidates
-    "holt_linear_forecast",  # r8: ordered-fold exponential smoothing
-    "cuped_experiment_effect",  # r8: variance-reduced A/B readout
-    "entity_match_pairs",  # r8: record linkage (blocked levenshtein)
-    "entity_clusters",  # r8: entity resolution end-to-end
-    "lang_id_kappa",  # r8: chance-corrected label agreement
-    "k_eidetic_histogram",  # r8: memorization-risk replication curve
-    "zorder_locality_audit",  # r8: Z-order vs linear layout spans
-    "bpe_fertility_by_lang",  # r8: tokenizer-fairness (tokens/word per lang)
-    "normalized_dedup_delta",  # r8: case/punct-masked duplication delta
-    "dedup_upsample_weights",  # r8: 1/cluster-size corrected mix weights
-    "ann_recall_audit",  # r8: recall@k of the IVF probe path, dual-engine
-    "embedding_isotropy_audit",  # r8: embedding-collapse detector
-    "session_transcripts",  # r8: dialog assembly (chat-log -> training doc)
-    "lang_label_noise",  # r8: per-language label-noise rate
-    "bloom_incremental_dedup",  # r8: bloom-prefiltered exact anti join
-    "takedown_blast_radius",  # r8: takedown what-if over dedup clusters
-    "semantic_decontam",  # r8: embedding-space eval decontamination
-    "t_closeness_audit",  # r8: EMD skew gate (compliance tier rung 3)
-    "dp_noisy_histogram",  # r8: derandomized Laplace release mechanism
-    "k_anonymity_audit",  # r8: QI re-identification risk (compliance tier)
-    "l_diversity_audit",  # r8: QI homogeneity risk (compliance tier)
-    "substring_scrub_stats_hashed",  # r8: xxhash64-anchor scrub twin
-    "ngram_novelty_hashed",  # r8: xxhash64-gram novelty twin
-    # (padding_waste_by_bucket — green in the r8 session-1/2/4 window
-    # runs — displaced by the JS-drift prepend)
-    # (cms_heavy_hitters — green in the r8 session-1/2/4 window runs —
-    # displaced by the chao1 prepend; hll_distinct_users_exact,
-    # approx_distinct_parts_exact, approx_price_quantiles_exact —
-    # green in the r8 session-1/2/4 window runs — displaced by the
-    # basket/KMV/conformal prepends; substring_dup_spans_packed —
-    # green in the r8 session-1/2/4 window runs — displaced by the
-    # kcore prepend)
-    # (phash_near_dups, phash_near_dups_exact, substring_dup_spans,
-    # substring_dup_spans_hashed — all green in the r8 session-4
-    # front-50 run — displaced by the retrieval/inference prepends)
-    # (weekly_resample — restructured spine verified green in the r8
-    # session-2 window run — displaced by the quantile-normalize
-    # prepend)
-    # — r7 window debt (displaced past slot 50, oldest driver rows):
-    # (above_average_customers — green in the r8 session-2 window run —
-    # displaced by the stratified-effect prepend;
-    # approx_distinct_parts, lineitem_profile, regex_extract_ids,
-    # null_safe_compare, order_priority_paths — all green in the r8
-    # session-2 window run — displaced by the statistical-audit batch
-    # prepends; cube_quantity — green in the r8 session-2 window run —
-    # displaced by the HITS prepend)
-    # (order_status_mix, customer_deciles — green in the r8 session-2
-    # window run — displaced by the SCD2 / CDC-merge prepends;
-    # exact_moment_stats — green in the r8 session-2 window run —
-    # displaced by the CUSUM prepend)
-    # — bench headliners (frozen 14):
-    # (rolling_7d_spend — pass(r7) — displaced by the DiD prepend;
-    # top_terms — pass(r7) — displaced by the SNM prepend;
-    # minhash_near_dups, cosine_topk — both green in the r8 session-2
-    # window run — displaced by the Holt-Winters / decompose prepends)
-    # (pricing_summary, filter_project — both green in the r8
-    # session-2 window run — displaced by the SRM / Mann-Whitney
-    # prepends)
-    # (top_customers — pass(r7) — displaced by the holt prepend;
-    # revenue_by_nation — pass(r7) — displaced by the CUPED prepend;
-    # weekly_chart_streak, sessionization — both pass(r7) — displaced
-    # by the entity-resolution prepends;
-    # asof_purchase_value, dedup_exact_docs — both pass(r7) — displaced
-    # by the kappa/k-eidetic prepends;
-    # text_stats — pass(r7) — displaced by the zorder prepend;
-    # near_dup_pairs — pass(r7) — displaced by the fertility prepend;
-    # fuzzy_part_names, large_volume_orders displaced by the r8
-    # corpus-economics prepends; order_nav, unpivot_part_metrics displaced by the r8 vector-audit
-    # prepends; spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk, simhash_near_dups, canonical_docs, repetition_stats displaced by the late-r8
-    # compliance-tier prepends; order_count_histogram, value_histogram, part_name_features,
-    # math_scalar_features, calendar_features, idle_high_balance,
-    # top_supplier_revenue, small_qty_revenue, min_cost_supplier,
-    # important_parts, mix_rebalance, token_budget_pack,
-    # shared_shingle_stats, benchmark_decontam and pii_scrub
-    # displaced by the r8 prepends)
+    # r9 rotation (rotation_report recommendation verbatim, VERDICT r8
+    # item 2): the 8 never-driver-verified r8 queries first (oracle
+    # before rows-only), then the frozen-14 bench headliners so BENCH
+    # and CORRECTNESS cover the same queries, then the stalest green
+    # rows oldest-first. PREPEND new/changed r9 queries here as they
+    # land — they displace the tail (most-recently re-verified), never
+    # the never-verified block.
+    # — never driver-verified (r8 additions displaced by later prepends):
+    "approx_distinct_parts_exact",  # HLL pipeline's exact-count twin
+    "approx_price_quantiles_exact",  # quantile pipeline's rank-exact twin
+    "phash_near_dups_exact",  # md5-bit perceptual-hash exact twin
+    "hll_distinct_users_exact",  # distinct-users pipeline's exact twin
+    "cms_heavy_hitters",  # fully oracle-matched count-min sketch
+    "substring_dup_spans_packed",  # packed-tail suffix dedup (scale posture)
+    "padding_waste_by_bucket",  # sequence-packing efficiency audit
+    "phash_near_dups",  # banded-Hamming perceptual dedup (rows-only)
+    # — bench headliners (frozen 14) so BENCH_r9 rows get same-round
+    #   driver correctness rows:
+    "top_terms",
+    "rolling_7d_spend",
+    "cosine_topk",
+    "minhash_near_dups",
+    "pricing_summary",
+    "filter_project",
+    "top_customers",
+    "revenue_by_nation",
+    "weekly_chart_streak",
+    "sessionization",
+    "asof_purchase_value",
+    "dedup_exact_docs",
+    "text_stats",
+    "near_dup_pairs",
+    # — stalest green rows, oldest-first (rotation_report order):
+    "above_average_customers",
+    "approx_distinct_parts",
+    "lineitem_profile",
+    "regex_extract_ids",
+    "null_safe_compare",
+    "order_priority_paths",
+    "cube_quantity",
+    "customer_deciles",
+    "order_status_mix",
+    "exact_moment_stats",
+    "fuzzy_part_names",
+    "large_volume_orders",
+    "order_nav",
+    "unpivot_part_metrics",
+    "spend_percentiles",
+    "embedding_stats",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "simhash_near_dups",
+    "canonical_docs",
+    "repetition_stats",
+    "pii_scrub",
+    "benchmark_decontam",
+    "shared_shingle_stats",
+    "token_budget_pack",
+    "mix_rebalance",
+    "min_cost_supplier",
+    "important_parts",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -15,6 +15,12 @@ Run at the start of each round; mirror its recommendation in
 ``databeats_spark/registry/__init__.py``'s ``_WINDOW``. Queries whose
 builder or oracle changed mid-round should be PREPENDED to ``_WINDOW``
 as they land (they carry fresh regression risk no history covers).
+
+``--json`` additionally writes the machine-readable ledger to
+``artifacts/ROTATION.json`` (VERDICT r8 item 7); the companion pytest
+``tests/test_rotation_ledger.py`` recomputes the same ledger and FAILS
+when a never-driver-verified query is outside the current window — the
+stale-verification risk is mechanical, not editorial prose in CLAUDE.md.
 """
 
 from __future__ import annotations
@@ -26,12 +32,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-def main() -> None:
-    from databeats_spark.registry import registry
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    last_green: dict[str, int] = {}  # name -> latest round with a clean row
+def driver_green_rounds(repo: str = REPO) -> dict[str, int]:
+    """name -> latest round with a CLEAN driver row.
+
+    A row only counts as a driver signal when it is clean: hard errors
+    (err carries a traceback) and explicit mismatches must re-enter the
+    window until green. ``err == "no_oracle"`` rows (rows-only checks)
+    count — that is the strongest signal the driver can give them.
+    """
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         data = json.load(open(path))
@@ -39,30 +51,26 @@ def main() -> None:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            # a row only counts as a driver signal when it is clean:
-            # hard errors (err carries a traceback) and explicit
-            # mismatches must re-enter the window until green
             if row.get("err") not in (None, "no_oracle"):
                 continue
             if False in (row.get("rows_match"), row.get("schema_match"), row.get("hash_match")):
                 continue
             last_green[name] = max(rnd, last_green.get(name, 0))
-        print(f"{os.path.basename(path)}: {len(rows)} rows")
+    return last_green
 
+
+def ledger() -> dict:
+    """Machine-readable rotation state over the live registry."""
+    from databeats_spark.registry import registry
+
+    last_green = driver_green_rounds()
     specs = list(registry())
-    never = [s for s in specs if s.name not in last_green]
-    bench = [s for s in specs if s.bench]
-    print(f"\nregistry: {len(specs)} queries; never driver-verified: {len(never)}")
-    for s in never:
-        kind = "oracle" if s.oracle else "rows-only"
-        print(f"  {s.name} ({kind})")
-
-    front = [s for s in never if s.oracle] + [s for s in never if not s.oracle]
-    for s in bench:
-        if s not in front:
+    never = [s.name for s in specs if s.name not in last_green]
+    front = [s for s in specs if s.name in never and s.has_oracle]
+    front += [s for s in specs if s.name in never and not s.has_oracle]
+    for s in specs:
+        if s.bench and s not in front:
             front.append(s)
-    # fill remaining slots with the STALEST green rows first (ties
-    # break by registry order for stability)
     by_age = sorted(
         (s for s in specs if s not in front),
         key=lambda s: (last_green.get(s.name, 0), specs.index(s)),
@@ -71,12 +79,49 @@ def main() -> None:
         if len(front) >= 50:
             break
         front.append(s)
+    window = [s.name for s in specs[:50]]
+    recommended = [s.name for s in front[:50]]
+    return {
+        "registry_size": len(specs),
+        "never_driver_verified": never,
+        "last_green_round": last_green,
+        "current_window": window,
+        "recommended_front_50": recommended,
+        "window_misses_recommendation": [n for n in recommended if n not in set(window)],
+        "uncovered_never_verified": [n for n in never if n not in set(window)],
+    }
+
+
+def main() -> None:
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rows = json.load(open(path))
+        rows = rows.get("queries", rows)
+        print(f"{os.path.basename(path)}: {len(rows)} rows")
+
+    led = ledger()
+    print(f"\nregistry: {led['registry_size']} queries; "
+          f"never driver-verified: {len(led['never_driver_verified'])}")
+    oracle_names = set()
+    from databeats_spark.registry import registry
+    for s in registry():
+        if s.has_oracle:
+            oracle_names.add(s.name)
+    for n in led["never_driver_verified"]:
+        print(f"  {n} ({'oracle' if n in oracle_names else 'rows-only'})")
+
     print("\nrecommended front-50 for next round:")
-    for i, s in enumerate(front[:50]):
-        print(f"  {i:2d} {s.name}")
-    in_window = {s.name for s in specs[:50]}
-    missing = [s.name for s in front[:50] if s.name not in in_window]
+    for i, n in enumerate(led["recommended_front_50"]):
+        print(f"  {i:2d} {n}")
+    missing = led["window_misses_recommendation"]
     print(f"\ncurrent window misses {len(missing)} of the recommendation: {missing}")
+
+    if "--json" in sys.argv:
+        out = os.path.join(REPO, "artifacts", "ROTATION.json")
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(led, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"\nwrote {out}")
 
 
 if __name__ == "__main__":

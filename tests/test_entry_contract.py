@@ -50,3 +50,52 @@ def test_every_window_query_has_matching_oracle_key(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 50
+
+
+def test_bench_compact_line_fits_driver_stdout_tail():
+    """VERDICT r8 item 1: the driver keeps only the last 2,000 chars of
+    bench stdout; round 8 shipped no benchmark because the single rich
+    JSON line outgrew that window. bench.py now prints a compact
+    summary line LAST — pin its WORST-CASE serialized length under the
+    budget so growth (a 15th headline query, a renamed key) is a loud
+    test failure, not a silently unparseable BENCH_r{N}.json."""
+    import json
+
+    import bench
+
+    worst_float = 99999.9999  # 4-decimal rounding caps every value's width
+    frozen_14 = [
+        "pricing_summary", "filter_project", "top_customers",
+        "revenue_by_nation", "weekly_chart_streak", "sessionization",
+        "asof_purchase_value", "dedup_exact_docs", "text_stats",
+        "near_dup_pairs", "cosine_topk", "minhash_near_dups", "top_terms",
+        "rolling_7d_spend",
+    ]
+    rich = {
+        "metric": "headline_queries_total_runtime",
+        "value": worst_float,
+        "unit": "sec",
+        "queries": {n: worst_float for n in frozen_14},
+        "queries_cpu_seconds": {n: worst_float for n in frozen_14},
+        "cpu_seconds_total": worst_float,
+        "mining_queries_total_runtime": worst_float,
+        "mining_queries": {f"mining_query_{i}": worst_float for i in range(40)},
+        "mining_cpu_seconds_total": worst_float,
+        "pagerank_rounds": [worst_float] * 60,
+        "audit_queries_total_runtime": worst_float,
+        "audit_queries": {f"audit_query_{i}": worst_float for i in range(80)},
+        "audit_cpu_seconds_total": worst_float,
+        "sf": 0.1,
+    }
+    compact = bench.compact_summary(rich)
+    line = json.dumps(compact)
+    assert len(line) < bench.COMPACT_LINE_BUDGET, (
+        f"compact bench line is {len(line)} chars; driver keeps "
+        f"{bench.DRIVER_STDOUT_TAIL} — trim _COMPACT_KEYS"
+    )
+    # the compact line must carry the frozen headline set (the driver's
+    # round-over-round comparison) and the steal-immune cpu totals
+    assert set(compact["queries"]) == set(frozen_14)
+    assert "cpu_seconds_total" in compact and "sf" in compact
+    # growth in mining/audit per-query detail must NOT leak into the line
+    assert "mining_queries" not in compact and "audit_queries" not in compact

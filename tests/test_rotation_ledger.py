@@ -1,0 +1,39 @@
+"""Mechanical window-debt ledger (VERDICT r8 item 7).
+
+The driver's CORRECTNESS gate covers only ``registry()[:50]``; a query
+that never earns a driver-green row is verified only by local gates.
+That debt used to be tracked as hand-maintained prose in CLAUDE.md (28
+entries by r9). These pins make it mechanical: a registry query with no
+clean row in ANY committed ``CORRECTNESS_r*.json`` MUST sit inside the
+current ``_WINDOW`` — adding a query without rotating it into the
+window is a test failure, not an editorial note.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from scripts.rotation_report import ledger  # noqa: E402
+
+
+def test_never_verified_queries_are_in_current_window():
+    led = ledger()
+    uncovered = led["uncovered_never_verified"]
+    assert not uncovered, (
+        "registry queries with no driver-green row in any "
+        f"CORRECTNESS_r*.json are outside the front-50 window: {uncovered} "
+        "— prepend them to _WINDOW in databeats_spark/registry/__init__.py"
+    )
+
+
+def test_ledger_shape_is_sane():
+    led = ledger()
+    assert led["registry_size"] >= 263  # never shrinks round-over-round
+    assert len(led["current_window"]) == 50
+    assert len(led["recommended_front_50"]) == 50
+    # every window name is a real registry query (registry() would have
+    # raised otherwise, but pin the contract here too)
+    assert set(led["current_window"]) <= set(
+        led["last_green_round"]) | set(led["never_driver_verified"]) | set(led["current_window"])
