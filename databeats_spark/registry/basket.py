@@ -32,7 +32,7 @@ BASKET_MIN_SUPPORT_PCT = 1  # pair must appear in >= 1% of baskets
 def _basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["lineitem", "part"])
     items = t.lineitem.join(
-        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+        t.part, F.col("l_partkey") == F.col("p_partkey")
     ).select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
     # ONE basket-keyed shuffle (collect_set subsumes the distinct), then
     # the ≤basket² pair expansion happens MAP-SIDE off the sorted array

@@ -52,7 +52,7 @@ def _shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["customer", "orders", "lineitem"])
     cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     orders = t.orders.filter(F.col("o_orderdate") < SHIP_PRIORITY_CUTOFF).join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     )
     lines = t.lineitem.filter(F.col("l_shipdate") > SHIP_PRIORITY_CUTOFF)
     return (
@@ -113,9 +113,9 @@ def _local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t.supplier.select("s_suppkey", "s_nationkey")
     return (
         t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(supp),
+            supp,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -211,8 +211,8 @@ def _cross_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(pair)
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(F.sum(_net()).cast("double").alias("volume"))
@@ -263,8 +263,8 @@ def _product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     profit = _net() - dec("p_retailprice") * dec("l_quantity") * F.lit("0.5").cast("decimal(18,2)")
     return (
-        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("supp_nation", F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(F.sum(profit).cast("double").alias("profit"))
         .orderBy("supp_nation", F.desc("ship_year"))
@@ -313,7 +313,7 @@ def _returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", "c_name", "c_acctbal", "n_name")
     return (
-        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             F.col("c_custkey").alias("custkey"),
             "c_name",
@@ -413,7 +413,7 @@ def _part_supplier_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["l_partkey", "l_suppkey"])
     )
     return (
-        pairs.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        pairs.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -451,7 +451,7 @@ def _bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#3") & qty.between(20, 30) & F.col("p_size").between(1, 15))
     )
     return (
-        t.lineitem.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        t.lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .filter(bracket)
         .agg(
             F.sum(_net()).cast("double").alias("revenue"),
@@ -491,7 +491,7 @@ def _dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= DOMINANT_YEAR_START)
             & (F.col("l_shipdate") < DOMINANT_YEAR_END)
         )
-        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", dec("l_quantity").alias("qty"))
     )
     per_pair = fam.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("pair_qty"))
@@ -506,7 +506,7 @@ def _dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name", "n_name")
     return (
-        dominant.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        dominant.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("s_suppkey").alias("suppkey"), "s_name", "n_name")
         .orderBy("suppkey")
     )

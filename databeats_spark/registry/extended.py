@@ -138,7 +138,7 @@ ORDER BY o_orderkey
 def _supplier_part_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["supplier", "nation", "lineitem"])
     return (
-        t.lineitem.join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_suppkey", "s_name", "n_name")
         .agg(

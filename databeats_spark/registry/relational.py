@@ -115,7 +115,7 @@ def _top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.orders.groupBy("o_custkey")
         .agg(money_sum("o_totalprice").alias("total_spend"), F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "total_spend", "n_orders")
         .orderBy(F.col("total_spend").desc(), "c_custkey")
         .limit(20)
@@ -255,7 +255,7 @@ def _revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         per_order.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy(F.col("n_name"), F.col("r_name").alias("region_name"))
@@ -290,7 +290,7 @@ def _promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_dec = F.sum(rev)
     return (
         t.lineitem.join(
-            F.broadcast(t.part.select("p_partkey", "p_type")),
+            t.part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
@@ -638,7 +638,7 @@ def _nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_dec = F.sum(rev)
     return (
         t.lineitem.join(
-            F.broadcast(t.part.filter(F.col("p_type") == MKT_PART_TYPE).select("p_partkey")),
+            t.part.filter(F.col("p_type") == MKT_PART_TYPE).select("p_partkey"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .join(
@@ -736,7 +736,7 @@ def _blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         blockers.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            t.supplier.select("s_suppkey", "s_name"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")

@@ -41,7 +41,7 @@ def _min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["part", "supplier", "nation", "lineitem"])
     offers = (
         t.lineitem.join(
-            F.broadcast(t.part.filter(F.col("p_size") > MIN_COST_PART_SIZE)),
+            t.part.filter(F.col("p_size") > MIN_COST_PART_SIZE),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .select("p_partkey", "l_suppkey", dec("l_extendedprice").alias("price"))
@@ -52,7 +52,7 @@ def _min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
     )
     return (
-        best.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        best.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey",
             F.col("price").cast("double").alias("min_price"),
@@ -191,7 +191,7 @@ def _top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         attach_global_scalar(rev, F.max("total_rev").alias("max_rev"))
         .filter(F.col("total_rev") == F.col("max_rev"))
-        .join(F.broadcast(load_tables(spark, sf_dir, ["supplier"]).supplier),
+        .join(load_tables(spark, sf_dir, ["supplier"]).supplier,
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_suppkey").alias("suppkey"),

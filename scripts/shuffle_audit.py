@@ -64,6 +64,12 @@ QUERIES = [
     # r8 session-4 single-plan additions
     "bm25_topk", "source_kmv_overlap", "poisson_bootstrap_ci",
     "kaplan_meier_retention", "basket_lift_rules",
+    # r9: the r8 join-heavy registry-only queries the r8 verdict flagged
+    # as outside the byte audit (VERDICT r8 item 4), plus the perceptual
+    # tier (item 6)
+    "entity_kcore", "entity_clusters", "entity_match_pairs",
+    "js_source_drift", "chao1_vocab_richness", "conformal_token_interval",
+    "rrf_hybrid_topk", "phash_near_dups",
 ]
 
 

@@ -134,11 +134,20 @@ def test_length_band_windows_run_on_histogram(spark):
     assert "HashAggregate" in plan[win_pos:], plan
 
 
-def test_q5_join_chain_never_sort_merges(spark):
+def test_q5_join_chain_broadcasts_bounded_dims_only(spark):
+    """Broadcast-hint policy (r9, VERDICT r8 item 5): F.broadcast is
+    reserved for provably bounded catalogs (nation/region/literal
+    tables/≤1-row scalars); SF-scaling tables (customer/part/supplier)
+    get NO hint — the size-based planner/AQE broadcasts them at test SF
+    and correctly sort-merges them at 100 TB, where a hint Catalyst
+    cannot demote would OOM the build side. Here orders⋈customer is the
+    one join of two SF-scaling relations — SMJ is its correct scale
+    posture; everything catalog-shaped must still broadcast."""
     plan = formatted_plan(spark, "local_supplier_volume")
-    # all five dims/filters broadcast around the single fact shuffle
-    assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+    # formatted output lists each node twice (tree + details): 2 hits
+    # = the single permitted orders⋈customer SMJ
+    assert plan.count("SortMergeJoin") <= 2
 
 
 def test_q3_pushes_date_filters_and_takes_top10(spark):

@@ -209,3 +209,16 @@ def test_basket_rules_expand_pairs_map_side(metrics):
     m = metrics("basket_lift_rules")
     assert m["shuffle_records"] < 100_000, m
     assert m["spill_bytes"] == 0, m
+
+
+def test_entity_kcore_scores_edges_once(metrics):
+    """VERDICT r8 item 4: the unrolled k-core rounds reference the edge
+    subtree ~2R times and exchange reuse does NOT dedupe it (measured:
+    254 exchanges / 508 parquet scans / 24 MB broadcast before the fix).
+    The edge table is localCheckpoint'ed once; the peel plan must scan
+    ZERO parquet (rounds read only the materialized RDD) and broadcast
+    only the bounded alive sets (~7.4 MB measured, flat across SF)."""
+    m = metrics("entity_kcore")
+    assert m["scan_rows"] == 0, m  # parquet read happens in the checkpoint job
+    assert m["broadcast_bytes"] < 30_000_000, m
+    assert m["shuffle_bytes"] < 4_000_000, m
