@@ -223,6 +223,111 @@ def dhash_payloads(
     )
 
 
+BLOCKMEAN_CROPS = (1.0, 0.75)  # full frame + center crop
+
+
+def blockmean_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    crop: float = 1.0,
+    block_means=None,
+) -> DataFrame:
+    """Block-mean perceptual hash (Yang et al. 2006, block mean value
+    based image perceptual hashing) at one crop scale — the second
+    signature family of the perceptual tier (r8 VERDICT item 6).
+
+    Per payload: take the CENTRAL ``crop`` fraction of the stream,
+    block-average it into 64 nearly-equal blocks, bit b = block mean >
+    median of the 64 means. The median threshold makes the signature
+    invariant to global brightness/offset shifts (dHash's gradient
+    signs are not), and the center crop makes it robust to BORDER
+    edits — letterboxing, watermarks, frame-edge timestamps — which
+    flip many full-frame bits but leave the cropped signature within
+    verify distance (pinned by the planted letterbox-dup pytest).
+
+    ``block_means(payloads: list[bytes], crop: float) -> ndarray
+    (n, 64)`` is the injectable decode seam (the dhash_payloads
+    pattern): a real implementation is PIL decode + grayscale + center
+    crop + 8x8 block means — unavailable in this image, so the default
+    treats the payload as a raw grayscale byte stream and
+    block-averages its central ``crop`` fraction. Same signed-BIGINT
+    signature contract as dhash_payloads, so the banded Hamming search
+    (operators/dedup.py::banded_hamming_pairs) is reused unchanged.
+    """
+    n_bits = 64
+    if block_means is None:
+
+        def block_means(payloads: list, crop: float) -> np.ndarray:
+            means = np.empty((len(payloads), n_bits), dtype=np.float64)
+            for i, p in enumerate(payloads):
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+                lo = int(len(arr) * (1.0 - crop) / 2.0)
+                arr = arr[lo : lo + max(1, int(len(arr) * crop))]
+                if len(arr) < n_bits:
+                    arr = np.pad(arr, (0, n_bits - len(arr)))
+                means[i] = [c.mean() for c in np.array_split(arr, n_bits)]
+            return means
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = np.asarray(block_means(list(pdf[payload_col]), crop), dtype=np.float64)
+            if means.shape != (len(pdf), n_bits):
+                raise ValueError(
+                    f"block_means returned shape {means.shape}, expected "
+                    f"({len(pdf)}, {n_bits})"
+                )
+            bits = means > np.median(means, axis=1, keepdims=True)
+            weights = (1 << np.arange(n_bits, dtype=np.uint64))
+            sigs = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.uint64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "bmh": sigs.view(np.int64)}
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, bmh long"
+    )
+
+
+def blockmean_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hamming_max: int = 3,
+    crops: tuple = BLOCKMEAN_CROPS,
+    block_means=None,
+) -> DataFrame:
+    """Multi-scale block-mean near-dup pairs: a pair is a candidate
+    when it verifies within ``hamming_max`` at ANY crop scale (the
+    recall union — border-edited dups survive only the cropped scale,
+    byte-identical dups all scales). Per-scale search reuses
+    banded_hamming_pairs verbatim; the union dedups to one row per
+    pair carrying the MINIMUM hamming over scales and how many scales
+    matched. Returns (id_a, id_b, hamming, n_scales)."""
+    from functools import reduce
+
+    from databeats_spark.operators.dedup import banded_hamming_pairs
+
+    per_scale = [
+        banded_hamming_pairs(
+            blockmean_payloads(df, id_col, payload_col, crop=c, block_means=block_means),
+            id_col,
+            "bmh",
+            hamming_max,
+        )
+        for c in crops
+    ]
+    return (
+        reduce(DataFrame.unionAll, per_scale)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("hamming").alias("hamming"),
+            F.count(F.lit(1)).cast("bigint").alias("n_scales"),
+        )
+    )
+
+
 def perceptual_near_dups(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -88,6 +88,8 @@ _WINDOW = (
     # rows oldest-first. PREPEND new/changed r9 queries here as they
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
+    # — new in r9 (never driver-verified):
+    "blockmean_near_dups",  # r9: multi-scale block-mean perceptual dedup
     # — never driver-verified (r8 additions displaced by later prepends):
     "approx_distinct_parts_exact",  # HLL pipeline's exact-count twin
     "approx_price_quantiles_exact",  # quantile pipeline's rank-exact twin
@@ -141,7 +143,8 @@ _WINDOW = (
     "token_budget_pack",
     "mix_rebalance",
     "min_cost_supplier",
-    "important_parts",
+    # (important_parts — stalest-green tail — displaced by the
+    # blockmean prepend; re-enters via rotation next round)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -662,6 +662,28 @@ ORDER BY id_a, id_b
 """
 
 
+# --- Q: blockmean_near_dups — multi-scale perceptual near-dup --------
+# Second signature family of the perceptual tier (r8 VERDICT item 6):
+# block-mean hashes (Yang et al. 2006) at two crop scales — full frame
+# + 0.75 center crop — each fed through the SimHash pigeonhole banding
+# verbatim, unioned to one row per pair (min hamming, scales matched).
+# The crop scale catches border-edited dups (letterbox / watermark /
+# frame-edge timestamps) whose full-frame hamming blows past the
+# threshold — pinned by test_connectors' planted letterbox test.
+# mapInPandas signature stage → rows-only; the banding/verify
+# arithmetic is oracle-certified by phash_near_dups_exact above.
+
+def _blockmean_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.multimodal import (
+        attach_payload, blockmean_near_dups,
+    )
+    from databeats_spark.sources.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    pairs = blockmean_near_dups(attach_payload(docs), hamming_max=3)
+    return pairs.orderBy("id_a", "id_b")
+
+
 def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token budget estimation per document: letter runs,
     digit runs, symbol runs (the pre-tokenization a byte-pair encoder
@@ -1270,6 +1292,7 @@ SPECS = [
     QuerySpec("multimodal_bytes", "binary payload columns: length + sha256", _multimodal_bytes, _MULTIMODAL_BYTES_SQL, tags=("multimodal",)),
     QuerySpec("phash_near_dups", "perceptual dHash near-dup over media payloads (rows-only; recall pytest-pinned, banding certified by the exact twin)", _phash_near_dups, None, tags=("multimodal", "dedup", "approx")),
     QuerySpec("phash_near_dups_exact", "oracle twin: md5-bit signatures through the identical pigeonhole band + Hamming verify", _phash_near_dups_exact, _PHASH_NEAR_DUPS_EXACT_SQL, tags=("multimodal", "dedup")),
+    QuerySpec("blockmean_near_dups", "multi-scale block-mean perceptual near-dup (full frame + center crop, border-edit robust; rows-only, banding certified by phash_near_dups_exact)", _blockmean_near_dups, None, tags=("multimodal", "dedup", "approx")),
     QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
     QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),
     QuerySpec("repetition_stats", "duplicate-ngram / top-token repetition quality signals", _repetition_stats, _REPETITION_STATS_SQL, tags=("text",)),

@@ -69,7 +69,7 @@ QUERIES = [
     # tier (item 6)
     "entity_kcore", "entity_clusters", "entity_match_pairs",
     "js_source_drift", "chao1_vocab_richness", "conformal_token_interval",
-    "rrf_hybrid_topk", "phash_near_dups",
+    "rrf_hybrid_topk", "phash_near_dups", "blockmean_near_dups",
 ]
 
 

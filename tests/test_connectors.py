@@ -463,3 +463,61 @@ def test_encoder_shape_mismatch_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="expected"):
         bad.collect()
+
+
+def test_blockmean_crop_scale_catches_border_edited_dups(spark):
+    """The second perceptual signature (r8 VERDICT item 6): block-mean
+    hashes at (1.0, 0.75) crop scales. A border-edited twin (letterbox:
+    first/last 12.5% of the stream overwritten) blows past the Hamming
+    threshold at FULL scale — only the center-crop scale can recall it.
+    Measured with the default byte-stream stand-in: full-scale hamming
+    18, crop-scale 0 (nicks in the middle keep it 0; unrelated payloads
+    sit ~30 apart)."""
+    import hashlib
+
+    from databeats_spark.operators.multimodal import (
+        blockmean_near_dups, blockmean_payloads,
+    )
+
+    def blob(seed: str, n: int = 2048) -> bytes:
+        out = b""
+        i = 0
+        while len(out) < n:
+            out += hashlib.sha256(f"{seed}:{i}".encode()).digest()
+            i += 1
+        return out[:n]
+
+    base = blob("img-A")
+    lb = bytearray(base)
+    k = len(base) // 8
+    lb[:k] = b"\xff" * k  # letterbox top
+    lb[-k:] = b"\xff" * k  # letterbox bottom
+    for pos in (700, 900, 1100):  # light interior corruption on top
+        lb[pos] = (lb[pos] + 3) % 256
+    rows = [(1, bytes(base)), (2, bytes(lb)), (3, blob("img-B")), (4, blob("img-C"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    full = {r["doc_id"]: r["bmh"] for r in blockmean_payloads(df, crop=1.0).collect()}
+    crop = {r["doc_id"]: r["bmh"] for r in blockmean_payloads(df, crop=0.75).collect()}
+    assert bin(full[1] ^ full[2]).count("1") > 3  # full frame misses it
+    assert bin(crop[1] ^ crop[2]).count("1") <= 3  # center crop recalls it
+    assert bin(crop[1] ^ crop[3]).count("1") > 10  # unrelated stays far
+
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["hamming"], r["n_scales"])
+        for r in blockmean_near_dups(df, hamming_max=3).collect()
+    }
+    assert (1, 2) in pairs, f"letterbox dup not recalled: {pairs}"
+    hamming, n_scales = pairs[(1, 2)]
+    assert hamming <= 3 and n_scales == 1  # matched at the crop scale only
+    assert all({a, b} == {1, 2} for a, b in pairs), f"false positives: {pairs}"
+
+
+def test_blockmean_identical_payloads_match_at_every_scale(spark):
+    from databeats_spark.operators.multimodal import blockmean_near_dups
+
+    rows = [(1, b"same-bytes" * 50), (2, b"same-bytes" * 50)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = blockmean_near_dups(df, hamming_max=3).collect()
+    assert len(out) == 1
+    assert out[0]["hamming"] == 0 and out[0]["n_scales"] == 2
