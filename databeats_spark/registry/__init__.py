@@ -89,6 +89,9 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "bm25_ranking_quality",  # r9: NDCG/MRR/P@k/R@k retrieval eval readout
+    "matryoshka_energy_audit",  # r9: embedding truncation-readiness histogram
+    "psi_length_drift",  # r9: per-source PSI drift gate
     "blockmean_near_dups",  # r9: multi-scale block-mean perceptual dedup
     # — never driver-verified (r8 additions displaced by later prepends):
     "approx_distinct_parts_exact",  # HLL pipeline's exact-count twin
@@ -140,11 +143,9 @@ _WINDOW = (
     "pii_scrub",
     "benchmark_decontam",
     "shared_shingle_stats",
-    "token_budget_pack",
-    "mix_rebalance",
-    "min_cost_supplier",
-    # (important_parts — stalest-green tail — displaced by the
-    # blockmean prepend; re-enters via rotation next round)
+    # (token_budget_pack, mix_rebalance, min_cost_supplier,
+    # important_parts — stalest-green tail — displaced by the r9
+    # prepends; re-enter via rotation next round)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

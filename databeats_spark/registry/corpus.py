@@ -1638,8 +1638,132 @@ ORDER BY source_a, source_b
 """
 
 
+# --- Q: psi_length_drift — per-source distribution-shift gate ---------
+# Population Stability Index of each source's doc-length distribution
+# against the pooled corpus — the standard production drift monitor
+# (PSI < 0.1 stable / 0.1-0.25 moderate / > 0.25 shifted), here as a
+# per-ingest-source gate. Six FIXED literal bins (100-char steps,
+# top bin open) so bucketing is pure integer arithmetic; +1 Laplace
+# smoothing makes empty bins well-defined on both engines; the ≤6
+# per-source terms fold in bucket order (F.aggregate from 0.0 mirrored
+# by DuckDB's 0.0-prepended list_reduce), with ONE parenthesization of
+# (p_s - p_ref) * ln(p_s / p_ref). Scale shape: one scan, a
+# (source, bucket)-keyed partial aggregate, a catalog-sized dense grid
+# (sources x 6 literal buckets), and bounded broadcasts.
+PSI_BIN_CHARS = 100
+PSI_N_BINS = 6  # [0,100) .. [400,500), [500,inf)
+
+
+def _psi_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    binned = t.documents.select(
+        "source",
+        F.least(
+            F.floor(F.col("n_chars") / PSI_BIN_CHARS), F.lit(PSI_N_BINS - 1)
+        )
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    obs = binned.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    lit_bins = F.array(*[F.lit(i).cast("bigint") for i in range(PSI_N_BINS)])
+    # dense grid: every (source, bucket) cell, zero-filled — Laplace
+    # smoothing must see the EMPTY bins; the bucket axis is a literal
+    # array exploded per source row, so no join introduces it
+    dense = (
+        binned.select("source")
+        .distinct()
+        .select("source", F.explode(lit_bins).alias("bucket"))
+        .join(obs, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"))
+    )
+    ref = (
+        spark.range(PSI_N_BINS)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+        .join(
+            binned.groupBy("bucket").agg(F.count(F.lit(1)).cast("bigint").alias("cnt_all")),
+            "bucket",
+            "left",
+        )
+        .select("bucket", F.coalesce("cnt_all", F.lit(0)).cast("bigint").alias("cnt_all"))
+        .crossJoin(
+            F.broadcast(binned.agg(F.count(F.lit(1)).cast("bigint").alias("n_all")))
+        )
+    )
+    n_src = binned.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    joined = dense.join(F.broadcast(n_src), "source").join(F.broadcast(ref), "bucket")
+    p_s = (F.col("cnt") + F.lit(1)).cast("double") / (
+        F.col("n_docs") + F.lit(PSI_N_BINS)
+    ).cast("double")
+    p_r = (F.col("cnt_all") + F.lit(1)).cast("double") / (
+        F.col("n_all") + F.lit(PSI_N_BINS)
+    ).cast("double")
+    terms = joined.select(
+        "source", "n_docs", "bucket", ((p_s - p_r) * F.log(p_s / p_r)).alias("term")
+    )
+    packed = terms.groupBy("source", "n_docs").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bucket").alias("b"), F.col("term").alias("t")))
+        ).alias("cells")
+    )
+    psi = F.aggregate(
+        F.transform(F.col("cells"), lambda s: s["t"]), F.lit(0.0), lambda a, x: a + x
+    )
+    return packed.select(
+        "source", "n_docs", F.round(psi, 6).alias("psi")
+    ).orderBy("source")
+
+
+def _psi_length_drift_sql() -> str:
+    b = PSI_N_BINS
+    p_s = f"(CAST(cnt + 1 AS DOUBLE) / CAST(n_docs + {b} AS DOUBLE))"
+    p_r = f"(CAST(cnt_all + 1 AS DOUBLE) / CAST(n_all + {b} AS DOUBLE))"
+    return f"""
+WITH binned AS (
+  SELECT source,
+         CAST(least(floor(n_chars / {PSI_BIN_CHARS}), {b - 1}) AS BIGINT) AS bucket
+  FROM documents
+), obs AS (
+  SELECT source, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY source, bucket
+), bins AS (
+  SELECT CAST(range AS BIGINT) AS bucket FROM range({b})
+), dense AS (
+  SELECT s.source, bi.bucket, COALESCE(o.cnt, 0) AS cnt
+  FROM (SELECT DISTINCT source FROM binned) s
+  CROSS JOIN bins bi
+  LEFT JOIN obs o ON o.source = s.source AND o.bucket = bi.bucket
+), refc AS (
+  SELECT bi.bucket, COALESCE(r.cnt_all, 0) AS cnt_all
+  FROM bins bi
+  LEFT JOIN (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS cnt_all FROM binned GROUP BY bucket
+  ) r ON r.bucket = bi.bucket
+), nsrc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM binned GROUP BY source
+), nall AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_all FROM binned
+), terms AS (
+  SELECT d.source, n.n_docs, d.bucket,
+         ({p_s} - {p_r}) * ln({p_s} / {p_r}) AS term
+  FROM dense d
+  JOIN nsrc n ON d.source = n.source
+  JOIN refc r ON d.bucket = r.bucket
+  CROSS JOIN nall a
+)
+SELECT source, n_docs,
+       round(list_reduce(list_prepend(0.0, list(term ORDER BY bucket)),
+                         (x, y) -> x + y), 6) AS psi
+FROM terms
+GROUP BY source, n_docs
+ORDER BY source
+"""
+
+
 SPECS = [
     QuerySpec("js_source_drift", "content drift: pairwise Jensen-Shannon over the top-K vocabulary + OOV bucket, ordered-fold exact parity", _js_source_drift, _JS_SOURCE_DRIFT_SQL, tags=("text", "audit", "stats")),
+    QuerySpec("psi_length_drift", "per-source Population Stability Index of doc length vs the pooled corpus (6 literal bins, Laplace-smoothed, ordered fold)", _psi_length_drift, _psi_length_drift_sql, tags=("audit", "stats")),
     QuerySpec("chao1_vocab_richness", "unseen-vocabulary planning: Chao1 richness bound + Good-Turing coverage per source, all-BIGINT estimator inputs", _chao1_vocab_richness, _CHAO1_SQL, tags=("text", "audit", "stats")),
     QuerySpec("source_kmv_overlap", "cross-source shingle overlap: KMV sketch Jaccard vs exact in one self-auditing dual-engine plan", _source_kmv_overlap, _SOURCE_KMV_OVERLAP_SQL, tags=("text", "dedup", "audit", "sketch")),
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),

@@ -99,8 +99,18 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hits = F.col("tf_0")
     for i in range(1, len(BM25_TERMS)):
         n_hits = n_hits + F.col(f"tf_{i}")
+    # graded relevance label for the ranking-quality readout: number of
+    # DISTINCT query terms present (1..len(BM25_TERMS)) — pure integer,
+    # identical on both engines
+    rel = (F.col("tf_0") > 0).cast("int")
+    for i in range(1, len(BM25_TERMS)):
+        rel = rel + (F.col(f"tf_{i}") > 0).cast("int")
     return scored.select(
-        "doc_id", "dl", n_hits.cast("bigint").alias("n_hits"), score.alias("score")
+        "doc_id",
+        "dl",
+        n_hits.cast("bigint").alias("n_hits"),
+        rel.cast("bigint").alias("rel"),
+        score.alias("score"),
     ).filter(F.col("n_hits") > 0)
 
 
@@ -145,6 +155,9 @@ def _bm25_sql_ctes() -> str:
         for i in range(len(BM25_TERMS))
     )
     hits = " + ".join(f"tf_{i}" for i in range(len(BM25_TERMS)))
+    rel = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(BM25_TERMS))
+    )
     return f"""toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ), feat AS (
@@ -158,6 +171,7 @@ def _bm25_sql_ctes() -> str:
   FROM toks
 ), scored AS (
   SELECT doc_id, dl, CAST({hits} AS BIGINT) AS n_hits,
+         CAST({rel} AS BIGINT) AS rel,
          {contribs} AS score
   FROM feat CROSS JOIN stats
   WHERE {hits} > 0
@@ -255,6 +269,120 @@ ORDER BY fused_rank
 """
 
 
+# --- Q: bm25_ranking_quality — NDCG@k / MRR / P@k / R@k readout ------
+# The eval rung on top of the retrieval tier: grade the BM25 ranking
+# against a deterministic graded label (rel = DISTINCT query terms
+# present, 1..4 — pure integer, both engines identical). All list
+# arithmetic is bounded: the ranked head and the ideal head are each
+# behind an explicit LIMIT k (TakeOrderedAndProject, lint-provable),
+# the corpus relevant-count is ONE keyless aggregate, and the final
+# row is a crossJoin of three ≤1-row sides. DCG/IDCG are ordered
+# left folds over the ≤k-row lists (F.aggregate from 0.0, mirrored by
+# DuckDB's 0.0-prepended list_reduce — the JS-drift recipe), with one
+# fixed parenthesization of the gain term on both engines. At 100 TB
+# this is the bm25 corpus pass + two k-row folds — eval is free.
+NDCG_K = 20
+REL_POS = 2  # binary-relevant for precision/recall: >= 2 distinct terms
+REL_GOOD = 3  # MRR target grade: >= 3 distinct terms
+
+
+def _gain(rel_col, rank_col):
+    """(2^rel - 1) / log2(rank + 1), one fixed parenthesization."""
+    return (F.pow(F.lit(2.0), rel_col.cast("double")) - F.lit(1.0)) / (
+        F.log(rank_col.cast("double") + F.lit(1.0)) / F.log(F.lit(2.0))
+    )
+
+
+def _ordered_dcg(df: DataFrame, rank_col: str) -> F.Column:
+    """Ordered DCG fold over a bounded ranked head: collect the ≤k
+    (rank, rel) structs, sort by rank, left-fold the gains from 0.0."""
+    arr = F.array_sort(F.collect_list(F.struct(F.col(rank_col).alias("r"), F.col("rel"))))
+    gains = F.transform(arr, lambda s: _gain(s["rel"], s["r"]))
+    return F.aggregate(gains, F.lit(0.0), lambda a, x: a + x)
+
+
+def _bm25_ranking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scored(spark, sf_dir)
+    ranked = _ranked_head(
+        scored, [F.col("score").desc(), F.col("doc_id")], NDCG_K, "rank"
+    )
+    ideal = _ranked_head(
+        scored, [F.col("rel").desc(), F.col("doc_id")], NDCG_K, "irank"
+    )
+    dcg_row = ranked.agg(
+        _ordered_dcg(ranked, "rank").alias("dcg"),
+        F.min(F.when(F.col("rel") >= REL_GOOD, F.col("rank"))).alias("mrr_rank"),
+        F.sum((F.col("rel") >= REL_POS).cast("bigint")).alias("hits_at_k"),
+    )
+    idcg_row = ideal.agg(_ordered_dcg(ideal, "irank").alias("idcg"))
+    total_row = scored.agg(
+        F.sum((F.col("rel") >= REL_POS).cast("bigint")).alias("n_relevant")
+    )
+    out = dcg_row.crossJoin(idcg_row).crossJoin(total_row)
+    mrr = F.coalesce(
+        F.lit(1.0) / F.col("mrr_rank").cast("double"), F.lit(0.0)
+    )
+    return out.select(
+        F.lit(NDCG_K).cast("bigint").alias("k"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_k"),
+        F.round(mrr, 6).alias("mrr"),
+        F.round(
+            F.col("hits_at_k").cast("double") / F.lit(float(NDCG_K)), 6
+        ).alias("precision_at_k"),
+        F.round(
+            F.col("hits_at_k").cast("double") / F.col("n_relevant").cast("double"), 6
+        ).alias("recall_at_k"),
+        "n_relevant",
+    )
+
+
+def _bm25_ranking_quality_sql() -> str:
+    gain_r = (
+        "(pow(2.0, CAST(rel AS DOUBLE)) - 1.0)"
+        " / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))"
+    )
+    gain_i = (
+        "(pow(2.0, CAST(rel AS DOUBLE)) - 1.0)"
+        " / (ln(CAST(irank AS DOUBLE) + 1.0) / ln(2.0))"
+    )
+    return f"""
+WITH {_bm25_sql_ctes()},
+ranked AS (
+  SELECT doc_id, rel,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+  FROM scored QUALIFY rank <= {NDCG_K}
+), ideal AS (
+  SELECT rel,
+         CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS irank
+  FROM scored QUALIFY irank <= {NDCG_K}
+), dcg_row AS (
+  SELECT list_reduce(list_prepend(0.0, list({gain_r} ORDER BY rank)),
+                     (a, b) -> a + b) AS dcg,
+         min(CASE WHEN rel >= {REL_GOOD} THEN rank END) AS mrr_rank,
+         CAST(sum(CASE WHEN rel >= {REL_POS} THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k
+  FROM ranked
+), idcg_row AS (
+  SELECT list_reduce(list_prepend(0.0, list({gain_i} ORDER BY irank)),
+                     (a, b) -> a + b) AS idcg
+  FROM ideal
+), total_row AS (
+  SELECT CAST(sum(CASE WHEN rel >= {REL_POS} THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant
+  FROM scored
+)
+SELECT CAST({NDCG_K} AS BIGINT) AS k,
+       round(dcg, 6) AS dcg,
+       round(idcg, 6) AS idcg,
+       round(dcg / idcg, 6) AS ndcg_at_k,
+       round(COALESCE(1.0 / CAST(mrr_rank AS DOUBLE), 0.0), 6) AS mrr,
+       round(CAST(hits_at_k AS DOUBLE) / {float(NDCG_K)!r}, 6) AS precision_at_k,
+       round(CAST(hits_at_k AS DOUBLE) / CAST(n_relevant AS DOUBLE), 6) AS recall_at_k,
+       n_relevant
+FROM dcg_row CROSS JOIN idcg_row CROSS JOIN total_row
+"""
+
+
 SPECS = [
     QuerySpec(
         "bm25_topk",
@@ -269,5 +397,12 @@ SPECS = [
         _rrf_hybrid_topk,
         _rrf_hybrid_topk_sql,
         tags=("text", "retrieval", "vectors"),
+    ),
+    QuerySpec(
+        "bm25_ranking_quality",
+        "retrieval eval readout: NDCG@k / MRR / precision@k / recall@k of the BM25 ranking vs the distinct-terms graded label (bounded k-row ordered folds)",
+        _bm25_ranking_quality,
+        _bm25_ranking_quality_sql,
+        tags=("retrieval", "eval"),
     ),
 ]

@@ -1467,12 +1467,93 @@ ORDER BY label
 """
 
 
+# --- Q: matryoshka_energy_audit — truncation-readiness of embeddings -
+# Matryoshka representation learning (Kusupati et al. 2022) serves the
+# SAME embedding at several truncated dims; before shipping a
+# truncated index you audit how much of each vector's energy the
+# prefix retains. Per vector and truncation dim d: ratio =
+# sqrt(ssq(v[:d]) / ssq(v)) — both sums ORDERED left folds over the
+# array (the hyperplane-LSH recipe: F.aggregate from 0.0 mirrored by
+# DuckDB's 0.0-prepended list_reduce on the DOUBLE[]-cast list, so
+# every intermediate is bit-equal) — then histogrammed into 20 fixed
+# buckets. Output is all-BIGINT (dim, bucket, n_vecs): no corpus-level
+# double sum exists to order. One scan, one bounded-key aggregate —
+# at 100 TB this is a single map-side-combinable pass.
+MATRYOSHKA_DIMS = (8, 16, 32)
+MATRYOSHKA_BUCKETS = 20
+
+
+def _ssq_fold(arr):
+    return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)
+
+
+def _matryoshka_energy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.sources.tables import spread
+
+    t = load_tables(spark, sf_dir, ["embeddings"])
+    emb = spread(t.embeddings, spark).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    full = _ssq_fold(F.col("v"))
+    per_dim = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("bigint").alias("trunc_dim"),
+                        F.floor(
+                            F.sqrt(_ssq_fold(F.slice("v", 1, d)) / full)
+                            * F.lit(float(MATRYOSHKA_BUCKETS))
+                        )
+                        .cast("bigint")
+                        .alias("ratio_bucket"),
+                    )
+                    for d in MATRYOSHKA_DIMS
+                ]
+            )
+        ).alias("s"),
+    ).select("s.trunc_dim", "s.ratio_bucket")
+    return (
+        per_dim.groupBy("trunc_dim", "ratio_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("trunc_dim", "ratio_bucket")
+    )
+
+
+def _matryoshka_energy_audit_sql() -> str:
+    ssq = "list_reduce(list_prepend(0.0, list_transform({arr}, x -> x * x)), (a, b) -> a + b)"
+    rows = "\n  UNION ALL\n".join(
+        "  SELECT CAST({d} AS BIGINT) AS trunc_dim, "
+        "CAST(floor(sqrt({num} / {den}) * {b}) AS BIGINT) AS ratio_bucket "
+        "FROM v".format(
+            d=d,
+            num=ssq.format(arr=f"list_slice(v, 1, {d})"),
+            den=ssq.format(arr="v"),
+            b=float(MATRYOSHKA_BUCKETS),
+        )
+        for d in MATRYOSHKA_DIMS
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), per_dim AS (
+{rows}
+)
+SELECT trunc_dim, ratio_bucket, CAST(count(*) AS BIGINT) AS n_vecs
+FROM per_dim
+GROUP BY trunc_dim, ratio_bucket
+ORDER BY trunc_dim, ratio_bucket
+"""
+
+
 SPECS = [
     QuerySpec("hard_negatives", "contrastive hard-negative mining: top-k cross-label cosine", _hard_negatives, _HARD_NEGATIVES_SQL, tags=("similarity", "ml")),
     QuerySpec("ann_recall_audit", "recall@k of the IVF probe path vs exact top-k, one dual-engine plan", _ann_recall_audit, _ann_recall_audit_sql, tags=("similarity", "audit")),
     QuerySpec("embedding_isotropy_audit", "per-label norm dispersion + mean cosine to the global centroid (collapse detector)", _embedding_isotropy_audit, _EMBEDDING_ISOTROPY_AUDIT_SQL, tags=("similarity", "audit")),
     QuerySpec("retrieval_label_precision", "precision@k retrieval eval with label relevance", _retrieval_label_precision, _RETRIEVAL_LABEL_PRECISION_SQL, tags=("similarity", "ml", "audit")),
     QuerySpec("cosine_topk", "exact brute-force cosine top-k ANN baseline", _cosine_topk, _COSINE_TOPK_SQL, bench=True, tags=("similarity",)),
+    QuerySpec("matryoshka_energy_audit", "truncation-readiness: retained-energy histogram of embedding prefixes at dims 8/16/32 (ordered ssq folds, all-BIGINT output)", _matryoshka_energy_audit, _matryoshka_energy_audit_sql, tags=("vectors", "eval")),
     QuerySpec("label_centroid_distance", "per-label centroids + L2 distance (clustering primitive)", _label_centroid_distance, _LABEL_CENTROID_DISTANCE_SQL, tags=("similarity", "agg")),
     QuerySpec("embedding_stats", "array-function aggregates over vector columns", _embedding_stats, _EMBEDDING_STATS_SQL, tags=("similarity", "scalar")),
     QuerySpec("semantic_decontam", "embedding-space eval-set decontamination: broadcast eval side, corpus touched once", _semantic_decontam, _SEMANTIC_DECONTAM_SQL, tags=("similarity", "compliance")),

@@ -1105,3 +1105,39 @@ def test_quantile_normalized_lengths_aligns_distributions(spark):
             assert sub.loc[r - 1, "norm_chars"] == pooled_vals[k - 1]
         assert sub["norm_chars"].iloc[0] == pooled_vals[0]
         assert sub["norm_chars"].iloc[-1] == pooled_vals[-1]
+
+
+def test_psi_length_drift_matches_python_replica(spark):
+    """psi_length_drift vs a pure-Python replica: same literal bins,
+    same +1 smoothing, same bucket-ordered left fold."""
+    import math
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.corpus import PSI_BIN_CHARS, PSI_N_BINS
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs["bucket"] = docs["n_chars"].apply(
+        lambda n: min(n // PSI_BIN_CHARS, PSI_N_BINS - 1)
+    )
+    n_all = len(docs)
+    ref = {b: int((docs["bucket"] == b).sum()) for b in range(PSI_N_BINS)}
+    want = {}
+    for source, grp in docs.groupby("source"):
+        n_docs = len(grp)
+        acc = 0.0
+        for b in range(PSI_N_BINS):
+            cnt = int((grp["bucket"] == b).sum())
+            p_s = float(cnt + 1) / float(n_docs + PSI_N_BINS)
+            p_r = float(ref[b] + 1) / float(n_all + PSI_N_BINS)
+            acc += (p_s - p_r) * math.log(p_s / p_r)
+        want[source] = (n_docs, acc)
+
+    got = queries()["psi_length_drift"](spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n_docs, psi = want[r["source"]]
+        assert r["n_docs"] == n_docs
+        assert abs(r["psi"] - psi) < 1e-6
+        assert r["psi"] >= 0.0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms

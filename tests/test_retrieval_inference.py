@@ -189,3 +189,90 @@ def test_poisson_bootstrap_matches_python_replica(spark):
         # method sanity, not just parity: the CI brackets the estimate
         assert lo <= point <= hi
         assert hi > lo
+
+
+def test_ndcg_readout_matches_python_replica(spark):
+    """bm25_ranking_quality vs an independent pure-Python NDCG/MRR/P@k
+    computation over the same replica scoring (graded rel = distinct
+    query terms present)."""
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.retrieval import (
+        BM25_TERMS, NDCG_K, REL_GOOD, REL_POS,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    toks = {
+        int(r.doc_id): re.split(r"\s+", str(r.text).strip())
+        for r in docs.itertuples()
+    }
+    scored = _bm25_replica()  # (doc_id, dl, hits, score) sorted by rank
+    rels = {
+        doc_id: sum(1 for term in BM25_TERMS if term in toks[doc_id])
+        for doc_id, _, _, _ in scored
+    }
+
+    def dcg(rel_seq):
+        acc = 0.0
+        for r, rel in enumerate(rel_seq, start=1):
+            acc += (2.0 ** float(rel) - 1.0) / (math.log(float(r) + 1.0) / math.log(2.0))
+        return acc
+
+    ranked_rels = [rels[d] for d, _, _, _ in scored[:NDCG_K]]
+    ideal_rels = sorted((rels[d] for d, _, _, _ in scored), reverse=True)[:NDCG_K]
+    want_dcg, want_idcg = dcg(ranked_rels), dcg(ideal_rels)
+    mrr_rank = next(
+        (r for r, rel in enumerate(ranked_rels, start=1) if rel >= REL_GOOD), None
+    )
+    hits_at_k = sum(1 for rel in ranked_rels if rel >= REL_POS)
+    n_relevant = sum(1 for rel in rels.values() if rel >= REL_POS)
+
+    got = queries()["bm25_ranking_quality"](spark, SF_SMOKE).collect()[0]
+    assert got["k"] == NDCG_K
+    assert abs(got["dcg"] - want_dcg) < 1e-6
+    assert abs(got["idcg"] - want_idcg) < 1e-6
+    assert abs(got["ndcg_at_k"] - want_dcg / want_idcg) < 1e-6
+    assert abs(got["mrr"] - (1.0 / mrr_rank if mrr_rank else 0.0)) < 1e-6
+    assert abs(got["precision_at_k"] - hits_at_k / float(NDCG_K)) < 1e-6
+    assert abs(got["recall_at_k"] - hits_at_k / float(n_relevant)) < 1e-6
+    assert got["n_relevant"] == n_relevant
+    assert 0.0 < got["ndcg_at_k"] <= 1.0
+
+
+def test_matryoshka_energy_matches_python_replica(spark):
+    """matryoshka_energy_audit vs a pure-Python left-fold replica (same
+    summation order as the plan's ordered F.aggregate, so bucket edges
+    cannot flip on float noise)."""
+    from collections import Counter
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.vectors import MATRYOSHKA_BUCKETS, MATRYOSHKA_DIMS
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    want: Counter = Counter()
+    for v in emb["embedding"]:
+        xs = [float(x) for x in v]
+
+        def ssq(seq):
+            acc = 0.0
+            for x in seq:
+                acc += x * x
+            return acc
+
+        den = ssq(xs)
+        for d in MATRYOSHKA_DIMS:
+            ratio = math.sqrt(ssq(xs[:d]) / den)
+            want[(d, math.floor(ratio * float(MATRYOSHKA_BUCKETS)))] += 1
+
+    got = {
+        (r["trunc_dim"], r["ratio_bucket"]): r["n_vecs"]
+        for r in queries()["matryoshka_energy_audit"](spark, SF_SMOKE).collect()
+    }
+    assert got == dict(want)
+    # sanity of the semantics: larger prefixes retain at least as much
+    # energy in aggregate (mean bucket is monotone in d)
+    def mean_bucket(d):
+        rows = [(b, n) for (dd, b), n in got.items() if dd == d]
+        return sum(b * n for b, n in rows) / sum(n for _, n in rows)
+
+    dims = sorted(MATRYOSHKA_DIMS)
+    assert mean_bucket(dims[0]) <= mean_bucket(dims[1]) <= mean_bucket(dims[2])
