@@ -89,6 +89,8 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "acf_daily_revenue",  # r9: lag-1..7 autocorrelation, exact moments
+    "markov_event_transitions",  # r9: user-journey transition matrix
     "bm25_ranking_quality",  # r9: NDCG/MRR/P@k/R@k retrieval eval readout
     "matryoshka_energy_audit",  # r9: embedding truncation-readiness histogram
     "psi_length_drift",  # r9: per-source PSI drift gate
@@ -141,11 +143,10 @@ _WINDOW = (
     "canonical_docs",
     "repetition_stats",
     "pii_scrub",
-    "benchmark_decontam",
-    "shared_shingle_stats",
-    # (token_budget_pack, mix_rebalance, min_cost_supplier,
-    # important_parts — stalest-green tail — displaced by the r9
-    # prepends; re-enter via rotation next round)
+    # (benchmark_decontam, shared_shingle_stats, token_budget_pack,
+    # mix_rebalance, min_cost_supplier, important_parts —
+    # stalest-green tail — displaced by the r9 prepends; re-enter via
+    # rotation next round)
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

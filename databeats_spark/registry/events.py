@@ -1159,6 +1159,60 @@ FROM s
 """
 
 
+# --- Q: markov_event_transitions — user-journey transition matrix -----
+# First-order Markov model of the event stream: per user, consecutive
+# event-type pairs (lead over the user-keyed window, total-order
+# tie-break ts→event_id), transition counts, and the row-normalized
+# probability (one division, round 6). The readout behind journey
+# analytics, anomaly detection (improbable transitions) and synthetic
+# session generation. Scale shape: ONE user-keyed shuffle feeds both
+# the lead window and (via the bounded event-type catalog) the
+# transition aggregate; output is |event_types|² ≤ 25 rows at any SF.
+def _markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        t.events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    row_tot = counts.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("n_from")
+    )
+    return (
+        counts.join(F.broadcast(row_tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from").cast("double"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+_MARKOV_EVENT_TRANSITIONS_SQL = """
+WITH steps AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM steps WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+), row_tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM counts GROUP BY from_type
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(CAST(c.n AS DOUBLE) / CAST(r.n_from AS DOUBLE), 6) AS p
+FROM counts c JOIN row_tot r ON c.from_type = r.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
 SPECS = [
     QuerySpec(
         "stratified_effect",
@@ -1209,6 +1263,7 @@ SPECS = [
     QuerySpec("sessionization", "gaps-and-islands sessionization (30-min gap)", _sessionization, _SESSIONIZATION_SQL, bench=True, tags=("window",)),
     QuerySpec("session_transcripts", "dialog assembly: ordered per-session event transcripts for training data", _session_transcripts, _SESSION_TRANSCRIPTS_SQL, tags=("window", "events", "text")),
     QuerySpec("session_windows", "native batch session_window vs islands oracle (strict-gap semantics)", _session_windows, _SESSION_WINDOWS_SQL, tags=("window", "timeseries")),
+    QuerySpec("markov_event_transitions", "first-order Markov transition matrix of user event streams (one user-keyed shuffle, catalog-bounded output)", _markov_event_transitions, _MARKOV_EVENT_TRANSITIONS_SQL, tags=("window", "agg", "timeseries")),
     QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
     QuerySpec("approx_price_quantiles_exact", "oracle twin: identical grouping with exact type-7 percentiles (certifies all but the sketch)", _approx_price_quantiles_exact, _APPROX_PRICE_QUANTILES_EXACT_SQL, tags=("agg", "approx")),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),

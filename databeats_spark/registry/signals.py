@@ -965,6 +965,88 @@ ORDER BY et
 """
 
 
+# --- Q: acf_daily_revenue — lag-k autocorrelation of the daily series -
+# Pearson autocorrelation of daily order revenue at lags 1..7 — the
+# seasonality probe a forecaster runs before choosing Holt vs
+# Holt-Winters (a weekly cycle shows as a lag-7 spike). Recipe =
+# numeric_corr_matrix's exact DECIMAL moments applied to the
+# (x_t, x_{t+k}) pair table: the lag join is on an INTEGER day index
+# (datediff from a literal epoch — no cross-engine date arithmetic),
+# the daily aggregate is calendar-bounded (~2.4k rows at every SF), so
+# the 7 lag copies are a bounded explode, and every moment is an exact
+# DECIMAL sum cast to double once before the single fixed-shape
+# correlation expression. One fact scan regardless of SF.
+ACF_MAX_LAG = 7
+ACF_EPOCH = "1995-01-01"
+
+
+def _acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    daily = (
+        t.orders.groupBy(
+            F.datediff(F.col("o_orderdate"), F.lit(ACF_EPOCH).cast("date"))
+            .cast("bigint")
+            .alias("day")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("rev")
+        )
+    )
+    lags = F.array(*[F.lit(k).cast("bigint") for k in range(1, ACF_MAX_LAG + 1)])
+    lagged = daily.select(
+        F.col("rev").alias("x"), F.explode(lags).alias("lag"), F.col("day")
+    ).withColumn("day2", F.col("day") + F.col("lag"))
+    pairs = lagged.join(
+        daily.select(F.col("day").alias("day2"), F.col("rev").alias("y")), "day2"
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return m.select(
+        "lag", "n_pairs", F.round(cov / F.sqrt(vx * vy), 6).alias("autocorr")
+    ).orderBy("lag")
+
+
+def _acf_daily_revenue_sql() -> str:
+    lag_rows = " UNION ALL ".join(f"SELECT CAST({k} AS BIGINT) AS lag" for k in range(1, ACF_MAX_LAG + 1))
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '{ACF_EPOCH}', o_orderdate) AS BIGINT) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1
+), lags AS ({lag_rows}),
+pairs AS (
+  SELECT l.lag, a.rev AS x, b.rev AS y
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.day = a.day + l.lag
+), m AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx,
+         CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs,
+       round((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) AS autocorr
+FROM m
+ORDER BY lag
+"""
+
+
 SPECS = [
     QuerySpec(
         "cusum_changepoint",
@@ -1000,6 +1082,13 @@ SPECS = [
         _holt_linear_forecast,
         _HOLT_LINEAR_FORECAST_SQL,
         tags=("timeseries", "ml"),
+    ),
+    QuerySpec(
+        "acf_daily_revenue",
+        "lag-1..7 Pearson autocorrelation of daily revenue from exact DECIMAL moments (integer day-index lag join, calendar-bounded)",
+        _acf_daily_revenue,
+        _acf_daily_revenue_sql,
+        tags=("timeseries", "stats"),
     ),
     QuerySpec("fluency_buckets", "CCNet-style per-source head/middle/tail fluency terciles", _fluency_buckets, _FLUENCY_BUCKETS_SQL, tags=("text", "sampling", "scale")),
     QuerySpec("doc_chunks", "sliding context-window chunk layout (stride overlap)", _doc_chunks, _DOC_CHUNKS_SQL, tags=("text", "sampling")),

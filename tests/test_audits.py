@@ -1141,3 +1141,65 @@ def test_psi_length_drift_matches_python_replica(spark):
         assert r["n_docs"] == n_docs
         assert abs(r["psi"] - psi) < 1e-6
         assert r["psi"] >= 0.0  # PSI is a sum of (p-q)ln(p/q) >= 0 terms
+
+
+def test_acf_matches_numpy_replica(spark):
+    """acf_daily_revenue vs numpy Pearson over the lagged daily series."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.signals import ACF_MAX_LAG
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    daily = (
+        orders.assign(day=orders["o_orderdate"].dt.normalize())
+        .groupby("day")["o_totalprice"]
+        .apply(lambda s: float(s.round(2).sum()))
+        .sort_index()
+    )
+    days = (daily.index - daily.index.min()).days.to_numpy()
+    vals = daily.to_numpy()
+    by_day = dict(zip(days, vals))
+
+    got = {r["lag"]: r for r in queries()["acf_daily_revenue"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(range(1, ACF_MAX_LAG + 1))
+    for k in range(1, ACF_MAX_LAG + 1):
+        x, y = [], []
+        for d, v in by_day.items():
+            if d + k in by_day:
+                x.append(v)
+                y.append(by_day[d + k])
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert got[k]["n_pairs"] == len(x)
+        assert abs(got[k]["autocorr"] - want) < 1e-6
+
+
+def test_markov_transitions_match_pandas_replica(spark):
+    """markov_event_transitions vs a pandas groupby-shift replica."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    ev["next_type"] = ev.groupby("user_id")["event_type"].shift(-1)
+    steps = ev.dropna(subset=["next_type"])
+    want = Counter(zip(steps["event_type"], steps["next_type"]))
+    row_tot = Counter()
+    for (src, _), n in want.items():
+        row_tot[src] += n
+
+    got = queries()["markov_event_transitions"](spark, SF_SMOKE).collect()
+    assert len(got) == len(want)
+    for r in got:
+        n = want[(r["from_type"], r["to_type"])]
+        assert r["n"] == n
+        assert abs(r["p"] - n / row_tot[r["from_type"]]) < 1e-6
+    # each row of the transition matrix sums to ~1
+    sums = Counter()
+    for r in got:
+        sums[r["from_type"]] += r["p"]
+    assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
