@@ -89,6 +89,8 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "cohort_retention_triangle",  # r9: weekly cohort retention matrix
+    "robust_spend_stats",  # r9: trimmed/winsorized means via prefix sum
     "acf_daily_revenue",  # r9: lag-1..7 autocorrelation, exact moments
     "markov_event_transitions",  # r9: user-journey transition matrix
     "bm25_ranking_quality",  # r9: NDCG/MRR/P@k/R@k retrieval eval readout
@@ -141,9 +143,8 @@ _WINDOW = (
     "ivf_cosine_topk",
     "simhash_near_dups",
     "canonical_docs",
-    "repetition_stats",
-    "pii_scrub",
-    # (benchmark_decontam, shared_shingle_stats, token_budget_pack,
+    # (repetition_stats, pii_scrub,
+    # benchmark_decontam, shared_shingle_stats, token_budget_pack,
     # mix_rebalance, min_cost_supplier, important_parts —
     # stalest-green tail — displaced by the r9 prepends; re-enter via
     # rotation next round)

@@ -1120,6 +1120,127 @@ ORDER BY col_a, col_b
 """
 
 
+# --- Q: robust_spend_stats — trimmed / winsorized segment means --------
+# Heavy-tail-proof spend summary per market segment: 5%-trimmed mean,
+# 5%-winsorized mean, and the rank-based p05/p95 cut values. The whole
+# pipeline is the mann_whitney posture — NO global or fact-sized
+# window: per-(segment, value) counts, ONE distributed prefix sum over
+# the (segment, value) total order (operators/scale.py::
+# partitioned_running_total), per-segment cumulative recovered by
+# subtracting broadcast segment offsets (the ≤SEG_CAP-row offset window
+# is behind an explicit LIMIT, lint-provable). Trim bounds are integer
+# (n*5 DIV 100 / n*95 DIV 100 — the rank-based order-statistic recipe,
+# no interpolation); kept mass per distinct value is an interval
+# overlap in BIGINT; sums stay DECIMALxBIGINT exact until the final
+# divisions.
+TRIM_PCT_LO = 5
+TRIM_PCT_HI = 95
+SEG_CAP = 32  # semantic no-op bound: segment catalogs are tiny
+
+
+def _robust_spend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+    from databeats_spark.registry.relational import dec
+
+    t = load_tables(spark, sf_dir, ["orders", "customer"])
+    vals = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("seg"), dec("o_totalprice").alias("y"))
+    )
+    by_val = vals.groupBy("seg", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    ranked = partitioned_running_total(
+        by_val, [F.col("seg"), F.col("y")], "cnt", out_col="cum"
+    )
+    from pyspark.sql import Window
+
+    seg_tot = by_val.groupBy("seg").agg(F.sum("cnt").cast("bigint").alias("n")).limit(SEG_CAP)
+    w = Window.orderBy("seg").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = seg_tot.select(
+        "seg",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("bigint").alias("seg_off"),
+        # integer floor-div (n*pct is < 2^53, so the double path is
+        # exact; DuckDB mirrors with its // operator)
+        F.floor(F.col("n") * TRIM_PCT_LO / 100).cast("bigint").alias("lo"),
+        F.floor(F.col("n") * TRIM_PCT_HI / 100).cast("bigint").alias("hi"),
+    )
+    r = (
+        ranked.join(F.broadcast(offsets), "seg")
+        .withColumn("scum", (F.col("cum") - F.col("seg_off")).cast("bigint"))
+    )
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("scum"), F.col("hi"))
+        - F.greatest(F.col("scum") - F.col("cnt"), F.col("lo")),
+    )
+    is_lo = (F.col("scum") > F.col("lo")) & (F.col("scum") - F.col("cnt") <= F.col("lo"))
+    is_hi = (F.col("scum") >= F.col("hi")) & (F.col("scum") - F.col("cnt") < F.col("hi"))
+    agg = r.groupBy("seg", "n", "lo", "hi").agg(
+        F.sum(F.col("y") * kept).alias("trimmed_sum"),
+        F.min(F.when(is_lo, F.col("y"))).alias("p05"),
+        F.min(F.when(is_hi, F.col("y"))).alias("p95"),
+    )
+    trimmed_mean = F.col("trimmed_sum").cast("double") / (
+        F.col("hi") - F.col("lo")
+    ).cast("double")
+    wins_sum = (
+        F.col("p05") * F.col("lo")
+        + F.col("trimmed_sum")
+        + F.col("p95") * (F.col("n") - F.col("hi"))
+    )
+    return agg.select(
+        "seg",
+        "n",
+        F.round(trimmed_mean, 6).alias("trimmed_mean"),
+        F.round(wins_sum.cast("double") / F.col("n").cast("double"), 6).alias(
+            "winsorized_mean"
+        ),
+        F.col("p05").cast("double").alias("p05"),
+        F.col("p95").cast("double").alias("p95"),
+    ).orderBy("seg")
+
+
+_ROBUST_SPEND_STATS_SQL = f"""
+WITH vals AS (
+  SELECT c.c_mktsegment AS seg, CAST(o.o_totalprice AS DECIMAL(18,2)) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), by_val AS (
+  SELECT seg, y, CAST(count(*) AS BIGINT) AS cnt FROM vals GROUP BY seg, y
+), ranked AS (
+  SELECT seg, y, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY seg ORDER BY y) AS BIGINT) AS scum
+  FROM by_val
+), seg_tot AS (
+  SELECT seg, CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt) * {TRIM_PCT_LO} // 100 AS BIGINT) AS lo,
+         CAST(sum(cnt) * {TRIM_PCT_HI} // 100 AS BIGINT) AS hi
+  FROM by_val GROUP BY seg
+), r AS (
+  SELECT rk.seg, rk.y, rk.cnt, rk.scum, s.n, s.lo, s.hi,
+         greatest(CAST(0 AS BIGINT),
+                  least(rk.scum, s.hi) - greatest(rk.scum - rk.cnt, s.lo)) AS kept,
+         rk.scum > s.lo AND rk.scum - rk.cnt <= s.lo AS is_lo,
+         rk.scum >= s.hi AND rk.scum - rk.cnt < s.hi AS is_hi
+  FROM ranked rk JOIN seg_tot s ON rk.seg = s.seg
+), agg AS (
+  SELECT seg, n, lo, hi,
+         sum(y * kept) AS trimmed_sum,
+         min(CASE WHEN is_lo THEN y END) AS p05,
+         min(CASE WHEN is_hi THEN y END) AS p95
+  FROM r GROUP BY seg, n, lo, hi
+)
+SELECT seg, n,
+       round(CAST(trimmed_sum AS DOUBLE) / CAST(hi - lo AS DOUBLE), 6) AS trimmed_mean,
+       round(CAST(p05 * lo + trimmed_sum + p95 * (n - hi) AS DOUBLE)
+             / CAST(n AS DOUBLE), 6) AS winsorized_mean,
+       CAST(p05 AS DOUBLE) AS p05, CAST(p95 AS DOUBLE) AS p95
+FROM agg
+ORDER BY seg
+"""
+
+
 SPECS = [
     QuerySpec(
         "benford_first_digit",
@@ -1134,6 +1255,13 @@ SPECS = [
         _gini_by_source,
         _GINI_BY_SOURCE_SQL,
         tags=("agg", "window", "audit"),
+    ),
+    QuerySpec(
+        "robust_spend_stats",
+        "trimmed/winsorized segment spend means + rank-based p05/p95 via ONE distributed prefix sum (no fact-sized window)",
+        _robust_spend_stats,
+        _ROBUST_SPEND_STATS_SQL,
+        tags=("stats", "agg", "scale"),
     ),
     QuerySpec(
         "numeric_corr_matrix",

@@ -1159,6 +1159,73 @@ FROM s
 """
 
 
+# --- Q: cohort_retention_triangle — weekly cohort retention matrix ----
+# The classic product-analytics triangle: users cohorted by FIRST
+# active week, retention = share of the cohort active again k weeks
+# later (k = 0..COHORT_MAX_OFFSET). All-integer until one final
+# division: week index is the shared dense epoch-week int, activity is
+# a (user, week)-distinct aggregate, the cohort join is user-keyed,
+# and the triangle is cohorts x offsets — calendar-bounded output at
+# any SF. Scale shape: one user-keyed shuffle for first-week, one
+# (user, week) distinct, one broadcast of per-cohort sizes.
+COHORT_MAX_OFFSET = 8
+
+
+def _cohort_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    active = (
+        t.events.select("user_id", week_index("ts").alias("wk")).distinct()
+    )
+    first = active.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = first.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    joined = active.join(first, "user_id").select(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).cast("bigint").alias("week_offset")
+    )
+    tri = (
+        joined.filter(F.col("week_offset") <= COHORT_MAX_OFFSET)
+        .groupBy("cohort_wk", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    return (
+        tri.join(F.broadcast(sizes), "cohort_wk")
+        .select(
+            "cohort_wk",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double") / F.col("cohort_size").cast("double"), 6
+            ).alias("retention"),
+        )
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+_COHORT_RETENTION_SQL = f"""
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(CAST(date_trunc('week', ts) AS TIMESTAMP)) / 604800) AS BIGINT) AS wk
+  FROM events
+), first AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM active GROUP BY user_id
+), sizes AS (
+  SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_size FROM first GROUP BY cohort_wk
+), tri AS (
+  SELECT f.cohort_wk, CAST(a.wk - f.cohort_wk AS BIGINT) AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN first f ON a.user_id = f.user_id
+  WHERE a.wk - f.cohort_wk <= {COHORT_MAX_OFFSET}
+  GROUP BY 1, 2
+)
+SELECT t.cohort_wk, t.week_offset, t.n_active, s.cohort_size,
+       round(CAST(t.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+FROM tri t JOIN sizes s ON t.cohort_wk = s.cohort_wk
+ORDER BY t.cohort_wk, t.week_offset
+"""
+
+
 # --- Q: markov_event_transitions — user-journey transition matrix -----
 # First-order Markov model of the event stream: per user, consecutive
 # event-type pairs (lead over the user-keyed window, total-order
@@ -1264,6 +1331,7 @@ SPECS = [
     QuerySpec("session_transcripts", "dialog assembly: ordered per-session event transcripts for training data", _session_transcripts, _SESSION_TRANSCRIPTS_SQL, tags=("window", "events", "text")),
     QuerySpec("session_windows", "native batch session_window vs islands oracle (strict-gap semantics)", _session_windows, _SESSION_WINDOWS_SQL, tags=("window", "timeseries")),
     QuerySpec("markov_event_transitions", "first-order Markov transition matrix of user event streams (one user-keyed shuffle, catalog-bounded output)", _markov_event_transitions, _MARKOV_EVENT_TRANSITIONS_SQL, tags=("window", "agg", "timeseries")),
+    QuerySpec("cohort_retention_triangle", "weekly cohort retention matrix: first-active-week cohorts x week offsets, all-integer until one division", _cohort_retention_triangle, _COHORT_RETENTION_SQL, tags=("agg", "timeseries")),
     QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
     QuerySpec("approx_price_quantiles_exact", "oracle twin: identical grouping with exact type-7 percentiles (certifies all but the sketch)", _approx_price_quantiles_exact, _APPROX_PRICE_QUANTILES_EXACT_SQL, tags=("agg", "approx")),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),

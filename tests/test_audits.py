@@ -1203,3 +1203,67 @@ def test_markov_transitions_match_pandas_replica(spark):
     for r in got:
         sums[r["from_type"]] += r["p"]
     assert all(abs(s - 1.0) < 1e-4 for s in sums.values())
+
+
+def test_cohort_retention_matches_pandas_replica(spark):
+    """cohort_retention_triangle vs a pandas first-week/offset replica."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import COHORT_MAX_OFFSET
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    wk = (
+        ev["ts"].dt.tz_localize(None).dt.to_period("W-SUN").dt.start_time.astype("int64")
+        // (604800 * 10**9)
+    )
+    act = pd.DataFrame({"user_id": ev["user_id"], "wk": wk}).drop_duplicates()
+    first = act.groupby("user_id")["wk"].min().rename("cohort_wk")
+    joined = act.join(first, on="user_id")
+    joined["week_offset"] = joined["wk"] - joined["cohort_wk"]
+    tri = (
+        joined[joined["week_offset"] <= COHORT_MAX_OFFSET]
+        .groupby(["cohort_wk", "week_offset"])
+        .size()
+    )
+    sizes = first.value_counts()
+
+    got = queries()["cohort_retention_triangle"](spark, SF_SMOKE).collect()
+    assert len(got) == len(tri)
+    for r in got:
+        n = int(tri[(r["cohort_wk"], r["week_offset"])])
+        size = int(sizes[r["cohort_wk"]])
+        assert r["n_active"] == n and r["cohort_size"] == size
+        assert abs(r["retention"] - n / size) < 1e-6
+    # offset-0 retention is 1.0 by construction
+    assert all(
+        abs(r["retention"] - 1.0) < 1e-9 for r in got if r["week_offset"] == 0
+    )
+
+
+def test_robust_spend_stats_match_numpy_replica(spark):
+    """robust_spend_stats vs a numpy sort-based trim/winsorize replica
+    (identical rank-based bounds: lo = n*5 DIV 100, hi = n*95 DIV 100,
+    keep ranks lo+1..hi)."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    got = {r["seg"]: r for r in queries()["robust_spend_stats"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(j["c_mktsegment"].unique())
+    for seg, grp in j.groupby("c_mktsegment"):
+        y = np.sort(np.round(grp["o_totalprice"].to_numpy(), 2))
+        n = len(y)
+        lo, hi = n * 5 // 100, n * 95 // 100
+        kept = y[lo:hi]
+        p05, p95 = y[lo], y[hi - 1]
+        wins = (p05 * lo + kept.sum() + p95 * (n - hi)) / n
+        r = got[seg]
+        assert r["n"] == n
+        assert abs(r["trimmed_mean"] - kept.mean()) < 1e-4
+        assert abs(r["winsorized_mean"] - wins) < 1e-4
+        assert abs(r["p05"] - p05) < 1e-9 and abs(r["p95"] - p95) < 1e-9
