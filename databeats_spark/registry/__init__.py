@@ -89,6 +89,7 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "lang_id_calibration",  # r9: reliability diagram of the lang IDer
     "cohort_retention_triangle",  # r9: weekly cohort retention matrix
     "robust_spend_stats",  # r9: trimmed/winsorized means via prefix sum
     "acf_daily_revenue",  # r9: lag-1..7 autocorrelation, exact moments
@@ -142,8 +143,7 @@ _WINDOW = (
     "lsh_cosine_topk",
     "ivf_cosine_topk",
     "simhash_near_dups",
-    "canonical_docs",
-    # (repetition_stats, pii_scrub,
+    # (canonical_docs, repetition_stats, pii_scrub,
     # benchmark_decontam, shared_shingle_stats, token_budget_pack,
     # mix_rebalance, min_cost_supplier, important_parts —
     # stalest-green tail — displaced by the r9 prepends; re-enter via

@@ -165,6 +165,113 @@ ORDER BY doc_id
 """
 
 
+# --- Q: lang_id_calibration — reliability diagram of the lang IDer ----
+# Model-calibration audit (the pre-deploy check for ANY scoring gate in
+# the curation funnel, done here on the oracle-replicable lang-id
+# heuristic): confidence = (best_hits + 1) / (total_hits + 2) — the
+# rule-of-succession smoothed share, a RATIONAL of two BIGINTs (the raw
+# best/total collapses to 1.0 because most docs hit only one language's
+# markers; smoothing makes confidence grow with EVIDENCE STRENGTH, so
+# one marker hit ≈ 0.67 and five ≈ 0.86) — bucketed into 10 fixed bins,
+# per bin the observed accuracy against the stored label and the
+# calibration gap |accuracy - bin midpoint|. Everything is integer
+# until the two per-bin divisions (ratio recipe). Zero-marker docs
+# carry no confidence and are excluded. One corpus pass, ≤10 rows out.
+CALIB_BINS = 10
+
+
+def _lang_id_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+    base = docs.select(
+        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    def _marker_hits(marks):
+        # closure factory: a defaulted second lambda param would make
+        # PySpark treat this as an (element, index) HOF lambda
+        markers = F.array(*[F.lit(m) for m in marks])
+        return F.size(F.filter(F.col("toks"), lambda x: F.array_contains(markers, x)))
+
+    score_cols = [
+        _marker_hits(marks).cast("bigint").alias(f"s_{lang}")
+        for lang, marks in LANG_MARKERS.items()
+    ]
+    s = base.select("doc_id", "lang", *score_cols)
+    # first-wins strictly-greater argmax in dict order — the exact
+    # semantics of functions/text.py::lang_guess and its SQL replica
+    best_lang = F.lit("und")
+    best_score = F.lit(0).cast("bigint")
+    for lang in LANG_MARKERS:
+        best_lang = F.when(F.col(f"s_{lang}") > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(F.col(f"s_{lang}"), best_score)
+    total = None
+    for lang in LANG_MARKERS:
+        total = F.col(f"s_{lang}") if total is None else total + F.col(f"s_{lang}")
+    scored = s.select(
+        "lang",
+        best_lang.alias("guess"),
+        best_score.alias("best"),
+        total.cast("bigint").alias("total"),
+    ).filter(F.col("total") > 0)
+    bucket = F.least(
+        F.floor(
+            F.lit(CALIB_BINS) * (F.col("best") + F.lit(1)) / (F.col("total") + F.lit(2))
+        ),
+        F.lit(CALIB_BINS - 1),
+    ).cast("bigint")
+    binned = scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("guess") == F.col("lang")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
+    conf_mid = (F.col("bucket").cast("double") + F.lit(0.5)) / F.lit(float(CALIB_BINS))
+    acc = F.col("n_correct").cast("double") / F.col("n").cast("double")
+    return binned.select(
+        "bucket",
+        F.round(conf_mid, 6).alias("conf_mid"),
+        "n",
+        "n_correct",
+        F.round(acc, 6).alias("accuracy"),
+        F.round(F.abs(acc - conf_mid), 6).alias("calibration_gap"),
+    ).orderBy("bucket")
+
+
+def _lang_id_calibration_sql() -> str:
+    score_cols_sql, best_expr = _lang_guess_sql_parts()
+    total = " + ".join(f"s_{lang}" for lang in LANG_MARKERS)
+    best_score = "0"
+    for lang in LANG_MARKERS:
+        best_score = f"greatest(s_{lang}, {best_score})"
+    b = CALIB_BINS
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, {score_cols_sql} FROM t
+), scored AS (
+  SELECT lang, {best_expr} AS guess,
+         CAST({best_score} AS BIGINT) AS best,
+         CAST({total} AS BIGINT) AS total
+  FROM s
+  WHERE {total} > 0
+), binned AS (
+  SELECT CAST(least(floor({b} * (best + 1) / (total + 2)), {b - 1}) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM scored GROUP BY 1
+)
+SELECT bucket,
+       round((CAST(bucket AS DOUBLE) + 0.5) / {float(b)!r}, 6) AS conf_mid,
+       n, n_correct,
+       round(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS accuracy,
+       round(abs(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(bucket AS DOUBLE) + 0.5) / {float(b)!r}), 6) AS calibration_gap
+FROM binned
+ORDER BY bucket
+"""
+
+
 # --- Q: lang_label_noise — provenance label-noise rollup --------------
 # The audit on top of lang_id: how often does the stored language
 # label disagree with the heuristic guess, per labeled language — the
@@ -1284,6 +1391,7 @@ SPECS = [
     QuerySpec("doc_fingerprints", "document fingerprinting (full + prefix)", _doc_fingerprints, _DOC_FINGERPRINTS_SQL, tags=("text",)),
     QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
+    QuerySpec("lang_id_calibration", "reliability diagram + per-bin calibration gap of the lang-id confidence (rational BIGINT confidence, 10 fixed bins)", _lang_id_calibration, _lang_id_calibration_sql, tags=("text", "eval", "audit")),
     QuerySpec("lang_label_noise", "per-language label-noise rate: stored lang vs the heuristic guess", _lang_label_noise, _lang_label_noise_sql, tags=("text", "quality")),
     QuerySpec("lang_id_kappa", "Cohen's kappa per source: chance-corrected lang-label agreement as exact integer polynomials", _lang_id_kappa, _lang_id_kappa_sql, tags=("text", "quality", "audit")),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),

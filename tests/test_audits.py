@@ -1267,3 +1267,46 @@ def test_robust_spend_stats_match_numpy_replica(spark):
         assert abs(r["trimmed_mean"] - kept.mean()) < 1e-4
         assert abs(r["winsorized_mean"] - wins) < 1e-4
         assert abs(r["p05"] - p05) < 1e-9 and abs(r["p95"] - p95) < 1e-9
+
+
+def test_lang_id_calibration_matches_python_replica(spark):
+    """lang_id_calibration vs a pure-Python marker-count replica with
+    the same smoothed confidence and first-wins argmax."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from databeats_spark.functions.text import LANG_MARKERS
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.documents import CALIB_BINS
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    n_by_bucket: Counter = Counter()
+    correct_by_bucket: Counter = Counter()
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", str(r.text).strip())
+        scores = {
+            lang: sum(1 for t in toks if t in marks)
+            for lang, marks in LANG_MARKERS.items()
+        }
+        total = sum(scores.values())
+        if total == 0:
+            continue
+        best_lang, best = "und", 0
+        for lang in LANG_MARKERS:  # first-wins strictly-greater argmax
+            if scores[lang] > best:
+                best_lang, best = lang, scores[lang]
+        bucket = min(CALIB_BINS * (best + 1) // (total + 2), CALIB_BINS - 1)
+        n_by_bucket[bucket] += 1
+        correct_by_bucket[bucket] += int(best_lang == r.lang)
+
+    got = queries()["lang_id_calibration"](spark, SF_SMOKE).collect()
+    assert {r["bucket"] for r in got} == set(n_by_bucket)
+    for r in got:
+        assert r["n"] == n_by_bucket[r["bucket"]]
+        assert r["n_correct"] == correct_by_bucket[r["bucket"]]
+        acc = correct_by_bucket[r["bucket"]] / n_by_bucket[r["bucket"]]
+        mid = (r["bucket"] + 0.5) / CALIB_BINS
+        assert abs(r["accuracy"] - acc) < 1e-6
+        assert abs(r["calibration_gap"] - abs(acc - mid)) < 1e-6
