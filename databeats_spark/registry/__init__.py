@@ -89,6 +89,7 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "markov_removal_attribution",  # r9: Cramer-solved channel attribution
     "lang_id_calibration",  # r9: reliability diagram of the lang IDer
     "cohort_retention_triangle",  # r9: weekly cohort retention matrix
     "robust_spend_stats",  # r9: trimmed/winsorized means via prefix sum
@@ -142,8 +143,7 @@ _WINDOW = (
     "embedding_stats",
     "lsh_cosine_topk",
     "ivf_cosine_topk",
-    "simhash_near_dups",
-    # (canonical_docs, repetition_stats, pii_scrub,
+    # (simhash_near_dups, canonical_docs, repetition_stats, pii_scrub,
     # benchmark_decontam, shared_shingle_stats, token_budget_pack,
     # mix_rebalance, min_cost_supplier, important_parts —
     # stalest-green tail — displaced by the r9 prepends; re-enter via
@@ -161,15 +161,15 @@ _GATE_WIDTH = 50
 def _collect() -> list[QuerySpec]:
     """Collect specs with the curated driver-verification window first."""
     from databeats_spark.registry import (
-        audits, basket, corpus, curation, decision, documents, events, extended,
-        frames, inference, lifecycle, linkage, mining, modern, relational,
-        retrieval, shapes, signals, vectors,
+        attribution, audits, basket, corpus, curation, decision, documents,
+        events, extended, frames, inference, lifecycle, linkage, mining,
+        modern, relational, retrieval, shapes, signals, vectors,
     )
 
     all_specs: list[QuerySpec] = []
     for mod in (extended, frames, vectors, relational, events, documents, shapes,
                 curation, modern, decision, mining, signals, corpus, lifecycle,
-                audits, linkage, retrieval, inference, basket):
+                audits, linkage, retrieval, inference, basket, attribution):
         all_specs.extend(mod.SPECS)
     # Explicit raises, not asserts: these guard the driver gate's
     # coverage and must survive ``python -O`` (ADVICE r7).

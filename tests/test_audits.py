@@ -1310,3 +1310,74 @@ def test_lang_id_calibration_matches_python_replica(spark):
         mid = (r["bucket"] + 0.5) / CALIB_BINS
         assert abs(r["accuracy"] - acc) < 1e-6
         assert abs(r["calibration_gap"] - abs(acc - mid)) < 1e-6
+
+
+def test_markov_attribution_matches_numpy_solve(spark):
+    """markov_removal_attribution vs an independent numpy replica:
+    sessions/prefixes rebuilt in pandas, absorption probability from
+    np.linalg.solve (LU) instead of the plan's Cramer expansion — the
+    same linear system solved by a different algorithm."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.attribution import CHANNELS, CONV_EVENT, START
+    from databeats_spark.registry.events import SESSION_GAP_US
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    edges = []
+    for _, g in ev.groupby("user_id"):
+        sess, prev = [], None
+        for us in g["us"]:
+            sess.append((sess[-1] if sess else 0) + (1 if prev is None or us - prev > SESSION_GAP_US else 0))
+            prev = us
+        g = g.assign(sess=sess)
+        for _, s in g.groupby("sess"):
+            types = list(s["event_type"])
+            if CONV_EVENT in types:
+                types = types[: types.index(CONV_EVENT) + 1]
+                closed = True
+            else:
+                closed = False
+            prev_t = START
+            for t in types:
+                edges.append((prev_t, "CONV" if t == CONV_EVENT else t))
+                prev_t = t
+            if not closed:
+                edges.append((types[-1], "END"))
+    edf = pd.DataFrame(edges, columns=["f", "t"])
+    counts = edf.groupby(["f", "t"]).size()
+    totals = edf.groupby("f").size()
+
+    def p(f, t):
+        try:
+            return counts[(f, t)] / totals[f]
+        except KeyError:
+            return 0.0
+
+    def conv_start(channels):
+        n = len(channels)
+        M = np.eye(n) - np.array([[p(a, b) for b in channels] for a in channels])
+        x = np.linalg.solve(M, np.array([p(c, "CONV") for c in channels]))
+        return p(START, "CONV") + sum(
+            p(START, c) * x[i] for i, c in enumerate(channels)
+        )
+
+    base = conv_start(list(CHANNELS))
+    got = {r["channel"]: r for r in queries()["markov_removal_attribution"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(CHANNELS)
+    effs = {}
+    for c in CHANNELS:
+        wo = conv_start([x for x in CHANNELS if x != c])
+        effs[c] = 1.0 - wo / base
+        assert abs(got[c]["base_conv"] - base) < 1e-6
+        assert abs(got[c]["conv_without"] - wo) < 1e-6
+        assert abs(got[c]["removal_effect"] - effs[c]) < 1e-6
+    tot = sum(effs.values())
+    for c in CHANNELS:
+        assert abs(got[c]["attribution_share"] - effs[c] / tot) < 1e-6
+    assert 0.0 < base <= 1.0
+    assert abs(sum(r["attribution_share"] for r in got.values()) - 1.0) < 1e-4
