@@ -89,6 +89,8 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "forecast_backtest_mase",  # r9: naive/seasonal-naive MAE + MASE eval
+    "experiment_power_mde",  # r9: minimal-detectable-effect readout
     "markov_removal_attribution",  # r9: Cramer-solved channel attribution
     "lang_id_calibration",  # r9: reliability diagram of the lang IDer
     "cohort_retention_triangle",  # r9: weekly cohort retention matrix
@@ -141,9 +143,8 @@ _WINDOW = (
     "unpivot_part_metrics",
     "spend_percentiles",
     "embedding_stats",
-    "lsh_cosine_topk",
-    "ivf_cosine_topk",
-    # (simhash_near_dups, canonical_docs, repetition_stats, pii_scrub,
+    # (lsh_cosine_topk, ivf_cosine_topk,
+    # simhash_near_dups, canonical_docs, repetition_stats, pii_scrub,
     # benchmark_decontam, shared_shingle_stats, token_budget_pack,
     # mix_rebalance, min_cost_supplier, important_parts —
     # stalest-green tail — displaced by the r9 prepends; re-enter via

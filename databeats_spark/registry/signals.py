@@ -1047,6 +1047,183 @@ ORDER BY lag
 """
 
 
+# --- Q: forecast_backtest_mase — forecast-accuracy eval rung ----------
+# The eval readout that completes the forecasting tier (the NDCG move
+# applied to Holt/Holt-Winters territory): one-step naive (y_{t-1}) and
+# seasonal-naive (y_{t-7}) forecasts over a literal 28-day calendar
+# holdout, scored by MAE and by MASE (Hyndman & Koehler 2006 — MAE
+# scaled by the IN-SAMPLE naive MAE, the scale-free standard). Every
+# error is an exact DECIMAL |y_t - y_{t-k}| over the calendar-bounded
+# daily aggregate (integer day-index joins, as acf_daily_revenue);
+# sums stay DECIMAL until the two final divisions. A model worth
+# shipping must clear MASE < 1 against these two baselines.
+BACKTEST_HOLDOUT_DAYS = 28
+
+
+def _daily_rev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    return t.orders.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit(ACF_EPOCH).cast("date"))
+        .cast("bigint")
+        .alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev")
+    )
+
+
+def _forecast_backtest_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    daily = _daily_rev(spark, sf_dir)
+    # cutoff rides the same shuffled aggregate → attach_global_scalar
+    # (the derived-scalar rule: AQE won't reuse the exchange under a
+    # naive crossJoin of a scalar over its own subtree)
+    with_cut = attach_global_scalar(daily, F.max("day").alias("max_day"))
+    cut = F.col("max_day") - F.lit(BACKTEST_HOLDOUT_DAYS)
+    labeled = with_cut.select(
+        "day", "rev", (F.col("day") > cut).alias("is_holdout")
+    )
+    models = []
+    for name, k in (("naive", 1), ("seasonal_naive", 7)):
+        pairs = labeled.alias("a").join(
+            labeled.select(
+                (F.col("day") + F.lit(k)).alias("day"), F.col("rev").alias("prev")
+            ).alias("b"),
+            "day",
+        )
+        err = F.abs(F.col("rev") - F.col("prev"))
+        m = pairs.agg(
+            F.sum(F.when(F.col("is_holdout"), err)).alias("err_hold"),
+            F.sum(F.when(F.col("is_holdout"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hold"),
+            F.sum(F.when(~F.col("is_holdout"), err)).alias("err_train"),
+            F.sum(F.when(~F.col("is_holdout"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+        ).select(
+            F.lit(name).alias("model"),
+            F.col("n_hold").alias("n_eval"),
+            (F.col("err_hold").cast("double") / F.col("n_hold").cast("double")).alias(
+                "mae"
+            ),
+            (F.col("err_train").cast("double") / F.col("n_train").cast("double")).alias(
+                "insample_mae"
+            ),
+        )
+        models.append(m)
+    out = models[0].unionByName(models[1])
+    return out.select(
+        "model",
+        "n_eval",
+        F.round("mae", 6).alias("mae"),
+        F.round("insample_mae", 6).alias("insample_mae"),
+        F.round(F.col("mae") / F.col("insample_mae"), 6).alias("mase"),
+    ).orderBy("model")
+
+
+def _forecast_backtest_mase_sql() -> str:
+    model_sql = []
+    for name, k in (("naive", 1), ("seasonal_naive", 7)):
+        model_sql.append(f"""
+  SELECT '{name}' AS model,
+         CAST(sum(CASE WHEN a.is_holdout THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+         CAST(sum(CASE WHEN a.is_holdout THEN abs(a.rev - b.rev) END) AS DOUBLE)
+           / CAST(sum(CASE WHEN a.is_holdout THEN 1 ELSE 0 END) AS DOUBLE) AS mae,
+         CAST(sum(CASE WHEN NOT a.is_holdout THEN abs(a.rev - b.rev) END) AS DOUBLE)
+           / CAST(sum(CASE WHEN NOT a.is_holdout THEN 1 ELSE 0 END) AS DOUBLE) AS insample_mae
+  FROM labeled a JOIN daily b ON a.day = b.day + {k}""")
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '{ACF_EPOCH}', o_orderdate) AS BIGINT) AS day,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+  FROM orders GROUP BY 1
+), cut AS (
+  SELECT max(day) - {BACKTEST_HOLDOUT_DAYS} AS c FROM daily
+), labeled AS (
+  SELECT day, rev, day > (SELECT c FROM cut) AS is_holdout FROM daily
+), models AS ({" UNION ALL ".join(model_sql)})
+SELECT model, n_eval, round(mae, 6) AS mae,
+       round(insample_mae, 6) AS insample_mae,
+       round(mae / insample_mae, 6) AS mase
+FROM models
+ORDER BY model
+"""
+
+
+# --- Q: experiment_power_mde — pre-experiment sensitivity readout -----
+# Before shipping an A/B test: the minimal detectable effect at 80%
+# power / 5% two-sided alpha given the CURRENT per-user outcome
+# variance and arm sizes — mde = (z_{a/2} + z_b) * sqrt(s2 * (1/n1 +
+# 1/n0)). Pooled variance comes from exact DECIMAL moments (one pass),
+# the z constants are full-precision literals (the inference tier's
+# inverse-CDF-ladder recipe), and every expression has one fixed
+# parenthesization.
+Z_ALPHA_2 = 1.959963984540054  # Phi^{-1}(0.975)
+Z_BETA = 0.8416212335729143  # Phi^{-1}(0.80)
+
+
+def _experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = t.events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("y")
+    ).withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    m = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+        F.sum("y").cast("double").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    nn = F.col("n").cast("double")
+    var = (nn * F.col("ss") - F.col("s") * F.col("s")) / (nn * (nn - F.lit(1.0)))
+    mean = F.col("s") / nn
+    mde = F.lit(Z_ALPHA_2 + Z_BETA) * F.sqrt(
+        var
+        * (
+            F.lit(1.0) / F.col("n1").cast("double")
+            + F.lit(1.0) / F.col("n0").cast("double")
+        )
+    )
+    return m.select(
+        F.col("n1").alias("n_treated"),
+        F.col("n0").alias("n_control"),
+        F.round(F.sqrt(var), 6).alias("pooled_sd"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean, 6).alias("mde_rel"),
+    )
+
+
+_EXPERIMENT_POWER_MDE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y,
+         CAST(user_id % 2 AS BIGINT) AS arm
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(y) AS DOUBLE) AS s,
+         CAST(sum(y * y) AS DOUBLE) AS ss,
+         CAST(count(*) AS BIGINT) AS n
+  FROM per_user
+)
+SELECT n1 AS n_treated, n0 AS n_control,
+       round(sqrt((CAST(n AS DOUBLE) * ss - s * s)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))), 6) AS pooled_sd,
+       round({Z_ALPHA_2 + Z_BETA!r} * sqrt(((CAST(n AS DOUBLE) * ss - s * s)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             * ((1.0 / CAST(n1 AS DOUBLE)) + (1.0 / CAST(n0 AS DOUBLE)))), 6) AS mde_abs,
+       round(({Z_ALPHA_2 + Z_BETA!r} * sqrt(((CAST(n AS DOUBLE) * ss - s * s)
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+             * ((1.0 / CAST(n1 AS DOUBLE)) + (1.0 / CAST(n0 AS DOUBLE)))))
+             / (s / CAST(n AS DOUBLE)), 6) AS mde_rel
+FROM m
+"""
+
+
 SPECS = [
     QuerySpec(
         "cusum_changepoint",
@@ -1089,6 +1266,20 @@ SPECS = [
         _acf_daily_revenue,
         _acf_daily_revenue_sql,
         tags=("timeseries", "stats"),
+    ),
+    QuerySpec(
+        "forecast_backtest_mase",
+        "forecast eval rung: naive and seasonal-naive MAE/MASE over a literal 28-day holdout, exact DECIMAL errors",
+        _forecast_backtest_mase,
+        _forecast_backtest_mase_sql,
+        tags=("timeseries", "eval"),
+    ),
+    QuerySpec(
+        "experiment_power_mde",
+        "pre-experiment sensitivity: minimal detectable effect at 80% power / 5% alpha from exact DECIMAL outcome moments",
+        _experiment_power_mde,
+        _EXPERIMENT_POWER_MDE_SQL,
+        tags=("stats", "eval"),
     ),
     QuerySpec("fluency_buckets", "CCNet-style per-source head/middle/tail fluency terciles", _fluency_buckets, _FLUENCY_BUCKETS_SQL, tags=("text", "sampling", "scale")),
     QuerySpec("doc_chunks", "sliding context-window chunk layout (stride overlap)", _doc_chunks, _DOC_CHUNKS_SQL, tags=("text", "sampling")),

@@ -1381,3 +1381,55 @@ def test_markov_attribution_matches_numpy_solve(spark):
         assert abs(got[c]["attribution_share"] - effs[c] / tot) < 1e-6
     assert 0.0 < base <= 1.0
     assert abs(sum(r["attribution_share"] for r in got.values()) - 1.0) < 1e-4
+
+
+def test_forecast_backtest_mase_matches_pandas_replica(spark):
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.signals import ACF_EPOCH, BACKTEST_HOLDOUT_DAYS
+
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    daily = (
+        orders.assign(
+            day=(orders["o_orderdate"].dt.normalize() - pd.Timestamp(ACF_EPOCH)).dt.days
+        )
+        .groupby("day")["o_totalprice"]
+        .apply(lambda s: round(float(s.round(2).sum()), 2))
+    )
+    cut = daily.index.max() - BACKTEST_HOLDOUT_DAYS
+    got = {r["model"]: r for r in queries()["forecast_backtest_mase"](spark, SF_SMOKE).collect()}
+    for name, k in (("naive", 1), ("seasonal_naive", 7)):
+        hold_err, train_err = [], []
+        for d, v in daily.items():
+            if d - k in daily.index:
+                (hold_err if d > cut else train_err).append(abs(v - daily[d - k]))
+        mae = sum(hold_err) / len(hold_err)
+        insample = sum(train_err) / len(train_err)
+        r = got[name]
+        assert r["n_eval"] == len(hold_err)
+        assert abs(r["mae"] - mae) < 1e-4
+        assert abs(r["insample_mae"] - insample) < 1e-4
+        assert abs(r["mase"] - mae / insample) < 1e-4
+    # the weekly cycle should make seasonal-naive no worse than 3x naive
+    assert got["seasonal_naive"]["mase"] < 3.0
+
+
+def test_experiment_power_mde_matches_numpy_replica(spark):
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.signals import Z_ALPHA_2, Z_BETA
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    y = ev.assign(v=ev["value"].round(2)).groupby("user_id")["v"].sum().round(2)
+    arms = (y.index % 2).astype(int)
+    n1, n0 = int((arms == 1).sum()), int((arms == 0).sum())
+    var = float(np.var(y.to_numpy(), ddof=1))
+    mde = (Z_ALPHA_2 + Z_BETA) * np.sqrt(var * (1.0 / n1 + 1.0 / n0))
+    r = queries()["experiment_power_mde"](spark, SF_SMOKE).collect()[0]
+    assert r["n_treated"] == n1 and r["n_control"] == n0
+    assert abs(r["pooled_sd"] - np.sqrt(var)) < 1e-4
+    assert abs(r["mde_abs"] - mde) < 1e-4
+    assert abs(r["mde_rel"] - mde / y.mean()) < 1e-4
