@@ -89,6 +89,8 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "ks_two_sample",  # r9: exact-integer KS distribution gate
+    "vocab_contribution_by_source",  # r9: Heaps saturation per batch
     "forecast_backtest_mase",  # r9: naive/seasonal-naive MAE + MASE eval
     "experiment_power_mde",  # r9: minimal-detectable-effect readout
     "markov_removal_attribution",  # r9: Cramer-solved channel attribution
@@ -141,9 +143,7 @@ _WINDOW = (
     "large_volume_orders",
     "order_nav",
     "unpivot_part_metrics",
-    "spend_percentiles",
-    "embedding_stats",
-    # (lsh_cosine_topk, ivf_cosine_topk,
+    # (spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk,
     # simhash_near_dups, canonical_docs, repetition_stats, pii_scrub,
     # benchmark_decontam, shared_shingle_stats, token_budget_pack,
     # mix_rebalance, min_cost_supplier, important_parts —

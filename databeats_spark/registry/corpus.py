@@ -1638,6 +1638,72 @@ ORDER BY source_a, source_b
 """
 
 
+# --- Q: vocab_contribution_by_source — incremental vocabulary audit ---
+# Which ingest batch still ADDS vocabulary? Sources are processed in
+# their deterministic lexicographic order; a term is credited to the
+# FIRST source containing it (min(source) — both engines agree on
+# string order for these ASCII names). Per source: distinct terms,
+# newly-contributed terms, and the running vocabulary size — the
+# Heaps-law saturation readout that tells a curation pipeline when
+# another batch of the same provenance stops paying for itself.
+# Scale shape: one term-keyed aggregate (min source per term — map-side
+# combinable), one catalog-keyed count, and a running sum over the
+# ≤catalog-sized source list behind an explicit LIMIT (lint-provable).
+VOCAB_SRC_CAP = 64  # semantic no-op bound on the source catalog
+
+
+def _vocab_contribution_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+    words = docs.select("source", F.explode(tokens("text")).alias("term"))
+    per_src = words.groupBy("source").agg(
+        F.count_distinct("term").cast("bigint").alias("n_distinct_terms")
+    )
+    first = words.groupBy("term").agg(F.min("source").alias("source"))
+    new_terms = first.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_terms")
+    )
+    joined = (
+        per_src.join(new_terms, "source", "left")
+        .select(
+            "source",
+            "n_distinct_terms",
+            F.coalesce("n_new_terms", F.lit(0)).cast("bigint").alias("n_new_terms"),
+        )
+        .limit(VOCAB_SRC_CAP)
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        joined.withColumn(
+            "cum_vocab", F.sum("n_new_terms").over(w).cast("bigint")
+        )
+        .orderBy("source")
+    )
+
+
+_VOCAB_CONTRIBUTION_SQL = """
+WITH words AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), per_src AS (
+  SELECT source, CAST(count(DISTINCT term) AS BIGINT) AS n_distinct_terms
+  FROM words GROUP BY source
+), first AS (
+  SELECT term, min(source) AS source FROM words GROUP BY term
+), new_terms AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_new_terms FROM first GROUP BY source
+)
+SELECT p.source, p.n_distinct_terms,
+       CAST(COALESCE(n.n_new_terms, 0) AS BIGINT) AS n_new_terms,
+       CAST(sum(COALESCE(n.n_new_terms, 0)) OVER (ORDER BY p.source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+FROM per_src p LEFT JOIN new_terms n ON p.source = n.source
+ORDER BY p.source
+"""
+
+
 # --- Q: psi_length_drift — per-source distribution-shift gate ---------
 # Population Stability Index of each source's doc-length distribution
 # against the pooled corpus — the standard production drift monitor
@@ -1764,6 +1830,7 @@ ORDER BY source
 SPECS = [
     QuerySpec("js_source_drift", "content drift: pairwise Jensen-Shannon over the top-K vocabulary + OOV bucket, ordered-fold exact parity", _js_source_drift, _JS_SOURCE_DRIFT_SQL, tags=("text", "audit", "stats")),
     QuerySpec("psi_length_drift", "per-source Population Stability Index of doc length vs the pooled corpus (6 literal bins, Laplace-smoothed, ordered fold)", _psi_length_drift, _psi_length_drift_sql, tags=("audit", "stats")),
+    QuerySpec("vocab_contribution_by_source", "incremental vocabulary per ingest batch: first-source term credit + running vocab (Heaps saturation readout)", _vocab_contribution_by_source, _VOCAB_CONTRIBUTION_SQL, tags=("text", "audit")),
     QuerySpec("chao1_vocab_richness", "unseen-vocabulary planning: Chao1 richness bound + Good-Turing coverage per source, all-BIGINT estimator inputs", _chao1_vocab_richness, _CHAO1_SQL, tags=("text", "audit", "stats")),
     QuerySpec("source_kmv_overlap", "cross-source shingle overlap: KMV sketch Jaccard vs exact in one self-auditing dual-engine plan", _source_kmv_overlap, _SOURCE_KMV_OVERLAP_SQL, tags=("text", "dedup", "audit", "sketch")),
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),

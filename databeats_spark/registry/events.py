@@ -1159,6 +1159,87 @@ FROM s
 """
 
 
+# --- Q: ks_two_sample — exact-integer distribution-equality test ------
+# Kolmogorov-Smirnov D between the two arms' per-user outcome
+# distributions — the experimentation tier's distribution-level gate
+# (Mann-Whitney detects location shift; KS detects ANY ECDF
+# divergence). Exactness: D = max |F1 - F0| is order-independent, so
+# it reduces to the INTEGER maximum of |c1*n0 - c0*n1| over the
+# distinct-value table (c = cumulative per-arm counts), divided once
+# by n1*n0. Cumulatives come from TWO distributed prefix sums
+# (operators/scale.py::partitioned_running_total — the Mann-Whitney
+# posture, no global window), joined back on the value.
+def _ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("y"))
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    by_value = per_user.groupBy("y").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+    )
+    cum1 = partitioned_running_total(by_value, [F.col("y")], "c1", out_col="f1")
+    cum0 = partitioned_running_total(
+        by_value.select("y", "c0"), [F.col("y")], "c0", out_col="f0"
+    )
+    merged = cum1.select("y", "f1").join(cum0.select("y", "f0"), "y")
+    # the n1/n0 totals ride a keyless aggregate; the max numerator needs
+    # them per row, so attach via crossJoin of the ≤1-row side
+    totals = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+    )
+    with_tot = merged.crossJoin(F.broadcast(totals))
+    d_num = F.abs(F.col("f1") * F.col("n0") - F.col("f0") * F.col("n1"))
+    out = with_tot.groupBy("n1", "n0").agg(
+        F.max(d_num).cast("bigint").alias("d_num")
+    )
+    return out.select(
+        F.col("n1").alias("n_treated"),
+        F.col("n0").alias("n_control"),
+        "d_num",
+        F.round(
+            F.col("d_num").cast("double")
+            / (F.col("n1") * F.col("n0")).cast("double"),
+            6,
+        ).alias("ks_d"),
+    )
+
+
+_KS_TWO_SAMPLE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y,
+         CAST(user_id % 2 AS BIGINT) AS arm
+  FROM events GROUP BY user_id
+), by_value AS (
+  SELECT y,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM per_user GROUP BY y
+), cum AS (
+  SELECT y,
+         CAST(sum(c1) OVER (ORDER BY y) AS BIGINT) AS f1,
+         CAST(sum(c0) OVER (ORDER BY y) AS BIGINT) AS f0
+  FROM by_value
+), totals AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM per_user
+)
+SELECT t.n1 AS n_treated, t.n0 AS n_control,
+       CAST(max(abs(c.f1 * t.n0 - c.f0 * t.n1)) AS BIGINT) AS d_num,
+       round(CAST(max(abs(c.f1 * t.n0 - c.f0 * t.n1)) AS DOUBLE)
+             / CAST(t.n1 * t.n0 AS DOUBLE), 6) AS ks_d
+FROM cum c CROSS JOIN totals t
+GROUP BY t.n1, t.n0
+"""
+
+
 # --- Q: cohort_retention_triangle — weekly cohort retention matrix ----
 # The classic product-analytics triangle: users cohorted by FIRST
 # active week, retention = share of the cohort active again k weeks
@@ -1332,6 +1413,7 @@ SPECS = [
     QuerySpec("session_windows", "native batch session_window vs islands oracle (strict-gap semantics)", _session_windows, _SESSION_WINDOWS_SQL, tags=("window", "timeseries")),
     QuerySpec("markov_event_transitions", "first-order Markov transition matrix of user event streams (one user-keyed shuffle, catalog-bounded output)", _markov_event_transitions, _MARKOV_EVENT_TRANSITIONS_SQL, tags=("window", "agg", "timeseries")),
     QuerySpec("cohort_retention_triangle", "weekly cohort retention matrix: first-active-week cohorts x week offsets, all-integer until one division", _cohort_retention_triangle, _COHORT_RETENTION_SQL, tags=("agg", "timeseries")),
+    QuerySpec("ks_two_sample", "exact-integer Kolmogorov-Smirnov D between arms: max |c1*n0 - c0*n1| over prefix-summed distinct values, one division", _ks_two_sample, _KS_TWO_SAMPLE_SQL, tags=("stats", "scale")),
     QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
     QuerySpec("approx_price_quantiles_exact", "oracle twin: identical grouping with exact type-7 percentiles (certifies all but the sketch)", _approx_price_quantiles_exact, _APPROX_PRICE_QUANTILES_EXACT_SQL, tags=("agg", "approx")),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),

@@ -1433,3 +1433,57 @@ def test_experiment_power_mde_matches_numpy_replica(spark):
     assert abs(r["pooled_sd"] - np.sqrt(var)) < 1e-4
     assert abs(r["mde_abs"] - mde) < 1e-4
     assert abs(r["mde_rel"] - mde / y.mean()) < 1e-4
+
+
+def test_ks_two_sample_matches_scipy_style_replica(spark):
+    """ks_two_sample vs a pure-numpy ECDF-max replica (the scipy
+    ks_2samp statistic, computed independently from sorted arrays)."""
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    y = ev.assign(v=ev["value"].round(2)).groupby("user_id")["v"].sum().round(2)
+    y1 = np.sort(y[y.index % 2 == 1].to_numpy())
+    y0 = np.sort(y[y.index % 2 == 0].to_numpy())
+    grid = np.unique(np.concatenate([y1, y0]))
+    f1 = np.searchsorted(y1, grid, side="right") / len(y1)
+    f0 = np.searchsorted(y0, grid, side="right") / len(y0)
+    want_d = float(np.max(np.abs(f1 - f0)))
+
+    r = queries()["ks_two_sample"](spark, SF_SMOKE).collect()[0]
+    assert r["n_treated"] == len(y1) and r["n_control"] == len(y0)
+    assert abs(r["ks_d"] - want_d) < 1e-6
+    # the exact rational and the rounded double must agree
+    assert abs(r["d_num"] / (len(y1) * len(y0)) - r["ks_d"]) < 1e-6
+    assert 0.0 <= r["ks_d"] <= 1.0
+
+
+def test_vocab_contribution_matches_python_replica(spark):
+    import re
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    per_src: dict[str, set] = {}
+    first: dict[str, str] = {}
+    for r in docs.sort_values("doc_id").itertuples():
+        toks = re.split(r"\s+", str(r.text).strip())
+        per_src.setdefault(r.source, set()).update(toks)
+        for t in toks:
+            if t not in first or r.source < first[t]:
+                first[t] = r.source
+
+    got = queries()["vocab_contribution_by_source"](spark, SF_SMOKE).collect()
+    assert [r["source"] for r in got] == sorted(per_src)
+    cum = 0
+    for r in got:
+        n_new = sum(1 for t, s in first.items() if s == r["source"])
+        cum += n_new
+        assert r["n_distinct_terms"] == len(per_src[r["source"]])
+        assert r["n_new_terms"] == n_new
+        assert r["cum_vocab"] == cum
+    assert got[-1]["cum_vocab"] == len(first)  # total vocabulary
