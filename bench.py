@@ -210,6 +210,12 @@ def main() -> None:
         # verifier, the one-pass bootstrap, the KM fold, basket rules
         "bm25_topk", "source_kmv_overlap", "poisson_bootstrap_ci",
         "kaplan_meier_retention", "basket_lift_rules",
+        # r9 additions (appended per the like-for-like convention):
+        # retrieval eval, closed-form attribution, prefix-sum robust
+        # stats, exact-integer KS, vocabulary saturation
+        "bm25_ranking_quality", "markov_removal_attribution",
+        "robust_spend_stats", "ks_two_sample",
+        "vocab_contribution_by_source",
     ]
     audit: dict[str, float] = {}
     audit_cpu: dict[str, float] = {}

@@ -70,6 +70,16 @@ QUERIES = [
     "entity_kcore", "entity_clusters", "entity_match_pairs",
     "js_source_drift", "chao1_vocab_richness", "conformal_token_interval",
     "rrf_hybrid_topk", "phash_near_dups", "blockmean_near_dups",
+    # r9 additions: retrieval eval, attribution, drift/calibration and
+    # experimentation readouts (robust_spend_stats / ks_two_sample run
+    # prefix-sum checkpoints — their plan columns under-report; the
+    # stage-layer exec-write column is their movement signal)
+    "bm25_ranking_quality", "matryoshka_energy_audit", "psi_length_drift",
+    "acf_daily_revenue", "markov_event_transitions",
+    "cohort_retention_triangle", "robust_spend_stats",
+    "lang_id_calibration", "markov_removal_attribution",
+    "forecast_backtest_mase", "experiment_power_mde", "ks_two_sample",
+    "vocab_contribution_by_source",
 ]
 
 
