@@ -89,6 +89,9 @@ _WINDOW = (
     # land — they displace the tail (most-recently re-verified), never
     # the never-verified block.
     # — new in r9 (never driver-verified):
+    "quantile_treatment_effect",  # r9 s2: rank-based QTE at p25/50/75
+    "sequential_test_daily",  # r9 s2: peeking-safe OBF monitor
+    "boilerplate_prefix_audit",  # r9 s2: template/header detection
     "ks_two_sample",  # r9: exact-integer KS distribution gate
     "vocab_contribution_by_source",  # r9: Heaps saturation per batch
     "forecast_backtest_mase",  # r9: naive/seasonal-naive MAE + MASE eval
@@ -140,10 +143,8 @@ _WINDOW = (
     "order_status_mix",
     "exact_moment_stats",
     "fuzzy_part_names",
-    "large_volume_orders",
-    "order_nav",
-    "unpivot_part_metrics",
-    # (spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk,
+    # (large_volume_orders, order_nav, unpivot_part_metrics,
+    # spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk,
     # simhash_near_dups, canonical_docs, repetition_stats, pii_scrub,
     # benchmark_decontam, shared_shingle_stats, token_budget_pack,
     # mix_rebalance, min_cost_supplier, important_parts —

@@ -1638,6 +1638,77 @@ ORDER BY source_a, source_b
 """
 
 
+# --- Q: boilerplate_prefix_audit — template/header detection ----------
+# Boilerplate headers are the classic curation leak: thousands of docs
+# opening with the same k tokens (licence banners, scraped nav bars)
+# inflate n-gram counts and survive fuzzy dedup when the body differs.
+# Per source: the top-3 most repeated 5-token prefixes with their doc
+# share. One (source, prefix) hash aggregate + a source-partitioned
+# top-k window (catalog partitions) + a broadcast per-source total.
+BOILERPLATE_PREFIX_TOKENS = 5
+BOILERPLATE_TOP = 3
+
+
+def _boilerplate_prefix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    pre = t.documents.select(
+        "source",
+        F.array_join(
+            F.slice(tokens("text"), 1, BOILERPLATE_PREFIX_TOKENS), " "
+        ).alias("prefix"),
+    )
+    counts = pre.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = pre.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_source")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_docs"), "prefix"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= BOILERPLATE_TOP)
+        .join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "rank",
+            "prefix",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("n_source").cast("double"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+_BOILERPLATE_PREFIX_SQL = f"""
+WITH pre AS (
+  SELECT source,
+         array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+                                    1, {BOILERPLATE_PREFIX_TOKENS}), ' ') AS prefix
+  FROM documents
+), counts AS (
+  SELECT source, prefix, CAST(count(*) AS BIGINT) AS n_docs
+  FROM pre GROUP BY source, prefix
+), totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM pre GROUP BY source
+), ranked AS (
+  SELECT source, prefix, n_docs,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY n_docs DESC, prefix) AS BIGINT) AS rank
+  FROM counts
+)
+SELECT r.source, r.rank, r.prefix, r.n_docs,
+       round(CAST(r.n_docs AS DOUBLE) / CAST(t.n_source AS DOUBLE), 6) AS doc_share
+FROM ranked r JOIN totals t ON r.source = t.source
+WHERE r.rank <= {BOILERPLATE_TOP}
+ORDER BY r.source, r.rank
+"""
+
+
 # --- Q: vocab_contribution_by_source — incremental vocabulary audit ---
 # Which ingest batch still ADDS vocabulary? Sources are processed in
 # their deterministic lexicographic order; a term is credited to the
@@ -1831,6 +1902,7 @@ SPECS = [
     QuerySpec("js_source_drift", "content drift: pairwise Jensen-Shannon over the top-K vocabulary + OOV bucket, ordered-fold exact parity", _js_source_drift, _JS_SOURCE_DRIFT_SQL, tags=("text", "audit", "stats")),
     QuerySpec("psi_length_drift", "per-source Population Stability Index of doc length vs the pooled corpus (6 literal bins, Laplace-smoothed, ordered fold)", _psi_length_drift, _psi_length_drift_sql, tags=("audit", "stats")),
     QuerySpec("vocab_contribution_by_source", "incremental vocabulary per ingest batch: first-source term credit + running vocab (Heaps saturation readout)", _vocab_contribution_by_source, _VOCAB_CONTRIBUTION_SQL, tags=("text", "audit")),
+    QuerySpec("boilerplate_prefix_audit", "template/header detection: top-3 repeated 5-token prefixes per source with doc share", _boilerplate_prefix_audit, _BOILERPLATE_PREFIX_SQL, tags=("text", "audit", "dedup")),
     QuerySpec("chao1_vocab_richness", "unseen-vocabulary planning: Chao1 richness bound + Good-Turing coverage per source, all-BIGINT estimator inputs", _chao1_vocab_richness, _CHAO1_SQL, tags=("text", "audit", "stats")),
     QuerySpec("source_kmv_overlap", "cross-source shingle overlap: KMV sketch Jaccard vs exact in one self-auditing dual-engine plan", _source_kmv_overlap, _SOURCE_KMV_OVERLAP_SQL, tags=("text", "dedup", "audit", "sketch")),
     QuerySpec("epoch_shard_layout", "seeded epoch permutation + token-budget shard assignment", _epoch_shard_layout, _EPOCH_SHARD_LAYOUT_SQL, tags=("sampling", "text", "scale")),

@@ -1159,6 +1159,128 @@ FROM s
 """
 
 
+# --- Q: quantile_treatment_effect — distributional A/B readout --------
+# Where CUPED/Mann-Whitney summarize to one number, QTE reports the
+# treatment effect at p25/p50/p75 — the heavy-tail question ("did the
+# median user move, or only the whales?"). Rank-based order statistics
+# (the conformal/robust-stats recipe, no interpolation): per-arm
+# quantile = value at rank ceil(q·n/100), recovered from the SAME
+# prefix-summed distinct-value table ks_two_sample uses (two
+# distributed prefix scans, no global window); the effect is an exact
+# DECIMAL difference cast to double once.
+QTE_QUANTILES = (25, 50, 75)
+
+
+def _quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("y"))
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    by_value = per_user.groupBy("y").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+    )
+    cum1 = partitioned_running_total(by_value, [F.col("y")], "c1", out_col="f1")
+    cum0 = partitioned_running_total(
+        by_value.select("y", "c0"), [F.col("y")], "c0", out_col="f0"
+    )
+    merged = cum1.select("y", "f1").join(cum0.select("y", "f0"), "y")
+    totals = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+    )
+    wt = merged.crossJoin(F.broadcast(totals))
+
+    def rank_of(q: int, n):
+        # ceil(q*n/100) as exact integer floor arithmetic (q*n < 2^53)
+        return F.floor((n * q + 99) / 100).cast("bigint")
+
+    aggs = []
+    for q in QTE_QUANTILES:
+        aggs.append(
+            F.min(
+                F.when(F.col("f1") >= rank_of(q, F.col("n1")), F.col("y"))
+            ).alias(f"q{q}_t")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col("f0") >= rank_of(q, F.col("n0")), F.col("y"))
+            ).alias(f"q{q}_c")
+        )
+    one = wt.groupBy("n1", "n0").agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(q).cast("bigint").alias("q_pct"),
+                    F.col(f"q{q}_t").cast("double").alias("q_treated"),
+                    F.col(f"q{q}_c").cast("double").alias("q_control"),
+                    (F.col(f"q{q}_t") - F.col(f"q{q}_c"))
+                    .cast("double")
+                    .alias("qte"),
+                )
+                for q in QTE_QUANTILES
+            ]
+        )
+    )
+    return (
+        one.select(
+            F.col("n1").alias("n_treated"), F.col("n0").alias("n_control"), rows.alias("r")
+        )
+        .select("n_treated", "n_control", "r.q_pct", "r.q_treated", "r.q_control", "r.qte")
+        .orderBy("q_pct")
+    )
+
+
+def _qte_sql() -> str:
+    per_q = []
+    for q in QTE_QUANTILES:
+        per_q.append(
+            f"min(CASE WHEN f1 >= CAST(floor((n1 * {q} + 99) / 100) AS BIGINT) THEN y END) AS q{q}_t"
+        )
+        per_q.append(
+            f"min(CASE WHEN f0 >= CAST(floor((n0 * {q} + 99) / 100) AS BIGINT) THEN y END) AS q{q}_c"
+        )
+    rows = " UNION ALL ".join(
+        f"""SELECT n_treated, n_control, CAST({q} AS BIGINT) AS q_pct,
+       CAST(q{q}_t AS DOUBLE) AS q_treated, CAST(q{q}_c AS DOUBLE) AS q_control,
+       CAST(q{q}_t - q{q}_c AS DOUBLE) AS qte FROM one"""
+        for q in QTE_QUANTILES
+    )
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y,
+         CAST(user_id % 2 AS BIGINT) AS arm
+  FROM events GROUP BY user_id
+), by_value AS (
+  SELECT y,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM per_user GROUP BY y
+), cum AS (
+  SELECT y,
+         CAST(sum(c1) OVER (ORDER BY y) AS BIGINT) AS f1,
+         CAST(sum(c0) OVER (ORDER BY y) AS BIGINT) AS f0
+  FROM by_value
+), totals AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM per_user
+), one AS (
+  SELECT t.n1 AS n_treated, t.n0 AS n_control, {", ".join(per_q)}
+  FROM cum c CROSS JOIN totals t
+  GROUP BY t.n1, t.n0
+)
+SELECT * FROM ({rows})
+ORDER BY q_pct
+"""
+
+
 # --- Q: ks_two_sample — exact-integer distribution-equality test ------
 # Kolmogorov-Smirnov D between the two arms' per-user outcome
 # distributions — the experimentation tier's distribution-level gate
@@ -1237,6 +1359,105 @@ SELECT t.n1 AS n_treated, t.n0 AS n_control,
              / CAST(t.n1 * t.n0 AS DOUBLE), 6) AS ks_d
 FROM cum c CROSS JOIN totals t
 GROUP BY t.n1, t.n0
+"""
+
+
+# --- Q: sequential_test_daily — peeking-safe experiment monitoring ----
+# The always-on counterpart to the one-shot readouts: a daily LOOK at
+# the event-level mean difference between arms, with an O'Brien-
+# Fleming-shaped boundary z_crit(t) = z_final / sqrt(tau_t) (tau =
+# information fraction = cumulative n over final n) — crossing the
+# boundary early is decisive, peeking at the raw 1.96 line is not.
+# Shape: one (day, arm) aggregate (calendar-bounded), cumulative
+# moments via a window behind an explicit LIMIT on the bounded daily
+# table (lint-provable), final-n attached from the same relation's
+# keyless aggregate. All moment sums are exact DECIMAL; z and the
+# boundary are single fixed-shape double expressions.
+SEQ_DAY_CAP = 4096  # semantic no-op bound: the calendar table is tiny
+SEQ_Z_FINAL = 1.959963984540054
+
+
+def _sequential_test_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["events"])
+    arm = (F.col("user_id") % 2).cast("bigint")
+    v = F.col("value").cast("decimal(18,2)")
+    daily = t.events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("dn1"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("dn0"),
+        F.sum(F.when(arm == 1, v)).alias("ds1"),
+        F.sum(F.when(arm == 0, v)).alias("ds0"),
+        F.sum(F.when(arm == 1, v * v)).alias("dq1"),
+        F.sum(F.when(arm == 0, v * v)).alias("dq0"),
+    ).limit(SEQ_DAY_CAP)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        *[
+            F.sum(c).over(w).alias(c[1:])
+            for c in ("dn1", "dn0", "ds1", "ds0", "dq1", "dq0")
+        ],
+    )
+    tot = daily.agg(
+        (F.sum("dn1") + F.sum("dn0")).cast("bigint").alias("n_final")
+    )
+    withtot = cum.crossJoin(F.broadcast(tot))
+    n1 = F.col("n1").cast("double")
+    n0 = F.col("n0").cast("double")
+    m1 = F.col("s1").cast("double") / n1
+    m0 = F.col("s0").cast("double") / n0
+    var1 = (n1 * F.col("q1").cast("double") - F.col("s1").cast("double") * F.col("s1").cast("double")) / (n1 * (n1 - F.lit(1.0)))
+    var0 = (n0 * F.col("q0").cast("double") - F.col("s0").cast("double") * F.col("s0").cast("double")) / (n0 * (n0 - F.lit(1.0)))
+    z = (m1 - m0) / F.sqrt(var1 / n1 + var0 / n0)
+    tau = (F.col("n1") + F.col("n0")).cast("double") / F.col("n_final").cast("double")
+    bound = F.lit(SEQ_Z_FINAL) / F.sqrt(tau)
+    return withtot.select(
+        "day",
+        (F.col("n1") + F.col("n0")).cast("bigint").alias("n_seen"),
+        F.round(z, 6).alias("z"),
+        F.round(bound, 6).alias("z_boundary"),
+        (F.abs(z) > bound).alias("crossed"),
+    ).orderBy("day")
+
+
+_SEQUENTIAL_TEST_DAILY_SQL = f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn1,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn0,
+         sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,2)) END) AS ds1,
+         sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) END) AS ds0,
+         sum(CASE WHEN user_id % 2 = 1 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS dq1,
+         sum(CASE WHEN user_id % 2 = 0 THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) END) AS dq0
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day,
+         CAST(sum(dn1) OVER w AS BIGINT) AS n1, CAST(sum(dn0) OVER w AS BIGINT) AS n0,
+         sum(ds1) OVER w AS s1, sum(ds0) OVER w AS s0,
+         sum(dq1) OVER w AS q1, sum(dq0) OVER w AS q0
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), tot AS (
+  SELECT CAST(sum(dn1) + sum(dn0) AS BIGINT) AS n_final FROM daily
+)
+SELECT day, CAST(n1 + n0 AS BIGINT) AS n_seen,
+       round(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+             / sqrt((((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))) / CAST(n1 AS DOUBLE))
+                    + (((CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))) / CAST(n0 AS DOUBLE))), 6) AS z,
+       round({SEQ_Z_FINAL!r} / sqrt(CAST(n1 + n0 AS DOUBLE) / CAST(t.n_final AS DOUBLE)), 6) AS z_boundary,
+       abs(((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+             / sqrt((((CAST(n1 AS DOUBLE) * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))) / CAST(n1 AS DOUBLE))
+                    + (((CAST(n0 AS DOUBLE) * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+                       / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))) / CAST(n0 AS DOUBLE))))
+         > ({SEQ_Z_FINAL!r} / sqrt(CAST(n1 + n0 AS DOUBLE) / CAST(t.n_final AS DOUBLE))) AS crossed
+FROM cum CROSS JOIN tot t
+ORDER BY day
 """
 
 
@@ -1414,6 +1635,8 @@ SPECS = [
     QuerySpec("markov_event_transitions", "first-order Markov transition matrix of user event streams (one user-keyed shuffle, catalog-bounded output)", _markov_event_transitions, _MARKOV_EVENT_TRANSITIONS_SQL, tags=("window", "agg", "timeseries")),
     QuerySpec("cohort_retention_triangle", "weekly cohort retention matrix: first-active-week cohorts x week offsets, all-integer until one division", _cohort_retention_triangle, _COHORT_RETENTION_SQL, tags=("agg", "timeseries")),
     QuerySpec("ks_two_sample", "exact-integer Kolmogorov-Smirnov D between arms: max |c1*n0 - c0*n1| over prefix-summed distinct values, one division", _ks_two_sample, _KS_TWO_SAMPLE_SQL, tags=("stats", "scale")),
+    QuerySpec("quantile_treatment_effect", "QTE at p25/50/75: rank-based per-arm order statistics off the prefix-summed distinct-value table, exact DECIMAL differences", _quantile_treatment_effect, _qte_sql, tags=("stats", "scale")),
+    QuerySpec("sequential_test_daily", "peeking-safe daily experiment monitor: cumulative event-level z vs an O'Brien-Fleming-shaped boundary (exact DECIMAL moments)", _sequential_test_daily, _SEQUENTIAL_TEST_DAILY_SQL, tags=("stats", "timeseries")),
     QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
     QuerySpec("approx_price_quantiles_exact", "oracle twin: identical grouping with exact type-7 percentiles (certifies all but the sketch)", _approx_price_quantiles_exact, _APPROX_PRICE_QUANTILES_EXACT_SQL, tags=("agg", "approx")),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),

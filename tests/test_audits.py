@@ -1487,3 +1487,94 @@ def test_vocab_contribution_matches_python_replica(spark):
         assert r["n_new_terms"] == n_new
         assert r["cum_vocab"] == cum
     assert got[-1]["cum_vocab"] == len(first)  # total vocabulary
+
+
+def test_qte_matches_numpy_replica(spark):
+    """quantile_treatment_effect vs numpy sorted-array order statistics
+    (value at rank ceil(q*n/100) — the same no-interpolation rule)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import QTE_QUANTILES
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    y = ev.assign(v=ev["value"].round(2)).groupby("user_id")["v"].sum().round(2)
+    y1 = np.sort(y[y.index % 2 == 1].to_numpy())
+    y0 = np.sort(y[y.index % 2 == 0].to_numpy())
+    got = {r["q_pct"]: r for r in queries()["quantile_treatment_effect"](spark, SF_SMOKE).collect()}
+    assert set(got) == set(QTE_QUANTILES)
+    for q in QTE_QUANTILES:
+        qt = y1[math.ceil(q * len(y1) / 100) - 1]
+        qc = y0[math.ceil(q * len(y0) / 100) - 1]
+        r = got[q]
+        assert r["n_treated"] == len(y1) and r["n_control"] == len(y0)
+        assert abs(r["q_treated"] - qt) < 1e-9
+        assert abs(r["q_control"] - qc) < 1e-9
+        assert abs(r["qte"] - (qt - qc)) < 1e-9
+    # quantiles are monotone in q on both arms
+    qs = sorted(QTE_QUANTILES)
+    assert got[qs[0]]["q_treated"] <= got[qs[1]]["q_treated"] <= got[qs[2]]["q_treated"]
+
+
+def test_sequential_test_matches_numpy_replica(spark):
+    import numpy as np
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import SEQ_Z_FINAL
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev.assign(
+        day=ev["ts"].dt.strftime("%Y-%m-%d"),
+        v=ev["value"].round(2),
+        arm=(ev["user_id"] % 2).astype(int),
+    ).sort_values("day")
+    got = queries()["sequential_test_daily"](spark, SF_SMOKE).collect()
+    days = sorted(ev["day"].unique())
+    assert [r["day"] for r in got] == days
+    n_final = len(ev)
+    for r in got:
+        upto = ev[ev["day"] <= r["day"]]
+        a1, a0 = upto[upto["arm"] == 1]["v"], upto[upto["arm"] == 0]["v"]
+        z = (a1.mean() - a0.mean()) / np.sqrt(
+            a1.var(ddof=1) / len(a1) + a0.var(ddof=1) / len(a0)
+        )
+        tau = len(upto) / n_final
+        assert r["n_seen"] == len(upto)
+        assert abs(r["z"] - z) < 1e-4
+        assert abs(r["z_boundary"] - SEQ_Z_FINAL / np.sqrt(tau)) < 1e-6
+        assert r["crossed"] == (abs(z) > SEQ_Z_FINAL / np.sqrt(tau))
+    # the boundary relaxes to z_final at full information
+    assert abs(got[-1]["z_boundary"] - SEQ_Z_FINAL) < 1e-6
+
+
+def test_boilerplate_prefix_audit_matches_python_replica(spark):
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.corpus import (
+        BOILERPLATE_PREFIX_TOKENS, BOILERPLATE_TOP,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    by_src: dict[str, Counter] = {}
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", str(r.text).strip())
+        pre = " ".join(toks[:BOILERPLATE_PREFIX_TOKENS])
+        by_src.setdefault(r.source, Counter())[pre] += 1
+
+    got = queries()["boilerplate_prefix_audit"](spark, SF_SMOKE).collect()
+    for r in got:
+        ranked = sorted(by_src[r["source"]].items(), key=lambda kv: (-kv[1], kv[0]))
+        pre, n = ranked[r["rank"] - 1]
+        assert (r["prefix"], r["n_docs"]) == (pre, n)
+        assert abs(r["doc_share"] - n / sum(by_src[r["source"]].values())) < 1e-6
+    assert len(got) == sum(
+        min(BOILERPLATE_TOP, len(c)) for c in by_src.values()
+    )
