@@ -79,7 +79,8 @@ QUERIES = [
     "cohort_retention_triangle", "robust_spend_stats",
     "lang_id_calibration", "markov_removal_attribution",
     "forecast_backtest_mase", "experiment_power_mde", "ks_two_sample",
-    "vocab_contribution_by_source",
+    "vocab_contribution_by_source", "quantile_treatment_effect",
+    "sequential_test_daily", "boilerplate_prefix_audit",
 ]
 
 
