@@ -216,6 +216,9 @@ def main() -> None:
         "bm25_ranking_quality", "markov_removal_attribution",
         "robust_spend_stats", "ks_two_sample",
         "vocab_contribution_by_source",
+        # r9 session-2 additions (same convention)
+        "quantile_treatment_effect", "sequential_test_daily",
+        "boilerplate_prefix_audit",
     ]
     audit: dict[str, float] = {}
     audit_cpu: dict[str, float] = {}
