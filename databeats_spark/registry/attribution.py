@@ -220,6 +220,13 @@ class _Emitter:
     def div(self, a, b):
         return f"({a} / {b})" if self.sql else (a / b)
 
+    def nullif0(self, a):
+        """Zero-guard a divisor identically on both engines (ADVICE r9):
+        a degenerate corpus with no conversions would otherwise hit
+        engine-specific div-by-zero semantics (IEEE inf/nan vs NULL);
+        nullif makes both sides deterministically NULL."""
+        return f"nullif({a}, 0.0)" if self.sql else F.nullif(a, F.lit(0.0))
+
     def matrix_cell(self, channels, i, j):
         """(I - Q)[i][j] over the given transient channel subset."""
         p = self.cell(f"p_{channels[i]}_{channels[j]}")
@@ -254,7 +261,7 @@ class _Emitter:
                 [b[i] if j == k else m[i][j] for j in range(n)]
                 for i in range(n)
             ]
-            x_k = self.div(self.det(mk), det_m)
+            x_k = self.div(self.det(mk), self.nullif0(det_m))
             acc = self.add(acc, self.mul(self.cell(f"p_{START}_{c}"), x_k))
         return acc
 
@@ -271,11 +278,13 @@ def _markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[removed[c].alias(f"conv_wo_{c}") for c in CHANNELS],
     )
     eff = {
-        c: F.lit(1.0) - F.col(f"conv_wo_{c}") / F.col("base_conv") for c in CHANNELS
+        c: F.lit(1.0) - F.col(f"conv_wo_{c}") / F.nullif(F.col("base_conv"), F.lit(0.0))
+        for c in CHANNELS
     }
     total_eff = eff[CHANNELS[0]]
     for c in CHANNELS[1:]:
         total_eff = total_eff + eff[c]
+    total_eff = F.nullif(total_eff, F.lit(0.0))
     rows = F.explode(
         F.array(
             *[
@@ -301,13 +310,13 @@ def _markov_removal_attribution_sql() -> str:
     em = _Emitter(sql=True)
     base = em.conv_start(CHANNELS)
     wo = {c: em.conv_start(tuple(x for x in CHANNELS if x != c)) for c in CHANNELS}
-    eff = {c: f"(1.0 - (conv_wo_{c} / base_conv))" for c in CHANNELS}
+    eff = {c: f"(1.0 - (conv_wo_{c} / nullif(base_conv, 0.0)))" for c in CHANNELS}
     total = " + ".join(eff[c] for c in CHANNELS)
     selects = " UNION ALL ".join(
         f"""SELECT '{c}' AS channel, round(base_conv, 6) AS base_conv,
        round(conv_wo_{c}, 6) AS conv_without,
        round({eff[c]}, 6) AS removal_effect,
-       round({eff[c]} / ({total}), 6) AS attribution_share
+       round({eff[c]} / nullif({total}, 0.0), 6) AS attribution_share
 FROM solved"""
         for c in CHANNELS
     )

@@ -1475,8 +1475,12 @@ ORDER BY label
 # sqrt(ssq(v[:d]) / ssq(v)) — both sums ORDERED left folds over the
 # array (the hyperplane-LSH recipe: F.aggregate from 0.0 mirrored by
 # DuckDB's 0.0-prepended list_reduce on the DOUBLE[]-cast list, so
-# every intermediate is bit-equal) — then histogrammed into 20 fixed
-# buckets. Output is all-BIGINT (dim, bucket, n_vecs): no corpus-level
+# every intermediate is bit-equal) — then histogrammed as
+# floor(ratio * 20): buckets 0..19 are the half-open 5%-wide bands and
+# ratio == 1.0 (prefix carries ALL the energy, e.g. trunc_dim >= the
+# vector length) lands in an inclusive top bucket 20, so 21 bucket
+# values exist (ADVICE r9 — identical on both engines by construction).
+# Output is all-BIGINT (dim, bucket, n_vecs): no corpus-level
 # double sum exists to order. One scan, one bounded-key aggregate —
 # at 100 TB this is a single map-side-combinable pass.
 MATRYOSHKA_DIMS = (8, 16, 32)

@@ -5,9 +5,10 @@ The grading driver's CORRECTNESS gate checks only ``registry()[:50]``.
 This script unions every recorded ``CORRECTNESS_r*.json``, reports
 which registry queries have never earned a driver-green row, and
 prints the recommended front-50 for the NEXT round: never-verified
-queries first (oracle-carrying before rows-only), then the bench
-headliners so each benchmarked query keeps a same-round row, then —
-once the backlog is empty (r5 closed it) — the STALEST green rows
+queries first (oracle-carrying before rows-only), then any bench
+headliner whose green row is NOT from the latest recorded round (a
+headliner is never more than one round stale, but a just-re-certified
+one doesn't burn a slot — r10 policy), then the STALEST green rows
 first, so re-verification debt retires oldest-first and every query's
 latest green row keeps cycling forward.
 
@@ -64,16 +65,27 @@ def ledger() -> dict:
     from databeats_spark.registry import registry
 
     last_green = driver_green_rounds()
+    latest_round = max(last_green.values(), default=0)
     specs = list(registry())
+    index_of = {s.name: i for i, s in enumerate(specs)}  # O(1) sort key
+    oracle_flags = {s.name: s.has_oracle for s in specs}
     never = [s.name for s in specs if s.name not in last_green]
     front = [s for s in specs if s.name in never and s.has_oracle]
     front += [s for s in specs if s.name in never and not s.has_oracle]
+    # Bench headliners get a forced slot only when their latest green
+    # row is NOT from the latest recorded round (r10 policy, VERDICT r9
+    # item 1): a headliner the driver just re-certified doesn't need to
+    # burn a slot the staleness burn-down could use — it re-enters the
+    # moment it is one round stale, so a headliner is never more than
+    # one round behind while ~14 extra slots per round retire old debt.
+    in_front = {s.name for s in front}
     for s in specs:
-        if s.bench and s not in front:
+        if s.bench and s.name not in in_front and last_green.get(s.name, 0) < latest_round:
             front.append(s)
+            in_front.add(s.name)
     by_age = sorted(
-        (s for s in specs if s not in front),
-        key=lambda s: (last_green.get(s.name, 0), specs.index(s)),
+        (s for s in specs if s.name not in in_front),
+        key=lambda s: (last_green.get(s.name, 0), index_of[s.name]),
     )
     for s in by_age:
         if len(front) >= 50:
@@ -85,6 +97,7 @@ def ledger() -> dict:
         "registry_size": len(specs),
         "never_driver_verified": never,
         "last_green_round": last_green,
+        "has_oracle": oracle_flags,
         "current_window": window,
         "recommended_front_50": recommended,
         "window_misses_recommendation": [n for n in recommended if n not in set(window)],
@@ -101,13 +114,8 @@ def main() -> None:
     led = ledger()
     print(f"\nregistry: {led['registry_size']} queries; "
           f"never driver-verified: {len(led['never_driver_verified'])}")
-    oracle_names = set()
-    from databeats_spark.registry import registry
-    for s in registry():
-        if s.has_oracle:
-            oracle_names.add(s.name)
     for n in led["never_driver_verified"]:
-        print(f"  {n} ({'oracle' if n in oracle_names else 'rows-only'})")
+        print(f"  {n} ({'oracle' if led['has_oracle'].get(n) else 'rows-only'})")
 
     print("\nrecommended front-50 for next round:")
     for i, n in enumerate(led["recommended_front_50"]):

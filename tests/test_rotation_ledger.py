@@ -29,11 +29,14 @@ def test_never_verified_queries_are_in_current_window():
 
 
 def test_ledger_shape_is_sane():
+    from databeats_spark.registry import registry
+
     led = ledger()
     assert led["registry_size"] >= 263  # never shrinks round-over-round
     assert len(led["current_window"]) == 50
     assert len(led["recommended_front_50"]) == 50
-    # every window name is a real registry query (registry() would have
-    # raised otherwise, but pin the contract here too)
-    assert set(led["current_window"]) <= set(
-        led["last_green_round"]) | set(led["never_driver_verified"]) | set(led["current_window"])
+    # every window / recommendation name is a real registry query
+    # (ADVICE r9: the old union-with-itself assertion was a tautology)
+    names = {s.name for s in registry()}
+    assert set(led["current_window"]) <= names
+    assert set(led["recommended_front_50"]) <= names
