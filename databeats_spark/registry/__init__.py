@@ -81,75 +81,69 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r9 rotation (rotation_report recommendation verbatim, VERDICT r8
-    # item 2): the 8 never-driver-verified r8 queries first (oracle
-    # before rows-only), then the frozen-14 bench headliners so BENCH
-    # and CORRECTNESS cover the same queries, then the stalest green
-    # rows oldest-first. PREPEND new/changed r9 queries here as they
-    # land — they displace the tail (most-recently re-verified), never
-    # the never-verified block.
-    # — new in r9 (never driver-verified):
-    "quantile_treatment_effect",  # r9 s2: rank-based QTE at p25/50/75
-    "sequential_test_daily",  # r9 s2: peeking-safe OBF monitor
-    "boilerplate_prefix_audit",  # r9 s2: template/header detection
-    "ks_two_sample",  # r9: exact-integer KS distribution gate
-    "vocab_contribution_by_source",  # r9: Heaps saturation per batch
-    "forecast_backtest_mase",  # r9: naive/seasonal-naive MAE + MASE eval
-    "experiment_power_mde",  # r9: minimal-detectable-effect readout
-    "markov_removal_attribution",  # r9: Cramer-solved channel attribution
-    "lang_id_calibration",  # r9: reliability diagram of the lang IDer
-    "cohort_retention_triangle",  # r9: weekly cohort retention matrix
-    "robust_spend_stats",  # r9: trimmed/winsorized means via prefix sum
-    "acf_daily_revenue",  # r9: lag-1..7 autocorrelation, exact moments
-    "markov_event_transitions",  # r9: user-journey transition matrix
-    "bm25_ranking_quality",  # r9: NDCG/MRR/P@k/R@k retrieval eval readout
-    "matryoshka_energy_audit",  # r9: embedding truncation-readiness histogram
-    "psi_length_drift",  # r9: per-source PSI drift gate
-    "blockmean_near_dups",  # r9: multi-scale block-mean perceptual dedup
-    # — never driver-verified (r8 additions displaced by later prepends):
-    "approx_distinct_parts_exact",  # HLL pipeline's exact-count twin
-    "approx_price_quantiles_exact",  # quantile pipeline's rank-exact twin
-    "phash_near_dups_exact",  # md5-bit perceptual-hash exact twin
-    "hll_distinct_users_exact",  # distinct-users pipeline's exact twin
-    "cms_heavy_hitters",  # fully oracle-matched count-min sketch
-    "substring_dup_spans_packed",  # packed-tail suffix dedup (scale posture)
-    "padding_waste_by_bucket",  # sequence-packing efficiency audit
-    "phash_near_dups",  # banded-Hamming perceptual dedup (rows-only)
-    # — bench headliners (frozen 14) so BENCH_r9 rows get same-round
-    #   driver correctness rows:
-    "top_terms",
-    "rolling_7d_spend",
-    "cosine_topk",
-    "minhash_near_dups",
-    "pricing_summary",
-    "filter_project",
-    "top_customers",
-    "revenue_by_nation",
-    "weekly_chart_streak",
-    "sessionization",
-    "asof_purchase_value",
-    "dedup_exact_docs",
-    "text_stats",
-    "near_dup_pairs",
-    # — stalest green rows, oldest-first (rotation_report order):
-    "above_average_customers",
-    "approx_distinct_parts",
-    "lineitem_profile",
-    "regex_extract_ids",
-    "null_safe_compare",
-    "order_priority_paths",
-    "cube_quantity",
-    "customer_deciles",
-    "order_status_mix",
-    "exact_moment_stats",
-    "fuzzy_part_names",
-    # (large_volume_orders, order_nav, unpivot_part_metrics,
-    # spend_percentiles, embedding_stats, lsh_cosine_topk, ivf_cosine_topk,
-    # simhash_near_dups, canonical_docs, repetition_stats, pii_scrub,
-    # benchmark_decontam, shared_shingle_stats, token_budget_pack,
-    # mix_rebalance, min_cost_supplier, important_parts —
-    # stalest-green tail — displaced by the r9 prepends; re-enter via
-    # rotation next round)
+    # r10 rotation (rotation_report recommendation under the r10
+    # policy, VERDICT r9 item 1): this is a RE-CERTIFICATION round —
+    # the never-verified backlog is zero and all 14 bench headliners
+    # are r9-green, so the window burns down verification staleness:
+    # new/changed r10 queries first (they carry fresh regression risk),
+    # then the stalest greens oldest-first (all last driver-green in
+    # r2/r3 — the Spark-runtime era whose TIMESTAMP_NTZ change broke
+    # two queries once). PREPEND new/changed queries as they land,
+    # dropping an equal number from the tail.
+    # — new/changed in r10:
+    "blockmean_near_dups_exact",  # r10: two-scale oracle twin (VERDICT item 4)
+    "markov_removal_attribution",  # r10: nullif zero-guards (ADVICE r9)
+    # — stalest green rows, oldest-first (rotation_report order; the 17
+    #   CLAUDE.md r10 re-entries lead because they were displaced
+    #   longest ago):
+    "large_volume_orders",
+    "order_nav",
+    "unpivot_part_metrics",
+    "spend_percentiles",
+    "embedding_stats",
+    "lsh_cosine_topk",
+    "ivf_cosine_topk",
+    "simhash_near_dups",
+    "canonical_docs",
+    "repetition_stats",
+    "pii_scrub",
+    "benchmark_decontam",
+    "shared_shingle_stats",
+    "token_budget_pack",
+    "mix_rebalance",
+    "min_cost_supplier",
+    "important_parts",
+    "order_count_histogram",
+    "top_supplier_revenue",
+    "small_qty_revenue",
+    "idle_high_balance",
+    "part_name_features",
+    "math_scalar_features",
+    "calendar_features",
+    "value_histogram",
+    "sliding_event_stats",
+    "semdedup_near_dups",
+    "rare_trigram_stats",
+    "length_band_outliers",
+    "per_source_quota",
+    "recursive_week_spine",
+    "variant_props_stats",
+    "pipe_syntax_returns",
+    "collated_type_counts",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "cross_nation_volume",
+    "product_profit",
+    "returned_item_losses",
+    "lateness_priority_mix",
+    "part_supplier_kinds",
+    "bracket_revenue",
+    "dominant_suppliers",
+    "bigram_pmi",
+    "vocab_growth",
+    "containment_pairs",
+    "gopher_quality_flags",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

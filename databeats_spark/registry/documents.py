@@ -681,14 +681,20 @@ PHASH_EXACT_BITS = 20
 PHASH_EXACT_HAMMING_MAX = 3
 
 
-def _phash_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from databeats_spark.sources.tables import spread
+def _md5_band_pairs(
+    hashed: DataFrame,
+    bits: int = PHASH_EXACT_BITS,
+    hmax: int = PHASH_EXACT_HAMMING_MAX,
+) -> DataFrame:
+    """(doc_id, h md5-hex) frame -> exact (id_a, id_b, hamming) pairs
+    within ``hmax`` bits via the production pigeonhole banding.
 
-    bits, hmax = PHASH_EXACT_BITS, PHASH_EXACT_HAMMING_MAX
+    ONE Spark-side definition of the sig/band/verify arithmetic, shared
+    by phash_near_dups_exact and both crop scales of
+    blockmean_near_dups_exact (the oracle-twin recipe: the SQL twin of
+    this helper is ``_md5_band_ctes`` below — change them together)."""
     n_blocks = hmax + 1
     width = bits // n_blocks
-    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
-    hashed = docs.select("doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
     sig = hashed.select(
         "doc_id",
         F.concat(
@@ -734,37 +740,55 @@ def _phash_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.col("hamming") <= hmax)
-        .orderBy("id_a", "id_b")
     )
+
+
+def _phash_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.sources.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    hashed = docs.select("doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
+    return _md5_band_pairs(hashed).orderBy("id_a", "id_b")
 
 
 _PHASH_SIG = " || ".join(
     f"CASE WHEN strpos('89abcdef', substr(h, {b + 1}, 1)) > 0 THEN '1' ELSE '0' END"
     for b in range(PHASH_EXACT_BITS)
 )
-_PHASH_BLOCKS = "\n  UNION ALL\n".join(
-    f"  SELECT doc_id, sig, {i} AS block, substr(sig, "
-    f"{i * (PHASH_EXACT_BITS // (PHASH_EXACT_HAMMING_MAX + 1)) + 1}, "
-    f"{PHASH_EXACT_BITS // (PHASH_EXACT_HAMMING_MAX + 1)}) AS value FROM sig"
-    for i in range(PHASH_EXACT_HAMMING_MAX + 1)
-)
 _PHASH_HAMMING = " + ".join(
     f"CASE WHEN substr(a.sig, {p + 1}, 1) <> substr(b.sig, {p + 1}, 1) THEN 1 ELSE 0 END"
     for p in range(PHASH_EXACT_BITS)
 )
+
+
+def _md5_band_ctes(src: str, tag: str) -> str:
+    """SQL twin of ``_md5_band_pairs``: emits sig_{tag} / banded_{tag} /
+    pairs_{tag} CTE text over a ``src`` CTE carrying (doc_id, h) —
+    the ONE SQL-side definition of the sig/band/verify arithmetic."""
+    width = PHASH_EXACT_BITS // (PHASH_EXACT_HAMMING_MAX + 1)
+    blocks = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, sig, {i} AS block, substr(sig, {i * width + 1}, {width}) "
+        f"AS value FROM sig_{tag}"
+        for i in range(PHASH_EXACT_HAMMING_MAX + 1)
+    )
+    return f"""sig_{tag} AS (
+  SELECT doc_id, {_PHASH_SIG} AS sig FROM {src}
+), banded_{tag} AS (
+{blocks}
+), pairs_{tag} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST({_PHASH_HAMMING} AS BIGINT) AS hamming
+  FROM banded_{tag} a JOIN banded_{tag} b
+    ON a.block = b.block AND a.value = b.value AND a.doc_id < b.doc_id
+  WHERE {_PHASH_HAMMING} <= {PHASH_EXACT_HAMMING_MAX}
+)"""
+
+
 _PHASH_NEAR_DUPS_EXACT_SQL = f"""
 WITH hashed AS (
   SELECT doc_id, md5(text) AS h FROM documents
-), sig AS (
-  SELECT doc_id, {_PHASH_SIG} AS sig FROM hashed
-), banded AS (
-{_PHASH_BLOCKS}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST({_PHASH_HAMMING} AS BIGINT) AS hamming
-FROM banded a JOIN banded b
-  ON a.block = b.block AND a.value = b.value AND a.doc_id < b.doc_id
-WHERE {_PHASH_HAMMING} <= {PHASH_EXACT_HAMMING_MAX}
+), {_md5_band_ctes("hashed", "ph")}
+SELECT id_a, id_b, hamming FROM pairs_ph
 ORDER BY id_a, id_b
 """
 
@@ -789,6 +813,66 @@ def _blockmean_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
     pairs = blockmean_near_dups(attach_payload(docs), hamming_max=3)
     return pairs.orderBy("id_a", "id_b")
+
+
+# --- Q: blockmean_near_dups_exact — oracle twin of the two-scale tier -
+# Closes the one r9 twin gap (VERDICT r9 item 4): the shared banding was
+# already certified by phash_near_dups_exact, but the MULTI-SCALE
+# arithmetic — per-scale search, union, min(hamming), scales-matched
+# count — was single-engine. This twin runs that exact pipeline shape
+# with the engine-shared md5 signature substitute at two "crop" scales:
+# scale 0 hashes the full text (the full frame), scale 1 hashes the
+# CENTRAL 3/4 substring (the 0.75 center crop analog — same substring
+# on both engines: n = greatest(1, length), span = greatest(1, 3n DIV
+# 4), start = (n - span) DIV 2 + 1, all non-negative integer floor-div,
+# exact through the double path since n < 2^50). Each scale feeds the
+# ONE shared band+verify definition (_md5_band_pairs /_md5_band_ctes);
+# the union then aggregates to one row per pair with min hamming and
+# n_scales, byte-identical to the production operator's final stage.
+
+def _blockmean_near_dups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.sources.tables import spread
+
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    n = F.greatest(F.lit(1).cast("bigint"), F.length("text").cast("bigint"))
+    span = F.greatest(F.lit(1).cast("bigint"), F.floor(n * 3 / 4).cast("bigint"))
+    start = (F.floor((n - span) / 2).cast("bigint") + 1).cast("int")
+    full = docs.select("doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
+    crop = docs.select(
+        "doc_id",
+        F.md5(
+            F.encode(F.substring(F.col("text"), start, span.cast("int")), "utf-8")
+        ).alias("h"),
+    )
+    return (
+        _md5_band_pairs(full)
+        .unionAll(_md5_band_pairs(crop))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("hamming").cast("long").alias("hamming"),
+            F.count(F.lit(1)).cast("bigint").alias("n_scales"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_BLOCKMEAN_NEAR_DUPS_EXACT_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, text, greatest(1, length(text)) AS n,
+         greatest(1, (3 * greatest(1, length(text))) // 4) AS span
+  FROM documents
+), h_full AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), h_crop AS (
+  SELECT doc_id, md5(substr(text, ((n - span) // 2) + 1, span)) AS h FROM dims
+), {_md5_band_ctes("h_full", "full")},
+{_md5_band_ctes("h_crop", "crop")}
+SELECT id_a, id_b, CAST(min(hamming) AS BIGINT) AS hamming,
+       CAST(count(*) AS BIGINT) AS n_scales
+FROM (SELECT * FROM pairs_full UNION ALL SELECT * FROM pairs_crop)
+GROUP BY id_a, id_b
+ORDER BY id_a, id_b
+"""
 
 
 def _bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1401,6 +1485,7 @@ SPECS = [
     QuerySpec("phash_near_dups", "perceptual dHash near-dup over media payloads (rows-only; recall pytest-pinned, banding certified by the exact twin)", _phash_near_dups, None, tags=("multimodal", "dedup", "approx")),
     QuerySpec("phash_near_dups_exact", "oracle twin: md5-bit signatures through the identical pigeonhole band + Hamming verify", _phash_near_dups_exact, _PHASH_NEAR_DUPS_EXACT_SQL, tags=("multimodal", "dedup")),
     QuerySpec("blockmean_near_dups", "multi-scale block-mean perceptual near-dup (full frame + center crop, border-edit robust; rows-only, banding certified by phash_near_dups_exact)", _blockmean_near_dups, None, tags=("multimodal", "dedup", "approx")),
+    QuerySpec("blockmean_near_dups_exact", "oracle twin of the two-scale tier: md5-bit signatures at full-text + central-3/4 'crop' scales through the shared banding, union to min-hamming + n_scales", _blockmean_near_dups_exact, _BLOCKMEAN_NEAR_DUPS_EXACT_SQL, tags=("multimodal", "dedup")),
     QuerySpec("tf_idf_terms", "TF-IDF top terms per document", _tf_idf_terms, _TF_IDF_SQL, tags=("text",)),
     QuerySpec("bpe_token_stats", "BPE-ish regex token counting (LLM token budgets)", _bpe_token_stats, _BPE_TOKEN_STATS_SQL, tags=("text",)),
     QuerySpec("repetition_stats", "duplicate-ngram / top-token repetition quality signals", _repetition_stats, _REPETITION_STATS_SQL, tags=("text",)),

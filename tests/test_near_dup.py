@@ -475,3 +475,31 @@ def test_stop_shingle_cap_inactive_at_test_scale(spark, docs):
     ).toPandas()
     key = lambda df: set(zip(df["id_a"], df["id_b"], df["common"]))  # noqa: E731
     assert key(base) == key(capped)
+
+
+def test_blockmean_exact_twin_multi_scale_semantics(spark):
+    """The two-scale union arithmetic of blockmean_near_dups_exact
+    (VERDICT r9 item 4): per-scale pairs survive into the union with
+    MIN hamming and an honest scales-matched count — and the two md5
+    'crop' scales genuinely differ (n_scales = 1 rows exist), so the
+    union is doing real recall work, not echoing one scale twice."""
+    from databeats_spark.registry.documents import (
+        _blockmean_near_dups_exact,
+        _md5_band_pairs,
+    )
+
+    out = _blockmean_near_dups_exact(spark, SF_CORRECT).toPandas()
+    assert len(out) > 0
+    assert set(out["n_scales"].unique()) <= {1, 2}
+    assert (out["n_scales"] == 1).any(), "scales never disagree — crop is a no-op"
+    assert (out["hamming"] <= 3).all()
+
+    # the full-text scale alone must be a subset with hamming >= the min
+    docs = load_tables(spark, SF_CORRECT, ["documents"]).documents
+    full = _md5_band_pairs(
+        docs.select("doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("h"))
+    ).toPandas()
+    assert len(full) > 0
+    merged = full.merge(out, on=["id_a", "id_b"], suffixes=("_full", "_min"))
+    assert len(merged) == len(full), "a full-scale pair is missing from the union"
+    assert (merged["hamming_min"] <= merged["hamming_full"]).all()
