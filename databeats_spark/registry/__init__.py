@@ -91,6 +91,7 @@ _WINDOW = (
     # two queries once). PREPEND new/changed queries as they land,
     # dropping an equal number from the tail.
     # — new/changed in r10:
+    "source_kmv_sketch",  # r10: sketch-only bench posture (VERDICT item 2)
     "blockmean_near_dups_exact",  # r10: two-scale oracle twin (VERDICT item 4)
     "markov_removal_attribution",  # r10: nullif zero-guards (ADVICE r9)
     # — stalest green rows, oldest-first (rotation_report order; the 17
@@ -143,7 +144,6 @@ _WINDOW = (
     "bigram_pmi",
     "vocab_growth",
     "containment_pairs",
-    "gopher_quality_flags",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
