@@ -82,6 +82,14 @@ def test_bench_compact_line_fits_driver_stdout_tail():
         "mining_queries": {f"mining_query_{i}": worst_float for i in range(40)},
         "mining_cpu_seconds_total": worst_float,
         "pagerank_rounds": [worst_float] * 60,
+        "audit_core_total_runtime": worst_float,
+        "audit_core_queries": {f"audit_core_{i}": worst_float for i in range(20)},
+        "audit_core_queries_cpu_seconds": {f"audit_core_{i}": worst_float for i in range(20)},
+        "audit_core_cpu_seconds_total": worst_float,
+        "audit_rotating_total_runtime": worst_float,
+        "audit_rotating_queries": {f"audit_rot_{i}": worst_float for i in range(20)},
+        "audit_rotating_queries_cpu_seconds": {f"audit_rot_{i}": worst_float for i in range(20)},
+        "audit_rotating_cpu_seconds_total": worst_float,
         "audit_queries_total_runtime": worst_float,
         "audit_queries": {f"audit_query_{i}": worst_float for i in range(80)},
         "audit_cpu_seconds_total": worst_float,
@@ -99,3 +107,35 @@ def test_bench_compact_line_fits_driver_stdout_tail():
     assert "cpu_seconds_total" in compact and "sf" in compact
     # growth in mining/audit per-query detail must NOT leak into the line
     assert "mining_queries" not in compact and "audit_queries" not in compact
+    assert "audit_core_queries" not in compact
+    assert "audit_rotating_queries" not in compact
+
+
+def test_audit_core_is_frozen():
+    """VERDICT r9 item 3: AUDIT_CORE is the bench comparability
+    contract — 12 queries, frozen. New tiers go in the rotating pool.
+    source_kmv_overlap is in NEITHER set (its exact-verifier half is
+    correctness work the sf0.01 oracle certifies; the bench times
+    source_kmv_sketch — VERDICT r9 item 2). Every name in both sets
+    must be a live registry query, and the rotating slice must be
+    deterministic and within the pool."""
+    import bench
+    from databeats_spark.registry import registry
+
+    assert bench.AUDIT_CORE == (
+        "near_dup_threshold_sweep", "split_leakage_pairs",
+        "dup_cluster_sizes", "token_budget_allocation",
+        "corpus_summary_cube", "bpe_fertility_by_lang", "hits_copurchase",
+        "source_kmv_sketch", "markov_removal_attribution",
+        "robust_spend_stats", "basket_lift_rules", "bm25_topk",
+    )
+    names = {s.name for s in registry()}
+    assert set(bench.AUDIT_CORE) <= names
+    assert set(bench.AUDIT_ROTATING_POOL) <= names
+    assert not set(bench.AUDIT_CORE) & set(bench.AUDIT_ROTATING_POOL)
+    assert "source_kmv_overlap" not in bench.AUDIT_CORE
+    assert "source_kmv_overlap" not in bench.AUDIT_ROTATING_POOL
+    sel = bench.rotating_audit()
+    assert sel == bench.rotating_audit()  # deterministic
+    assert len(sel) == bench.AUDIT_ROTATE_N == 8
+    assert set(sel) <= set(bench.AUDIT_ROTATING_POOL)
