@@ -48,19 +48,25 @@ OUT = os.path.join(REPO, ".scale", "sf0.2")
 OFFSET = 1_000_000_000
 
 
+# Every 4th word replaced by a (doc, position)-unique marker: token
+# count preserved exactly, cross-copy shingle overlap destroyed
+# (tests/test_scale_data.py pins both properties).
+SALTED_TEXT = """
+  array_to_string(list_transform(
+    range(1, len(string_split_regex(text, '\\s+')) + 1),
+    i -> CASE WHEN (i - 1) % 4 = 0
+         THEN 'zzq' || CAST(doc_id AS VARCHAR) || 'q' || CAST(i AS VARCHAR)
+         ELSE string_split_regex(text, '\\s+')[i] END), ' ')
+"""
+
+
 def main() -> None:
     import duckdb
 
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
 
-    salted_text = """
-      array_to_string(list_transform(
-        range(1, len(string_split_regex(text, '\\s+')) + 1),
-        i -> CASE WHEN (i - 1) % 4 = 0
-             THEN 'zzq' || CAST(doc_id AS VARCHAR) || 'q' || CAST(i AS VARCHAR)
-             ELSE string_split_regex(text, '\\s+')[i] END), ' ')
-    """
+    salted_text = SALTED_TEXT
     copies = {
         "documents": f"""
             SELECT doc_id + {OFFSET} AS doc_id, {salted_text} AS text,

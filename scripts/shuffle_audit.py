@@ -81,6 +81,9 @@ QUERIES = [
     "forecast_backtest_mase", "experiment_power_mde", "ks_two_sample",
     "vocab_contribution_by_source", "quantile_treatment_effect",
     "sequential_test_daily", "boilerplate_prefix_audit",
+    # r10 additions: the sketch-only bench posture and the two-scale
+    # perceptual oracle twin
+    "source_kmv_sketch", "blockmean_near_dups_exact",
 ]
 
 
