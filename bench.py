@@ -120,8 +120,12 @@ AUDIT_ROTATING_POOL = (
     "bm25_ranking_quality", "ks_two_sample",
     "vocab_contribution_by_source", "quantile_treatment_effect",
     "sequential_test_daily", "boilerplate_prefix_audit",
-    # perceptual tier (VERDICT r9 item 7 — tracked like every other):
-    "phash_near_dups", "blockmean_near_dups", "blockmean_near_dups_exact",
+    # perceptual tier (VERDICT r9 item 7 — tracked like every other).
+    # The *_exact twins stay OUT: their 20-bit densified signatures are
+    # correctness artifacts whose banded candidates grow quadratically
+    # by design (see scripts/shuffle_audit.py note) — the sf0.01
+    # correctness gate is where they run.
+    "phash_near_dups", "blockmean_near_dups",
 )
 AUDIT_ROTATE_N = 8
 

@@ -81,9 +81,16 @@ QUERIES = [
     "forecast_backtest_mase", "experiment_power_mde", "ks_two_sample",
     "vocab_contribution_by_source", "quantile_treatment_effect",
     "sequential_test_daily", "boilerplate_prefix_audit",
-    # r10 additions: the sketch-only bench posture and the two-scale
-    # perceptual oracle twin
-    "source_kmv_sketch", "blockmean_near_dups_exact",
+    # r10 addition: the sketch-only bench posture. The *_exact oracle
+    # twins (phash/blockmean) are deliberately NOT in this audit: their
+    # 20-bit signatures densify the banded background ON PURPOSE (the
+    # verify filter must do real work at the correctness SF), which
+    # makes candidate pairs grow quadratically with bucket occupancy —
+    # a property of the twin's bit-width, not of the production path
+    # (64-bit, sparse: see the 9.97x phash/blockmean rows). Measured
+    # once in r10: blockmean_near_dups_exact moved 26.8x bytes at 10x
+    # data, exactly the quadratic the twins accept at correctness SFs.
+    "source_kmv_sketch",
 ]
 
 
@@ -207,6 +214,14 @@ def main() -> None:
             "stage is itself an eager checkpoint, so its rows cover the\n"
             "op completely; pagerank/CC carry an explicit final_plan row\n"
             "for the post-iteration ranking plan.\n"
+            "\n"
+            "The *_exact oracle twins (phash/blockmean) are excluded from\n"
+            "this audit: their 20-bit signatures densify the banded background\n"
+            "on purpose (the verify filter must do real work at the correctness\n"
+            "SF), so their candidate pairs grow quadratically with bucket\n"
+            "occupancy — a bit-width property of the twin, not the production\n"
+            "64-bit path (whose rows above scale ~10x). Measured once in r10:\n"
+            "blockmean_near_dups_exact moved 26.8x bytes at 10x data.\n"
         )
         for sf_dir in SF_DIRS:
             f.write(
