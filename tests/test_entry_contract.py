@@ -139,3 +139,27 @@ def test_audit_core_is_frozen():
     assert sel == bench.rotating_audit()  # deterministic
     assert len(sel) == bench.AUDIT_ROTATE_N == 8
     assert set(sel) <= set(bench.AUDIT_ROTATING_POOL)
+
+
+def test_rotating_pool_fully_covered_every_three_rounds():
+    """The rotation must actually track every tier: ANY window of
+    ceil(len(pool)/N) consecutive rounds covers the whole pool. The
+    slice is (round*N) % len(pool) with wraparound, i.e. N*k
+    consecutive positions mod len(pool) — contiguous, so k rounds
+    cover min(N*k, len(pool)) distinct members. Pin it by simulation
+    so a future pool/N change that breaks coverage fails loudly."""
+    import math
+
+    import bench
+
+    pool = sorted(bench.AUDIT_ROTATING_POOL)
+    n = bench.AUDIT_ROTATE_N
+    k = math.ceil(len(pool) / n)
+    for rnd in range(40):
+        covered = set()
+        for r in range(rnd, rnd + k):
+            start = (r * n) % len(pool)
+            covered |= {pool[(start + i) % len(pool)] for i in range(n)}
+        assert covered == set(pool), (
+            f"rounds {rnd}..{rnd + k - 1} miss {set(pool) - covered}"
+        )
