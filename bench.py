@@ -126,6 +126,9 @@ AUDIT_ROTATING_POOL = (
     # by design (see scripts/shuffle_audit.py note) — the sf0.01
     # correctness gate is where they run.
     "phash_near_dups", "blockmean_near_dups",
+    # r10 session-3 tiers (new tiers go in the POOL, never the core)
+    "stupid_backoff_logprob", "term_burstiness",
+    "jackknife_ratio_ci", "eb_shrunk_source_rates", "adamic_adar_links",
 )
 AUDIT_ROTATE_N = 8
 

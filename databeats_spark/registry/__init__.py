@@ -91,6 +91,11 @@ _WINDOW = (
     # two queries once). PREPEND new/changed queries as they land,
     # dropping an equal number from the tail.
     # — new/changed in r10:
+    "adamic_adar_links",  # r10: degree-capped co-purchase link prediction
+    "jackknife_ratio_ci",  # r10: delete-one-day + delta ratio-metric CI
+    "eb_shrunk_source_rates",  # r10: Efron-Morris/DL shrinkage audit
+    "stupid_backoff_logprob",  # r10: held-out bigram LM (Stupid Backoff)
+    "term_burstiness",  # r10: Church-Gale dispersion signal
     "source_kmv_sketch",  # r10: sketch-only bench posture (VERDICT item 2)
     "blockmean_near_dups_exact",  # r10: two-scale oracle twin (VERDICT item 4)
     "markov_removal_attribution",  # r10: nullif zero-guards (ADVICE r9)
@@ -139,11 +144,6 @@ _WINDOW = (
     "returned_item_losses",
     "lateness_priority_mix",
     "part_supplier_kinds",
-    "bracket_revenue",
-    "dominant_suppliers",
-    "bigram_pmi",
-    "vocab_growth",
-    "containment_pairs",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -444,7 +444,310 @@ ORDER BY source
 """
 
 
+# --- Q: jackknife_ratio_ci --------------------------------------------
+# Ratio-metric uncertainty the way large experimentation platforms
+# compute it (Deng et al., KDD 2013 delta method; Efron's delete-one
+# jackknife): revenue-per-order per priority tier, with DAYS as the
+# resampling/cluster unit — the unit that stays exchangeable when
+# orders within a day are correlated. Two readouts side by side:
+#   jackknife:  θ̂(i) = (SX − xᵢ)/(SN − nᵢ),
+#               se² = (d−1)/d · Σ(θ̂(i) − mean θ̂(i))²
+#   delta:      se² = d/(d−1) · Σ(xᵢ − θ̂·nᵢ)² / SN²
+# Exactness discipline: day sums are DECIMAL(18,2) (bit-exact on both
+# engines regardless of partition order), every θ̂(i) is ONE exact-
+# decimal-to-double division, and the deviation sums are computed
+# two-pass (deviations around an attached mean, never ΣX² − n·m̄² —
+# the cancellation there would eat the round-6 margin). The day-cell
+# aggregate is checkpointed once and every per-priority re-attach
+# broadcasts (≤5-row catalog-keyed aggregates, hint-policy-clean).
+
+def _jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders"])
+    cells = (
+        t.orders.select(
+            "o_orderpriority",
+            F.to_date("o_orderdate").alias("day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("o_orderpriority", "day")
+        .agg(
+            F.sum("price").alias("x"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    totals = cells.groupBy("o_orderpriority").agg(
+        F.sum("x").alias("sx"),
+        F.sum("n").cast("bigint").alias("sn"),
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+    )
+    theta = F.col("sx").cast("double") / F.col("sn").cast("double")
+    pseudo = cells.join(F.broadcast(totals), "o_orderpriority").select(
+        "o_orderpriority",
+        "sx",
+        "sn",
+        "d",
+        theta.alias("theta"),
+        (
+            (F.col("sx") - F.col("x")).cast("double")
+            / (F.col("sn") - F.col("n")).cast("double")
+        ).alias("theta_i"),
+        (F.col("x").cast("double") - theta * F.col("n").cast("double")).alias(
+            "resid"
+        ),
+    )
+    jmeans = pseudo.groupBy("o_orderpriority").agg(
+        F.avg("theta_i").alias("jmean")
+    )
+    stats = (
+        pseudo.join(F.broadcast(jmeans), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max("sn").alias("n_orders"),
+            F.max("d").alias("n_days"),
+            F.max("theta").alias("theta"),
+            F.sum(
+                (F.col("theta_i") - F.col("jmean"))
+                * (F.col("theta_i") - F.col("jmean"))
+            ).alias("sum_dev2"),
+            F.sum(F.col("resid") * F.col("resid")).alias("sum_r2"),
+        )
+    )
+    dd = F.col("n_days").cast("double")
+    snd = F.col("n_orders").cast("double")
+    jk_se = F.sqrt((dd - 1.0) / dd * F.col("sum_dev2"))
+    delta_se = F.sqrt(dd / (dd - 1.0) * F.col("sum_r2")) / snd
+    return stats.select(
+        "o_orderpriority",
+        "n_days",
+        "n_orders",
+        F.round("theta", 6).alias("rev_per_order"),
+        F.round(jk_se, 6).alias("jk_se"),
+        F.round(delta_se, 6).alias("delta_se"),
+        F.round(F.col("theta") - 1.96 * jk_se, 6).alias("ci_lo"),
+        F.round(F.col("theta") + 1.96 * jk_se, 6).alias("ci_hi"),
+    ).orderBy("o_orderpriority")
+
+
+_JACKKNIFE_RATIO_CI_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders
+  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+),
+totals AS (
+  SELECT o_orderpriority, sum(x) AS sx,
+         CAST(sum(n) AS BIGINT) AS sn,
+         CAST(count(*) AS BIGINT) AS d
+  FROM cells GROUP BY o_orderpriority
+),
+pseudo AS (
+  SELECT c.o_orderpriority, t.sx, t.sn, t.d,
+         CAST(t.sx AS DOUBLE) / CAST(t.sn AS DOUBLE) AS theta,
+         CAST(t.sx - c.x AS DOUBLE) / CAST(t.sn - c.n AS DOUBLE) AS theta_i,
+         CAST(c.x AS DOUBLE)
+           - (CAST(t.sx AS DOUBLE) / CAST(t.sn AS DOUBLE))
+             * CAST(c.n AS DOUBLE) AS resid
+  FROM cells c JOIN totals t USING (o_orderpriority)
+),
+jmeans AS (
+  SELECT o_orderpriority, avg(theta_i) AS jmean
+  FROM pseudo GROUP BY o_orderpriority
+),
+stats AS (
+  SELECT p.o_orderpriority,
+         max(p.sn) AS n_orders,
+         max(p.d) AS n_days,
+         max(p.theta) AS theta,
+         sum((p.theta_i - j.jmean) * (p.theta_i - j.jmean)) AS sum_dev2,
+         sum(p.resid * p.resid) AS sum_r2
+  FROM pseudo p JOIN jmeans j USING (o_orderpriority)
+  GROUP BY p.o_orderpriority
+)
+SELECT o_orderpriority, n_days, n_orders,
+       round(theta, 6) AS rev_per_order,
+       round(sqrt((CAST(n_days AS DOUBLE) - 1.0) / CAST(n_days AS DOUBLE)
+                  * sum_dev2), 6) AS jk_se,
+       round(sqrt(CAST(n_days AS DOUBLE) / (CAST(n_days AS DOUBLE) - 1.0)
+                  * sum_r2) / CAST(n_orders AS DOUBLE), 6) AS delta_se,
+       round(theta - 1.96 * sqrt((CAST(n_days AS DOUBLE) - 1.0)
+                  / CAST(n_days AS DOUBLE) * sum_dev2), 6) AS ci_lo,
+       round(theta + 1.96 * sqrt((CAST(n_days AS DOUBLE) - 1.0)
+                  / CAST(n_days AS DOUBLE) * sum_dev2), 6) AS ci_hi
+FROM stats
+ORDER BY o_orderpriority
+"""
+
+
+# --- Q: eb_shrunk_source_rates -----------------------------------------
+# Empirical-Bayes shrinkage of per-source short-document rates (the
+# Efron-Morris estimator with the DerSimonian-Laird moment estimate of
+# the between-source variance τ²) — the corpus-audit answer to "is
+# src7 really dirtier, or just small?". With pooled within-variance
+# c = p̄(1−p̄) and w_s ∝ n_s the DL algebra collapses to BIGINT-driven
+# closed forms:
+#   τ² = max(0, (Σ nₛ(yₛ−p̄)² − (k−1)·c) / (N − Σnₛ²/N)),
+#   Bₛ = c / (c + nₛ·τ²),   shrunkₛ = p̄·Bₛ + yₛ·(1−Bₛ).
+# Degenerate corpora (p̄ ∈ {0,1}, or a single source) take the CASE
+# fallback — identical on both engines, so no div-by-zero NULL/inf
+# divergence (the ADVICE r9 lesson). One source-keyed aggregate
+# (≤ EB_SRC_K rows — the source catalog), scalars via the checkpoint-
+# once posture; every broadcast side is a keyless or catalog-keyed
+# aggregate.
+
+EB_CHAR_THRESH = 300  # interior short-doc rate at every test SF
+
+
+def _eb_shrunk_source_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    src = (
+        t.documents.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_chars") < EB_CHAR_THRESH).cast("bigint"))
+            .cast("bigint")
+            .alias("n_short"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = src.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("n_short").cast("bigint").alias("ns"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).cast("bigint").alias("sum_n2"),
+    )
+    y = F.col("n_docs").cast("double")
+    aug = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_short",
+        "nn",
+        "k",
+        "sum_n2",
+        (F.col("n_short").cast("double") / y).alias("y_s"),
+        (F.col("ns").cast("double") / F.col("nn").cast("double")).alias("pbar"),
+    )
+    c = F.col("pbar") * (1.0 - F.col("pbar"))
+    q = aug.agg(
+        F.sum(
+            F.col("n_docs").cast("double")
+            * (F.col("y_s") - F.col("pbar"))
+            * (F.col("y_s") - F.col("pbar"))
+        ).alias("s1"),
+        F.max("k").alias("k_"),
+        F.max("nn").alias("nn_"),
+        F.max("sum_n2").alias("sum_n2_"),
+        F.max("pbar").alias("pbar_"),
+    ).select(
+        F.when(
+            (F.col("k_") > 1)
+            & (F.col("pbar_") > 0.0)
+            & (F.col("pbar_") < 1.0),
+            F.greatest(
+                F.lit(0.0),
+                (
+                    F.col("s1")
+                    - (F.col("k_") - 1).cast("double")
+                    * (F.col("pbar_") * (1.0 - F.col("pbar_")))
+                )
+                / (
+                    F.col("nn_").cast("double")
+                    - F.col("sum_n2_").cast("double")
+                    / F.col("nn_").cast("double")
+                ),
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tau2")
+    )
+    b = F.when(
+        (F.col("pbar") > 0.0) & (F.col("pbar") < 1.0),
+        c / (c + F.col("n_docs").cast("double") * F.col("tau2")),
+    ).otherwise(F.lit(1.0))
+    return (
+        aug.crossJoin(F.broadcast(q))
+        .select(
+            "source",
+            "n_docs",
+            "n_short",
+            F.round("y_s", 6).alias("raw_rate"),
+            F.round("tau2", 6).alias("tau2"),
+            F.round(b, 6).alias("shrink_b"),
+            F.round(
+                F.col("pbar") * b + F.col("y_s") * (1.0 - b), 6
+            ).alias("shrunk_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_EB_SHRUNK_SOURCE_RATES_SQL = f"""
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN n_chars < {EB_CHAR_THRESH} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_short
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         CAST(sum(n_short) AS BIGINT) AS ns,
+         CAST(count(*) AS BIGINT) AS k,
+         CAST(sum(n_docs * n_docs) AS BIGINT) AS sum_n2
+  FROM src
+),
+aug AS (
+  SELECT s.source, s.n_docs, s.n_short, t.nn, t.k, t.sum_n2,
+         CAST(s.n_short AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS y_s,
+         CAST(t.ns AS DOUBLE) / CAST(t.nn AS DOUBLE) AS pbar
+  FROM src s CROSS JOIN tot t
+),
+q AS (
+  SELECT CASE WHEN max(k) > 1 AND max(pbar) > 0.0 AND max(pbar) < 1.0
+          THEN greatest(0.0,
+            (sum(CAST(n_docs AS DOUBLE) * (y_s - pbar) * (y_s - pbar))
+             - CAST(max(k) - 1 AS DOUBLE) * (max(pbar) * (1.0 - max(pbar))))
+            / (CAST(max(nn) AS DOUBLE)
+               - CAST(max(sum_n2) AS DOUBLE) / CAST(max(nn) AS DOUBLE)))
+          ELSE 0.0 END AS tau2
+  FROM aug
+)
+SELECT source, n_docs, n_short,
+       round(y_s, 6) AS raw_rate,
+       round(tau2, 6) AS tau2,
+       round(CASE WHEN pbar > 0.0 AND pbar < 1.0
+         THEN (pbar * (1.0 - pbar))
+              / ((pbar * (1.0 - pbar)) + CAST(n_docs AS DOUBLE) * tau2)
+         ELSE 1.0 END, 6) AS shrink_b,
+       round(pbar * (CASE WHEN pbar > 0.0 AND pbar < 1.0
+           THEN (pbar * (1.0 - pbar))
+                / ((pbar * (1.0 - pbar)) + CAST(n_docs AS DOUBLE) * tau2)
+           ELSE 1.0 END)
+         + y_s * (1.0 - (CASE WHEN pbar > 0.0 AND pbar < 1.0
+           THEN (pbar * (1.0 - pbar))
+                / ((pbar * (1.0 - pbar)) + CAST(n_docs AS DOUBLE) * tau2)
+           ELSE 1.0 END)), 6) AS shrunk_rate
+FROM aug CROSS JOIN q
+ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "jackknife_ratio_ci",
+        "ratio-metric CI per priority: delete-one-day jackknife beside the cluster delta method, exact DECIMAL day moments",
+        _jackknife_ratio_ci,
+        _JACKKNIFE_RATIO_CI_SQL,
+        tags=("stats", "eval"),
+    ),
+    QuerySpec(
+        "eb_shrunk_source_rates",
+        "Efron-Morris/DerSimonian-Laird empirical-Bayes shrinkage of per-source short-doc rates (closed-form tau2)",
+        _eb_shrunk_source_rates,
+        _EB_SHRUNK_SOURCE_RATES_SQL,
+        tags=("stats", "audit"),
+    ),
     QuerySpec(
         "conformal_token_interval",
         "split-conformal prediction interval per source: rank-based qhat off a deterministic calibration split, exact-count test coverage",

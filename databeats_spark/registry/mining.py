@@ -1711,8 +1711,88 @@ ORDER BY role, score DESC, id
 """
 
 
+# --- Q: adamic_adar_links — co-purchase link prediction ----------------
+# Adamic-Adar similarity over the customer projection of the bipartite
+# co-purchase graph (Adamic & Adar 2003; the standard link-prediction
+# baseline, Liben-Nowell & Kleinberg 2007): customers u,v score
+# Σ_{p ∈ Γ(u)∩Γ(v)} 1/ln(deg(p)) — shared NICHE parts count, shared
+# blockbusters barely do. Scale posture: the pair expansion is the
+# classic Σ deg² blowup, so parts above AA_MAX_DEG are EXCLUDED (their
+# 1/ln(deg) weight is the smallest in the graph and they connect
+# everyone to everyone — the dropped mass is the least informative by
+# the measure's own weighting; same cap discipline as the banded
+# near-dup tiers). The kept expansion is ≤ AA_MAX_DEG · |E| rows, one
+# equi-self-join on the part key — no cartesian, no window. Degrees
+# and weights attach BEFORE the self-join so each side probes one
+# broadcast-free shuffle; the head is TakeOrderedAndProject on the
+# ROUNDED score (ties broken by the id pair).
+
+AA_MAX_DEG = 64
+AA_MIN_DEG = 2
+AA_TOP = 50
+
+
+def _adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    edges = (
+        t.orders.select("o_orderkey", "o_custkey")
+        .join(
+            t.lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    deg = (
+        edges.groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .filter((F.col("deg") >= AA_MIN_DEG) & (F.col("deg") <= AA_MAX_DEG))
+    )
+    kept = edges.join(deg, "p").select(
+        "p", "u", (F.lit(1.0) / F.log(F.col("deg").cast("double"))).alias("wt")
+    )
+    a = kept.select("p", F.col("u").alias("u1"), "wt")
+    b = kept.select("p", F.col("u").alias("u2"))
+    return (
+        a.join(b, "p")
+        .filter(F.col("u1") < F.col("u2"))
+        .groupBy("u1", "u2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.round(F.sum("wt"), 6).alias("aa_score"),
+        )
+        .orderBy(F.desc("aa_score"), "u1", "u2")
+        .limit(AA_TOP)
+    )
+
+
+_ADAMIC_ADAR_LINKS_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+deg AS (
+  SELECT p, CAST(count(*) AS BIGINT) AS deg
+  FROM edges GROUP BY p
+  HAVING count(*) >= {AA_MIN_DEG} AND count(*) <= {AA_MAX_DEG}
+),
+kept AS (
+  SELECT e.p, e.u, 1.0 / ln(CAST(d.deg AS DOUBLE)) AS wt
+  FROM edges e JOIN deg d USING (p)
+)
+SELECT a.u AS u1, b.u AS u2,
+       CAST(count(*) AS BIGINT) AS n_common,
+       round(sum(a.wt), 6) AS aa_score
+FROM kept a JOIN kept b ON a.p = b.p AND a.u < b.u
+GROUP BY a.u, b.u
+ORDER BY aa_score DESC, u1, u2
+LIMIT {AA_TOP}
+"""
+
+
 SPECS = [
     QuerySpec("hits_copurchase", "HITS hubs/authorities over the customer-part graph: exact-BIGINT rounds, one final L1 division", _hits_copurchase, _hits_copurchase_sql, tags=("graph", "join")),
+    QuerySpec("adamic_adar_links", "Adamic-Adar link prediction over the co-purchase customer projection (degree-capped pair expansion)", _adamic_adar_links, _ADAMIC_ADAR_LINKS_SQL, tags=("graph", "join")),
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),
     QuerySpec("containment_pairs", "asymmetric n-gram containment pairs (quote/subset dedup)", _containment_pairs, _CONTAINMENT_PAIRS_SQL, tags=("text", "dedup")),

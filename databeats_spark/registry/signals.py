@@ -195,6 +195,216 @@ ORDER BY doc_id
 """
 
 
+# --- Q: stupid_backoff_logprob — held-out bigram-LM quality score -----
+# The bigram upgrade of unigram_doc_logprob: Stupid Backoff (Brants et
+# al. 2007, "Large Language Models in Machine Translation") scored the
+# CCNet way — the LM is trained on a REFERENCE slice (even doc_ids) and
+# scores the HELD-OUT slice (odd doc_ids), so unseen bigrams genuinely
+# back off instead of always hitting their own training counts:
+#   S(w2|w1) = c(w1 w2)/c(w1·)            when the bigram was seen,
+#            = 0.4 · c(w2)/N              else if w2 is in-vocabulary,
+#            = 0.4 · 1/N                  else (escape mass).
+# c(w1·) is the bigram-context total (Σ bigrams starting w1), computed
+# FROM the checkpointed bigram aggregate so the shuffled subtree runs
+# once (the attach_global_scalar lesson, keyed form). Joins: the
+# held-out pair stream shuffles once on the bigram key against the
+# count table; context and unigram re-attaches broadcast (vocab ≪
+# corpus, the bigram_pmi precedent); N rides a 1-row keyless aggregate
+# (lint-provable broadcast). Per-doc averages of ln S are ~100-term
+# double means — far inside the round-6 rule.
+# On the synthetic corpus the vocabulary is closed, so n_backoff/n_oov
+# are mostly 0 at sf0.01; the backoff branches are pinned by a planted
+# corpus in tests/test_lm_signals.py (hash parity alone would not
+# exercise them).
+
+def _stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    train = t.documents.filter(F.col("doc_id") % 2 == 0)
+    held = t.documents.filter(F.col("doc_id") % 2 == 1)
+    uni = (
+        _doc_words(train)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_u"))
+        .localCheckpoint(eager=False)
+    )
+    n1 = uni.agg(F.sum("c_u").cast("bigint").alias("n1"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
+    )
+    bi = (
+        train.select(F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = bi.groupBy("w1").agg(F.sum("c_b").cast("bigint").alias("c_ctx"))
+    pairs = (
+        held.select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    score = (
+        F.when(
+            F.col("c_b").isNotNull(),
+            F.col("c_b").cast("double") / F.col("c_ctx"),
+        )
+        .when(
+            F.col("c_u").isNotNull(),
+            F.lit(0.4) * F.col("c_u").cast("double") / F.col("n1"),
+        )
+        .otherwise(F.lit(0.4) / F.col("n1"))
+    )
+    return (
+        pairs.join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1", "left")
+        .crossJoin(F.broadcast(n1))
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), "c_u")),
+            "w2",
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("c_b").isNull().cast("bigint"))
+            .cast("bigint")
+            .alias("n_backoff"),
+            F.sum(
+                (F.col("c_b").isNull() & F.col("c_u").isNull()).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(F.avg(F.log(score)), 6).alias("avg_logscore"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STUPID_BACKOFF_LOGPROB_SQL = """
+WITH train AS (
+  SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 2 = 0
+),
+uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_u
+  FROM (SELECT unnest(t) AS w FROM train)
+  WHERE w <> ''
+  GROUP BY w
+),
+n1 AS (SELECT CAST(sum(c_u) AS BIGINT) AS n1 FROM uni),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(count(*) AS BIGINT) AS c_b
+  FROM (SELECT t FROM train WHERE len(t) >= 2),
+       LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  GROUP BY 1, 2
+),
+ctx AS (SELECT w1, CAST(sum(c_b) AS BIGINT) AS c_ctx FROM bi GROUP BY w1),
+pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % 2 = 1 AND len(string_split(text, ' ')) >= 2),
+       LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN b.c_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_backoff,
+       CAST(sum(CASE WHEN b.c_b IS NULL AND u.c_u IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov,
+       round(avg(ln(CASE
+         WHEN b.c_b IS NOT NULL THEN CAST(b.c_b AS DOUBLE) / c.c_ctx
+         WHEN u.c_u IS NOT NULL THEN 0.4 * CAST(u.c_u AS DOUBLE) / n.n1
+         ELSE 0.4 / n.n1 END)), 6) AS avg_logscore
+FROM pairs p
+LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+LEFT JOIN ctx c ON c.w1 = p.w1
+CROSS JOIN n1 n
+LEFT JOIN uni u ON u.w = p.w2
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+# --- Q: term_burstiness — Church-Gale dispersion per term -------------
+# Burstiness separates content words from function words (Church &
+# Gale 1995, "Poisson mixtures"; Katz 1996): a Poisson-distributed
+# term has variance-to-mean ratio (VMR) ≈ 1 across documents, while a
+# bursty term concentrates in few docs (VMR ≫ 1). With zero-count
+# docs included, both moments are exact BIGINT rationals:
+#   mean λ = Σc / D,   var = Σc² / D − λ²,   VMR = Σc²/Σc − Σc/D,
+# plus Katz's per-containing-doc rate Σc/df. Two hash aggregates
+# ((doc, w) then w) and a 1-row doc-count scalar over the raw scan
+# (naive crossJoin — re-scanning beats materializing, per CLAUDE.md).
+# The head is TakeOrderedAndProject on the ROUNDED score (engine-
+# stable ties broken by term).
+
+BURST_MIN_COUNT = 5
+BURST_TOP = 50
+
+
+def _term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    per_doc = (
+        _doc_words(t.documents, "doc_id")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    by_w = per_doc.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+    )
+    n_docs = t.documents.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        by_w.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("n_total") >= BURST_MIN_COUNT)
+        .select(
+            "w",
+            "n_total",
+            "df",
+            F.round(
+                F.col("sum_sq").cast("double") / F.col("n_total")
+                - F.col("n_total").cast("double") / F.col("n_docs"),
+                6,
+            ).alias("vmr"),
+            F.round(F.col("n_total").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+        )
+        .orderBy(F.desc("vmr"), "w")
+        .limit(BURST_TOP)
+    )
+
+
+_TERM_BURSTINESS_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY doc_id, w
+),
+by_w AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(c * c) AS BIGINT) AS sum_sq
+  FROM per_doc
+  GROUP BY w
+),
+d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT w, n_total, df,
+       round(CAST(sum_sq AS DOUBLE) / n_total
+             - CAST(n_total AS DOUBLE) / n_docs, 6) AS vmr,
+       round(CAST(n_total AS DOUBLE) / df, 6) AS burstiness
+FROM by_w CROSS JOIN d
+WHERE n_total >= {BURST_MIN_COUNT}
+ORDER BY vmr DESC, w
+LIMIT {BURST_TOP}
+"""
+
+
 # --- Q: zipf_slope — rank-frequency power-law fit ---------------------
 # OLS slope of ln(freq) on ln(rank) over the top-1000 vocabulary —
 # the corpus-health fingerprint (natural text ≈ −1; spam/template
@@ -1284,6 +1494,20 @@ SPECS = [
     QuerySpec("fluency_buckets", "CCNet-style per-source head/middle/tail fluency terciles", _fluency_buckets, _FLUENCY_BUCKETS_SQL, tags=("text", "sampling", "scale")),
     QuerySpec("doc_chunks", "sliding context-window chunk layout (stride overlap)", _doc_chunks, _DOC_CHUNKS_SQL, tags=("text", "sampling")),
     QuerySpec("unigram_doc_logprob", "corpus-LM average token log-prob per document", _unigram_doc_logprob, _UNIGRAM_DOC_LOGPROB_SQL, tags=("text", "agg")),
+    QuerySpec(
+        "stupid_backoff_logprob",
+        "held-out bigram-LM quality score (Stupid Backoff, Brants et al. 2007): train on even doc_ids, score odd",
+        _stupid_backoff_logprob,
+        _STUPID_BACKOFF_LOGPROB_SQL,
+        tags=("text", "agg", "join"),
+    ),
+    QuerySpec(
+        "term_burstiness",
+        "Church-Gale term dispersion: variance-to-mean ratio + per-containing-doc rate from exact BIGINT moments",
+        _term_burstiness,
+        _TERM_BURSTINESS_SQL,
+        tags=("text", "agg"),
+    ),
     QuerySpec("doc_entropy", "within-document word-distribution entropy", _doc_entropy, _DOC_ENTROPY_SQL, tags=("text", "agg")),
     QuerySpec("zipf_slope", "rank-frequency power-law slope over the head vocabulary", _zipf_slope, _ZIPF_SLOPE_SQL, tags=("text", "agg")),
     QuerySpec("top_terms_per_source", "per-source top-k terms (WindowGroupLimit)", _top_terms_per_source, _TOP_TERMS_PER_SOURCE_SQL, tags=("text", "window")),

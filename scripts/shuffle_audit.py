@@ -91,6 +91,15 @@ QUERIES = [
     # once in r10: blockmean_near_dups_exact moved 26.8x bytes at 10x
     # data, exactly the quadratic the twins accept at correctness SFs.
     "source_kmv_sketch",
+    # r10 session-3 tiers: held-out bigram LM, term dispersion, ratio
+    # CI (checkpointed day cells — plan columns under-report like the
+    # other prefix-sum/checkpoint queries; stage exec-write covers it),
+    # EB source-rate shrinkage
+    "stupid_backoff_logprob", "term_burstiness",
+    "jackknife_ratio_ci", "eb_shrunk_source_rates",
+    # degree-capped pair expansion: bytes ∝ Σ min(deg, 64)·deg — bounded
+    # by the cap, the movement signal for the link-prediction tier
+    "adamic_adar_links",
 ]
 
 

@@ -1,0 +1,139 @@
+"""Semantics pins for the r10 uncertainty additions: the jackknife /
+delta-method ratio CI and the empirical-Bayes source-rate shrinkage are
+re-derived in pure Python/numpy from the parquet, and the shrinkage
+direction is pinned on a planted corpus (small noisy sources move
+toward the pool; large sources barely move).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from tests.conftest import SF_SMOKE
+
+
+def _jackknife_replica():
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    orders["day"] = orders["o_orderdate"].dt.date
+    # DECIMAL(18,2) day sums — replicate with integer cents
+    orders["cents"] = (
+        orders["o_totalprice"].map(lambda v: round(v, 2) * 100).round().astype("int64")
+    )
+    out = []
+    for prio, g in orders.groupby("o_orderpriority"):
+        cells = g.groupby("day").agg(x=("cents", "sum"), n=("cents", "size"))
+        sx, sn, d = int(cells.x.sum()), int(cells.n.sum()), len(cells)
+        assert d > 1, "jackknife precondition: more than one day per priority"
+        theta = (sx / 100.0) / float(sn)
+        theta_i = [
+            ((sx - x) / 100.0) / float(sn - n) for x, n in zip(cells.x, cells.n)
+        ]
+        jmean = sum(theta_i) / d
+        sum_dev2 = sum((t - jmean) ** 2 for t in theta_i)
+        jk_se = math.sqrt((d - 1) / d * sum_dev2)
+        sum_r2 = sum(
+            (x / 100.0 - theta * float(n)) ** 2 for x, n in zip(cells.x, cells.n)
+        )
+        delta_se = math.sqrt(d / (d - 1) * sum_r2) / float(sn)
+        out.append((prio, d, sn, theta, jk_se, delta_se))
+    out.sort(key=lambda r: r[0])
+    return out
+
+
+def test_jackknife_ratio_ci_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    got = queries()["jackknife_ratio_ci"](spark, SF_SMOKE).toPandas()
+    expect = _jackknife_replica()
+    assert list(got["o_orderpriority"]) == [e[0] for e in expect]
+    assert list(got["n_days"]) == [e[1] for e in expect]
+    assert list(got["n_orders"]) == [e[2] for e in expect]
+    for row, e in zip(got.itertuples(), expect):
+        assert abs(row.rev_per_order - e[3]) < 1e-6
+        assert abs(row.jk_se - e[4]) < 1e-6
+        assert abs(row.delta_se - e[5]) < 1e-6
+        assert abs(row.ci_lo - (e[3] - 1.96 * e[4])) < 1e-5
+        assert abs(row.ci_hi - (e[3] + 1.96 * e[4])) < 1e-5
+        # the two estimators must agree on scale (same data, same unit):
+        # a 10x disagreement would mean one formula is wrong
+        assert 0.2 < row.jk_se / row.delta_se < 5.0
+
+
+def _eb_replica():
+    from databeats_spark.registry.inference import EB_CHAR_THRESH
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    src = docs.groupby("source").agg(
+        n_docs=("doc_id", "size"),
+        n_short=("n_chars", lambda s: int((s < EB_CHAR_THRESH).sum())),
+    )
+    nn, ns, k = int(src.n_docs.sum()), int(src.n_short.sum()), len(src)
+    sum_n2 = int((src.n_docs**2).sum())
+    pbar = ns / nn
+    c = pbar * (1.0 - pbar)
+    s1 = sum(
+        n * ((s / n) - pbar) ** 2 for n, s in zip(src.n_docs, src.n_short)
+    )
+    tau2 = max(0.0, (s1 - (k - 1) * c) / (nn - sum_n2 / nn))
+    rows = []
+    for source, r in src.iterrows():
+        y = r.n_short / r.n_docs
+        b = c / (c + r.n_docs * tau2)
+        rows.append(
+            (source, int(r.n_docs), int(r.n_short), y, tau2, b, pbar * b + y * (1 - b))
+        )
+    rows.sort(key=lambda x: x[0])
+    return rows
+
+
+def test_eb_shrunk_source_rates_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    got = queries()["eb_shrunk_source_rates"](spark, SF_SMOKE).toPandas()
+    expect = _eb_replica()
+    assert list(got["source"]) == [e[0] for e in expect]
+    assert list(got["n_docs"]) == [e[1] for e in expect]
+    assert list(got["n_short"]) == [e[2] for e in expect]
+    for row, e in zip(got.itertuples(), expect):
+        assert abs(row.raw_rate - e[3]) < 1e-6
+        assert abs(row.tau2 - e[4]) < 1e-6
+        assert abs(row.shrink_b - e[5]) < 1e-6
+        assert abs(row.shrunk_rate - e[6]) < 1e-6
+        # shrunk estimate must land between the raw rate and the pool
+        lo, hi = sorted((e[3], sum(x[2] for x in expect) / sum(x[1] for x in expect)))
+        assert lo - 1e-9 <= row.shrunk_rate <= hi + 1e-9
+
+
+def test_eb_shrinkage_pulls_small_sources_harder(spark, tmp_path):
+    """Planted corpus: a 4-doc source with an extreme rate shrinks most
+    of the way to the pool; a 400-doc source with the same raw rate
+    keeps most of its signal (the Efron-Morris point)."""
+    from databeats_spark.registry.inference import (
+        EB_CHAR_THRESH,
+        _eb_shrunk_source_rates,
+    )
+
+    short, long = EB_CHAR_THRESH - 10, EB_CHAR_THRESH + 10
+    rows = []
+    did = 0
+    for src, n, n_short in (("big", 400, 300), ("small", 4, 3), ("mid", 100, 20)):
+        for i in range(n):
+            rows.append((did, "t", src, short if i < n_short else long))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/sf/documents.parquet")
+
+    got = (
+        _eb_shrunk_source_rates(spark, f"{tmp_path}/sf")
+        .toPandas()
+        .set_index("source")
+    )
+    assert got.loc["small", "raw_rate"] == got.loc["big", "raw_rate"] == 0.75
+    # same raw rate, but the small source moves much further toward pool
+    pool_dist_small = abs(got.loc["small", "shrunk_rate"] - 0.75)
+    pool_dist_big = abs(got.loc["big", "shrunk_rate"] - 0.75)
+    assert pool_dist_small > 4 * pool_dist_big
+    assert got.loc["small", "shrink_b"] > got.loc["big", "shrink_b"]
