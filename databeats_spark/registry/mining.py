@@ -1720,14 +1720,19 @@ ORDER BY role, score DESC, id
 # classic Σ deg² blowup, so parts above AA_MAX_DEG are EXCLUDED (their
 # 1/ln(deg) weight is the smallest in the graph and they connect
 # everyone to everyone — the dropped mass is the least informative by
-# the measure's own weighting; same cap discipline as the banded
-# near-dup tiers). The kept expansion is ≤ AA_MAX_DEG · |E| rows, one
-# equi-self-join on the part key — no cartesian, no window. Degrees
-# and weights attach BEFORE the self-join so each side probes one
-# broadcast-free shuffle; the head is TakeOrderedAndProject on the
-# ROUNDED score (ties broken by the id pair).
+# the measure's own weighting; the stop-ITEM analog of TF-IDF's
+# stop-word cut, and the same cap discipline as the banded near-dup
+# tiers). The testdata degree distribution concentrates at 26–37 with
+# max 53 across SFs, so 24 is a cap that BINDS (keeps the ~15% niche
+# tail; a 64 cap kept everything and made the sf0.1 expansion 18.5M
+# pairs / 37 s — measured, not guessed). The kept expansion is
+# ≤ AA_MAX_DEG · |E_kept| rows, one equi-self-join on the part key —
+# no cartesian, no window. Degrees and weights attach BEFORE the
+# self-join so each side probes one broadcast-free shuffle; the head
+# is TakeOrderedAndProject on the ROUNDED score (ties broken by the
+# id pair).
 
-AA_MAX_DEG = 64
+AA_MAX_DEG = 24
 AA_MIN_DEG = 2
 AA_TOP = 50
 
@@ -1742,6 +1747,10 @@ def _adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
         .distinct()
+        # two consumers (degree aggregate + expansion probe): pin one
+        # materialization of the orders⋈lineitem distinct (the
+        # entity_kcore lesson — AQE re-executes shared exchanges)
+        .localCheckpoint(eager=False)
     )
     deg = (
         edges.groupBy("p")

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 from databeats_spark.operators.scale import attach_global_scalar, partitioned_running_total
 from databeats_spark.registry import QuerySpec
 from databeats_spark.registry.events import SESSION_GAP_US
-from databeats_spark.sources.tables import load_tables
+from databeats_spark.sources.tables import load_tables, spread
 
 
 def _doc_words(docs: DataFrame, *extra_cols: str) -> DataFrame:
@@ -219,10 +219,22 @@ ORDER BY doc_id
 
 def _stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    train = t.documents.filter(F.col("doc_id") % 2 == 0)
-    held = t.documents.filter(F.col("doc_id") % 2 == 1)
+    # four tokenization passes + two checkpoint materializations hang
+    # off this scan — spread the single-split testdata file first
+    docs = spread(t.documents, spark)
+    # tokenize the training slice ONCE: the unigram and bigram
+    # aggregates both hang off this checkpoint (the pagerank edge-table
+    # posture — one materialization, everything derived from it),
+    # instead of two full tokenization passes over the train corpus
+    train = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.split("text", " ").alias("t"))
+        .localCheckpoint(eager=False)
+    )
+    held = docs.filter(F.col("doc_id") % 2 == 1)
     uni = (
-        _doc_words(train)
+        train.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_u"))
         .localCheckpoint(eager=False)
@@ -233,8 +245,7 @@ def _stupid_backoff_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))"
     )
     bi = (
-        train.select(F.split("text", " ").alias("t"))
-        .filter(F.size("t") >= 2)
+        train.filter(F.size("t") >= 2)
         .select(F.explode(bigrams).alias("b"))
         .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("c_b"))
