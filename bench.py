@@ -129,6 +129,8 @@ AUDIT_ROTATING_POOL = (
     # r10 session-3 tiers (new tiers go in the POOL, never the core)
     "stupid_backoff_logprob", "term_burstiness",
     "jackknife_ratio_ci", "eb_shrunk_source_rates", "adamic_adar_links",
+    "good_turing_mass", "daily_count_overdispersion",
+    "dsir_importance_weights", "wilson_return_ranking",
 )
 AUDIT_ROTATE_N = 8
 

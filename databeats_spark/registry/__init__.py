@@ -91,6 +91,10 @@ _WINDOW = (
     # two queries once). PREPEND new/changed queries as they land,
     # dropping an equal number from the tail.
     # — new/changed in r10:
+    "dsir_importance_weights",  # r10: DSIR target-domain resampling scores
+    "good_turing_mass",  # r10: unseen-vocabulary mass per source
+    "daily_count_overdispersion",  # r10: NB dispersion of daily loads
+    "wilson_return_ranking",  # r10: Wilson-LB uncertainty-aware ranking
     "adamic_adar_links",  # r10: degree-capped co-purchase link prediction
     "jackknife_ratio_ci",  # r10: delete-one-day + delta ratio-metric CI
     "eb_shrunk_source_rates",  # r10: Efron-Morris/DL shrinkage audit
@@ -140,10 +144,6 @@ _WINDOW = (
     "local_supplier_volume",
     "forecast_revenue",
     "cross_nation_volume",
-    "product_profit",
-    "returned_item_losses",
-    "lateness_priority_mix",
-    "part_supplier_kinds",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

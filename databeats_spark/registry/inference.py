@@ -581,6 +581,80 @@ ORDER BY o_orderpriority
 """
 
 
+# --- Q: wilson_return_ranking -------------------------------------------
+# "How not to sort by average rating" (E. Miller), Wilson 1927: rank
+# parts by the LOWER bound of the 95% Wilson score interval on their
+# return rate, not the raw rate — a 3/3 returner must not outrank a
+# 28/40 one. The bound is a closed form of two BIGINTs (returns n_ret,
+# trials n) and the literal z = 1.96, written with the identical
+# association order on both engines; sqrt/division are IEEE-identical,
+# round-6 absorbs ln-free arithmetic entirely. One part-keyed hash
+# aggregate (map-side combined), head via TakeOrderedAndProject on the
+# rounded bound — no window, no join.
+
+WILSON_MIN_N = 20
+WILSON_TOP = 50
+
+
+def _wilson_return_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["lineitem"])
+    agg = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+            .cast("bigint")
+            .alias("n_ret"),
+        )
+        .filter(F.col("n") >= WILSON_MIN_N)
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("n_ret").cast("double") / nd
+    z2 = F.lit(1.96) * F.lit(1.96)
+    lb = (
+        p
+        + z2 / (2.0 * nd)
+        - F.lit(1.96)
+        * F.sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))
+    ) / (1.0 + z2 / nd)
+    return (
+        agg.select(
+            "l_partkey",
+            "n",
+            "n_ret",
+            F.round(p, 6).alias("raw_rate"),
+            F.round(lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), "l_partkey")
+        .limit(WILSON_TOP)
+    )
+
+
+_WILSON_RETURN_RANKING_SQL = f"""
+WITH agg AS (
+  SELECT l_partkey,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ret
+  FROM lineitem GROUP BY l_partkey
+  HAVING count(*) >= {WILSON_MIN_N}
+)
+SELECT l_partkey, n, n_ret,
+       round(CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+       round((CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE)
+              + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+              - 1.96 * sqrt((CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE))
+                            * (1.0 - CAST(n_ret AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                            + (1.96 * 1.96)
+                              / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 6) AS wilson_lb
+FROM agg
+ORDER BY wilson_lb DESC, l_partkey
+LIMIT {WILSON_TOP}
+"""
+
+
 # --- Q: eb_shrunk_source_rates -----------------------------------------
 # Empirical-Bayes shrinkage of per-source short-document rates (the
 # Efron-Morris estimator with the DerSimonian-Laird moment estimate of
@@ -740,6 +814,13 @@ SPECS = [
         _jackknife_ratio_ci,
         _JACKKNIFE_RATIO_CI_SQL,
         tags=("stats", "eval"),
+    ),
+    QuerySpec(
+        "wilson_return_ranking",
+        "parts ranked by the Wilson 95% lower bound on their return rate (uncertainty-aware ranking, not raw rates)",
+        _wilson_return_ranking,
+        _WILSON_RETURN_RANKING_SQL,
+        tags=("stats", "agg"),
     ),
     QuerySpec(
         "eb_shrunk_source_rates",

@@ -416,6 +416,254 @@ LIMIT {BURST_TOP}
 """
 
 
+# --- Q: good_turing_mass — unseen-vocabulary mass per source ----------
+# Good-Turing frequency estimation (Good 1953; Gale & Sampson 1995
+# "simple Good-Turing"): the probability mass a source's NEXT token is
+# a never-seen type is P₀ = n₁/N (singleton share), and the smoothed
+# count for singletons is r*(1) = 2·n₂/n₁ — the coverage readout that
+# says whether a source's vocabulary is saturated (low P₀) or still
+# surprising (high P₀); chao1_vocab_richness estimates how many types
+# are MISSING, this estimates how often they will be MET. All inputs
+# are exact BIGINT type-frequency counts from two hash aggregates;
+# n₁ = 0 degenerates to 0.0 under the same CASE on both engines.
+
+def _good_turing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    per_word = (
+        _doc_words(t.documents, "source")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    agg = per_word.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum((F.col("c") == 1).cast("bigint")).cast("bigint").alias("n1"),
+        F.sum((F.col("c") == 2).cast("bigint")).cast("bigint").alias("n2"),
+    )
+    return agg.select(
+        "source",
+        "n_tok",
+        "vocab",
+        "n1",
+        "n2",
+        F.round(F.col("n1").cast("double") / F.col("n_tok"), 6).alias("p0_unseen"),
+        F.when(
+            F.col("n1") > 0,
+            F.round(2.0 * F.col("n2").cast("double") / F.col("n1"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r1_star"),
+    ).orderBy("source")
+
+
+_GOOD_TURING_MASS_SQL = """
+WITH per_word AS (
+  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+  GROUP BY source, w
+),
+agg AS (
+  SELECT source,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM per_word GROUP BY source
+)
+SELECT source, n_tok, vocab, n1, n2,
+       round(CAST(n1 AS DOUBLE) / n_tok, 6) AS p0_unseen,
+       CASE WHEN n1 > 0 THEN round(2.0 * CAST(n2 AS DOUBLE) / n1, 6)
+            ELSE 0.0 END AS r1_star
+FROM agg
+ORDER BY source
+"""
+
+
+# --- Q: daily_count_overdispersion — NB dispersion of daily loads -----
+# Is the daily event volume Poisson (VMR ≈ 1) or clumped? The
+# negative-binomial overdispersion readout (Cameron & Trivedi):
+# method-of-moments k̂ = m²/(v − m) over the observed per-day counts of
+# each event type (days with zero events of a type contribute no row —
+# the observed-days convention, documented). Every moment is an exact
+# BIGINT ratio (counts, counts², day counts), so both engines compute
+# bit-identical doubles — no summation-order exposure at all. Two hash
+# aggregates; nothing else.
+
+def _daily_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    cells = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    agg = cells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    mean = F.col("n_events").cast("double") / F.col("n_days")
+    var = F.col("ssq").cast("double") / F.col("n_days") - mean * mean
+    return agg.select(
+        "event_type",
+        "n_days",
+        "n_events",
+        F.round(mean, 6).alias("daily_mean"),
+        F.round(var / mean, 6).alias("vmr"),
+        F.when(var > mean, F.round(mean * mean / (var - mean), 6))
+        .otherwise(F.lit(0.0))
+        .alias("nb_k"),
+    ).orderBy("event_type")
+
+
+_DAILY_COUNT_OVERDISPERSION_SQL = """
+WITH cells AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS ssq
+  FROM cells GROUP BY event_type
+)
+SELECT event_type, n_days, n_events,
+       round(CAST(n_events AS DOUBLE) / n_days, 6) AS daily_mean,
+       round((CAST(ssq AS DOUBLE) / n_days
+              - (CAST(n_events AS DOUBLE) / n_days)
+                * (CAST(n_events AS DOUBLE) / n_days))
+             / (CAST(n_events AS DOUBLE) / n_days), 6) AS vmr,
+       CASE WHEN CAST(ssq AS DOUBLE) / n_days
+                 - (CAST(n_events AS DOUBLE) / n_days)
+                   * (CAST(n_events AS DOUBLE) / n_days)
+               > CAST(n_events AS DOUBLE) / n_days
+            THEN round((CAST(n_events AS DOUBLE) / n_days)
+                       * (CAST(n_events AS DOUBLE) / n_days)
+                       / (CAST(ssq AS DOUBLE) / n_days
+                          - (CAST(n_events AS DOUBLE) / n_days)
+                            * (CAST(n_events AS DOUBLE) / n_days)
+                          - CAST(n_events AS DOUBLE) / n_days), 6)
+            ELSE 0.0 END AS nb_k
+FROM agg
+ORDER BY event_type
+"""
+
+
+# --- Q: dsir_importance_weights — target-domain resampling scores -----
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# every document by how much more likely its hashed n-gram features
+# are under a TARGET domain (here the 'en' slice) than under the raw
+# corpus — log w(doc) = Σ_f [ln p_target(bucket(f)) − ln p_raw(f)]
+# with add-1 smoothing over DSIR_BUCKETS buckets. Features are
+# unigrams + bigrams md5-hashed to a FIXED bucket space (the
+# dual-engine conv/0x idiom), so both distributions are ≤ B-row
+# tables no matter the corpus size: the raw/target count aggregates
+# map-side combine to B rows, re-attach as broadcasts, and the totals
+# ride 1-row keyless aggregates off the same checkpoints. The per-doc
+# pass is one feature explode + two broadcast joins + one hash
+# aggregate — fully linear, no corpus-sized shuffle.
+
+DSIR_BUCKETS = 1024
+DSIR_TARGET_LANG = "en"
+
+
+def _dsir_features(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
+    uni = toks.select(
+        "doc_id", "lang", F.explode("t").alias("f")
+    ).filter(F.col("f") != "")
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    bi = toks.filter(F.size("t") >= 2).select(
+        "doc_id", "lang", F.explode(bigrams).alias("f")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("f"), 1, 13), 16, 10).cast("bigint")
+        % DSIR_BUCKETS
+    )
+    return uni.unionAll(bi).select("doc_id", "lang", bucket.alias("b"))
+
+
+def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+    feats = _dsir_features(docs)
+    raw = (
+        feats.groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
+        .localCheckpoint(eager=False)
+    )
+    tgt = (
+        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+        .localCheckpoint(eager=False)
+    )
+    n_r = raw.agg(F.sum("c_r").cast("bigint").alias("n_r"))
+    n_t = tgt.agg(F.sum("c_t").cast("bigint").alias("n_t"))
+    score = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
+        / (F.col("n_t") + DSIR_BUCKETS)
+    ) - F.log(
+        (F.col("c_r") + 1).cast("double") / (F.col("n_r") + DSIR_BUCKETS)
+    )
+    return (
+        feats.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_t))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feat"),
+            F.round(F.sum(score), 6).alias("log_ir"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_IMPORTANCE_WEIGHTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(f), 1, 13)) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang, w AS f
+    FROM (SELECT doc_id, lang, unnest(t) AS w FROM toks)
+    WHERE w <> ''
+    UNION ALL
+    SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS f
+    FROM (SELECT doc_id, lang, t FROM toks WHERE len(t) >= 2),
+         LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  )
+),
+raw AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_r FROM feats GROUP BY b
+),
+tgt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_t
+  FROM feats WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+),
+nr AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM raw),
+nt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM tgt)
+SELECT f.doc_id, f.lang,
+       CAST(count(*) AS BIGINT) AS n_feat,
+       round(sum(
+         ln(CAST(coalesce(t.c_t, 0) + 1 AS DOUBLE) / (nt.n_t + {DSIR_BUCKETS}))
+         - ln(CAST(r.c_r + 1 AS DOUBLE) / (nr.n_r + {DSIR_BUCKETS}))
+       ), 6) AS log_ir
+FROM feats f
+JOIN raw r USING (b)
+LEFT JOIN tgt t USING (b)
+CROSS JOIN nr
+CROSS JOIN nt
+GROUP BY f.doc_id, f.lang
+ORDER BY f.doc_id
+"""
+
+
 # --- Q: zipf_slope — rank-frequency power-law fit ---------------------
 # OLS slope of ln(freq) on ln(rank) over the top-1000 vocabulary —
 # the corpus-health fingerprint (natural text ≈ −1; spam/template
@@ -1511,6 +1759,27 @@ SPECS = [
         _stupid_backoff_logprob,
         _STUPID_BACKOFF_LOGPROB_SQL,
         tags=("text", "agg", "join"),
+    ),
+    QuerySpec(
+        "good_turing_mass",
+        "Good-Turing unseen-vocabulary mass per source: P0 = n1/N and smoothed singleton count from exact type frequencies",
+        _good_turing_mass,
+        _GOOD_TURING_MASS_SQL,
+        tags=("text", "agg"),
+    ),
+    QuerySpec(
+        "daily_count_overdispersion",
+        "negative-binomial overdispersion of daily event volumes: moment k-hat from exact BIGINT day-count moments",
+        _daily_count_overdispersion,
+        _DAILY_COUNT_OVERDISPERSION_SQL,
+        tags=("events", "stats"),
+    ),
+    QuerySpec(
+        "dsir_importance_weights",
+        "DSIR (Xie et al. 2023) target-domain importance scores from hashed unigram+bigram bucket distributions",
+        _dsir_importance_weights,
+        _DSIR_IMPORTANCE_WEIGHTS_SQL,
+        tags=("text", "sampling", "scale"),
     ),
     QuerySpec(
         "term_burstiness",

@@ -100,6 +100,11 @@ QUERIES = [
     # degree-capped pair expansion: bytes ∝ Σ min(deg, 64)·deg — bounded
     # by the cap, the movement signal for the link-prediction tier
     "adamic_adar_links",
+    # r10 session-3 batch 3: coverage/dispersion/uncertainty readouts +
+    # the DSIR resampling scorer (bucket tables are ≤1024 rows by
+    # construction — its movement is the feature-stream aggregate)
+    "good_turing_mass", "daily_count_overdispersion",
+    "dsir_importance_weights", "wilson_return_ranking",
 ]
 
 

@@ -166,3 +166,106 @@ def test_burstiness_separates_planted_bursty_term(spark, tmp_path):
     assert got.loc["bursty", "vmr"] > got.loc["flat", "vmr"]
     assert got.loc["bursty", "burstiness"] == 8.0
     assert got.loc["flat", "burstiness"] == 1.0
+
+
+# --- Good-Turing replica ------------------------------------------------
+
+def test_good_turing_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    per: dict[str, dict[str, int]] = {}
+    for r in docs.itertuples():
+        d = per.setdefault(r.source, {})
+        for w in _tok(r.text):
+            if w != "":
+                d[w] = d.get(w, 0) + 1
+    expect = []
+    for src in sorted(per):
+        cs = per[src]
+        n = sum(cs.values())
+        n1 = sum(1 for c in cs.values() if c == 1)
+        n2 = sum(1 for c in cs.values() if c == 2)
+        r1 = round(2.0 * n2 / n1, 6) if n1 > 0 else 0.0
+        expect.append((src, n, len(cs), n1, n2, round(n1 / n, 6), r1))
+    got = queries()["good_turing_mass"](spark, SF_SMOKE).toPandas()
+    assert [tuple(r) for r in got[["source", "n_tok", "vocab", "n1", "n2"]].values] == [
+        e[:5] for e in expect
+    ]
+    for row, e in zip(got.itertuples(), expect):
+        assert abs(row.p0_unseen - e[5]) < 1e-9
+        assert abs(row.r1_star - e[6]) < 1e-9
+
+
+# --- NB overdispersion replica -------------------------------------------
+
+def test_daily_overdispersion_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["day"] = ev["ts"].dt.date
+    expect = []
+    for et, g in ev.groupby("event_type"):
+        cs = g.groupby("day").size()
+        d, n, ssq = len(cs), int(cs.sum()), int((cs**2).sum())
+        mean = n / d
+        var = ssq / d - mean * mean
+        nbk = round(mean * mean / (var - mean), 6) if var > mean else 0.0
+        expect.append((et, d, n, round(mean, 6), round(var / mean, 6), nbk))
+    expect.sort(key=lambda r: r[0])
+    got = queries()["daily_count_overdispersion"](spark, SF_SMOKE).toPandas()
+    assert [tuple(r) for r in got[["event_type", "n_days", "n_events"]].values] == [
+        e[:3] for e in expect
+    ]
+    for row, e in zip(got.itertuples(), expect):
+        assert abs(row.daily_mean - e[3]) < 1e-9
+        assert abs(row.vmr - e[4]) < 1e-9
+        assert abs(row.nb_k - e[5]) < 1e-9
+
+
+# --- DSIR replica ---------------------------------------------------------
+
+def test_dsir_matches_python_replica(spark):
+    import hashlib
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.signals import DSIR_BUCKETS, DSIR_TARGET_LANG
+
+    def bucket(f: str) -> int:
+        return int(hashlib.md5(f.encode()).hexdigest()[:13], 16) % DSIR_BUCKETS
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    feats: list[tuple[int, str, int]] = []
+    for r in docs.itertuples():
+        toks = _tok(r.text)
+        fs = [w for w in toks if w != ""] + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        feats.extend((int(r.doc_id), r.lang, bucket(f)) for f in fs)
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    for _, lang, b in feats:
+        raw[b] = raw.get(b, 0) + 1
+        if lang == DSIR_TARGET_LANG:
+            tgt[b] = tgt.get(b, 0) + 1
+    n_r, n_t = sum(raw.values()), sum(tgt.values())
+    per_doc: dict[int, tuple[str, int, float]] = {}
+    for doc_id, lang, b in feats:
+        s = math.log((tgt.get(b, 0) + 1) / (n_t + DSIR_BUCKETS)) - math.log(
+            (raw[b] + 1) / (n_r + DSIR_BUCKETS)
+        )
+        prev = per_doc.get(doc_id, (lang, 0, 0.0))
+        per_doc[doc_id] = (lang, prev[1] + 1, prev[2] + s)
+    expect = sorted(
+        (d, v[0], v[1], round(v[2], 6)) for d, v in per_doc.items()
+    )
+    got = queries()["dsir_importance_weights"](spark, SF_SMOKE).toPandas()
+    assert [tuple(r) for r in got[["doc_id", "lang", "n_feat"]].values] == [
+        e[:3] for e in expect
+    ]
+    for row, e in zip(got.itertuples(), expect):
+        assert abs(row.log_ir - e[3]) < 1e-8
+    # semantics: target-language docs must score higher on average than
+    # the rest (the whole point of importance resampling)
+    g = got.groupby(got["lang"] == DSIR_TARGET_LANG)["log_ir"].mean()
+    assert g[True] > g[False]

@@ -137,3 +137,65 @@ def test_eb_shrinkage_pulls_small_sources_harder(spark, tmp_path):
     pool_dist_big = abs(got.loc["big", "shrunk_rate"] - 0.75)
     assert pool_dist_small > 4 * pool_dist_big
     assert got.loc["small", "shrink_b"] > got.loc["big", "shrink_b"]
+
+
+# --- Wilson ranking replica -----------------------------------------------
+
+def test_wilson_ranking_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.inference import WILSON_MIN_N, WILSON_TOP
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    rows = []
+    for pk, g in li.groupby("l_partkey"):
+        n = len(g)
+        if n < WILSON_MIN_N:
+            continue
+        r = int((g["l_returnflag"] == "R").sum())
+        p = r / n
+        z2 = 1.96 * 1.96
+        lb = (
+            p
+            + z2 / (2.0 * n)
+            - 1.96 * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        ) / (1.0 + z2 / n)
+        rows.append((int(pk), n, r, round(p, 6), round(lb, 6)))
+    rows.sort(key=lambda x: (-x[4], x[0]))
+    expect = rows[:WILSON_TOP]
+    got = queries()["wilson_return_ranking"](spark, SF_SMOKE).toPandas()
+    assert [tuple(r) for r in got[["l_partkey", "n", "n_ret"]].values] == [
+        e[:3] for e in expect
+    ]
+    for row, e in zip(got.itertuples(), expect):
+        assert abs(row.raw_rate - e[3]) < 1e-9
+        assert abs(row.wilson_lb - e[4]) < 1e-9
+        # the bound must sit strictly below the raw rate (shrinks toward 0)
+        assert row.wilson_lb < row.raw_rate
+
+
+def test_wilson_small_sample_cannot_outrank_large_evidence(spark):
+    """3/3 returns must NOT outrank 28/40: the raw rate says 1.0 > 0.7,
+    the Wilson lower bound says otherwise (the E. Miller point).
+    WILSON_MIN_N is monkeypatched down so the planted 3-trial part
+    participates."""
+    import databeats_spark.registry.inference as inf
+
+    rows = []
+    ok = 0
+    for pk, n, r in ((1, 3, 3), (2, 40, 28)):
+        for i in range(n):
+            ok += 1
+            rows.append((ok, pk, "R" if i < r else "N"))
+    df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey", "l_returnflag"])
+    sf = "/tmp/wilson_sf"
+    spark.createDataFrame(df).write.mode("overwrite").parquet(
+        f"{sf}/lineitem.parquet"
+    )
+    old = inf.WILSON_MIN_N
+    inf.WILSON_MIN_N = 3
+    try:
+        got = inf._wilson_return_ranking(spark, sf).toPandas().set_index("l_partkey")
+    finally:
+        inf.WILSON_MIN_N = old
+    assert got.loc[1, "raw_rate"] > got.loc[2, "raw_rate"]
+    assert got.loc[1, "wilson_lb"] < got.loc[2, "wilson_lb"]
