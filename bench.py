@@ -131,6 +131,7 @@ AUDIT_ROTATING_POOL = (
     "jackknife_ratio_ci", "eb_shrunk_source_rates", "adamic_adar_links",
     "good_turing_mass", "daily_count_overdispersion",
     "dsir_importance_weights", "wilson_return_ranking",
+    "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
 )
 AUDIT_ROTATE_N = 8
 

@@ -91,6 +91,10 @@ _WINDOW = (
     # two queries once). PREPEND new/changed queries as they land,
     # dropping an equal number from the tail.
     # — new/changed in r10:
+    "cvm_two_sample",  # r10: integrated ECDF-distance test
+    "sprt_evalue_monitor",  # r10: anytime-valid SPRT e-process
+    "brier_decomposition",  # r10: Murphy REL/RES/UNC split
+    "lang_id_calibration",  # r10: re-cert after the _lang_scored refactor
     "dsir_importance_weights",  # r10: DSIR target-domain resampling scores
     "good_turing_mass",  # r10: unseen-vocabulary mass per source
     "daily_count_overdispersion",  # r10: NB dispersion of daily loads
@@ -140,10 +144,6 @@ _WINDOW = (
     "variant_props_stats",
     "pipe_syntax_returns",
     "collated_type_counts",
-    "shipping_priority",
-    "local_supplier_volume",
-    "forecast_revenue",
-    "cross_nation_volume",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -180,9 +180,9 @@ ORDER BY doc_id
 CALIB_BINS = 10
 
 
-def _lang_id_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ["documents"])
-    docs = spread(t.documents, spark)
+def _lang_scored(docs: DataFrame) -> DataFrame:
+    """(lang, guess, best, total) per marker-carrying doc — the shared
+    front of lang_id_calibration and brier_decomposition."""
     base = docs.select(
         "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("toks")
     )
@@ -207,12 +207,18 @@ def _lang_id_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = None
     for lang in LANG_MARKERS:
         total = F.col(f"s_{lang}") if total is None else total + F.col(f"s_{lang}")
-    scored = s.select(
+    return s.select(
         "lang",
         best_lang.alias("guess"),
         best_score.alias("best"),
         total.cast("bigint").alias("total"),
     ).filter(F.col("total") > 0)
+
+
+def _lang_id_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+    scored = _lang_scored(docs)
     bucket = F.least(
         F.floor(
             F.lit(CALIB_BINS) * (F.col("best") + F.lit(1)) / (F.col("total") + F.lit(2))
@@ -269,6 +275,143 @@ SELECT bucket,
                  - (CAST(bucket AS DOUBLE) + 0.5) / {float(b)!r}), 6) AS calibration_gap
 FROM binned
 ORDER BY bucket
+"""
+
+
+# --- Q: brier_decomposition — Murphy decomposition of the lang IDer ----
+# The single-number companion to lang_id_calibration's reliability
+# diagram: Murphy (1973) splits the Brier score of the binned forecast
+# into REL − RES + UNC —
+#   REL = Σ n_k (p̄_k − ō_k)² / N   (miscalibration, lower better)
+#   RES = Σ n_k (ō_k − ō)² / N     (discrimination, higher better)
+#   UNC = ō(1 − ō)                  (task difficulty, forecast-free)
+# with p̄_k the mean rule-of-succession confidence in bin k, ō_k the
+# bin accuracy, ō overall accuracy. The raw (unbinned) Brier
+# Σ(p − o)²/N rides the same single corpus pass as a per-bin partial
+# sum. Everything downstream of the one bucket aggregate is arithmetic
+# over a ≤CALIB_BINS-row table (checkpointed once; scalars via keyless
+# aggregate); identity brier_binned = REL − RES + UNC is pinned by the
+# replica pytest.
+
+def _brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+    scored = _lang_scored(docs)
+    p = (F.col("best") + F.lit(1)).cast("double") / (F.col("total") + F.lit(2))
+    o = (F.col("guess") == F.col("lang")).cast("bigint")
+    bucket = F.least(
+        F.floor(
+            F.lit(CALIB_BINS) * (F.col("best") + F.lit(1)) / (F.col("total") + F.lit(2))
+        ),
+        F.lit(CALIB_BINS - 1),
+    ).cast("bigint")
+    bins = (
+        scored.select(bucket.alias("bucket"), p.alias("p"), o.alias("o"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("p").alias("sum_p"),
+            F.sum("o").cast("bigint").alias("n_correct"),
+            F.sum((F.col("p") - F.col("o")) * (F.col("p") - F.col("o"))).alias(
+                "sse"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = bins.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_correct").cast("bigint").alias("oo"),
+        F.sum("sse").alias("sse_all"),
+    )
+    obar = F.col("oo").cast("double") / F.col("nn").cast("double")
+    pbar_k = F.col("sum_p") / F.col("n").cast("double")
+    obar_k = F.col("n_correct").cast("double") / F.col("n").cast("double")
+    comps = (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "nn",
+            "oo",
+            "sse_all",
+            (
+                F.col("n").cast("double") * (pbar_k - obar_k) * (pbar_k - obar_k)
+            ).alias("rel_k"),
+            (F.col("n").cast("double") * (obar_k - obar) * (obar_k - obar)).alias(
+                "res_k"
+            ),
+        )
+        .groupBy("nn", "oo")
+        .agg(
+            F.max("sse_all").alias("sse_all"),
+            F.sum("rel_k").alias("rel_sum"),
+            F.sum("res_k").alias("res_sum"),
+        )
+    )
+    nnd = F.col("nn").cast("double")
+    ob = F.col("oo").cast("double") / nnd
+    return comps.select(
+        F.col("nn").alias("n_docs"),
+        F.col("oo").alias("n_correct"),
+        F.round(F.col("sse_all") / nnd, 6).alias("brier"),
+        F.round(F.col("rel_sum") / nnd, 6).alias("reliability"),
+        F.round(F.col("res_sum") / nnd, 6).alias("resolution"),
+        F.round(ob * (1.0 - ob), 6).alias("uncertainty"),
+    )
+
+
+def _brier_decomposition_sql() -> str:
+    score_cols_sql, best_expr = _lang_guess_sql_parts()
+    total = " + ".join(f"s_{lang}" for lang in LANG_MARKERS)
+    best_score = "0"
+    for lang in LANG_MARKERS:
+        best_score = f"greatest(s_{lang}, {best_score})"
+    b = CALIB_BINS
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, {score_cols_sql} FROM t
+), scored AS (
+  SELECT lang, {best_expr} AS guess,
+         CAST({best_score} AS BIGINT) AS best,
+         CAST({total} AS BIGINT) AS total
+  FROM s
+  WHERE {total} > 0
+), po AS (
+  SELECT CAST(least(floor({b} * (best + 1) / (total + 2)), {b - 1}) AS BIGINT) AS bucket,
+         CAST(best + 1 AS DOUBLE) / (total + 2) AS p,
+         CAST(CASE WHEN guess = lang THEN 1 ELSE 0 END AS BIGINT) AS o
+  FROM scored
+), bins AS (
+  SELECT bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(p) AS sum_p,
+         CAST(sum(o) AS BIGINT) AS n_correct,
+         sum((p - o) * (p - o)) AS sse
+  FROM po GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(n_correct) AS BIGINT) AS oo,
+         sum(sse) AS sse_all
+  FROM bins
+)
+SELECT t.nn AS n_docs, t.oo AS n_correct,
+       round(max(t.sse_all) / CAST(t.nn AS DOUBLE), 6) AS brier,
+       round(sum(CAST(b.n AS DOUBLE)
+                 * (b.sum_p / CAST(b.n AS DOUBLE)
+                    - CAST(b.n_correct AS DOUBLE) / CAST(b.n AS DOUBLE))
+                 * (b.sum_p / CAST(b.n AS DOUBLE)
+                    - CAST(b.n_correct AS DOUBLE) / CAST(b.n AS DOUBLE)))
+             / CAST(t.nn AS DOUBLE), 6) AS reliability,
+       round(sum(CAST(b.n AS DOUBLE)
+                 * (CAST(b.n_correct AS DOUBLE) / CAST(b.n AS DOUBLE)
+                    - CAST(t.oo AS DOUBLE) / CAST(t.nn AS DOUBLE))
+                 * (CAST(b.n_correct AS DOUBLE) / CAST(b.n AS DOUBLE)
+                    - CAST(t.oo AS DOUBLE) / CAST(t.nn AS DOUBLE)))
+             / CAST(t.nn AS DOUBLE), 6) AS resolution,
+       round((CAST(t.oo AS DOUBLE) / CAST(t.nn AS DOUBLE))
+             * (1.0 - CAST(t.oo AS DOUBLE) / CAST(t.nn AS DOUBLE)), 6) AS uncertainty
+FROM bins b CROSS JOIN tot t
+GROUP BY t.nn, t.oo
 """
 
 
@@ -1476,6 +1619,7 @@ SPECS = [
     QuerySpec("text_stats", "token counting + quality scoring", _text_stats, _text_stats_sql(), bench=True, tags=("text",)),
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
     QuerySpec("lang_id_calibration", "reliability diagram + per-bin calibration gap of the lang-id confidence (rational BIGINT confidence, 10 fixed bins)", _lang_id_calibration, _lang_id_calibration_sql, tags=("text", "eval", "audit")),
+    QuerySpec("brier_decomposition", "Murphy decomposition of the lang-id Brier score: reliability - resolution + uncertainty over the calibration bins", _brier_decomposition, _brier_decomposition_sql, tags=("text", "eval", "stats")),
     QuerySpec("lang_label_noise", "per-language label-noise rate: stored lang vs the heuristic guess", _lang_label_noise, _lang_label_noise_sql, tags=("text", "quality")),
     QuerySpec("lang_id_kappa", "Cohen's kappa per source: chance-corrected lang-label agreement as exact integer polynomials", _lang_id_kappa, _lang_id_kappa_sql, tags=("text", "quality", "audit")),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),

@@ -1461,6 +1461,191 @@ ORDER BY day
 """
 
 
+# --- Q: cvm_two_sample — integrated ECDF-distance test -----------------
+# The Cramér-von Mises companion to ks_two_sample (Anderson 1962): KS
+# reads the MAX ECDF gap, CvM integrates the SQUARED gap against the
+# pooled empirical measure — sensitive to broad shifts KS's single
+# extremum misses:
+#   T = Σ_k w_k · (f1_k·n0 − f0_k·n1)² / (N² · n1 · n0),
+# over the SAME prefix-summed distinct-value table the KS/QTE/robust
+# tier shares (w_k = pooled count at the value). The bracketed
+# difference is an exact BIGINT per row (|Δ| ≤ n1·n0 ≪ 2⁶³); its
+# square can exceed 2⁶³ at large SF, so the per-row term goes to
+# double AFTER the exact integer subtraction (IEEE square/multiply of
+# identical inputs is deterministic) and only the cross-row SUM is
+# order-exposed — positive terms, round-6 absorbs it.
+
+def _cvm_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import partitioned_running_total
+
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = (
+        t.events.groupBy("user_id")
+        .agg(F.sum(dec("value")).cast("decimal(18,2)").alias("y"))
+        .withColumn("arm", (F.col("user_id") % 2).cast("bigint"))
+    )
+    by_value = per_user.groupBy("y").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+    )
+    cum1 = partitioned_running_total(by_value, [F.col("y")], "c1", out_col="f1")
+    cum0 = partitioned_running_total(
+        by_value.select("y", "c0"), [F.col("y")], "c0", out_col="f0"
+    )
+    merged = (
+        cum1.select("y", "c1", "f1")
+        .join(cum0.select("y", "c0", "f0"), "y")
+    )
+    totals = per_user.agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("bigint").alias("n0"),
+    )
+    with_tot = merged.crossJoin(F.broadcast(totals))
+    delta = (F.col("f1") * F.col("n0") - F.col("f0") * F.col("n1")).cast("double")
+    term = (F.col("c1") + F.col("c0")).cast("double") * delta * delta
+    out = with_tot.groupBy("n1", "n0").agg(F.sum(term).alias("t_sum"))
+    nn = (F.col("n1") + F.col("n0")).cast("double")
+    return out.select(
+        F.col("n1").alias("n_treated"),
+        F.col("n0").alias("n_control"),
+        F.round(
+            F.col("t_sum")
+            / (nn * nn * F.col("n1").cast("double") * F.col("n0").cast("double")),
+            6,
+        ).alias("cvm_t"),
+    )
+
+
+_CVM_TWO_SAMPLE_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y,
+         CAST(user_id % 2 AS BIGINT) AS arm
+  FROM events GROUP BY user_id
+), by_value AS (
+  SELECT y,
+         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+  FROM per_user GROUP BY y
+), cum AS (
+  SELECT y, c1, c0,
+         CAST(sum(c1) OVER (ORDER BY y) AS BIGINT) AS f1,
+         CAST(sum(c0) OVER (ORDER BY y) AS BIGINT) AS f0
+  FROM by_value
+), totals AS (
+  SELECT CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM per_user
+)
+SELECT t.n1 AS n_treated, t.n0 AS n_control,
+       round(sum(CAST(c.c1 + c.c0 AS DOUBLE)
+                 * CAST(c.f1 * t.n0 - c.f0 * t.n1 AS DOUBLE)
+                 * CAST(c.f1 * t.n0 - c.f0 * t.n1 AS DOUBLE))
+             / (CAST(t.n1 + t.n0 AS DOUBLE) * CAST(t.n1 + t.n0 AS DOUBLE)
+                * CAST(t.n1 AS DOUBLE) * CAST(t.n0 AS DOUBLE)), 6) AS cvm_t
+FROM cum c CROSS JOIN totals t
+GROUP BY t.n1, t.n0
+"""
+
+
+# --- Q: sprt_evalue_monitor — anytime-valid daily e-process ------------
+# The always-valid companion to sequential_test_daily's O'Brien-Fleming
+# schedule: a Wald SPRT likelihood-ratio martingale (an e-process —
+# Ville 1939; Ramdas et al. 2023) over the treatment arm's daily
+# purchase share. Against H0: p = p0 (the control arm's full-period
+# purchase share, the plug-in null — documented) and the pre-declared
+# alternative p1 = min(p0·(1+SPRT_MDE), 0.99), the log e-value after
+# day t is LINEAR in two cumulative BIGINTs:
+#   LLR_t = S_t·ln(p1/p0) + (N_t − S_t)·ln((1−p1)/(1−p0)),
+# so the whole monitor is a calendar-bounded cumulative window (the
+# SEQ_DAY_CAP posture) over one daily aggregate, with p0 attached from
+# a keyless aggregate. Crossing ln(1/α) at ANY look controls type-I at
+# α — no alpha-spending schedule needed.
+
+SPRT_MDE = 0.25
+SPRT_ALPHA = 0.05
+
+
+def _sprt_evalue_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    arm = (F.col("user_id") % 2).cast("bigint")
+    is_conv = (F.col("event_type") == "purchase").cast("bigint")
+    daily = (
+        t.events.filter(arm == 1)
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("dn"),
+            F.sum(is_conv).cast("bigint").alias("ds"),
+        )
+        .limit(SEQ_DAY_CAP)
+    )
+    p0_tbl = t.events.filter(arm == 0).agg(
+        (
+            F.sum(is_conv).cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("p0")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("dn").over(w).cast("bigint").alias("n_t"),
+        F.sum("ds").over(w).cast("bigint").alias("s_t"),
+    ).crossJoin(F.broadcast(p0_tbl))
+    p1 = F.least(F.col("p0") * (1.0 + SPRT_MDE), F.lit(0.99))
+    llr = F.col("s_t").cast("double") * F.log(p1 / F.col("p0")) + (
+        F.col("n_t") - F.col("s_t")
+    ).cast("double") * F.log((1.0 - p1) / (1.0 - F.col("p0")))
+    import math as _math
+
+    thresh = _math.log(1.0 / SPRT_ALPHA)
+    return cum.select(
+        "day",
+        "n_t",
+        "s_t",
+        F.round("p0", 6).alias("p0"),
+        F.round(llr, 6).alias("log_e"),
+        (llr >= thresh).alias("decided"),
+    ).orderBy("day")
+
+
+def _sprt_evalue_monitor_sql() -> str:
+    import math as _math
+
+    thresh = _math.log(1.0 / SPRT_ALPHA)
+    return f"""
+WITH daily AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS dn,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS ds
+  FROM events WHERE user_id % 2 = 1
+  GROUP BY 1
+), p0t AS (
+  SELECT CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS p0
+  FROM events WHERE user_id % 2 = 0
+), cum AS (
+  SELECT day,
+         CAST(sum(dn) OVER w AS BIGINT) AS n_t,
+         CAST(sum(ds) OVER w AS BIGINT) AS s_t
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, n_t, s_t,
+       round(p0, 6) AS p0,
+       round(CAST(s_t AS DOUBLE) * ln(least(p0 * (1.0 + {SPRT_MDE!r}), 0.99) / p0)
+             + CAST(n_t - s_t AS DOUBLE)
+               * ln((1.0 - least(p0 * (1.0 + {SPRT_MDE!r}), 0.99)) / (1.0 - p0)),
+             6) AS log_e,
+       (CAST(s_t AS DOUBLE) * ln(least(p0 * (1.0 + {SPRT_MDE!r}), 0.99) / p0)
+        + CAST(n_t - s_t AS DOUBLE)
+          * ln((1.0 - least(p0 * (1.0 + {SPRT_MDE!r}), 0.99)) / (1.0 - p0)))
+         >= {thresh!r} AS decided
+FROM cum CROSS JOIN p0t
+ORDER BY day
+"""
+
+
 # --- Q: cohort_retention_triangle — weekly cohort retention matrix ----
 # The classic product-analytics triangle: users cohorted by FIRST
 # active week, retention = share of the cohort active again k weeks
@@ -1637,6 +1822,8 @@ SPECS = [
     QuerySpec("ks_two_sample", "exact-integer Kolmogorov-Smirnov D between arms: max |c1*n0 - c0*n1| over prefix-summed distinct values, one division", _ks_two_sample, _KS_TWO_SAMPLE_SQL, tags=("stats", "scale")),
     QuerySpec("quantile_treatment_effect", "QTE at p25/50/75: rank-based per-arm order statistics off the prefix-summed distinct-value table, exact DECIMAL differences", _quantile_treatment_effect, _qte_sql, tags=("stats", "scale")),
     QuerySpec("sequential_test_daily", "peeking-safe daily experiment monitor: cumulative event-level z vs an O'Brien-Fleming-shaped boundary (exact DECIMAL moments)", _sequential_test_daily, _SEQUENTIAL_TEST_DAILY_SQL, tags=("stats", "timeseries")),
+    QuerySpec("cvm_two_sample", "Cramer-von Mises T between arms: squared ECDF gap integrated against the pooled measure, off the shared prefix-summed distinct-value table", _cvm_two_sample, _CVM_TWO_SAMPLE_SQL, tags=("stats", "scale")),
+    QuerySpec("sprt_evalue_monitor", "anytime-valid daily e-process: Wald SPRT log likelihood ratio on the treatment purchase share, linear in two cumulative BIGINTs", _sprt_evalue_monitor, _sprt_evalue_monitor_sql, tags=("stats", "timeseries")),
     QuerySpec("approx_price_quantiles", "quantile sketch beside exact (rows-only; error pytest-bounded)", _approx_price_quantiles, None, tags=("agg", "approx")),
     QuerySpec("approx_price_quantiles_exact", "oracle twin: identical grouping with exact type-7 percentiles (certifies all but the sketch)", _approx_price_quantiles_exact, _APPROX_PRICE_QUANTILES_EXACT_SQL, tags=("agg", "approx")),
     QuerySpec("asof_purchase_value", "backward as-of join (custom operator; DuckDB ASOF JOIN oracle)", _asof_purchase_value, _ASOF_PURCHASE_VALUE_SQL, bench=True, tags=("join", "asof")),

@@ -105,6 +105,10 @@ QUERIES = [
     # construction — its movement is the feature-stream aggregate)
     "good_turing_mass", "daily_count_overdispersion",
     "dsir_importance_weights", "wilson_return_ranking",
+    # r10 session-3 batch 4: CvM (prefix-sum checkpoints — stage-layer
+    # exec-write is its movement signal, like ks_two_sample), SPRT
+    # e-process, Brier decomposition
+    "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
 ]
 
 

@@ -199,3 +199,141 @@ def test_wilson_small_sample_cannot_outrank_large_evidence(spark):
         inf.WILSON_MIN_N = old
     assert got.loc[1, "raw_rate"] > got.loc[2, "raw_rate"]
     assert got.loc[1, "wilson_lb"] < got.loc[2, "wilson_lb"]
+
+
+# --- Cramér-von Mises replica ----------------------------------------------
+
+def test_cvm_two_sample_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ev["cents"] = ev["value"].map(lambda v: round(v, 2) * 100).round().astype("int64")
+    per_user = ev.groupby("user_id")["cents"].sum()
+    arms = {u: u % 2 for u in per_user.index}
+    vals = sorted(set(per_user))
+    c1 = {v: 0 for v in vals}
+    c0 = {v: 0 for v in vals}
+    for u, y in per_user.items():
+        (c1 if arms[u] == 1 else c0)[y] += 1
+    n1, n0 = sum(c1.values()), sum(c0.values())
+    f1 = f0 = 0
+    t_sum = 0.0
+    for v in vals:
+        f1 += c1[v]
+        f0 += c0[v]
+        w = c1[v] + c0[v]
+        d = float(f1 * n0 - f0 * n1)
+        t_sum += float(w) * d * d
+    nn = n1 + n0
+    expect_t = round(t_sum / (float(nn) * nn * n1 * n0), 6)
+    got = queries()["cvm_two_sample"](spark, SF_SMOKE).toPandas()
+    assert len(got) == 1
+    assert int(got["n_treated"][0]) == n1
+    assert int(got["n_control"][0]) == n0
+    assert abs(got["cvm_t"][0] - expect_t) < 1e-9
+    # A/A split by id parity: the statistic must sit in the null's
+    # ballpark (E[T] ≈ 1/6 + 1/(6N)), not orders of magnitude off
+    assert 0.0 <= got["cvm_t"][0] < 2.0
+
+
+# --- SPRT e-value replica ----------------------------------------------------
+
+def test_sprt_evalue_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.events import SPRT_ALPHA, SPRT_MDE
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    ctl = ev[ev.user_id % 2 == 0]
+    p0 = float((ctl.event_type == "purchase").sum()) / len(ctl)
+    p1 = min(p0 * (1.0 + SPRT_MDE), 0.99)
+    trt = ev[ev.user_id % 2 == 1].copy()
+    trt["day"] = trt["ts"].dt.strftime("%Y-%m-%d")
+    daily = trt.groupby("day").agg(
+        dn=("event_type", "size"),
+        ds=("event_type", lambda s: int((s == "purchase").sum())),
+    )
+    expect = []
+    n_t = s_t = 0
+    for day, r in daily.sort_index().iterrows():
+        n_t += int(r.dn)
+        s_t += int(r.ds)
+        llr = s_t * math.log(p1 / p0) + (n_t - s_t) * math.log(
+            (1.0 - p1) / (1.0 - p0)
+        )
+        expect.append(
+            (day, n_t, s_t, round(llr, 6), llr >= math.log(1.0 / SPRT_ALPHA))
+        )
+    got = queries()["sprt_evalue_monitor"](spark, SF_SMOKE).toPandas()
+    assert list(got["day"]) == [e[0] for e in expect]
+    assert list(got["n_t"]) == [e[1] for e in expect]
+    assert list(got["s_t"]) == [e[2] for e in expect]
+    for row, e in zip(got.itertuples(), expect):
+        assert abs(row.log_e - e[3]) < 1e-6
+        assert bool(row.decided) == e[4]
+    # A/A by id parity must NOT decide (anytime-validity sanity)
+    assert not got["decided"].any()
+
+
+# --- Brier decomposition replica ---------------------------------------------
+
+def test_brier_decomposition_matches_python_replica(spark):
+    from databeats_spark.functions.text import LANG_MARKERS
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.documents import CALIB_BINS
+
+    import re as _re
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    po = []
+    for r in docs.itertuples():
+        toks = _re.split(r"\s+", str(r.text).strip())
+        scores = {
+            lang: sum(1 for w in toks if w in marks)
+            for lang, marks in LANG_MARKERS.items()
+        }
+        guess, best = "und", 0
+        for lang in LANG_MARKERS:  # first-wins strictly-greater argmax
+            if scores[lang] > best:
+                guess, best = lang, scores[lang]
+        total = sum(scores.values())
+        if total == 0:
+            continue
+        p = (best + 1) / (total + 2)
+        o = 1 if guess == r.lang else 0
+        b = min(int(CALIB_BINS * (best + 1) / (total + 2)), CALIB_BINS - 1)
+        po.append((b, p, o))
+    n = len(po)
+    obar = sum(o for _, _, o in po) / n
+    brier = sum((p - o) ** 2 for _, p, o in po) / n
+    rel = res = 0.0
+    for b in sorted({x[0] for x in po}):
+        members = [(p, o) for bb, p, o in po if bb == b]
+        nk = len(members)
+        pbar_k = sum(p for p, _ in members) / nk
+        obar_k = sum(o for _, o in members) / nk
+        rel += nk * (pbar_k - obar_k) ** 2
+        res += nk * (obar_k - obar) ** 2
+    rel, res = rel / n, res / n
+    unc = obar * (1.0 - obar)
+    got = queries()["brier_decomposition"](spark, SF_SMOKE).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == n
+    assert abs(row["brier"] - round(brier, 6)) < 1e-6
+    assert abs(row["reliability"] - round(rel, 6)) < 1e-6
+    assert abs(row["resolution"] - round(res, 6)) < 1e-6
+    assert abs(row["uncertainty"] - round(unc, 6)) < 1e-6
+    # Murphy's identity on the BINNED forecast: binned Brier = REL − RES + UNC
+    assert abs((rel - res + unc) - _binned_brier(po)) < 1e-12
+
+
+def _binned_brier(po):
+    """Brier of the bin-averaged forecast — Murphy's identity target."""
+    n = len(po)
+    out = 0.0
+    for b in sorted({x[0] for x in po}):
+        members = [(p, o) for bb, p, o in po if bb == b]
+        nk = len(members)
+        pbar_k = sum(p for p, _ in members) / nk
+        out += sum((pbar_k - o) ** 2 for _, o in members)
+    return out / n
