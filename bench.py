@@ -132,6 +132,7 @@ AUDIT_ROTATING_POOL = (
     "good_turing_mass", "daily_count_overdispersion",
     "dsir_importance_weights", "wilson_return_ranking",
     "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
+    "lpa_communities",
 )
 AUDIT_ROTATE_N = 8
 

@@ -91,6 +91,7 @@ _WINDOW = (
     # two queries once). PREPEND new/changed queries as they land,
     # dropping an equal number from the tail.
     # — new/changed in r10:
+    "lpa_communities",  # r10: synchronous LPA vs unrolled-CTE oracle
     "cvm_two_sample",  # r10: integrated ECDF-distance test
     "sprt_evalue_monitor",  # r10: anytime-valid SPRT e-process
     "brier_decomposition",  # r10: Murphy REL/RES/UNC split
@@ -143,7 +144,6 @@ _WINDOW = (
     "recursive_week_spine",
     "variant_props_stats",
     "pipe_syntax_returns",
-    "collated_type_counts",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -1799,8 +1799,113 @@ LIMIT {AA_TOP}
 """
 
 
+# --- Q: lpa_communities — synchronous label propagation ----------------
+# Raghavan et al. 2007's near-linear community detection, the
+# mode-of-neighbors counterpart to dedup_components' min-label
+# closure: labels init to node ids and each SYNCHRONOUS round assigns
+# every node the most frequent label among its neighbors, ties broken
+# by the SMALLEST label — all exact-integer argmax decisions, so a
+# fixed LPA_ROUNDS unroll is bit-reproducible on both engines (the
+# pagerank_docs_exact posture, without even the 1e-15 float exposure).
+# Each round derives the label table from ONE round-dependent relation
+# joined to the STATIC edge table (the CLAUDE.md linear-stats shape —
+# no compounding checkpoint trap); the edge table is checkpointed once
+# and every round is edges ⋈ labels → (node, label) count → per-node
+# first-row-of-sorted argmax.
+
+LPA_ROUNDS = 3
+
+
+def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.registry.documents import JACCARD_THRESHOLD, PAIR_DOC_LIMIT
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.union(
+            pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        )
+        # exact-integer argmax: max count, ties to the smallest label
+        best = votes.groupBy("dst").agg(
+            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+        )
+        labels = best.select(
+            F.col("dst").alias("node"), (-F.col("m.neg")).cast("bigint").alias("label")
+        )
+    w = Window.partitionBy("label")
+    return (
+        labels.withColumn(
+            "n_members", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .select(F.col("node").alias("doc_id"), "label", "n_members")
+        .orderBy("label", "doc_id")
+    )
+
+
+def _lpa_communities_sql() -> str:
+    from databeats_spark.registry.documents import _PAIRS_CTES, JACCARD_THRESHOLD
+
+    rounds = []
+    for k in range(1, LPA_ROUNDS + 1):
+        p = k - 1
+        rounds.append(
+            f"""v{k} AS MATERIALIZED (
+  SELECT e.dst AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+  FROM edges e JOIN l{p} l ON l.node = e.src
+  GROUP BY 1, 2
+), l{k} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label) AS rn
+    FROM v{k}
+  ) WHERE rn = 1
+)"""
+        )
+    last = LPA_ROUNDS
+    return f"""
+WITH {_PAIRS_CTES},
+qual AS (
+  SELECT id_a, id_b
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+), edges AS MATERIALIZED (
+  SELECT id_a AS src, id_b AS dst FROM qual
+  UNION ALL
+  SELECT id_b, id_a FROM qual
+), l0 AS MATERIALIZED (
+  SELECT src AS node, src AS label FROM (SELECT DISTINCT src FROM edges)
+),
+{", ".join(rounds)}
+SELECT l.node AS doc_id, l.label,
+       CAST(count(*) OVER (PARTITION BY l.label) AS BIGINT) AS n_members
+FROM l{last} l
+ORDER BY label, doc_id
+"""
+
+
 SPECS = [
     QuerySpec("hits_copurchase", "HITS hubs/authorities over the customer-part graph: exact-BIGINT rounds, one final L1 division", _hits_copurchase, _hits_copurchase_sql, tags=("graph", "join")),
+    QuerySpec("lpa_communities", "synchronous label-propagation communities (Raghavan et al.): fixed exact-integer rounds vs an unrolled-CTE oracle", _lpa_communities, _lpa_communities_sql, tags=("graph", "join")),
     QuerySpec("adamic_adar_links", "Adamic-Adar link prediction over the co-purchase customer projection (degree-capped pair expansion)", _adamic_adar_links, _ADAMIC_ADAR_LINKS_SQL, tags=("graph", "join")),
     QuerySpec("bigram_pmi", "PMI collocation mining over adjacent word pairs", _bigram_pmi, _BIGRAM_PMI_SQL, tags=("text", "agg")),
     QuerySpec("vocab_growth", "Heaps-law vocabulary growth via first occurrence", _vocab_growth, _VOCAB_GROWTH_SQL, tags=("text", "agg")),

@@ -109,6 +109,8 @@ QUERIES = [
     # exec-write is its movement signal, like ks_two_sample), SPRT
     # e-process, Brier decomposition
     "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
+    # fixed-round LPA: per-round exchanges are edges ⋈ labels — linear
+    "lpa_communities",
 ]
 
 

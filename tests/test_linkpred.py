@@ -94,3 +94,81 @@ def test_adamic_adar_weights_niche_over_popular(spark, tmp_path):
     scores = {(r.u1, r.u2): r.aa_score for r in got.itertuples()}
     assert scores[(1, 2)] > scores[(3, 4)]
     assert scores[(1, 2)] == round(1.0 / math.log(2.0), 6)
+
+
+# --- LPA replica -----------------------------------------------------------
+
+def _lpa_replica():
+    """Synchronous LPA over the same 3-gram Jaccard graph, LPA_ROUNDS
+    rounds, mode-of-neighbors with smallest-label ties."""
+    from databeats_spark.registry.documents import (
+        JACCARD_THRESHOLD,
+        PAIR_DOC_LIMIT,
+    )
+    from databeats_spark.registry.mining import LPA_ROUNDS
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = docs[docs.doc_id < PAIR_DOC_LIMIT]
+    shingles = {}
+    for r in docs.itertuples():
+        toks = [w for w in str(r.text).split(" ") if w != ""]
+        shingles[int(r.doc_id)] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    ids = sorted(shingles)
+    adj: dict[int, set[int]] = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingles[a], shingles[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / len(sa | sb) >= JACCARD_THRESHOLD:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for n, nbrs in adj.items():
+            counts: dict[int, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            new[n] = min(
+                counts, key=lambda lab: (-counts[lab], lab)
+            )
+        labels = new
+    out = sorted((n, lab) for n, lab in labels.items())
+    sizes: dict[int, int] = {}
+    for _, lab in out:
+        sizes[lab] = sizes.get(lab, 0) + 1
+    return [(n, lab, sizes[lab]) for n, lab in sorted(out, key=lambda x: (x[1], x[0]))]
+
+
+def test_lpa_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    got = queries()["lpa_communities"](spark, SF_SMOKE).toPandas()
+    expect = _lpa_replica()
+    assert [tuple(r) for r in got[["doc_id", "label", "n_members"]].values] == expect
+
+
+def test_lpa_separates_planted_communities(spark, tmp_path):
+    """Two dense near-dup cliques with no cross edges must land in two
+    distinct labels (and a clique's label is its smallest member id)."""
+    from databeats_spark.registry.mining import _lpa_communities
+
+    base_a = " ".join(f"alpha{i}" for i in range(30))
+    base_b = " ".join(f"beta{i}" for i in range(30))
+    rows = []
+    for k in range(3):  # clique A: docs 0-2, near-identical
+        rows.append((k, base_a + f" tail{k}", "s", 200))
+    for k in range(3):  # clique B: docs 3-5
+        rows.append((3 + k, base_b + f" tip{k}", "s", 200))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string, n_chars int"
+    ).write.parquet(f"{tmp_path}/sf/documents.parquet")
+
+    got = _lpa_communities(spark, f"{tmp_path}/sf").toPandas()
+    by_label = got.groupby("label")["doc_id"].apply(set).to_dict()
+    assert by_label == {0: {0, 1, 2}, 3: {3, 4, 5}}
+    assert set(got["n_members"]) == {3}
