@@ -109,8 +109,10 @@ AUDIT_CORE = (
 # Rotating pool: every other audited tier. A deterministic slice of
 # AUDIT_ROTATE_N per round (keyed by the committed CORRECTNESS_r*.json
 # count — advances exactly once per driver round, reproducible locally)
-# so each tier's sf0.1 wall cost lands in a bench JSON every ~3 rounds
-# without the section growing unboundedly.
+# so each tier's sf0.1 wall cost lands in a bench JSON every
+# ceil(len(pool)/N) rounds (~5 at the r10 pool size) without the
+# section growing unboundedly; test_entry_contract pins full coverage
+# over any such window.
 AUDIT_ROTATING_POOL = (
     "lexical_diversity", "canonical_best_docs", "fluency_buckets",
     "cms_heavy_hitters", "dedup_upsample_weights",
@@ -132,7 +134,7 @@ AUDIT_ROTATING_POOL = (
     "good_turing_mass", "daily_count_overdispersion",
     "dsir_importance_weights", "wilson_return_ranking",
     "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
-    "lpa_communities",
+    "lpa_communities", "source_lang_mi",
 )
 AUDIT_ROTATE_N = 8
 

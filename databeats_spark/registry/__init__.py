@@ -91,6 +91,7 @@ _WINDOW = (
     # two queries once). PREPEND new/changed queries as they land,
     # dropping an equal number from the tail.
     # — new/changed in r10:
+    "source_lang_mi",  # r10: contingency MI/chi2/Cramer's V audit
     "lpa_communities",  # r10: synchronous LPA vs unrolled-CTE oracle
     "cvm_two_sample",  # r10: integrated ECDF-distance test
     "sprt_evalue_monitor",  # r10: anytime-valid SPRT e-process
@@ -143,7 +144,6 @@ _WINDOW = (
     "per_source_quota",
     "recursive_week_spine",
     "variant_props_stats",
-    "pipe_syntax_returns",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

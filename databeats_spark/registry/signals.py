@@ -664,6 +664,104 @@ ORDER BY f.doc_id
 """
 
 
+# --- Q: source_lang_mi — provenance-language association audit ---------
+# Is language independent of source, or do sources specialize? The
+# contingency-table association readout: mutual information
+# I = Σ (c/N)·ln(c·N/(r·s)) in nats, the G-statistic 2N·I, Pearson
+# χ² = Σ (c−e)²/e with e = r·s/N, and Cramér's V = √(χ²/(N·(k−1))).
+# Complements js_source_drift (distribution distance per source) with
+# the table-level independence view. All inputs are exact BIGINT
+# margins off ONE (source, lang) hash aggregate (checkpointed once;
+# row/column margins re-attach as catalog-keyed broadcasts, N and k
+# ride keyless aggregates); the term sums span ≤ |sources|·|langs|
+# cells, far inside round-6.
+
+def _source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    cells = (
+        t.documents.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    rows = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("r"))
+    cols = cells.groupBy("lang").agg(F.sum("c").cast("bigint").alias("s"))
+    tot = cells.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count_distinct("source").cast("bigint").alias("n_src"),
+        F.count_distinct("lang").cast("bigint").alias("n_lang"),
+    )
+    aug = (
+        cells.join(F.broadcast(rows), "source")
+        .join(F.broadcast(cols), "lang")
+        .crossJoin(F.broadcast(tot))
+    )
+    cd = F.col("c").cast("double")
+    e = F.col("r").cast("double") * F.col("s").cast("double") / F.col("n")
+    mi_term = (
+        cd / F.col("n")
+        * F.log(cd * F.col("n").cast("double") / (F.col("r") * F.col("s")).cast("double"))
+    )
+    chi_term = (cd - e) * (cd - e) / e
+    out = aug.groupBy("n", "n_src", "n_lang").agg(
+        F.sum(mi_term).alias("mi"),
+        F.sum(chi_term).alias("chi2"),
+    )
+    kmin = F.least(F.col("n_src"), F.col("n_lang")).cast("double") - 1.0
+    return out.select(
+        F.col("n").alias("n_docs"),
+        "n_src",
+        "n_lang",
+        F.round("mi", 6).alias("mi_nats"),
+        F.round(2.0 * F.col("n").cast("double") * F.col("mi"), 6).alias("g_stat"),
+        F.round("chi2", 6).alias("chi2"),
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n").cast("double") * kmin)), 6
+        ).alias("cramers_v"),
+    )
+
+
+_SOURCE_LANG_MI_SQL = """
+WITH cells AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, lang
+),
+rows_m AS (SELECT source, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY source),
+cols_m AS (SELECT lang, CAST(sum(c) AS BIGINT) AS s FROM cells GROUP BY lang),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_src,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_lang
+  FROM cells
+),
+aug AS (
+  SELECT c.c, r.r, s.s, t.n, t.n_src, t.n_lang
+  FROM cells c
+  JOIN rows_m r USING (source)
+  JOIN cols_m s USING (lang)
+  CROSS JOIN tot t
+),
+agg AS (
+  SELECT n, n_src, n_lang,
+         sum(CAST(c AS DOUBLE) / n
+             * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                  / CAST(r * s AS DOUBLE))) AS mi,
+         sum((CAST(c AS DOUBLE) - CAST(r AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             * (CAST(c AS DOUBLE) - CAST(r AS DOUBLE) * CAST(s AS DOUBLE) / n)
+             / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE) / n)) AS chi2
+  FROM aug
+  GROUP BY n, n_src, n_lang
+)
+SELECT n AS n_docs, n_src, n_lang,
+       round(mi, 6) AS mi_nats,
+       round(2.0 * CAST(n AS DOUBLE) * mi, 6) AS g_stat,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                          * (CAST(least(n_src, n_lang) AS DOUBLE) - 1.0))), 6)
+         AS cramers_v
+FROM agg
+"""
+
+
 # --- Q: zipf_slope — rank-frequency power-law fit ---------------------
 # OLS slope of ln(freq) on ln(rank) over the top-1000 vocabulary —
 # the corpus-health fingerprint (natural text ≈ −1; spam/template
@@ -1759,6 +1857,13 @@ SPECS = [
         _stupid_backoff_logprob,
         _STUPID_BACKOFF_LOGPROB_SQL,
         tags=("text", "agg", "join"),
+    ),
+    QuerySpec(
+        "source_lang_mi",
+        "source-language association: mutual information, G-stat, chi-square and Cramer's V from one exact contingency table",
+        _source_lang_mi,
+        _SOURCE_LANG_MI_SQL,
+        tags=("text", "stats", "audit"),
     ),
     QuerySpec(
         "good_turing_mass",

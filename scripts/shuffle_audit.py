@@ -110,7 +110,7 @@ QUERIES = [
     # e-process, Brier decomposition
     "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
     # fixed-round LPA: per-round exchanges are edges ⋈ labels — linear
-    "lpa_communities",
+    "lpa_communities", "source_lang_mi",
 ]
 
 

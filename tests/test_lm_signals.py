@@ -269,3 +269,53 @@ def test_dsir_matches_python_replica(spark):
     # the rest (the whole point of importance resampling)
     g = got.groupby(got["lang"] == DSIR_TARGET_LANG)["log_ir"].mean()
     assert g[True] > g[False]
+
+
+# --- source-lang MI replica -----------------------------------------------
+
+def test_source_lang_mi_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    cells = docs.groupby(["source", "lang"]).size()
+    n = int(cells.sum())
+    rows = cells.groupby("source").sum()
+    cols = cells.groupby("lang").sum()
+    mi = chi2 = 0.0
+    for (src, lang), c in cells.items():
+        r, s = int(rows[src]), int(cols[lang])
+        mi += c / n * math.log(c * n / (r * s))
+        e = r * s / n
+        chi2 += (c - e) ** 2 / e
+    kmin = min(len(rows), len(cols)) - 1
+    got = queries()["source_lang_mi"](spark, SF_SMOKE).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert int(row["n_docs"]) == n
+    assert int(row["n_src"]) == len(rows)
+    assert int(row["n_lang"]) == len(cols)
+    assert abs(row["mi_nats"] - round(mi, 6)) < 1e-6
+    assert abs(row["g_stat"] - round(2.0 * n * mi, 6)) < 1e-4
+    assert abs(row["chi2"] - round(chi2, 6)) < 1e-4
+    assert abs(row["cramers_v"] - round(math.sqrt(chi2 / (n * kmin)), 6)) < 1e-6
+    assert row["mi_nats"] >= 0.0  # MI is non-negative by Gibbs
+
+
+def test_mi_zero_under_planted_independence(spark, tmp_path):
+    """A perfectly balanced source x lang table must read MI = chi2 = 0."""
+    from databeats_spark.registry.signals import _source_lang_mi
+
+    rows = []
+    did = 0
+    for src in ("a", "b"):
+        for lang in ("en", "zh"):
+            for _ in range(10):
+                rows.append((did, "t", lang, src, 5))
+                did += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/sf/documents.parquet")
+    got = _source_lang_mi(spark, f"{tmp_path}/sf").toPandas().iloc[0]
+    assert got["mi_nats"] == 0.0
+    assert got["chi2"] == 0.0
+    assert got["cramers_v"] == 0.0
