@@ -222,3 +222,42 @@ def test_entity_kcore_scores_edges_once(metrics):
     assert m["scan_rows"] == 0, m  # parquet read happens in the checkpoint job
     assert m["broadcast_bytes"] < 30_000_000, m
     assert m["shuffle_bytes"] < 4_000_000, m
+
+
+def test_adamic_adar_pair_expansion_stays_capped(metrics):
+    """The degree cap is the whole scale story: uncapped (the initial
+    64 cap that never bound) the sf0.01 expansion is ~1.8M pair rows /
+    ~10x the bytes. Capped at 24 the measured movement is 4.2 MB /
+    136k records — trip well under the uncapped regression."""
+    m = metrics("adamic_adar_links")
+    assert m["shuffle_bytes"] < 20_000_000, m
+    assert m["shuffle_records"] < 700_000, m
+    assert m["spill_bytes"] == 0, m
+
+
+def test_dsir_bucket_tables_broadcast(metrics):
+    """DSIR's promise: the raw/target distributions are <=1024-row
+    broadcasts (4 broadcast sides measured), so the corpus never
+    shuffles on the bucket key — only map-side partials move
+    (~404 KB at sf0.01). A lost broadcast joins the full feature
+    stream instead."""
+    m = metrics("dsir_importance_weights")
+    assert m["n_broadcasts"] >= 4, m
+    assert m["shuffle_bytes"] < 2_500_000, m
+
+
+def test_stupid_backoff_vocab_reattaches_stay_small(metrics):
+    """The train-side unigram/bigram tables are vocabulary-keyed
+    (Heaps-bounded): the measured sf0.01 movement is ~108 KB, with the
+    corpus-sized work all map-side. A regression that shuffles the
+    held-out pair stream against an unbroadcast vocab moves MBs."""
+    m = metrics("stupid_backoff_logprob")
+    assert m["shuffle_bytes"] < 5_000_000, m
+    assert m["spill_bytes"] == 0, m
+
+
+def test_cvm_rides_the_distinct_value_table(metrics):
+    """CvM shares the KS posture: only distinct-value partials move
+    (~17 KB measured at sf0.01), never per-user rows."""
+    m = metrics("cvm_two_sample")
+    assert m["shuffle_bytes"] < 400_000, m
