@@ -1,0 +1,100 @@
+"""Streaming twin of the SPRT e-value experiment monitor.
+
+The batch registry query (`registry/events.py::_sprt_evalue_monitor`)
+recomputes the daily cumulative log likelihood ratio from the full
+event history; the monitor's natural deployment is a STREAM — decide
+the moment the e-process crosses ln(1/α), not at the next batch run.
+
+Shape: the streaming layer maintains ONE state row per calendar day
+carrying both arms' exact BIGINT counts (treatment n/conversions,
+control n/conversions) — a complete-mode aggregation whose state is
+calendar-bounded (the SEQ_DAY_CAP posture: days, never events). The
+serving computation (plug-in p0, cumulative LLR, the ln(1/α) line) is
+the SAME closed form the batch query uses, applied to the compact
+state table — so a drained stream reproduces the batch readout
+EXACTLY (pinned in tests/test_streaming_monitor.py, including a
+two-file incremental drain).
+
+At 100 TB the raw events never re-scan: state is |days| rows. The
+memory sink here is the test harness; production would foreachBatch
+the same state rows into a day-partitioned table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def sprt_daily_state(events: DataFrame) -> DataFrame:
+    """Per-day, per-arm exact counts — the monitor's whole state.
+    Works on a streaming OR batch events frame (same expressions)."""
+    arm = (F.col("user_id") % 2).cast("bigint")
+    conv = (F.col("event_type") == "purchase").cast("bigint")
+    return events.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.when(arm == 1, 1).otherwise(0)).cast("bigint").alias("dn"),
+        F.sum(F.when(arm == 1, conv).otherwise(0)).cast("bigint").alias("ds"),
+        F.sum(F.when(arm == 0, 1).otherwise(0)).cast("bigint").alias("cn"),
+        F.sum(F.when(arm == 0, conv).otherwise(0)).cast("bigint").alias("cs"),
+    )
+
+
+def sprt_monitor_from_state(state: DataFrame) -> DataFrame:
+    """The batch query's closed form over the compact day-state table:
+    identical expression shapes to registry/events.py, so a drained
+    stream's readout is bit-equal to the batch query's."""
+    from pyspark.sql import Window
+
+    from databeats_spark.registry.events import SEQ_DAY_CAP, SPRT_ALPHA, SPRT_MDE
+
+    bounded = state.limit(SEQ_DAY_CAP)
+    p0_tbl = bounded.agg(
+        (F.sum("cs").cast("double") / F.sum("cn").cast("double")).alias("p0")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bounded.select(
+        "day",
+        F.sum("dn").over(w).cast("bigint").alias("n_t"),
+        F.sum("ds").over(w).cast("bigint").alias("s_t"),
+    ).crossJoin(F.broadcast(p0_tbl))
+    p1 = F.least(F.col("p0") * (1.0 + SPRT_MDE), F.lit(0.99))
+    llr = F.col("s_t").cast("double") * F.log(p1 / F.col("p0")) + (
+        F.col("n_t") - F.col("s_t")
+    ).cast("double") * F.log((1.0 - p1) / (1.0 - F.col("p0")))
+    thresh = math.log(1.0 / SPRT_ALPHA)
+    return cum.select(
+        "day",
+        "n_t",
+        "s_t",
+        F.round("p0", 6).alias("p0"),
+        F.round(llr, 6).alias("log_e"),
+        (llr >= thresh).alias("decided"),
+    ).orderBy("day")
+
+
+def run_sprt_monitor(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    query_name: str = "sprt_monitor_state",
+) -> DataFrame:
+    """Drain ``events_path`` with an availableNow stream, maintaining
+    the day-state aggregation in complete mode, then apply the serving
+    computation. Returns the monitor readout DataFrame."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(events_path)
+    )
+    q = (
+        sprt_daily_state(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sprt_monitor_from_state(spark.table(query_name))
