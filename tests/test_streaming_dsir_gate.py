@@ -4,8 +4,6 @@ documents sensibly (target-like text scores above off-target text)."""
 
 from __future__ import annotations
 
-import pandas as pd
-
 from tests.conftest import SF_SMOKE
 
 
