@@ -76,6 +76,68 @@ def sprt_monitor_from_state(state: DataFrame) -> DataFrame:
     ).orderBy("day")
 
 
+def sprt_state_sink(state_path: str):
+    """foreachBatch sink: write each micro-batch's per-day partial
+    counts into an EPOCH-partitioned state table. foreachBatch is
+    at-least-once — a crash between the write and the checkpoint
+    commit replays the batch — so idempotence comes from the layout,
+    not from hoping: a replayed epoch dynamically overwrites exactly
+    its own partition and the state is byte-identical afterwards
+    (pinned in tests/test_streaming_monitor.py by calling the sink
+    twice with the same epoch). The serving read folds partials per
+    day, so state is (days × epochs) tiny partial rows — an additive
+    merge against existing state (the simpler shape) would
+    double-count on replay."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        daily = sprt_daily_state(batch_df).withColumn(
+            "epoch", F.lit(int(epoch_id)).cast("bigint")
+        )
+        daily.write.mode("overwrite").partitionBy("epoch").parquet(state_path)
+
+    return write
+
+
+def sprt_monitor_from_partials(spark: SparkSession, state_path: str) -> DataFrame:
+    """Serving read over the epoch-partitioned partials: fold per day,
+    then the same closed form."""
+    state = (
+        spark.read.parquet(state_path)
+        .groupBy("day")
+        .agg(
+            F.sum("dn").cast("bigint").alias("dn"),
+            F.sum("ds").cast("bigint").alias("ds"),
+            F.sum("cn").cast("bigint").alias("cn"),
+            F.sum("cs").cast("bigint").alias("cs"),
+        )
+    )
+    return sprt_monitor_from_state(state)
+
+
+def run_sprt_monitor_durable(
+    spark: SparkSession,
+    events_path: str,
+    schema,
+    state_path: str,
+) -> DataFrame:
+    """Drain available event files into the durable epoch-partitioned
+    state (restartable: the checkpoint under ``state_path + '_ckpt'``
+    makes a re-run process only NEW files), then serve the readout."""
+    stream = (
+        spark.readStream.schema(schema).format("parquet").load(events_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sprt_state_sink(state_path))
+        .option("checkpointLocation", state_path + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sprt_monitor_from_partials(spark, state_path)
+
+
 def run_sprt_monitor(
     spark: SparkSession,
     events_path: str,

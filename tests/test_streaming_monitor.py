@@ -56,3 +56,46 @@ def test_streaming_monitor_folds_incremental_files(spark, tmp_path):
     expect = queries()["sprt_evalue_monitor"](spark, SF_SMOKE).toPandas()
     _assert_same(got, expect)
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_durable_sink_restart_processes_only_new_files(spark, tmp_path):
+    """Two-phase drain with a persistent checkpoint: phase 1 sees half
+    the history, phase 2 (a RESTART of the same stream) must fold only
+    the newly-arrived file, and the combined readout must equal the
+    batch query over the full history."""
+    from databeats_spark.registry import queries
+    from databeats_spark.streaming.monitor import run_sprt_monitor_durable
+
+    src = str(tmp_path / "events_d")
+    state = str(tmp_path / "state_d")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    schema = ev.schema
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    first = run_sprt_monitor_durable(spark, src, schema, state).toPandas()
+    # phase 1 readout covers only half the events
+    assert int(first["n_t"].iloc[-1]) < 10_000
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    got = run_sprt_monitor_durable(spark, src, schema, state).toPandas()
+    expect = queries()["sprt_evalue_monitor"](spark, SF_SMOKE).toPandas()
+    _assert_same(got, expect)
+
+
+def test_durable_sink_epoch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: calling the sink TWICE with the
+    same (batch, epoch_id) — the crash-replay case — must leave the
+    state, and therefore the readout, unchanged."""
+    from databeats_spark.streaming.monitor import (
+        sprt_monitor_from_partials,
+        sprt_state_sink,
+    )
+
+    state = str(tmp_path / "state_r")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    sink = sprt_state_sink(state)
+    sink(ev, 0)
+    once = sprt_monitor_from_partials(spark, state).toPandas()
+    sink(ev, 0)  # the replay
+    twice = sprt_monitor_from_partials(spark, state).toPandas()
+    _assert_same(twice, once)
+    # and an ADDITIVE merge would have doubled the counts:
+    assert list(twice["n_t"]) == list(once["n_t"])
