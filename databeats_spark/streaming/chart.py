@@ -4,11 +4,11 @@ the reference's weekly batch snapshot + streak rebuild (SURVEY §2.12).
 The reference recomputes everything from history each run
 (dag.py:408-532). The scalable form splits the work:
 
-1. **incremental layer** (streaming): each micro-batch's events fold
-   into a per-(week, user) aggregate STATE TABLE via foreachBatch —
-   idempotent partition-overwrite merge keyed by week, so replays and
-   late files can only refresh a week, never double-count it into the
-   streak;
+1. **incremental layer** (streaming): each micro-batch's per-(week,
+   user) PARTIAL aggregates land in the batch's own (wk, epoch) state
+   partitions via foreachBatch — idempotent by layout (a crash-replayed
+   epoch overwrites exactly its own partitions), so neither replays nor
+   late files can double-count into the streak;
 2. **serving layer** (batch): chart membership + streak (the exact
    week_on_chart/streak operators) over the compact state table —
    (weeks × users) rows, not raw events.
@@ -28,23 +28,22 @@ from databeats_spark.operators.windows import streak_ending_at_latest, top_k_per
 
 
 def weekly_state_sink(state_path: str):
-    """foreachBatch merge: aggregate the micro-batch per (week, user)
-    and overwrite exactly the touched week partitions (dynamic
-    partition overwrite = the idempotent upsert for append-only event
-    feeds re-aggregated from scratch per week)."""
+    """foreachBatch sink: write the micro-batch's per-(week, user)
+    PARTIAL aggregates into the batch's own (wk, epoch) partitions.
 
-    def pin_schema(df: DataFrame) -> DataFrame:
-        # re-aggregation widens decimal precision each pass (28,2 →
-        # 38,2) — pin the state schema so every epoch writes the same
-        # parquet types
-        return df.select(
-            "wk",
-            "user_id",
-            F.col("wv_part").cast("decimal(28,2)").alias("wv_part"),
-            F.col("n_events").cast("long").alias("n_events"),
-        )
+    foreachBatch is at-least-once — a crash between the state write
+    and the checkpoint commit replays the epoch — so idempotence must
+    come from the LAYOUT: a replayed epoch dynamically overwrites
+    exactly its own partitions and the state is byte-identical after
+    (pinned in test_streaming_chart.py by calling the sink twice with
+    one epoch). The previous additive merge (fold the batch into
+    existing week totals) double-counted precisely in that crash
+    window — r10 session-3 fix, same shape as streaming/monitor.py.
+    Late data for an old week simply lands as a new (old wk, new
+    epoch) partial; the serving read folds partials per (week, user),
+    so state stays (weeks × users × touched-epochs) compact rows."""
 
-    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         weekly = batch_df.groupBy(
@@ -53,22 +52,16 @@ def weekly_state_sink(state_path: str):
             F.sum(F.col("value").cast("decimal(18,2)")).alias("wv_part"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        # additive merge with existing state for the touched weeks only
-        # (late data for an old week folds in; other weeks untouched)
-        try:
-            existing = spark.read.parquet(state_path)
-            touched = weekly.select("wk").distinct()
-            keep = existing.join(F.broadcast(touched), "wk", "left_semi")
-            merged = (
-                keep.unionByName(pin_schema(weekly))
-                .groupBy("wk", "user_id")
-                .agg(F.sum("wv_part").alias("wv_part"), F.sum("n_events").alias("n_events"))
-            )
-        except Exception:
-            merged = weekly
-        pin_schema(merged).write.mode("overwrite").partitionBy("wk").parquet(state_path)
+        # pin parquet types so every epoch writes the same schema
+        weekly.select(
+            "wk",
+            "user_id",
+            F.col("wv_part").cast("decimal(28,2)").alias("wv_part"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.lit(int(epoch_id)).cast("long").alias("epoch"),
+        ).write.mode("overwrite").partitionBy("wk", "epoch").parquet(state_path)
 
-    return merge
+    return write
 
 
 def run_incremental_chart(
@@ -93,8 +86,11 @@ def chart_streaks_from_state(
     """Serving query: top-k chart per week + streak ending at the
     newest week — identical semantics to the batch weekly_chart_streak
     registry query, computed from the compact state table."""
-    weekly = spark.read.parquet(state_path).select(
-        "wk", "user_id", F.col("wv_part").cast("double").alias("wv")
+    weekly = (
+        spark.read.parquet(state_path)
+        .groupBy("wk", "user_id")
+        .agg(F.sum("wv_part").alias("wv_sum"))
+        .select("wk", "user_id", F.col("wv_sum").cast("double").alias("wv"))
     )
     chart = top_k_per_group(weekly, ["wk"], [F.col("wv").desc(), F.col("user_id")], k)
     return (

@@ -61,3 +61,21 @@ def test_incremental_is_exactly_once_on_redrain(spark, staged_events, tmp_path):
     run_incremental_chart(spark, stream_events(spark, incoming), state)
     again = chart_streaks_from_state(spark, state).toPandas()
     assert first.equals(again)
+
+
+def test_sink_epoch_replay_is_idempotent(spark, staged_events, tmp_path):
+    """foreachBatch is at-least-once: delivering the SAME (batch,
+    epoch) twice — the crash-between-write-and-commit case — must
+    leave the state and the streak readout unchanged. The pre-r10
+    additive merge double-counted exactly here."""
+    from databeats_spark.streaming.chart import weekly_state_sink
+
+    incoming, _ = staged_events
+    state = str(tmp_path / "weekly_state3")
+    batch = spark.read.parquet(incoming)
+    sink = weekly_state_sink(state)
+    sink(batch, 0)
+    once = chart_streaks_from_state(spark, state).toPandas()
+    sink(batch, 0)  # the replay
+    again = chart_streaks_from_state(spark, state).toPandas()
+    assert once.equals(again)
