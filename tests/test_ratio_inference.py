@@ -173,7 +173,7 @@ def test_wilson_ranking_matches_python_replica(spark):
         assert row.wilson_lb < row.raw_rate
 
 
-def test_wilson_small_sample_cannot_outrank_large_evidence(spark):
+def test_wilson_small_sample_cannot_outrank_large_evidence(spark, tmp_path):
     """3/3 returns must NOT outrank 28/40: the raw rate says 1.0 > 0.7,
     the Wilson lower bound says otherwise (the E. Miller point).
     WILSON_MIN_N is monkeypatched down so the planted 3-trial part
@@ -187,7 +187,7 @@ def test_wilson_small_sample_cannot_outrank_large_evidence(spark):
             ok += 1
             rows.append((ok, pk, "R" if i < r else "N"))
     df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey", "l_returnflag"])
-    sf = "/tmp/wilson_sf"
+    sf = str(tmp_path / "wilson_sf")
     spark.createDataFrame(df).write.mode("overwrite").parquet(
         f"{sf}/lineitem.parquet"
     )
