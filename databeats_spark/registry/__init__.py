@@ -81,69 +81,66 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r10 rotation (rotation_report recommendation under the r10
-    # policy, VERDICT r9 item 1): this is a RE-CERTIFICATION round —
-    # the never-verified backlog is zero and all 14 bench headliners
-    # are r9-green, so the window burns down verification staleness:
-    # new/changed r10 queries first (they carry fresh regression risk),
-    # then the stalest greens oldest-first (all last driver-green in
-    # r2/r3 — the Spark-runtime era whose TIMESTAMP_NTZ change broke
-    # two queries once). PREPEND new/changed queries as they land,
-    # dropping an equal number from the tail.
-    # — new/changed in r10:
-    "source_lang_mi",  # r10: contingency MI/chi2/Cramer's V audit
-    "lpa_communities",  # r10: synchronous LPA vs unrolled-CTE oracle
-    "cvm_two_sample",  # r10: integrated ECDF-distance test
-    "sprt_evalue_monitor",  # r10: anytime-valid SPRT e-process
-    "brier_decomposition",  # r10: Murphy REL/RES/UNC split
-    "lang_id_calibration",  # r10: re-cert after the _lang_scored refactor
-    "dsir_importance_weights",  # r10: DSIR target-domain resampling scores
-    "good_turing_mass",  # r10: unseen-vocabulary mass per source
-    "daily_count_overdispersion",  # r10: NB dispersion of daily loads
-    "wilson_return_ranking",  # r10: Wilson-LB uncertainty-aware ranking
-    "adamic_adar_links",  # r10: degree-capped co-purchase link prediction
-    "jackknife_ratio_ci",  # r10: delete-one-day + delta ratio-metric CI
-    "eb_shrunk_source_rates",  # r10: Efron-Morris/DL shrinkage audit
-    "stupid_backoff_logprob",  # r10: held-out bigram LM (Stupid Backoff)
-    "term_burstiness",  # r10: Church-Gale dispersion signal
-    "source_kmv_sketch",  # r10: sketch-only bench posture (VERDICT item 2)
-    "blockmean_near_dups_exact",  # r10: two-scale oracle twin (VERDICT item 4)
-    "markov_removal_attribution",  # r10: nullif zero-guards (ADVICE r9)
-    # — stalest green rows, oldest-first (rotation_report order; the 17
-    #   CLAUDE.md r10 re-entries lead because they were displaced
-    #   longest ago):
-    "large_volume_orders",
-    "order_nav",
-    "unpivot_part_metrics",
-    "spend_percentiles",
-    "embedding_stats",
-    "lsh_cosine_topk",
-    "ivf_cosine_topk",
-    "simhash_near_dups",
-    "canonical_docs",
-    "repetition_stats",
-    "pii_scrub",
-    "benchmark_decontam",
-    "shared_shingle_stats",
-    "token_budget_pack",
-    "mix_rebalance",
-    "min_cost_supplier",
-    "important_parts",
-    "order_count_histogram",
-    "top_supplier_revenue",
-    "small_qty_revenue",
-    "idle_high_balance",
-    "part_name_features",
-    "math_scalar_features",
-    "calendar_features",
-    "value_histogram",
-    "sliding_event_stats",
-    "semdedup_near_dups",
-    "rare_trigram_stats",
-    "length_band_outliers",
-    "per_source_quota",
-    "recursive_week_spine",
-    "variant_props_stats",
+    # r11 rotation (rotation_report recommendation, VERDICT r10 item 1):
+    # pure re-certification of the r3/r4-era staleness tail — the
+    # never-verified backlog is zero and every r10 addition went green
+    # on its first driver run, so this window is exactly the report's
+    # recommended front-50: bench headliners stale by >=1 round first,
+    # then the oldest greens (last driver-green r3/r4). PREPEND
+    # new/changed r11 queries as they land, dropping from the tail.
+    # — new/changed in r11 (ADVICE r10 guard added):
+    "jackknife_ratio_ci",  # r11: d>1 single-day guard (ADVICE r10)
+    "contamination_scorecard",  # r11: per-source leak-type rollup (VERDICT item 8)
+    # — bench headliners, one round stale (forced re-cert slots):
+    "top_terms",
+    "rolling_7d_spend",
+    "cosine_topk",
+    "minhash_near_dups",
+    "pricing_summary",
+    "filter_project",
+    "top_customers",
+    "revenue_by_nation",
+    "weekly_chart_streak",
+    "sessionization",
+    "asof_purchase_value",
+    "dedup_exact_docs",
+    "text_stats",
+    "near_dup_pairs",
+    # — stalest greens, oldest-first (r3/r4 tail; rotation_report order):
+    "pipe_syntax_returns",
+    "collated_type_counts",
+    "shipping_priority",
+    "local_supplier_volume",
+    "forecast_revenue",
+    "cross_nation_volume",
+    "product_profit",
+    "returned_item_losses",
+    "lateness_priority_mix",
+    "part_supplier_kinds",
+    "bracket_revenue",
+    "dominant_suppliers",
+    "bigram_pmi",
+    "vocab_growth",
+    "containment_pairs",
+    "gopher_quality_flags",
+    "event_transitions",
+    "retention_cohorts",
+    "click_attribution",
+    "grouping_sets_mix",
+    "weighted_sample",
+    "trimmed_price_stats",
+    "incremental_corpus_dups",
+    "interpolated_daily_spend",
+    "top_prices_with_ties",
+    "embedding_quantization",
+    "try_cast_group_all",
+    "yoy_revenue_growth",
+    "dq_violations",
+    "price_mad",
+    "qty_width_buckets",
+    "sequence_packing",
+    "length_drift_psi",
+    "value_outliers",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

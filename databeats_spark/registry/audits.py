@@ -1241,7 +1241,251 @@ ORDER BY seg
 """
 
 
+# --- Q: contamination_scorecard — per-source leak-type rollup (r11) ------
+# The audit-tier capstone a training org actually consumes: ONE
+# per-source scorecard folding the three contamination signals that
+# already exist as per-doc queries —
+#   ngram_contam : benchmark_decontam's flag (4-gram overlap with the
+#                  doc_id%10 eval split at frac >= 0.05), counted over
+#                  the TRAIN side;
+#   split_leak   : split_leakage_pairs' docs (either side of a 3-gram
+#                  near-dup pair crossing the md5 train/val split,
+#                  bounded verifier slice doc_id < PAIR_DOC_LIMIT),
+#                  counted over the slice;
+#   boilerplate  : shared_shingle_stats docs whose shared 5-gram
+#                  fraction >= 0.5 (2*n_shared >= n_shingles — integer
+#                  compare, no float threshold), counted over all docs.
+# Each sub-signal keeps ITS constituent query's exact constants and
+# shingle definitions so the three stay mutually certifiable. Spark
+# plan: three independent per-source aggregates (each ends <=|sources|
+# rows — catalog-keyed, broadcast-joinable under the r9 hint policy)
+# left-joined onto one per-source base count; the heavy lifting
+# (shingle explode -> DF agg / broadcast eval-set semijoin / bounded
+# pair verify) is the SAME shapes the constituents audit in
+# SHUFFLE.md. Rates are ONE integer division each, round-6 both sides.
+
+def _contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import word_shingles
+    from databeats_spark.registry.documents import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_N,
+        SHARED_SHINGLE_N,
+    )
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark).select("doc_id", "source", "text")
+
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("doc_id") % DECONTAM_EVAL_MOD != 0).cast("bigint"))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum((F.col("doc_id") < PAIR_DOC_LIMIT).cast("bigint"))
+        .cast("bigint")
+        .alias("n_slice"),
+    )
+
+    # 1) benchmark_decontam's rule, rolled per source over train docs
+    sh4 = docs.select(
+        "doc_id", "source", word_shingles("text", n=DECONTAM_N).alias("sh")
+    )
+    is_eval = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    eval_sh = sh4.filter(is_eval).select(F.explode("sh").alias("shingle")).distinct()
+    contam = (
+        sh4.filter(~is_eval)
+        .select(
+            "doc_id",
+            "source",
+            F.size("sh").alias("n_shingles"),
+            F.explode("sh").alias("shingle"),
+        )
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id", "source", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .filter(F.col("n_overlap") * 20 >= F.col("n_shingles"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ngram_contam_docs"))
+    )
+
+    # 2) split_leakage_pairs' docs, rolled per source over the slice
+    slice_docs = docs.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(
+        slice_docs, "doc_id", "text", n=3, threshold=JACCARD_THRESHOLD
+    )
+    leak = (
+        pairs.filter(_split_of(F.col("id_a")) != _split_of(F.col("id_b")))
+        .select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
+        .distinct()
+        .join(slice_docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("split_leak_docs"))
+    )
+
+    # 3) shared_shingle_stats' boilerplate flag, rolled per source
+    ex5 = docs.select(
+        "doc_id",
+        "source",
+        word_shingles("text", n=SHARED_SHINGLE_N).alias("sh"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("sh").alias("n_shingles"),
+        F.explode("sh").alias("shingle"),
+    )
+    df_tbl = ex5.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    boiler = (
+        ex5.join(df_tbl, "shingle")
+        .groupBy("doc_id", "source", "n_shingles")
+        .agg(
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared")
+        )
+        .filter(F.col("n_shared") * 2 >= F.col("n_shingles"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("boilerplate_docs"))
+    )
+
+    zero = F.lit(0).cast("bigint")
+    return (
+        base.join(F.broadcast(contam), "source", "left")
+        .join(F.broadcast(leak), "source", "left")
+        .join(F.broadcast(boiler), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_train",
+            "n_slice",
+            F.coalesce("ngram_contam_docs", zero).alias("ngram_contam_docs"),
+            F.round(
+                F.coalesce("ngram_contam_docs", zero)
+                / F.greatest("n_train", F.lit(1)),
+                6,
+            ).alias("ngram_contam_rate"),
+            F.coalesce("split_leak_docs", zero).alias("split_leak_docs"),
+            F.round(
+                F.coalesce("split_leak_docs", zero)
+                / F.greatest("n_slice", F.lit(1)),
+                6,
+            ).alias("split_leak_rate"),
+            F.coalesce("boilerplate_docs", zero).alias("boilerplate_docs"),
+            F.round(
+                F.coalesce("boilerplate_docs", zero)
+                / F.greatest("n_docs", F.lit(1)),
+                6,
+            ).alias("boilerplate_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _contamination_scorecard_sql() -> str:
+    from databeats_spark.registry.documents import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_N,
+        PAIR_DOC_LIMIT,
+        SHARED_SHINGLE_N,
+        _PAIRS_CTES,
+    )
+
+    return f"""
+WITH {_PAIRS_CTES},
+base AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN doc_id % {DECONTAM_EVAL_MOD} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         CAST(sum(CASE WHEN doc_id < {PAIR_DOC_LIMIT} THEN 1 ELSE 0 END) AS BIGINT) AS n_slice
+  FROM documents GROUP BY source
+),
+tokall AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+),
+s4 AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {DECONTAM_N - 1}, 0) + 1),
+                        i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' '))) AS sh
+  FROM tokall
+),
+eval_sh AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM s4 WHERE doc_id % {DECONTAM_EVAL_MOD} = 0
+),
+corpus4 AS (
+  SELECT doc_id, source, len(sh) AS n_shingles, unnest(sh) AS shingle
+  FROM s4 WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+),
+contam_docs AS (
+  SELECT c.doc_id, c.source, c.n_shingles, count(*) AS n_overlap
+  FROM corpus4 c JOIN eval_sh e USING (shingle)
+  GROUP BY 1, 2, 3
+  HAVING count(*) * 20 >= c.n_shingles
+),
+contam AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS ngram_contam_docs
+  FROM contam_docs GROUP BY source
+),
+qual AS (
+  SELECT id_a, id_b FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n + sb.n - common) >= {JACCARD_THRESHOLD}
+    AND (CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 4) < '{SPLIT_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'val' END)
+     <> (CASE WHEN substr(md5(CAST(id_b AS VARCHAR)), 1, 4) < '{SPLIT_HEX_THRESHOLD}'
+              THEN 'train' ELSE 'val' END)
+),
+leak_ids AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT id_a AS doc_id FROM qual UNION ALL SELECT id_b AS doc_id FROM qual)
+),
+leak AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS split_leak_docs
+  FROM leak_ids l JOIN documents d USING (doc_id)
+  GROUP BY d.source
+),
+s5 AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {SHARED_SHINGLE_N - 1}, 0) + 1),
+                        i -> array_to_string(toks[i:i+{SHARED_SHINGLE_N - 1}], ' '))) AS sh
+  FROM tokall
+),
+ex5 AS (
+  SELECT doc_id, source, len(sh) AS n_shingles, unnest(sh) AS shingle FROM s5
+),
+df5 AS (
+  SELECT shingle, count(*) AS df FROM ex5 GROUP BY 1
+),
+per_doc5 AS (
+  SELECT e.doc_id, e.source, e.n_shingles,
+         sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_shared
+  FROM ex5 e JOIN df5 f USING (shingle)
+  GROUP BY 1, 2, 3
+),
+boiler AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS boilerplate_docs
+  FROM per_doc5 WHERE n_shared * 2 >= n_shingles GROUP BY source
+)
+SELECT b.source, b.n_docs, b.n_train, b.n_slice,
+       CAST(COALESCE(c.ngram_contam_docs, 0) AS BIGINT) AS ngram_contam_docs,
+       round(COALESCE(c.ngram_contam_docs, 0) * 1.0 / greatest(b.n_train, 1), 6) AS ngram_contam_rate,
+       CAST(COALESCE(l.split_leak_docs, 0) AS BIGINT) AS split_leak_docs,
+       round(COALESCE(l.split_leak_docs, 0) * 1.0 / greatest(b.n_slice, 1), 6) AS split_leak_rate,
+       CAST(COALESCE(p.boilerplate_docs, 0) AS BIGINT) AS boilerplate_docs,
+       round(COALESCE(p.boilerplate_docs, 0) * 1.0 / greatest(b.n_docs, 1), 6) AS boilerplate_rate
+FROM base b
+LEFT JOIN contam c USING (source)
+LEFT JOIN leak l USING (source)
+LEFT JOIN boiler p USING (source)
+ORDER BY b.source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "contamination_scorecard",
+        "per-source contamination scorecard: ngram-eval overlap, cross-split near-dup leak, and boilerplate rates in one rollup",
+        _contamination_scorecard,
+        _contamination_scorecard_sql,
+        tags=("dedup", "agg", "audit"),
+    ),
     QuerySpec(
         "benford_first_digit",
         "Benford's-law first-digit audit of order totals: exact digit counts, per-digit expectation and excess",

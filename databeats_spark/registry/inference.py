@@ -476,11 +476,18 @@ def _jackknife_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
+    # d > 1 guard (ADVICE r10): a single-day priority makes theta_i
+    # divide by (sn - n) = 0 and the se terms by (d - 1) = 0 — Spark
+    # (non-ANSI) yields NULL where DuckDB yields IEEE inf, the exact
+    # divergence class the eb_shrunk_source_rates CASE guards exist
+    # for. d >= 2 also bounds every (sn - n) >= 1, so one filter
+    # covers both divisions. Data-dependent at every test SF (orders
+    # span many days), but guarded on BOTH engines regardless.
     totals = cells.groupBy("o_orderpriority").agg(
         F.sum("x").alias("sx"),
         F.sum("n").cast("bigint").alias("sn"),
         F.count(F.lit(1)).cast("bigint").alias("d"),
-    )
+    ).filter(F.col("d") > 1)
     theta = F.col("sx").cast("double") / F.col("sn").cast("double")
     pseudo = cells.join(F.broadcast(totals), "o_orderpriority").select(
         "o_orderpriority",
@@ -542,6 +549,7 @@ totals AS (
          CAST(sum(n) AS BIGINT) AS sn,
          CAST(count(*) AS BIGINT) AS d
   FROM cells GROUP BY o_orderpriority
+  HAVING count(*) > 1
 ),
 pseudo AS (
   SELECT c.o_orderpriority, t.sx, t.sn, t.d,

@@ -51,10 +51,18 @@ def sprt_monitor_from_state(state: DataFrame) -> DataFrame:
 
     from databeats_spark.registry.events import SEQ_DAY_CAP, SPRT_ALPHA, SPRT_MDE
 
-    bounded = state.limit(SEQ_DAY_CAP)
-    p0_tbl = bounded.agg(
+    # Mirror the batch query's row set EXACTLY (ADVICE r10): the batch
+    # daily aggregate filters arm==1 BEFORE the day groupBy, so a
+    # calendar day with only control-arm events produces no readout
+    # row there — here that day still has a (dn=0) state row, kept for
+    # the p0 aggregate but excluded from the readout. Likewise the
+    # batch p0 is an UNCAPPED keyless aggregate over all control
+    # events and its SEQ_DAY_CAP bounds treatment days only — so p0
+    # folds the whole state and the cap applies after the dn>0 filter.
+    p0_tbl = state.agg(
         (F.sum("cs").cast("double") / F.sum("cn").cast("double")).alias("p0")
     )
+    bounded = state.filter(F.col("dn") > 0).limit(SEQ_DAY_CAP)
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     cum = bounded.select(
         "day",

@@ -97,8 +97,9 @@ QUERIES = [
     # EB source-rate shrinkage
     "stupid_backoff_logprob", "term_burstiness",
     "jackknife_ratio_ci", "eb_shrunk_source_rates",
-    # degree-capped pair expansion: bytes ∝ Σ min(deg, 64)·deg — bounded
-    # by the cap, the movement signal for the link-prediction tier
+    # degree-capped pair expansion: bytes ∝ Σ min(deg, AA_MAX_DEG=24)·deg
+    # — bounded by the cap, the movement signal for the link-prediction
+    # tier (the initial 64 never bound on testdata; see CLAUDE.md)
     "adamic_adar_links",
     # r10 session-3 batch 3: coverage/dispersion/uncertainty readouts +
     # the DSIR resampling scorer (bucket tables are ≤1024 rows by

@@ -1578,3 +1578,95 @@ def test_boilerplate_prefix_audit_matches_python_replica(spark):
     assert len(got) == sum(
         min(BOILERPLATE_TOP, len(c)) for c in by_src.values()
     )
+
+
+def test_contamination_scorecard_matches_its_constituent_queries(spark):
+    """The r11 rollup must agree EXACTLY with the three per-doc queries
+    it folds: benchmark_decontam's contaminated flags, split_leakage_
+    pairs' cross-split docs, and shared_shingle_stats' >=50%-shared
+    docs — each re-attributed to its source and counted."""
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.documents import (
+        DECONTAM_EVAL_MOD,
+        PAIR_DOC_LIMIT,
+    )
+
+    card = (
+        queries()["contamination_scorecard"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("source")
+    )
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "source"]]
+    src_of = dict(zip(docs.doc_id, docs.source))
+
+    # base denominators
+    n_docs = docs.groupby("source").size()
+    n_train = docs[docs.doc_id % DECONTAM_EVAL_MOD != 0].groupby("source").size()
+    n_slice = docs[docs.doc_id < PAIR_DOC_LIMIT].groupby("source").size()
+
+    decon = queries()["benchmark_decontam"](spark, SF_SMOKE).toPandas()
+    contam_ids = set(decon[decon.contaminated].doc_id)
+
+    leak = queries()["split_leakage_pairs"](spark, SF_SMOKE).toPandas()
+    leak_ids = set(leak.id_a) | set(leak.id_b)
+
+    shared = queries()["shared_shingle_stats"](spark, SF_SMOKE).toPandas()
+    boiler_ids = set(shared[shared.n_shared * 2 >= shared.n_shingles].doc_id)
+
+    for src in card.index:
+        row = card.loc[src]
+        assert row.n_docs == n_docs.get(src, 0)
+        assert row.n_train == n_train.get(src, 0)
+        assert row.n_slice == n_slice.get(src, 0)
+        want_contam = sum(1 for i in contam_ids if src_of[i] == src)
+        want_leak = sum(1 for i in leak_ids if src_of[i] == src)
+        want_boiler = sum(1 for i in boiler_ids if src_of[i] == src)
+        assert row.ngram_contam_docs == want_contam
+        assert row.split_leak_docs == want_leak
+        assert row.boilerplate_docs == want_boiler
+        assert abs(row.ngram_contam_rate - round(want_contam / max(row.n_train, 1), 6)) < 1e-9
+        assert abs(row.split_leak_rate - round(want_leak / max(row.n_slice, 1), 6)) < 1e-9
+        assert abs(row.boilerplate_rate - round(want_boiler / max(row.n_docs, 1), 6)) < 1e-9
+    assert set(card.index) == set(n_docs.index)
+
+
+def test_jackknife_single_day_priority_is_guarded_not_null(spark, tmp_path):
+    """ADVICE r10: a priority whose orders all land on ONE day used to
+    divide by (sn-n)=0 and (d-1)=0 — Spark NULL vs DuckDB inf. The d>1
+    guard must drop that priority on BOTH engines, keeping the rest."""
+    import duckdb
+    import pandas as pd
+
+    from databeats_spark.registry import queries, registry
+
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": range(8),
+            "o_orderpriority": ["1-SINGLE"] * 3 + ["2-MULTI"] * 5,
+            "o_orderdate": ["1995-01-01"] * 3
+            + ["1995-01-01", "1995-01-01", "1995-01-02", "1995-01-03", "1995-01-03"],
+            "o_totalprice": [10.0, 20.0, 30.0, 5.0, 15.0, 25.0, 35.0, 45.0],
+        }
+    )
+    # match testdata's timestamp[us] physical type — a ns-precision
+    # column reads back through Spark 4.1 as nanos (the events lesson)
+    orders["o_orderdate"] = pd.to_datetime(orders.o_orderdate).astype("datetime64[us]")
+    (tmp_path / "x").mkdir()
+    orders.to_parquet(str(tmp_path / "x" / "orders.parquet"))
+
+    got = queries()["jackknife_ratio_ci"](spark, str(tmp_path / "x")).toPandas()
+    assert list(got.o_orderpriority) == ["2-MULTI"]
+    assert got.notna().all().all()
+
+    spec = {s.name: s for s in registry()}["jackknife_ratio_ci"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{tmp_path}/x/orders.parquet')"
+    )
+    oracle = con.execute(spec.oracle).df()
+    assert list(oracle.o_orderpriority) == ["2-MULTI"]
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
+    )
