@@ -75,8 +75,47 @@ _COMPACT_KEYS = (
     "mining_queries_total_runtime", "mining_cpu_seconds_total",
     "audit_core_total_runtime", "audit_core_cpu_seconds_total",
     "audit_rotating_total_runtime", "audit_rotating_cpu_seconds_total",
-    "audit_queries_total_runtime", "audit_cpu_seconds_total", "sf",
+    "audit_queries_total_runtime", "audit_cpu_seconds_total",
+    # environment-pollution scalars (VERDICT r10 item 2): the r10
+    # driver bench shipped a 138 s mining section that was pure VM
+    # contention on byte-identical plans, and nothing IN the artifact
+    # said so. These two scalars make a poisoned run legible from the
+    # compact line alone; the per-section detail lives in the rich
+    # line's "env" map.
+    "env_steal_pct", "env_load1_max", "sf",
 )
+
+
+def _env_probe() -> dict:
+    """Sample /proc/stat cpu ticks + 1-min loadavg. Steal ticks count
+    time the hypervisor ran OTHER tenants while this VM was runnable —
+    the direct external-contention counter; loadavg catches same-VM
+    background processes. Zeros on non-Linux (the fields then read as
+    'no pollution observed', which is the honest null)."""
+    probe = {"steal": 0, "total": 0, "load1": 0.0}
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        probe["steal"] = vals[7] if len(vals) > 7 else 0
+        probe["total"] = sum(vals)
+        probe["load1"] = os.getloadavg()[0]
+    except (OSError, ValueError, IndexError):
+        pass
+    return probe
+
+
+def _env_delta(a: dict, b: dict) -> dict:
+    """Steal share of all cpu ticks between two probes, plus the
+    loadavg at each edge (load1 is a ~1-min EMA, so start/end bracket
+    the section rather than integrate it)."""
+    dt = b["total"] - a["total"]
+    return {
+        "steal_pct": round(100.0 * (b["steal"] - a["steal"]) / dt, 2)
+        if dt > 0
+        else 0.0,
+        "load1_start": round(a["load1"], 2),
+        "load1_end": round(b["load1"], 2),
+    }
 
 
 def compact_summary(rich: dict) -> dict:
@@ -201,6 +240,8 @@ def main() -> None:
     # the wall fields stay frozen for methodology comparability.
     from databeats_spark.plans.instrument import stage_delta, stage_snapshot
 
+    env_marks = [("start", _env_probe())]
+
     timings: dict[str, float] = {}
     cpu: dict[str, float] = {}
     for name, build in qs.items():
@@ -214,6 +255,7 @@ def main() -> None:
             best_cpu = min(best_cpu, stage_delta(spark, snap)["cpu_seconds"])
         timings[name] = round(best, 4)
         cpu[name] = round(best_cpu, 4)
+    env_marks.append(("headline", _env_probe()))
 
     # additive section (round 4+): the corpus-mining / curation
     # heavyweights. Single timed run each — several are iterative
@@ -243,6 +285,7 @@ def main() -> None:
         reg[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         mining[name] = round(time.perf_counter() - t0, 4)
         mining_cpu[name] = stage_delta(spark, snap)["cpu_seconds"]
+    env_marks.append(("mining", _env_probe()))
 
     # per-round wall seconds of pagerank's power iteration (populated
     # during the pagerank_docs build above): the steal-vs-plan
@@ -275,6 +318,7 @@ def main() -> None:
         reg[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         audit_core[name] = round(time.perf_counter() - t0, 4)
         audit_core_cpu[name] = stage_delta(spark, snap)["cpu_seconds"]
+    env_marks.append(("audit_core", _env_probe()))
 
     audit_rot: dict[str, float] = {}
     audit_rot_cpu: dict[str, float] = {}
@@ -284,6 +328,15 @@ def main() -> None:
         reg[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         audit_rot[name] = round(time.perf_counter() - t0, 4)
         audit_rot_cpu[name] = stage_delta(spark, snap)["cpu_seconds"]
+    env_marks.append(("audit_rotating", _env_probe()))
+
+    # per-section + overall contention readout (VERDICT r10 item 2)
+    env = {
+        name: _env_delta(prev[1], cur[1])
+        for (prev, cur) in zip(env_marks, env_marks[1:])
+        for name in (cur[0],)
+    }
+    env["overall"] = _env_delta(env_marks[0][1], env_marks[-1][1])
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -319,6 +372,14 @@ def main() -> None:
         "audit_cpu_seconds_total": round(
             sum(audit_core_cpu.values()) + sum(audit_rot_cpu.values()), 4
         ),
+        # environment self-description (VERDICT r10 item 2): per-section
+        # steal share + loadavg brackets, plus the two compact scalars.
+        # Reading a bench artifact: high env_steal_pct or load1 >> the
+        # bench's own parallelism with FLAT cpu_seconds means the wall
+        # numbers are contention-polluted, not a plan regression.
+        "env": env,
+        "env_steal_pct": env["overall"]["steal_pct"],
+        "env_load1_max": round(max(m[1]["load1"] for m in env_marks), 2),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # rich line first: head-truncated in the driver's stdout tail but

@@ -93,6 +93,12 @@ def test_bench_compact_line_fits_driver_stdout_tail():
         "audit_queries_total_runtime": worst_float,
         "audit_queries": {f"audit_query_{i}": worst_float for i in range(80)},
         "audit_cpu_seconds_total": worst_float,
+        "env": {
+            s: {"steal_pct": 100.0, "load1_start": 99.99, "load1_end": 99.99}
+            for s in ("headline", "mining", "audit_core", "audit_rotating", "overall")
+        },
+        "env_steal_pct": 100.0,
+        "env_load1_max": 99.99,
         "sf": 0.1,
     }
     compact = bench.compact_summary(rich)
