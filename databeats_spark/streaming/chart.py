@@ -41,7 +41,10 @@ def weekly_state_sink(state_path: str):
     window — r10 session-3 fix, same shape as streaming/monitor.py.
     Late data for an old week simply lands as a new (old wk, new
     epoch) partial; the serving read folds partials per (week, user),
-    so state stays (weeks × users × touched-epochs) compact rows."""
+    so state stays (weeks × users × touched-epochs) compact rows.
+    On a long-lived stream the touched-epochs factor grows — bound it
+    with streaming/compaction.py::compact_chart_state (fold committed
+    epochs into an epoch=-1 base, crash-safe, readout-identical)."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

@@ -95,7 +95,8 @@ def sprt_state_sink(state_path: str):
     twice with the same epoch). The serving read folds partials per
     day, so state is (days × epochs) tiny partial rows — an additive
     merge against existing state (the simpler shape) would
-    double-count on replay."""
+    double-count on replay. On a long-lived stream bound the epochs
+    factor with streaming/compaction.py::compact_sprt_state."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession

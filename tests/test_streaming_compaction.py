@@ -1,0 +1,176 @@
+"""Epoch-partial compaction (VERDICT r10 item 4): folding committed
+epoch partitions into an epoch=-1 base must leave the serving readout
+byte-identical with fewer files, never touch uncommitted (replayable)
+epochs, and recover cleanly from a crash between fold and swap."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from databeats_spark.streaming.chart import (
+    chart_streaks_from_state,
+    run_incremental_chart,
+    weekly_state_sink,
+)
+from databeats_spark.streaming.compaction import (
+    compact_chart_state,
+    compact_sprt_state,
+    recover_compaction,
+)
+from databeats_spark.streaming.events import stream_events
+from tests.conftest import SF_SMOKE
+
+
+def _parquet_files(state: str) -> list[str]:
+    return [
+        f
+        for f in glob.glob(os.path.join(state, "**", "*.parquet"), recursive=True)
+        if "_compact_tmp" not in f
+    ]
+
+
+def _epoch_dirs(state: str) -> list[str]:
+    return sorted(
+        os.path.relpath(d, state)
+        for d in glob.glob(os.path.join(state, "**", "epoch=*"), recursive=True)
+    )
+
+
+@pytest.fixture()
+def staged_events(tmp_path):
+    """Two staged parquet drops of the smoke events table, by time."""
+    src = f"{SF_SMOKE}/events.parquet"
+    d = tmp_path / "incoming"
+    d.mkdir()
+    con = duckdb.connect()
+    cut = con.sql(f"SELECT median(epoch_us(ts)) FROM '{src}'").fetchone()[0]
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE epoch_us(ts) <= {cut}) TO '{d}/drop1.parquet' (FORMAT PARQUET)"
+    )
+    second = tmp_path / "drop2.parquet"
+    con.sql(
+        f"COPY (SELECT * FROM '{src}' WHERE epoch_us(ts) > {cut}) TO '{second}' (FORMAT PARQUET)"
+    )
+    return str(d), str(second)
+
+
+def _drained_chart_state(spark, staged_events, tmp_path, name: str) -> str:
+    incoming, second_file = staged_events
+    state = str(tmp_path / name)
+    run_incremental_chart(spark, stream_events(spark, incoming), state)
+    shutil.copy(second_file, incoming + "/drop2.parquet")
+    run_incremental_chart(spark, stream_events(spark, incoming), state)
+    return state
+
+
+def test_chart_compaction_is_byte_identical_with_fewer_files(
+    spark, staged_events, tmp_path
+):
+    state = _drained_chart_state(spark, staged_events, tmp_path, "st")
+    before = chart_streaks_from_state(spark, state).toPandas()
+    files_before = len(_parquet_files(state))
+    assert any(not d.endswith("epoch=-1") for d in _epoch_dirs(state))
+
+    n = compact_chart_state(spark, state)
+    assert n > 0
+    after = chart_streaks_from_state(spark, state).toPandas()
+    assert before.equals(after)
+    assert len(_parquet_files(state)) < files_before
+    # every multi-epoch week folded to its lone base partition; weeks
+    # touched by a single epoch are correctly skipped (nothing to fold)
+    by_week: dict[str, int] = {}
+    for d in _epoch_dirs(state):
+        by_week[os.path.dirname(d)] = by_week.get(os.path.dirname(d), 0) + 1
+    assert max(by_week.values()) == 1
+    assert not os.path.exists(os.path.join(state, "_compact_manifest.json"))
+    # a second compact is a no-op (nothing left to fold)
+    assert compact_chart_state(spark, state) == 0
+    assert chart_streaks_from_state(spark, state).toPandas().equals(before)
+
+
+def test_chart_compaction_skips_uncommitted_epochs(
+    spark, staged_events, tmp_path
+):
+    """An epoch written but not committed to the checkpoint can replay
+    under the SAME id after restart; compaction must leave it alone so
+    the replay's dynamic overwrite stays idempotent."""
+    state = _drained_chart_state(spark, staged_events, tmp_path, "st2")
+    incoming, _ = staged_events
+    batch = spark.read.parquet(incoming)
+    sink = weekly_state_sink(state)
+    sink(batch, 99)  # written, never committed (no commits/99 file)
+    expected = chart_streaks_from_state(spark, state).toPandas()
+
+    compact_chart_state(spark, state)
+    uncommitted = [d for d in _epoch_dirs(state) if d.endswith("epoch=99")]
+    assert uncommitted, "uncommitted epoch partitions must survive compaction"
+    assert chart_streaks_from_state(spark, state).toPandas().equals(expected)
+
+    sink(batch, 99)  # the crash-replay of that epoch
+    assert chart_streaks_from_state(spark, state).toPandas().equals(expected)
+
+
+def test_chart_compaction_recovers_from_crash_between_fold_and_swap(
+    spark, staged_events, tmp_path, monkeypatch
+):
+    """Kill the compactor right after the manifest is durably written
+    (the worst window: tmp base complete, live partials still present).
+    recover_compaction must finish the swap to the exact compacted
+    state — no loss, no double-count."""
+    import databeats_spark.streaming.compaction as comp
+
+    state = _drained_chart_state(spark, staged_events, tmp_path, "st3")
+    before = chart_streaks_from_state(spark, state).toPandas()
+
+    real_recover = comp.recover_compaction
+    calls = {"n": 0}
+
+    def crashing_recover(path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-manifest swap call
+            raise RuntimeError("simulated crash after manifest write")
+        return real_recover(path)
+
+    monkeypatch.setattr(comp, "recover_compaction", crashing_recover)
+    with pytest.raises(RuntimeError):
+        compact_chart_state(spark, state)
+    monkeypatch.setattr(comp, "recover_compaction", real_recover)
+
+    assert os.path.exists(os.path.join(state, "_compact_manifest.json"))
+    assert recover_compaction(state)
+    after = chart_streaks_from_state(spark, state).toPandas()
+    assert before.equals(after)
+    by_week: dict[str, int] = {}
+    for d in _epoch_dirs(state):
+        by_week[os.path.dirname(d)] = by_week.get(os.path.dirname(d), 0) + 1
+    assert max(by_week.values()) == 1
+    assert not os.path.exists(os.path.join(state, "_compact_manifest.json"))
+    assert not os.path.exists(os.path.join(state, "_compact_tmp"))
+
+
+def test_sprt_compaction_is_byte_identical_with_fewer_files(spark, tmp_path):
+    from databeats_spark.streaming.monitor import (
+        run_sprt_monitor_durable,
+        sprt_monitor_from_partials,
+    )
+
+    schema = spark.read.parquet(f"{SF_SMOKE}/events.parquet").schema
+    src = str(tmp_path / "events")
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev.filter("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    state = str(tmp_path / "sprt_state")
+    run_sprt_monitor_durable(spark, src, schema, state)
+    ev.filter("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    before = run_sprt_monitor_durable(spark, src, schema, state).toPandas()
+    files_before = len(_parquet_files(state))
+
+    assert compact_sprt_state(spark, state) > 0
+    after = sprt_monitor_from_partials(spark, state).toPandas()
+    assert before.equals(after)
+    assert len(_parquet_files(state)) < files_before
+    assert _epoch_dirs(state) == ["epoch=-1"]
