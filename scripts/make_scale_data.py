@@ -60,6 +60,61 @@ SALTED_TEXT = """
 """
 
 
+OUT4 = os.path.join(REPO, ".scale", "sf0.4")
+
+
+def make_x4_facts() -> None:
+    """Materialize the FOURTH scale point (4x sf0.1) for just the two
+    transition-prone movers' tables (VERDICT r10 item 6):
+    hits_copurchase and adamic_adar_links load orders + lineitem (+ a
+    fixed part catalog). Three key-remapped copies (offsets 1-3x
+    OFFSET, money shifted by a distinct sub-cent constant per copy so
+    distinct-value sets scale like real data), natural-key ORDER BY
+    for the entity locality lesson, part verbatim — the same fixed-
+    catalog caveat as sf0.2, read honestly in SCALE.md."""
+    import duckdb
+
+    os.makedirs(OUT4, exist_ok=True)
+    con = duckdb.connect()
+    copies = {
+        "orders": lambda i: f"""
+            SELECT o_orderkey + {i * OFFSET} AS o_orderkey,
+                   o_custkey + {i * OFFSET} AS o_custkey,
+                   o_orderstatus, o_totalprice + {0.013 * i:.3f} AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM src
+        """,
+        "lineitem": lambda i: f"""
+            SELECT l_orderkey + {i * OFFSET} AS l_orderkey, l_partkey, l_suppkey,
+                   l_linenumber, l_quantity,
+                   l_extendedprice + {0.01 * i:.2f} AS l_extendedprice,
+                   l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM src
+        """,
+        "part": None,
+    }
+    order_by = {
+        "orders": "o_orderkey",
+        "lineitem": "l_orderkey, l_linenumber",
+        "part": "p_partkey",
+    }
+    for table, copy_sql in copies.items():
+        con.execute(
+            f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{SRC}/{table}.parquet'"
+        )
+        body = "SELECT * FROM src"
+        if copy_sql is not None:
+            body += "".join(f" UNION ALL {copy_sql(i)}" for i in range(1, 4))
+        out = os.path.join(OUT4, f"{table}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM ({body}) ORDER BY {order_by[table]}) "
+            f"TO '{out}' (FORMAT PARQUET)"
+        )
+        n_src = con.execute("SELECT count(*) FROM src").fetchone()[0]
+        n_out = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
+        print(f"x4 {table}: {n_src} -> {n_out} rows ({out})")
+
+
 def main() -> None:
     import duckdb
 
@@ -125,4 +180,10 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--x4-facts" in sys.argv[1:]:
+        make_x4_facts()
+    else:
+        main()
+        make_x4_facts()
