@@ -174,6 +174,9 @@ AUDIT_ROTATING_POOL = (
     "dsir_importance_weights", "wilson_return_ranking",
     "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
     "lpa_communities", "source_lang_mi",
+    # r11 tiers (new tiers go in the POOL, never the core)
+    "contamination_scorecard", "bh_fdr_discoveries",
+    "permutation_null_effect", "heaps_exponent_by_source",
 )
 AUDIT_ROTATE_N = 8
 

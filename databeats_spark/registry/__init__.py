@@ -91,6 +91,9 @@ _WINDOW = (
     # — new/changed in r11 (ADVICE r10 guard added):
     "jackknife_ratio_ci",  # r11: d>1 single-day guard (ADVICE r10)
     "contamination_scorecard",  # r11: per-source leak-type rollup (VERDICT item 8)
+    "bh_fdr_discoveries",  # r11: BH step-up over per-brand z-tests
+    "permutation_null_effect",  # r11: md5 label-permutation null test
+    "heaps_exponent_by_source",  # r11: per-source Heaps-law exponent fit
     # — bench headliners, one round stale (forced re-cert slots):
     "top_terms",
     "rolling_7d_spend",
@@ -138,9 +141,6 @@ _WINDOW = (
     "dq_violations",
     "price_mad",
     "qty_width_buckets",
-    "sequence_packing",
-    "length_drift_psi",
-    "value_outliers",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -815,7 +815,314 @@ ORDER BY source
 """
 
 
+# --- Q: bh_fdr_discoveries — multiple-testing control (r11) -------------
+# The missing layer over the per-group tests this tier accumulates:
+# run one two-proportion z-test per part brand (brand return rate vs
+# the rest of the corpus) and control the FALSE DISCOVERY RATE across
+# all of them with Benjamini-Hochberg (1995) step-up — the correction
+# every experimentation/quality platform applies before acting on "3
+# of 25 segments moved". p-values come from the Zelen-Severo 26.2.17
+# normal-tail polynomial written as IDENTICAL double literals in fixed
+# Horner association on both engines (the hard-coded-ladder recipe the
+# Poisson-bootstrap weights established) — bit-equal doubles, so the
+# step-up comparisons (on UNROUNDED p) cannot diverge. Counts are
+# exact BIGINTs; the global totals re-attach through
+# attach_global_scalar (shuffled-subtree scalar rule); the rank/count
+# windows read a LIMIT-bounded brand relation (~25 rows at any SF —
+# the semantic no-op bound the plan lint requires).
+
+BH_ALPHA = 0.05
+BH_MAX_TESTS = 128  # semantic no-op: the brand catalog is ~25 rows
+
+# Zelen & Severo 26.2.17 constants (shared literal text on both engines)
+_ZS = ("0.2316419", "0.319381530", "-0.356563782", "1.781477937",
+       "-1.821255978", "1.330274429", "0.3989422804014327")
+
+
+def _bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.operators.scale import attach_global_scalar
+
+    t = load_tables(spark, sf_dir, ["lineitem", "part"])
+    agg = (
+        t.lineitem.join(
+            t.part.select("p_partkey", "p_brand"),
+            t.lineitem.l_partkey == t.part.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("l_returnflag") == "R").cast("bigint"))
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+    with_tot = attach_global_scalar(
+        agg,
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("r").cast("bigint").alias("tot_r"),
+    ).limit(BH_MAX_TESTS)
+
+    nb = F.col("n").cast("double")
+    nr = (F.col("tot_n") - F.col("n")).cast("double")
+    p_b = F.col("r").cast("double") / nb
+    p_r = (F.col("tot_r") - F.col("r")).cast("double") / nr
+    p_pool = F.col("tot_r").cast("double") / F.col("tot_n").cast("double")
+    z = (p_b - p_r) / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / nb + 1.0 / nr))
+    az = F.abs(z)
+    # p = 2 * phi(|z|) * Horner(t), t = 1/(1 + c0|z|) — identical
+    # literals + association on both engines (bit-equal doubles)
+    tt = 1.0 / (1.0 + float(_ZS[0]) * az)
+    # poly WITHOUT the trailing *t so the final product associates as
+    # ((2*phi) * poly) * t on BOTH engines (left-assoc parity — double
+    # multiplication is not associative and the step-up compares
+    # UNROUNDED p)
+    horner = (
+        (
+            (float(_ZS[5]) * tt + float(_ZS[4])) * tt + float(_ZS[3])
+        ) * tt + float(_ZS[2])
+    ) * tt + float(_ZS[1])
+    pval = 2.0 * (float(_ZS[6]) * F.exp(-az * az / 2.0)) * horner * tt
+
+    scored = with_tot.select(
+        "p_brand", "n", "r", z.alias("z"), pval.alias("p")
+    )
+    wr = Window.orderBy("p", "p_brand")
+    wm = Window.partitionBy()
+    ranked = scored.select(
+        "p_brand",
+        "n",
+        "r",
+        "z",
+        "p",
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+        F.count(F.lit(1)).over(wm).cast("bigint").alias("m"),
+    )
+    # step-up: discovered iff rank <= max{i : p_i * m <= i * alpha}
+    passed = F.when(
+        F.col("p") * F.col("m").cast("double")
+        <= F.col("rank").cast("double") * BH_ALPHA,
+        F.col("rank"),
+    ).otherwise(F.lit(0))
+    kstar = F.max(passed).over(wm).alias("k_star")
+    return (
+        ranked.select(
+            "p_brand",
+            "n",
+            "r",
+            F.round(F.col("r").cast("double") / F.col("n").cast("double"), 6).alias("return_rate"),
+            F.round("z", 6).alias("z"),
+            F.round("p", 6).alias("p_value"),
+            "rank",
+            "m",
+            kstar,
+        )
+        .select(
+            "p_brand",
+            "n",
+            "r",
+            "return_rate",
+            "z",
+            "p_value",
+            "rank",
+            "m",
+            (F.col("rank") <= F.col("k_star")).alias("discovered"),
+        )
+        .orderBy("rank")
+    )
+
+
+_BH_FDR_SQL = f"""
+WITH agg AS (
+  SELECT p_brand,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(r) AS BIGINT) AS tot_r FROM agg
+),
+scored AS (
+  SELECT p_brand, n, r,
+         (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+          - CAST(tot_r - r AS DOUBLE) / CAST(tot_n - n AS DOUBLE))
+         / sqrt((CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                * (1.0 - CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(tot_n - n AS DOUBLE))) AS z
+  FROM agg CROSS JOIN tot
+),
+pv AS (
+  SELECT p_brand, n, r, z,
+         2.0 * ({_ZS[6]} * exp(-abs(z) * abs(z) / 2.0))
+             * (((({_ZS[5]} * (1.0 / (1.0 + {_ZS[0]} * abs(z))) + {_ZS[4]})
+                  * (1.0 / (1.0 + {_ZS[0]} * abs(z))) + {_ZS[3]})
+                  * (1.0 / (1.0 + {_ZS[0]} * abs(z))) + {_ZS[2]})
+                  * (1.0 / (1.0 + {_ZS[0]} * abs(z))) + {_ZS[1]})
+             * (1.0 / (1.0 + {_ZS[0]} * abs(z))) AS p
+  FROM scored
+),
+ranked AS (
+  SELECT p_brand, n, r, z, p,
+         CAST(row_number() OVER (ORDER BY p, p_brand) AS BIGINT) AS rank,
+         CAST(count(*) OVER () AS BIGINT) AS m
+  FROM pv
+),
+kstar AS (
+  SELECT p_brand, n, r, z, p, rank, m,
+         max(CASE WHEN p * CAST(m AS DOUBLE)
+                       <= CAST(rank AS DOUBLE) * {BH_ALPHA!r}
+                  THEN rank ELSE 0 END) OVER () AS k_star
+  FROM ranked
+)
+SELECT p_brand, n, r,
+       round(CAST(r AS DOUBLE) / CAST(n AS DOUBLE), 6) AS return_rate,
+       round(z, 6) AS z,
+       round(p, 6) AS p_value,
+       rank, m,
+       rank <= k_star AS discovered
+FROM kstar
+ORDER BY rank
+"""
+
+
+# --- Q: permutation_null_effect — exact-arithmetic permutation test ------
+# The resampling complement of the Poisson bootstrap: instead of
+# resampling the ESTIMATE, re-randomize the LABELS under H0 and ask
+# where the observed arm difference falls in its own null distribution
+# (Fisher 1935, the standard heavy-tail-robust readout when normal
+# approximations are suspect). PERM_K deterministic pseudo-permutations
+# come from md5(user_id:k) high-hex bits (the deterministic_sample
+# auditability argument — same membership on any engine/partitioning);
+# k=0 carries the TRUE labels. Spark plan: ONE pass — per-user exact
+# DECIMAL outcomes explode by the (K+1)-element replicate spine and
+# hash-aggregate to (K+1)x2 rows with map-side partial combine (the
+# Poisson-bootstrap movement shape: replicate fan-out collapses before
+# it shuffles). Every per-replicate mean is one decimal->double
+# division; the null comparison runs on UNROUNDED bit-equal doubles.
+
+PERM_K = 99
+_PERM_HEX = "8"  # md5 first hex < '8' => arm 1 (~half, deterministic)
+
+
+def _permutation_null_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["events"])
+    per_user = t.events.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("y")
+    )
+    k = F.explode(F.sequence(F.lit(0), F.lit(PERM_K))).alias("k")
+    fan = per_user.select("user_id", "y", k)
+    arm = F.when(
+        F.col("k") == 0, (F.col("user_id") % 2).cast("bigint")
+    ).otherwise(
+        (
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("user_id"), F.col("k"))), 1, 1
+            )
+            < _PERM_HEX
+        ).cast("bigint")
+    )
+    cells = (
+        fan.select("k", arm.alias("arm"), "y")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("y"))).alias("sy1"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n1"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y"))).alias("sy0"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n0"),
+        )
+    )
+    diff = (
+        F.col("sy1").cast("double") / F.col("n1").cast("double")
+        - F.col("sy0").cast("double") / F.col("n0").cast("double")
+    )
+    diffs = cells.select("k", diff.alias("diff"))
+    obs = diffs.filter(F.col("k") == 0).limit(1).select(
+        F.col("diff").alias("diff_obs")
+    )
+    nulls = diffs.filter(F.col("k") > 0)
+    return (
+        nulls.crossJoin(F.broadcast(obs))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_perms"),
+            F.sum(
+                (F.abs(F.col("diff")) >= F.abs(F.col("diff_obs")))
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_ge"),
+            F.max("diff_obs").alias("d_obs"),
+        )
+        .select(
+            "n_perms",
+            "n_ge",
+            F.round("d_obs", 6).alias("diff_obs"),
+            F.round(
+                (F.col("n_ge") + 1).cast("double")
+                / (F.col("n_perms") + 1).cast("double"),
+                6,
+            ).alias("p_perm"),
+        )
+    )
+
+
+_PERMUTATION_NULL_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+  FROM events GROUP BY user_id
+),
+fan AS (
+  SELECT user_id, y, k
+  FROM per_user CROSS JOIN (SELECT unnest(range(0, {PERM_K + 1})) AS k)
+),
+cells AS (
+  SELECT k,
+         CASE WHEN k = 0 THEN CAST(user_id % 2 AS BIGINT)
+              ELSE CAST(substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 1)
+                        < '{_PERM_HEX}' AS BIGINT) END AS arm,
+         y
+  FROM fan
+),
+diffs AS (
+  SELECT k,
+         CAST(sum(CASE WHEN arm = 1 THEN y END) AS DOUBLE)
+           / CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         - CAST(sum(CASE WHEN arm = 0 THEN y END) AS DOUBLE)
+           / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS diff
+  FROM cells GROUP BY k
+),
+obs AS (SELECT diff AS diff_obs FROM diffs WHERE k = 0 LIMIT 1)
+SELECT CAST(count(*) AS BIGINT) AS n_perms,
+       CAST(sum(CASE WHEN abs(diff) >= abs(diff_obs) THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+       round(max(diff_obs), 6) AS diff_obs,
+       round((sum(CASE WHEN abs(diff) >= abs(diff_obs) THEN 1 ELSE 0 END) + 1) * 1.0
+             / (count(*) + 1), 6) AS p_perm
+FROM diffs CROSS JOIN obs
+WHERE k > 0
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "bh_fdr_discoveries",
+        "Benjamini-Hochberg FDR step-up over per-brand return-rate z-tests (shared normal-tail polynomial literals)",
+        _bh_fdr_discoveries,
+        _BH_FDR_SQL,
+        tags=("stats", "audit"),
+    ),
+    QuerySpec(
+        "permutation_null_effect",
+        "deterministic md5 permutation test: observed arm diff vs its one-pass label-permutation null distribution",
+        _permutation_null_effect,
+        _PERMUTATION_NULL_SQL,
+        tags=("stats", "audit"),
+    ),
     QuerySpec(
         "jackknife_ratio_ci",
         "ratio-metric CI per priority: delete-one-day jackknife beside the cluster delta method, exact DECIMAL day moments",

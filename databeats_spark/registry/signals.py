@@ -1791,7 +1791,152 @@ FROM m
 """
 
 
+# --- Q: heaps_exponent_by_source — vocabulary-growth power-law fit ------
+# The per-source companion of zipf_slope: Heaps' law V(n) = K·n^beta
+# fitted per source over 10 doc-prefix deciles. Natural text sits near
+# beta ~ 0.5-0.7; templated/spun sources flatten early (low beta) —
+# the collapse signal lexical_diversity's single-point TTR can't see
+# because it has no growth axis. vocab_growth charts the global curve;
+# this distills each source to its exponent. All curve inputs are
+# exact BIGINTs (cumulative tokens + first-occurrence vocabulary via
+# per-source windows — key-partitioned, never global); the OLS fit
+# runs over <=10 ln-points per source with the zipf_slope closed form
+# (identical expression text both engines, round-6 output). Decile
+# boundaries are the exact integer ceil(j*n/10) computed as
+# floor((j*n+9)/10.0) — exact in double far past any doc count.
+
+HEAPS_DECILES = 10
+
+
+def _heaps_exponent_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    words = _doc_words(spread(t.documents, spark), "source", "doc_id")
+    per_doc = words.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tok")
+    )
+    first_occ = words.groupBy("source", "w").agg(
+        F.min("doc_id").alias("fd")
+    )
+    new_words = first_occ.groupBy("source", F.col("fd").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw")
+    )
+    wd = Window.partitionBy("source").orderBy("doc_id")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        per_doc.join(new_words, ["source", "doc_id"], "left")
+        .select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.coalesce("nw", F.lit(0)).cast("bigint").alias("nw"),
+        )
+        .select(
+            "source",
+            F.row_number().over(wd).cast("bigint").alias("rank"),
+            F.sum("n_tok").over(wcum).cast("bigint").alias("cum_tok"),
+            F.sum("nw").over(wcum).cast("bigint").alias("cum_vocab"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint").alias("n_docs"),
+        )
+    )
+    spine = spark.range(1, HEAPS_DECILES + 1).select(
+        F.col("id").cast("bigint").alias("j")
+    )
+    points = cum.join(
+        F.broadcast(spine),
+        F.col("rank")
+        == F.floor((F.col("j") * F.col("n_docs") + 9) / F.lit(10.0)).cast("bigint"),
+    )
+    x = F.log(F.col("cum_tok").cast("double"))
+    y = F.log(F.col("cum_vocab").cast("double"))
+    m = points.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.max("n_docs").alias("n_docs"),
+        F.max("cum_tok").alias("n_tokens"),
+        F.max("cum_vocab").alias("vocab"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    p = F.col("n_points").cast("double")
+    beta = (p * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        p * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        "n_points",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - beta * F.col("sx")) / p, 6).alias("heaps_lnk"),
+    ).orderBy("source")
+
+
+_HEAPS_EXPONENT_SQL = f"""
+WITH words AS (
+  SELECT source, doc_id, w
+  FROM (SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+per_doc AS (
+  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_tok
+  FROM words GROUP BY source, doc_id
+),
+first_occ AS (
+  SELECT source, w, min(doc_id) AS fd FROM words GROUP BY source, w
+),
+new_words AS (
+  SELECT source, fd AS doc_id, CAST(count(*) AS BIGINT) AS nw
+  FROM first_occ GROUP BY source, fd
+),
+cum AS (
+  SELECT p.source,
+         CAST(row_number() OVER wd AS BIGINT) AS rank,
+         CAST(sum(p.n_tok) OVER wc AS BIGINT) AS cum_tok,
+         CAST(sum(COALESCE(n.nw, 0)) OVER wc AS BIGINT) AS cum_vocab,
+         CAST(count(*) OVER (PARTITION BY p.source) AS BIGINT) AS n_docs
+  FROM per_doc p LEFT JOIN new_words n USING (source, doc_id)
+  WINDOW wd AS (PARTITION BY p.source ORDER BY p.doc_id),
+         wc AS (PARTITION BY p.source ORDER BY p.doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+points AS (
+  SELECT c.*
+  FROM cum c JOIN (SELECT unnest(range(1, {HEAPS_DECILES + 1})) AS j)
+    ON c.rank = CAST(floor((j * c.n_docs + 9) / 10.0) AS BIGINT)
+),
+m AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_points,
+         max(n_docs) AS n_docs,
+         max(cum_tok) AS n_tokens,
+         max(cum_vocab) AS vocab,
+         sum(ln(CAST(cum_tok AS DOUBLE))) AS sx,
+         sum(ln(CAST(cum_vocab AS DOUBLE))) AS sy,
+         sum(ln(CAST(cum_tok AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE))) AS sxy,
+         sum(ln(CAST(cum_tok AS DOUBLE)) * ln(CAST(cum_tok AS DOUBLE))) AS sxx
+  FROM points GROUP BY source
+)
+SELECT source, n_docs, n_tokens, vocab, n_points,
+       round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n_points AS DOUBLE) * sxx - sx * sx), 6) AS heaps_beta,
+       round((sy - (CAST(n_points AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_points AS DOUBLE) * sxx - sx * sx) * sx)
+             / CAST(n_points AS DOUBLE), 6) AS heaps_lnk
+FROM m
+ORDER BY source
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "heaps_exponent_by_source",
+        "per-source Heaps-law vocabulary-growth exponent over doc-prefix deciles (template-collapse signal)",
+        _heaps_exponent_by_source,
+        _HEAPS_EXPONENT_SQL,
+        tags=("text", "agg", "audit"),
+    ),
     QuerySpec(
         "cusum_changepoint",
         "CUSUM mean-shift detection per priority series: exact-integer prefix deviations, interior argmax, before/after means",

@@ -112,6 +112,16 @@ QUERIES = [
     "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
     # fixed-round LPA: per-round exchanges are edges ⋈ labels — linear
     "lpa_communities", "source_lang_mi",
+    # r11 additions: the per-source leak rollup (three shingle passes —
+    # broadcast eval semijoin + bounded pair verify + shared-shingle DF
+    # join, each the constituent query's audited shape), the BH z-test
+    # fan (one brand-keyed aggregate, windows over a LIMIT-bounded
+    # catalog relation), the one-pass permutation fan-out (replicate
+    # explode collapses map-side — the Poisson-bootstrap movement
+    # shape), and the per-source Heaps fit (two corpus aggregates +
+    # key-partitioned cumulative windows)
+    "contamination_scorecard", "bh_fdr_discoveries",
+    "permutation_null_effect", "heaps_exponent_by_source",
 ]
 
 

@@ -319,3 +319,89 @@ def test_mi_zero_under_planted_independence(spark, tmp_path):
     assert got["mi_nats"] == 0.0
     assert got["chi2"] == 0.0
     assert got["cramers_v"] == 0.0
+
+
+# --- Heaps exponent replica (r11) -------------------------------------------
+
+def _heaps_replica():
+    from databeats_spark.registry.signals import HEAPS_DECILES
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    out = []
+    for src, g in docs.sort_values("doc_id").groupby("source"):
+        toks_per_doc = [
+            [w for w in str(t).split(" ") if w != ""] for t in g.text
+        ]
+        # docs with zero tokens never enter the per-doc aggregate
+        toks_per_doc = [t for t in toks_per_doc if t]
+        n = len(toks_per_doc)
+        seen: set[str] = set()
+        cum_tok = cum_voc = 0
+        curve = []
+        for toks in toks_per_doc:
+            cum_tok += len(toks)
+            for w in toks:
+                if w not in seen:
+                    seen.add(w)
+                    cum_voc += 1
+            curve.append((cum_tok, cum_voc))
+        pts = []
+        for j in range(1, HEAPS_DECILES + 1):
+            c = int(math.floor((j * n + 9) / 10.0))
+            pts.append(curve[c - 1])
+        p = float(len(pts))
+        sx = sum(math.log(a) for a, _ in pts)
+        sy = sum(math.log(b) for _, b in pts)
+        sxy = sum(math.log(a) * math.log(b) for a, b in pts)
+        sxx = sum(math.log(a) ** 2 for a, _ in pts)
+        beta = (p * sxy - sx * sy) / (p * sxx - sx * sx)
+        lnk = (sy - beta * sx) / p
+        out.append((src, n, curve[-1][0], curve[-1][1], beta, lnk))
+    return out
+
+
+def test_heaps_exponent_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    got = queries()["heaps_exponent_by_source"](spark, SF_SMOKE).toPandas()
+    expect = _heaps_replica()
+    assert list(got.source) == [e[0] for e in expect]
+    assert list(got.n_docs) == [e[1] for e in expect]
+    assert list(got.n_tokens) == [e[2] for e in expect]
+    assert list(got.vocab) == [e[3] for e in expect]
+    for gb, gl, (_, _, _, _, beta, lnk) in zip(
+        got.heaps_beta, got.heaps_lnk, expect
+    ):
+        assert abs(gb - beta) < 2e-6 and abs(gl - lnk) < 2e-6
+
+
+def test_heaps_exponent_separates_template_from_rich_text(spark, tmp_path):
+    """Planted corpora: a source of 30 identical template docs has a
+    near-zero vocabulary-growth exponent (V saturates at doc 1); a
+    source whose every token is globally unique grows V linearly
+    (beta ~= 1). The ordering is the template-collapse signal."""
+    from databeats_spark.registry.signals import _heaps_exponent_by_source
+
+    rows = []
+    did = 0
+    tmpl = " ".join(f"w{i}" for i in range(20))
+    for _ in range(30):
+        rows.append((did, tmpl, "en", "tmpl", len(tmpl)))
+        did += 1
+    for d in range(30):
+        text = " ".join(f"u{d}x{i}" for i in range(20))
+        rows.append((did, text, "en", "rich", len(text)))
+        did += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/sf/documents.parquet")
+
+    got = (
+        _heaps_exponent_by_source(spark, f"{tmp_path}/sf")
+        .toPandas()
+        .set_index("source")
+    )
+    assert got.loc["rich", "heaps_beta"] > 0.95
+    assert got.loc["tmpl", "heaps_beta"] < 0.1

@@ -337,3 +337,175 @@ def _binned_brier(po):
         pbar_k = sum(p for p, _ in members) / nk
         out += sum((pbar_k - o) ** 2 for _, o in members)
     return out / n
+
+
+# --- BH-FDR replica (r11) ---------------------------------------------------
+
+def _zs_tail_p(z: float) -> float:
+    """Two-sided p via the Zelen-Severo 26.2.17 polynomial — the SAME
+    literals and association order both engines evaluate, so the
+    replica is bit-equal, and the polynomial itself is checked against
+    math.erfc below (|err| < 7.5e-8 by construction)."""
+    az = abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * az)
+    poly = (
+        ((1.330274429 * t + -1.821255978) * t + 1.781477937) * t + -0.356563782
+    ) * t + 0.319381530
+    return 2.0 * (0.3989422804014327 * math.exp(-az * az / 2.0)) * poly * t
+
+
+def test_bh_fdr_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.inference import BH_ALPHA
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")[
+        ["l_partkey", "l_returnflag"]
+    ]
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet")[["p_partkey", "p_brand"]]
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    g = j.groupby("p_brand").agg(
+        n=("l_returnflag", "size"),
+        r=("l_returnflag", lambda s: int((s == "R").sum())),
+    )
+    tot_n, tot_r = int(g.n.sum()), int(g.r.sum())
+    rows = []
+    for brand, row in g.iterrows():
+        n, r = int(row.n), int(row.r)
+        pb = r / n
+        pr = (tot_r - r) / (tot_n - n)
+        pp = tot_r / tot_n
+        z = (pb - pr) / math.sqrt(pp * (1.0 - pp) * (1.0 / n + 1.0 / (tot_n - n)))
+        p = _zs_tail_p(z)
+        # the polynomial is a real normal tail, not engine folklore
+        assert abs(p - math.erfc(abs(z) / math.sqrt(2.0))) < 1e-6
+        rows.append((brand, n, r, z, p))
+    rows.sort(key=lambda t: (t[4], t[0]))
+    m = len(rows)
+    k_star = max(
+        (i for i in range(1, m + 1) if rows[i - 1][4] * m <= i * BH_ALPHA),
+        default=0,
+    )
+
+    got = queries()["bh_fdr_discoveries"](spark, SF_SMOKE).toPandas()
+    assert list(got.p_brand) == [t[0] for t in rows]
+    assert list(got.n) == [t[1] for t in rows]
+    assert list(got.r) == [t[2] for t in rows]
+    for got_z, got_p, (_, _, _, z, p) in zip(got.z, got.p_value, rows):
+        assert got_z == round(z, 6) and got_p == round(p, 6)
+    assert list(got.discovered) == [i + 1 <= k_star for i in range(m)]
+
+
+def test_bh_fdr_planted_null_and_signal(spark, tmp_path):
+    """All-equal-rate corpus yields ZERO discoveries (p ~= 1 for every
+    brand); plant one wildly elevated brand and it is discovered at
+    rank 1."""
+    from databeats_spark.registry.inference import _bh_fdr_discoveries
+
+    def write(tag, brands):
+        d = f"{tmp_path}/{tag}"
+        li_rows, part_rows = [], []
+        lid = 0
+        for bi, (brand, n, r) in enumerate(brands):
+            part_rows.append((bi, f"name{bi}", brand, "type", 1, 1.0))
+            for i in range(n):
+                li_rows.append((lid, bi, 0, 1, 1.0, 1.0, 0.0, 0.0,
+                                "R" if i < r else "N", "O", "1995-01-01"))
+                lid += 1
+        spark.createDataFrame(
+            part_rows,
+            "p_partkey bigint, p_name string, p_brand string, p_type string, "
+            "p_size bigint, p_retailprice double",
+        ).write.parquet(f"{d}/part.parquet")
+        spark.createDataFrame(
+            li_rows,
+            "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+            "l_linenumber bigint, l_quantity double, l_extendedprice double, "
+            "l_discount double, l_tax double, l_returnflag string, "
+            "l_linestatus string, l_shipdate string",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        return d
+
+    null_dir = write("null", [(f"B{i:02d}", 50, 10) for i in range(8)])
+    got = _bh_fdr_discoveries(spark, null_dir).toPandas()
+    assert not got.discovered.any()
+    assert (got.p_value > 0.9).all()
+
+    sig_dir = write(
+        "sig", [("HOT", 200, 180)] + [(f"B{i:02d}", 50, 10) for i in range(8)]
+    )
+    got = _bh_fdr_discoveries(spark, sig_dir).toPandas()
+    assert got.iloc[0].p_brand == "HOT" and bool(got.iloc[0].discovered)
+
+
+# --- permutation test replica (r11) ----------------------------------------
+
+def test_permutation_null_matches_python_replica(spark):
+    import hashlib
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.inference import PERM_K
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")[["user_id", "value"]]
+    ev["cents"] = ev.value.map(lambda v: round(v, 2) * 100).round().astype("int64")
+    per_user = ev.groupby("user_id").cents.sum()
+
+    def diff_for(arm_of):
+        s1 = n1 = s0 = n0 = 0
+        for uid, c in per_user.items():
+            if arm_of(int(uid)):
+                s1 += int(c); n1 += 1
+            else:
+                s0 += int(c); n0 += 1
+        return (s1 / 100.0) / n1 - (s0 / 100.0) / n0
+
+    d_obs = diff_for(lambda u: u % 2 == 1)
+    n_ge = 0
+    for k in range(1, PERM_K + 1):
+        dk = diff_for(
+            lambda u, k=k: hashlib.md5(f"{u}:{k}".encode()).hexdigest()[0] < "8"
+        )
+        if abs(dk) >= abs(d_obs):
+            n_ge += 1
+
+    got = queries()["permutation_null_effect"](spark, SF_SMOKE).toPandas()
+    assert int(got.n_perms[0]) == PERM_K
+    assert int(got.n_ge[0]) == n_ge
+    assert got.diff_obs[0] == round(d_obs, 6)
+    assert got.p_perm[0] == round((n_ge + 1) / (PERM_K + 1), 6)
+
+
+def test_permutation_detects_planted_effect(spark, tmp_path):
+    """A genuinely shifted treatment arm gets the smallest possible
+    permutation p (1/(K+1)); an A/A corpus (labels carry no signal)
+    sits well inside its null distribution."""
+    import numpy as np
+
+    from databeats_spark.registry.inference import (
+        PERM_K,
+        _permutation_null_effect,
+    )
+
+    rng = np.random.default_rng(7)
+
+    def write(tag, lift):
+        d = f"{tmp_path}/{tag}"
+        rows = []
+        for eid in range(2000):
+            uid = eid % 400
+            base = float(rng.uniform(1, 5))
+            v = base + (lift if uid % 2 == 1 else 0.0)
+            rows.append((eid, "2024-01-01 00:00:00", uid, "view", round(v, 2), "{}"))
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts string, user_id bigint, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).write.parquet(f"{d}/events.parquet")
+        return d
+
+    hot = _permutation_null_effect(spark, write("hot", 50.0)).toPandas()
+    assert hot.p_perm[0] == round(1 / (PERM_K + 1), 6)
+    aa = _permutation_null_effect(spark, write("aa", 0.0)).toPandas()
+    assert aa.p_perm[0] > 0.05
