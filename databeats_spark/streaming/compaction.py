@@ -126,6 +126,8 @@ def compact_epoch_partials(
     fold: Callable[[DataFrame], DataFrame],
     partition_cols: list[str],
     checkpoint_path: str | None = None,
+    committed: set[int] | None = None,
+    exclude: frozenset[int] | set[int] = frozenset(),
 ) -> int:
     """Fold committed epoch partials into one ``epoch=-1`` base per key
     prefix. Returns the number of partition groups compacted.
@@ -136,10 +138,15 @@ def compact_epoch_partials(
     makes (base + partials) and (folded base) indistinguishable.
     ``partition_cols`` is the sink's partitionBy list, epoch last.
     ``checkpoint_path`` defaults to ``state_path + "_ckpt"`` (the
-    drain helpers' convention); pass it explicitly for custom layouts.
+    drain helpers' convention); pass it explicitly for custom layouts,
+    or pass ``committed`` directly when the caller owns the ledger
+    (e.g. a foreachBatch sink driven outside the drain helpers).
+    ``exclude`` holds committed epochs to leave unfolded anyway (the
+    ANN corpus keeps its latest epoch so drift() stays meaningful).
     """
     recover_compaction(state_path)
-    committed = committed_epochs(checkpoint_path or state_path + "_ckpt")
+    if committed is None:
+        committed = committed_epochs(checkpoint_path or state_path + "_ckpt")
 
     groups = _epoch_leaf_dirs(state_path)
     selected: list[str] = []
@@ -149,7 +156,7 @@ def compact_epoch_partials(
         foldable = [
             (e, rel)
             for e, rel in sorted(dirs)
-            if e == BASE_EPOCH or e in committed
+            if (e == BASE_EPOCH or e in committed) and e not in exclude
         ]
         if len(foldable) < 2:
             continue  # already a lone base (or lone epoch): no win
@@ -171,7 +178,11 @@ def compact_epoch_partials(
     folded = fold(partials).withColumn(
         "epoch", F.lit(BASE_EPOCH).cast("long")
     )
-    folded.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    # one file per base partition — the small-files win is the point;
+    # the extra exchange moves only already-folded rows
+    folded.repartition(*[F.col(c) for c in partition_cols]).write.mode(
+        "overwrite"
+    ).partitionBy(*partition_cols).parquet(tmp)
 
     # phase 2: durably record the swap, then perform it via recovery
     mpath = os.path.join(state_path, _MANIFEST)
@@ -217,4 +228,42 @@ def compact_sprt_state(
 
     return compact_epoch_partials(
         spark, state_path, fold, ["epoch"], checkpoint_path
+    )
+
+
+def compact_ann_corpus(
+    spark: SparkSession,
+    corpus_path: str,
+    checkpoint_path: str | None = None,
+    committed: set[int] | None = None,
+    keep_latest: bool = True,
+) -> int:
+    """Compact the streaming IVF ingest corpus
+    (`streaming/ann_ingest.py` — partitioned (epoch, centroid_id)).
+
+    Unlike the additive sinks this corpus is APPEND rows, so the fold
+    is identity — the value is layout: N epochs × K centroids of small
+    files re-cluster to ONE base partition per centroid (fewer files,
+    and every probe's partition pruning touches one directory instead
+    of one per epoch). By default the LATEST committed epoch stays
+    unfolded so ``drift()`` (which reads max(epoch) as "the newest
+    batch") keeps answering the refit question; pass
+    ``keep_latest=False`` for a terminal pack."""
+    if committed is None:
+        committed = committed_epochs(checkpoint_path or corpus_path + "_ckpt")
+    exclude: set[int] = set()
+    if keep_latest and committed:
+        exclude.add(max(committed))
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.drop("epoch")
+
+    return compact_epoch_partials(
+        spark,
+        corpus_path,
+        fold,
+        ["epoch", "centroid_id"],
+        checkpoint_path,
+        committed=committed,
+        exclude=exclude,
     )

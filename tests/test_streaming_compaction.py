@@ -174,3 +174,64 @@ def test_sprt_compaction_is_byte_identical_with_fewer_files(spark, tmp_path):
     assert before.equals(after)
     assert len(_parquet_files(state)) < files_before
     assert _epoch_dirs(state) == ["epoch=-1"]
+
+
+def test_ann_corpus_compaction_re_clusters_and_keeps_latest(spark, tmp_path):
+    """The IVF ingest corpus compacts to one base partition per
+    centroid with an IDENTICAL searchable corpus; the latest committed
+    epoch stays unfolded so drift() still reads the newest batch."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.ml.ann import IVFIndex
+    from databeats_spark.operators.multimodal import attach_payload, encode_payloads
+    from databeats_spark.sources.tables import load_tables
+    from databeats_spark.streaming.ann_ingest import StreamingIVFIngest
+    from databeats_spark.streaming.compaction import compact_ann_corpus
+
+    docs = load_tables(spark, SF_SMOKE, ["documents"]).documents
+    seed = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    emb = encode_payloads(attach_payload(seed)).localCheckpoint()
+    idx = IVFIndex.fit(emb, id_col="doc_id", vec_col="embedding", n_lists=4)
+    out = str(tmp_path / "corpus")
+    ingest = StreamingIVFIngest(idx, out)
+
+    for k, (lo, hi) in enumerate([(0, 30), (30, 50), (50, 80)]):
+        b = attach_payload(
+            seed.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        ).select("doc_id", "payload")
+        ingest.sink(b, k)
+
+    before = (
+        ingest.corpus(spark).orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    drift_before = ingest.drift(spark)
+    files_before = len(_parquet_files(out))
+
+    # caller-owned ledger (sink driven directly, no drain checkpoint)
+    assert compact_ann_corpus(spark, out, committed={0, 1, 2}) == 1
+    after = (
+        ingest.corpus(spark).orderBy("doc_id").toPandas().reset_index(drop=True)
+    )
+    assert before.equals(after)
+    assert len(_parquet_files(out)) < files_before
+    tops = sorted({d.split("/")[0] for d in _epoch_dirs(out)})
+    assert tops == ["epoch=-1", "epoch=2"]  # latest kept for drift()
+    assert ingest.drift(spark) == drift_before
+
+    # a replay of the kept (uncommitted-at-crash) epoch stays idempotent
+    b2 = attach_payload(
+        seed.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 80))
+    ).select("doc_id", "payload")
+    ingest.sink(b2, 2)
+    assert (
+        ingest.corpus(spark).orderBy("doc_id").toPandas().reset_index(drop=True)
+        .equals(before)
+    )
+
+    # terminal pack folds everything into the base
+    assert compact_ann_corpus(spark, out, committed={0, 1, 2}, keep_latest=False) == 1
+    assert sorted({d.split("/")[0] for d in _epoch_dirs(out)}) == ["epoch=-1"]
+    assert (
+        ingest.corpus(spark).orderBy("doc_id").toPandas().reset_index(drop=True)
+        .equals(before)
+    )
