@@ -1045,7 +1045,10 @@ def _permutation_null_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     obs = diffs.filter(F.col("k") == 0).limit(1).select(
         F.col("diff").alias("diff_obs")
     )
-    nulls = diffs.filter(F.col("k") > 0)
+    # semantic no-op bound: the null distribution is exactly PERM_K
+    # rows by construction — put the bound in the plan so the
+    # broadcast-NLJ stream side is provably bounded (plan-lint posture)
+    nulls = diffs.filter(F.col("k") > 0).limit(PERM_K)
     return (
         nulls.crossJoin(F.broadcast(obs))
         .agg(

@@ -1802,8 +1802,10 @@ FROM m
 # per-source windows — key-partitioned, never global); the OLS fit
 # runs over <=10 ln-points per source with the zipf_slope closed form
 # (identical expression text both engines, round-6 output). Decile
-# boundaries are the exact integer ceil(j*n/10) computed as
-# floor((j*n+9)/10.0) — exact in double far past any doc count.
+# membership (rank r serves decile j iff ceil(j*n/10) == r) is
+# generated per row as the exact integer interval (10(r-1)/n, 10r/n]
+# — floor over small-integer double ratios, exact far past any doc
+# count, and a map-side explode instead of a non-equi join.
 
 HEAPS_DECILES = 10
 
@@ -1838,13 +1840,30 @@ def _heaps_exponent_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint").alias("n_docs"),
         )
     )
-    spine = spark.range(1, HEAPS_DECILES + 1).select(
-        F.col("id").cast("bigint").alias("j")
+    # decile membership is generated PER ROW, not joined: rank r serves
+    # decile j iff ceil(j*n/10) == r iff j in (10(r-1)/n, 10r/n] — a
+    # map-side sequence/explode (a rank==expr(j) join condition is
+    # non-equi and would plan as a BNLJ over the corpus side)
+    jlo = (
+        F.floor(
+            (F.lit(HEAPS_DECILES) * (F.col("rank") - 1))
+            / F.col("n_docs").cast("double")
+        ).cast("bigint")
+        + 1
     )
-    points = cum.join(
-        F.broadcast(spine),
-        F.col("rank")
-        == F.floor((F.col("j") * F.col("n_docs") + 9) / F.lit(10.0)).cast("bigint"),
+    jhi = F.floor(
+        (F.lit(HEAPS_DECILES) * F.col("rank")) / F.col("n_docs").cast("double")
+    ).cast("bigint")
+    points = cum.select(
+        "source",
+        "cum_tok",
+        "cum_vocab",
+        "n_docs",
+        F.explode(
+            F.when(jhi >= jlo, F.sequence(jlo, jhi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("j"),
     )
     x = F.log(F.col("cum_tok").cast("double"))
     y = F.log(F.col("cum_vocab").cast("double"))
@@ -1902,9 +1921,11 @@ cum AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 points AS (
-  SELECT c.*
-  FROM cum c JOIN (SELECT unnest(range(1, {HEAPS_DECILES + 1})) AS j)
-    ON c.rank = CAST(floor((j * c.n_docs + 9) / 10.0) AS BIGINT)
+  SELECT source, cum_tok, cum_vocab, n_docs,
+         unnest(range(
+           CAST(floor(({HEAPS_DECILES} * (rank - 1)) / CAST(n_docs AS DOUBLE)) AS BIGINT) + 1,
+           CAST(floor(({HEAPS_DECILES} * rank) / CAST(n_docs AS DOUBLE)) AS BIGINT) + 1)) AS j
+  FROM cum
 ),
 m AS (
   SELECT source,
