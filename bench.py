@@ -177,6 +177,7 @@ AUDIT_ROTATING_POOL = (
     # r11 tiers (new tiers go in the POOL, never the core)
     "contamination_scorecard", "bh_fdr_discoveries",
     "permutation_null_effect", "heaps_exponent_by_source",
+    "isotonic_calibration", "minhash_estimate_audit", "rake_keyphrases",
 )
 AUDIT_ROTATE_N = 8
 

@@ -94,6 +94,9 @@ _WINDOW = (
     "bh_fdr_discoveries",  # r11: BH step-up over per-brand z-tests
     "permutation_null_effect",  # r11: md5 label-permutation null test
     "heaps_exponent_by_source",  # r11: per-source Heaps-law exponent fit
+    "isotonic_calibration",  # r11: closed-form PAVA calibration map
+    "minhash_estimate_audit",  # r11: sketch-vs-exact calibration curve
+    "rake_keyphrases",  # r11: RAKE keyphrases, ordered-fold scores
     # — bench headliners, one round stale (forced re-cert slots):
     "top_terms",
     "rolling_7d_spend",
@@ -138,9 +141,6 @@ _WINDOW = (
     "embedding_quantization",
     "try_cast_group_all",
     "yoy_revenue_growth",
-    "dq_violations",
-    "price_mad",
-    "qty_width_buckets",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

@@ -10,7 +10,7 @@ is their ground-truth verifier.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from databeats_spark.functions.text import (
@@ -412,6 +412,146 @@ SELECT t.nn AS n_docs, t.oo AS n_correct,
              * (1.0 - CAST(t.oo AS DOUBLE) / CAST(t.nn AS DOUBLE)), 6) AS uncertainty
 FROM bins b CROSS JOIN tot t
 GROUP BY t.nn, t.oo
+"""
+
+
+# --- Q: isotonic_calibration — closed-form PAVA over the bins (r11) ----
+# The FIX for what lang_id_calibration diagnoses: the isotonic
+# (monotone-nondecreasing) regression of bin accuracy on confidence —
+# the calibration map a scoring gate would apply at serve time.
+# Instead of iterating pool-adjacent-violators, use the minimax
+# identity (Robertson-Wright-Dykstra 1988):
+#   iso_i = max_{j<=i} min_{k>=i} wavg(acc[j..k])
+# over B<=10 bins — every weighted average is ONE division of two
+# prefix-sum BIGINTs, and the nest is min/max (order-free exact double
+# comparisons, ZERO order-exposed double sums). Relations: the bin
+# table (LIMIT-bounded semantic no-op), its j<=k self-pairs (<=55
+# rows), and the (bin x pair) triangle (<=550) — all bounded in the
+# plan, so the non-equi joins are lint-clean BNLJ over literal-small
+# sides. The pytest pins equality with an independent pure-Python PAVA
+# sweep (the two algorithms agree exactly — the identity, verified).
+
+def _isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = spread(t.documents, spark)
+    scored = _lang_scored(docs)
+    bucket = F.least(
+        F.floor(
+            F.lit(CALIB_BINS) * (F.col("best") + F.lit(1)) / (F.col("total") + F.lit(2))
+        ),
+        F.lit(CALIB_BINS - 1),
+    ).cast("bigint")
+    binned = (
+        scored.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("guess") == F.col("lang")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .limit(CALIB_BINS)
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pref = binned.select(
+        "bucket",
+        "n",
+        "n_correct",
+        F.sum("n").over(w).cast("bigint").alias("ncum"),
+        F.sum("n_correct").over(w).cast("bigint").alias("ccum"),
+    )
+    lo = pref.select(
+        F.col("bucket").alias("jb"),
+        (F.col("ncum") - F.col("n")).alias("n_before"),
+        (F.col("ccum") - F.col("n_correct")).alias("c_before"),
+    )
+    hi = pref.select(
+        F.col("bucket").alias("kb"),
+        F.col("ncum").alias("n_k"),
+        F.col("ccum").alias("c_k"),
+    )
+    a = (F.col("c_k") - F.col("c_before")).cast("double") / (
+        F.col("n_k") - F.col("n_before")
+    ).cast("double")
+    pairs = lo.join(hi, F.col("jb") <= F.col("kb")).select(
+        "jb", "kb", a.alias("a")
+    )
+    tri = binned.select(F.col("bucket").alias("i")).join(
+        pairs, (F.col("jb") <= F.col("i")) & (F.col("i") <= F.col("kb"))
+    )
+    fit = (
+        tri.groupBy("i", "jb")
+        .agg(F.min("a").alias("m"))
+        .groupBy("i")
+        .agg(F.max("m").alias("iso"))
+    )
+    conf_mid = (F.col("bucket").cast("double") + F.lit(0.5)) / F.lit(
+        float(CALIB_BINS)
+    )
+    acc = F.col("n_correct").cast("double") / F.col("n").cast("double")
+    return (
+        binned.join(fit, binned.bucket == fit.i)
+        .select(
+            "bucket",
+            F.round(conf_mid, 6).alias("conf_mid"),
+            "n",
+            "n_correct",
+            F.round(acc, 6).alias("accuracy"),
+            F.round("iso", 6).alias("isotonic_acc"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _isotonic_calibration_sql() -> str:
+    score_cols_sql, best_expr = _lang_guess_sql_parts()
+    total = " + ".join(f"s_{lang}" for lang in LANG_MARKERS)
+    best_score = "0"
+    for lang in LANG_MARKERS:
+        best_score = f"greatest(s_{lang}, {best_score})"
+    b = CALIB_BINS
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang, {score_cols_sql} FROM t
+), scored AS (
+  SELECT lang, {best_expr} AS guess,
+         CAST({best_score} AS BIGINT) AS best,
+         CAST({total} AS BIGINT) AS total
+  FROM s
+  WHERE {total} > 0
+), binned AS (
+  SELECT CAST(least(floor({b} * (best + 1) / (total + 2)), {b - 1}) AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN guess = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+  FROM scored GROUP BY 1
+), pref AS (
+  SELECT bucket, n, n_correct,
+         CAST(sum(n) OVER wo AS BIGINT) AS ncum,
+         CAST(sum(n_correct) OVER wo AS BIGINT) AS ccum
+  FROM binned
+  WINDOW wo AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pairs AS (
+  SELECT lo.bucket AS jb, hi.bucket AS kb,
+         CAST(hi.ccum - (lo.ccum - lo.n_correct) AS DOUBLE)
+         / CAST(hi.ncum - (lo.ncum - lo.n) AS DOUBLE) AS a
+  FROM pref lo JOIN pref hi ON lo.bucket <= hi.bucket
+), fit AS (
+  SELECT i, max(m) AS iso
+  FROM (
+    SELECT bi.bucket AS i, p.jb, min(p.a) AS m
+    FROM binned bi JOIN pairs p ON p.jb <= bi.bucket AND bi.bucket <= p.kb
+    GROUP BY 1, 2
+  )
+  GROUP BY i
+)
+SELECT bi.bucket,
+       round((CAST(bi.bucket AS DOUBLE) + 0.5) / {float(b)!r}, 6) AS conf_mid,
+       bi.n, bi.n_correct,
+       round(CAST(bi.n_correct AS DOUBLE) / CAST(bi.n AS DOUBLE), 6) AS accuracy,
+       round(f.iso, 6) AS isotonic_acc
+FROM binned bi JOIN fit f ON f.i = bi.bucket
+ORDER BY bi.bucket
 """
 
 
@@ -1620,6 +1760,7 @@ SPECS = [
     QuerySpec("lang_id", "marker-token language ID heuristic", _lang_id, _lang_id_sql(), tags=("text",)),
     QuerySpec("lang_id_calibration", "reliability diagram + per-bin calibration gap of the lang-id confidence (rational BIGINT confidence, 10 fixed bins)", _lang_id_calibration, _lang_id_calibration_sql, tags=("text", "eval", "audit")),
     QuerySpec("brier_decomposition", "Murphy decomposition of the lang-id Brier score: reliability - resolution + uncertainty over the calibration bins", _brier_decomposition, _brier_decomposition_sql, tags=("text", "eval", "stats")),
+    QuerySpec("isotonic_calibration", "closed-form isotonic (PAVA via the minimax identity) calibration map over the lang-id confidence bins", _isotonic_calibration, _isotonic_calibration_sql, tags=("text", "eval", "stats")),
     QuerySpec("lang_label_noise", "per-language label-noise rate: stored lang vs the heuristic guess", _lang_label_noise, _lang_label_noise_sql, tags=("text", "quality")),
     QuerySpec("lang_id_kappa", "Cohen's kappa per source: chance-corrected lang-label agreement as exact integer polynomials", _lang_id_kappa, _lang_id_kappa_sql, tags=("text", "quality", "audit")),
     QuerySpec("near_dup_pairs", "exact 3-gram-shingle Jaccard near-dup pairs", _near_dup_pairs, _NEAR_DUP_PAIRS_SQL, bench=True, tags=("dedup", "text")),

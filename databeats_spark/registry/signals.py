@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from databeats_spark.functions.text import LANG_MARKERS
 from databeats_spark.operators.scale import attach_global_scalar, partitioned_running_total
 from databeats_spark.registry import QuerySpec
 from databeats_spark.registry.events import SESSION_GAP_US
@@ -1791,6 +1792,187 @@ FROM m
 """
 
 
+# --- Q: rake_keyphrases — stopword-delimited keyphrase extraction (r11) --
+# RAKE (Rose et al. 2010): candidate phrases are maximal stopword-free
+# token runs (capped at RAKE_MAX_PHRASE words — the standard candidate
+# filter), word score = deg(w)/freq(w) over the candidate stream, and
+# a phrase scores the sum of its words' scores; top-RAKE_TOP per
+# source. The stopword set is the LANG_MARKERS union (the engine's
+# shared deterministic function-word lists) plus a small literal
+# extra set — one inlined literal array on both engines. Exactness:
+# freq/deg are exact BIGINTs, each word score is ONE division, and the
+# per-phrase sum is an ORDERED F.aggregate fold over the phrase's
+# token positions mirrored by a 0.0-prepended list_reduce (the
+# JS-drift recipe) — so phrase scores are bit-equal doubles and the
+# per-source ranking cannot diverge. Scale shape: one positional
+# explode, one (source, token)-keyed aggregate, one re-join, one
+# per-source WindowGroupLimit head.
+
+RAKE_EXTRA_STOPWORDS = ("a", "an", "as", "at", "by", "for", "in", "on", "or", "with")
+RAKE_STOPWORDS = tuple(
+    sorted(
+        {m for ms in LANG_MARKERS.values() for m in ms}
+        | set(RAKE_EXTRA_STOPWORDS)
+    )
+)
+RAKE_MAX_PHRASE = 4
+RAKE_TOP = 5
+
+
+def _rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    toks = (
+        spread(t.documents, spark)
+        .select(
+            "source",
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in RAKE_STOPWORDS])
+    is_stop = F.array_contains(stop_arr, F.col("tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = F.sum(is_stop.cast("int")).over(w)
+    words = toks.select(
+        "source", "doc_id", "pos", "tok", seg.alias("seg"), is_stop.alias("st")
+    ).filter(~F.col("st"))
+    occ = (
+        words.groupBy("source", "doc_id", "seg")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ).alias("ptoks")
+        )
+        .filter(F.size("ptoks") <= RAKE_MAX_PHRASE)
+        .select(
+            "source",
+            "doc_id",
+            "seg",
+            F.concat_ws(" ", "ptoks").alias("phrase"),
+            F.size("ptoks").cast("bigint").alias("plen"),
+            "ptoks",
+        )
+    )
+    ow = occ.select(
+        "source",
+        "doc_id",
+        "seg",
+        "phrase",
+        "plen",
+        F.posexplode("ptoks").alias("idx", "tok"),
+    )
+    wstats = ow.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+    )
+    scored_tok = ow.join(wstats, ["source", "tok"]).select(
+        "source",
+        "doc_id",
+        "seg",
+        "phrase",
+        "idx",
+        (F.col("deg").cast("double") / F.col("freq").cast("double")).alias("ws"),
+    )
+    occ_score = scored_tok.groupBy("source", "doc_id", "seg", "phrase").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "ws"))),
+                lambda x: x["ws"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score")
+    )
+    per_phrase = occ_score.groupBy("source", "phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.max("score").alias("score"),
+    )
+    rw = Window.partitionBy("source").orderBy(F.desc("score"), "phrase")
+    return (
+        per_phrase.withColumn("rank", F.row_number().over(rw).cast("bigint"))
+        .filter(F.col("rank") <= RAKE_TOP)
+        .select(
+            "source",
+            "rank",
+            "phrase",
+            "n_occurrences",
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("source", "rank")
+    )
+
+
+def _rake_keyphrases_sql() -> str:
+    stoplist = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT source, doc_id, CAST(u[2] AS BIGINT) AS pos, u[1] AS tok
+  FROM (
+    SELECT source, doc_id, unnest(list_zip(arr, range(0, len(arr)))) AS u
+    FROM (SELECT source, doc_id, string_split_regex(trim(text), '\\s+') AS arr
+          FROM documents)
+  )
+  WHERE u[1] <> ''
+),
+seg AS (
+  SELECT source, doc_id, pos, tok,
+         CASE WHEN tok IN ({stoplist}) THEN 1 ELSE 0 END AS st,
+         SUM(CASE WHEN tok IN ({stoplist}) THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM toks
+),
+occ AS (
+  SELECT source, doc_id, seg,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen,
+         list(tok ORDER BY pos) AS ptoks
+  FROM seg WHERE st = 0
+  GROUP BY 1, 2, 3
+  HAVING count(*) <= {RAKE_MAX_PHRASE}
+),
+ow AS (
+  SELECT source, doc_id, seg, phrase, plen,
+         CAST(u[2] AS BIGINT) AS idx, u[1] AS tok
+  FROM (SELECT *, unnest(list_zip(ptoks, range(0, len(ptoks)))) AS u FROM occ)
+),
+wstats AS (
+  SELECT source, tok,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(plen) AS BIGINT) AS deg
+  FROM ow GROUP BY 1, 2
+),
+occ_score AS (
+  SELECT o.source, o.doc_id, o.seg, o.phrase,
+         list_reduce(
+           [0.0] || list(CAST(w.deg AS DOUBLE) / CAST(w.freq AS DOUBLE)
+                         ORDER BY o.idx),
+           (acc, x) -> acc + x) AS score
+  FROM ow o JOIN wstats w USING (source, tok)
+  GROUP BY 1, 2, 3, 4
+),
+per_phrase AS (
+  SELECT source, phrase,
+         CAST(count(*) AS BIGINT) AS n_occurrences,
+         max(score) AS score
+  FROM occ_score GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, phrase, n_occurrences, score,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY score DESC, phrase) AS BIGINT) AS rank
+  FROM per_phrase
+)
+SELECT source, rank, phrase, n_occurrences, round(score, 6) AS score
+FROM ranked WHERE rank <= {RAKE_TOP}
+ORDER BY source, rank
+"""
+
+
 # --- Q: heaps_exponent_by_source — vocabulary-growth power-law fit ------
 # The per-source companion of zipf_slope: Heaps' law V(n) = K·n^beta
 # fitted per source over 10 doc-prefix deciles. Natural text sits near
@@ -1951,6 +2133,13 @@ ORDER BY source
 
 
 SPECS = [
+    QuerySpec(
+        "rake_keyphrases",
+        "RAKE keyphrase extraction: stopword-delimited candidates, deg/freq word scores, ordered-fold phrase scores, top-5 per source",
+        _rake_keyphrases,
+        _rake_keyphrases_sql,
+        tags=("text", "window", "audit"),
+    ),
     QuerySpec(
         "heaps_exponent_by_source",
         "per-source Heaps-law vocabulary-growth exponent over doc-prefix deciles (template-collapse signal)",

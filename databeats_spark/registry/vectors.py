@@ -416,6 +416,145 @@ ORDER BY c.id_a, c.id_b
 """
 
 
+# --- Q: minhash_estimate_audit — sketch calibration curve (r11) ----------
+# The audit that justifies the banding thresholds the MinHash tier
+# runs on: for every co-shingle pair in the bounded verifier slice,
+# compare the H-hash MinHash Jaccard ESTIMATE (signature agreement
+# share — E[est] = J, Broder 1997) against the exact Jaccard, rolled
+# up per 0.1 exact-Jaccard band: mean estimate, bias, and MAE. Both
+# sides are fully dual-engine: signatures use the md5-lexicographic
+# hash family (the minhash_near_dups_exact recipe, same H), agreement
+# counts are exact BIGINTs (mean_est is ONE division of two BIGINTs),
+# and the banding floor runs on bit-identical jaccard doubles (the
+# near_dup_threshold_sweep posture). At corpus scale the same audit
+# runs on a deterministic doc sample — the slice bound is the
+# verifier posture, not a data assumption.
+
+def _minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from databeats_spark.functions.text import word_shingles
+    from databeats_spark.registry.documents import PAIR_DOC_LIMIT
+    from databeats_spark.sources.tables import spread
+
+    H = MINHASH_EXACT_HASHES
+    docs = spread(load_tables(spark, sf_dir, ["documents"]).documents, spark)
+    docs = docs.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    sh = docs.select("doc_id", F.explode(word_shingles("text", 3)).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"h{i}")
+            for i in range(H)
+        ]
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b"))
+    ga = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(H)]
+    )
+    gb = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(H)]
+    )
+    matches = None
+    for i in range(H):
+        term = (F.col(f"a{i}") == F.col(f"b{i}")).cast("bigint")
+        matches = term if matches is None else matches + term
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    ).cast("double")
+    scored = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            jac.alias("jac"),
+            matches.cast("bigint").alias("matches"),
+        )
+    )
+    est = F.col("matches").cast("double") / float(H)
+    band = F.least(F.floor(F.col("jac") * 10), F.lit(9)).cast("bigint")
+    g = scored.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("matches").cast("bigint").alias("sum_matches"),
+        F.sum("jac").alias("sum_jac"),
+        F.sum(F.abs(est - F.col("jac"))).alias("sum_abs_err"),
+    )
+    mean_est = F.col("sum_matches").cast("double") / (
+        float(H) * F.col("n_pairs").cast("double")
+    )
+    mean_exact = F.col("sum_jac") / F.col("n_pairs").cast("double")
+    return g.select(
+        "band",
+        F.round(F.col("band").cast("double") / 10.0, 6).alias("band_lo"),
+        "n_pairs",
+        F.round(mean_est, 6).alias("mean_est"),
+        F.round(mean_exact, 6).alias("mean_exact"),
+        F.round(mean_est - mean_exact, 6).alias("bias"),
+        F.round(F.col("sum_abs_err") / F.col("n_pairs").cast("double"), 6).alias(
+            "mae"
+        ),
+    ).orderBy("band")
+
+
+def _minhash_estimate_audit_sql() -> str:
+    from databeats_spark.registry.documents import _PAIRS_CTES
+
+    H = MINHASH_EXACT_HASHES
+    sig_cols = ",\n         ".join(
+        f"min(md5('{i}:' || sh)) AS h{i}" for i in range(H)
+    )
+    match_expr = " + ".join(
+        f"CASE WHEN ga.h{i} = gb.h{i} THEN 1 ELSE 0 END" for i in range(H)
+    )
+    return f"""
+WITH {_PAIRS_CTES},
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM e GROUP BY doc_id
+),
+scored AS (
+  SELECT CAST(p.common AS DOUBLE) / CAST(sa.n + sb.n - p.common AS DOUBLE) AS jac,
+         CAST({match_expr} AS BIGINT) AS matches
+  FROM pairs p
+  JOIN sized sa ON sa.doc_id = p.id_a
+  JOIN sized sb ON sb.doc_id = p.id_b
+  JOIN sig ga ON ga.doc_id = p.id_a
+  JOIN sig gb ON gb.doc_id = p.id_b
+),
+g AS (
+  SELECT CAST(least(floor(jac * 10), 9) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(matches) AS BIGINT) AS sum_matches,
+         sum(jac) AS sum_jac,
+         sum(abs(CAST(matches AS DOUBLE) / {float(H)!r} - jac)) AS sum_abs_err
+  FROM scored GROUP BY 1
+)
+SELECT band,
+       round(CAST(band AS DOUBLE) / 10.0, 6) AS band_lo,
+       n_pairs,
+       round(CAST(sum_matches AS DOUBLE) / ({float(H)!r} * CAST(n_pairs AS DOUBLE)), 6) AS mean_est,
+       round(sum_jac / CAST(n_pairs AS DOUBLE), 6) AS mean_exact,
+       round(CAST(sum_matches AS DOUBLE) / ({float(H)!r} * CAST(n_pairs AS DOUBLE))
+             - sum_jac / CAST(n_pairs AS DOUBLE), 6) AS bias,
+       round(sum_abs_err / CAST(n_pairs AS DOUBLE), 6) AS mae
+FROM g
+ORDER BY band
+"""
+
+
 def _simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     out = simhash_near_duplicates(
@@ -1570,6 +1709,7 @@ SPECS = [
     QuerySpec("ivf_cosine_topk", "IVF (KMeans-partitioned) approximate top-k", _ivf_cosine_topk, None, tags=("similarity", "approx")),
     QuerySpec("minhash_near_dups", "MinHash+LSH banded near-dup detection (full corpus)", _minhash_near_dups, None, bench=True, tags=("dedup", "approx")),
     QuerySpec("minhash_near_dups_exact", "oracle twin of the MinHash tier: md5-family LSH banding, every stage dual-engine", _minhash_near_dups_exact, _MINHASH_NEAR_DUPS_EXACT_SQL, tags=("dedup", "text")),
+    QuerySpec("minhash_estimate_audit", "MinHash estimator calibration: signature-agreement estimate vs exact Jaccard, bias + MAE per band", _minhash_estimate_audit, _minhash_estimate_audit_sql, tags=("dedup", "text", "audit")),
     QuerySpec("simhash_near_dups", "SimHash bucketed near-dup detection", _simhash_near_dups, None, tags=("dedup", "approx")),
     QuerySpec("simhash_near_dups_exact", "oracle twin of the SimHash tier: md5-bit signatures, pigeonhole banding, exact Hamming verify", _simhash_near_dups_exact, _SIMHASH_NEAR_DUPS_EXACT_SQL, tags=("dedup", "text")),
     QuerySpec("semdedup_near_dups_exact", "oracle twin of the SemDeDup tier: fixed-centroid bucketing, within-cluster exact cosine pairs", _semdedup_near_dups_exact, _SEMDEDUP_NEAR_DUPS_EXACT_SQL, tags=("dedup", "similarity")),

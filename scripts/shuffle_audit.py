@@ -122,6 +122,12 @@ QUERIES = [
     # key-partitioned cumulative windows)
     "contamination_scorecard", "bh_fdr_discoveries",
     "permutation_null_effect", "heaps_exponent_by_source",
+    # r11 batch 2: closed-form isotonic (all movement is the one bin
+    # aggregate — the minimax nest runs on <=10-row bounded relations),
+    # the sketch-calibration audit (bounded verifier slice + md5
+    # signature aggregate), and RAKE (positional explode -> per-source
+    # token aggregate -> re-join -> WindowGroupLimit head)
+    "isotonic_calibration", "minhash_estimate_audit", "rake_keyphrases",
 ]
 
 

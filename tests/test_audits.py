@@ -1670,3 +1670,66 @@ def test_jackknife_single_day_priority_is_guarded_not_null(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), oracle.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_isotonic_calibration_equals_independent_pava_sweep(spark):
+    """The minimax identity the query evaluates must agree EXACTLY with
+    an independent pool-adjacent-violators sweep over the same bins
+    (Robertson-Wright-Dykstra) — plus the monotonicity contract."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from databeats_spark.functions.text import LANG_MARKERS
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.documents import CALIB_BINS
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    n_by: Counter = Counter()
+    c_by: Counter = Counter()
+    for r in docs.itertuples():
+        toks = re.split(r"\s+", str(r.text).strip())
+        scores = {
+            lang: sum(1 for t in toks if t in marks)
+            for lang, marks in LANG_MARKERS.items()
+        }
+        total = sum(scores.values())
+        if total == 0:
+            continue
+        best_lang, best = "und", 0
+        for lang in LANG_MARKERS:
+            if scores[lang] > best:
+                best_lang, best = lang, scores[lang]
+        bucket = min(CALIB_BINS * (best + 1) // (total + 2), CALIB_BINS - 1)
+        n_by[bucket] += 1
+        c_by[bucket] += int(best_lang == r.lang)
+
+    # independent PAVA: iterate pooling adjacent violators to a fixpoint
+    buckets = sorted(n_by)
+    blocks = [[c_by[b], n_by[b], [b]] for b in buckets]  # [sum_c, sum_n, members]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][0] * blocks[i + 1][1] > blocks[i + 1][0] * blocks[i][1]:
+            blocks[i] = [
+                blocks[i][0] + blocks[i + 1][0],
+                blocks[i][1] + blocks[i + 1][1],
+                blocks[i][2] + blocks[i + 1][2],
+            ]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    pava = {}
+    for c, n, members in blocks:
+        for b in members:
+            pava[b] = c / n
+
+    got = queries()["isotonic_calibration"](spark, SF_SMOKE).toPandas()
+    assert list(got.bucket) == buckets
+    for r in got.itertuples():
+        assert r.n == n_by[r.bucket] and r.n_correct == c_by[r.bucket]
+        assert abs(r.isotonic_acc - pava[r.bucket]) < 2e-6
+    # the fit is monotone nondecreasing in confidence
+    iso = list(got.isotonic_acc)
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))

@@ -405,3 +405,86 @@ def test_heaps_exponent_separates_template_from_rich_text(spark, tmp_path):
     )
     assert got.loc["rich", "heaps_beta"] > 0.95
     assert got.loc["tmpl", "heaps_beta"] < 0.1
+
+
+# --- RAKE keyphrases replica (r11) ------------------------------------------
+
+def _rake_replica():
+    import re
+    from collections import defaultdict
+
+    from databeats_spark.registry.signals import (
+        RAKE_MAX_PHRASE,
+        RAKE_STOPWORDS,
+        RAKE_TOP,
+    )
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    stop = set(RAKE_STOPWORDS)
+    occs = defaultdict(list)  # source -> list of phrase tuples
+    for r in docs.itertuples():
+        toks = [w for w in re.split(r"\s+", str(r.text).strip()) if w]
+        run: list[str] = []
+        for t in toks + ["the"]:  # sentinel flush
+            if t in stop:
+                if run and len(run) <= RAKE_MAX_PHRASE:
+                    occs[r.source].append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+    out = {}
+    for src, phrases in occs.items():
+        freq: dict[str, int] = defaultdict(int)
+        deg: dict[str, int] = defaultdict(int)
+        for p in phrases:
+            for w in p:
+                freq[w] += 1
+                deg[w] += len(p)
+        scored = defaultdict(lambda: [0, 0.0])  # phrase -> [n, score]
+        for p in phrases:
+            s = 0.0
+            for w in p:  # ordered fold, same order as the engines
+                s += deg[w] / freq[w]
+            key = " ".join(p)
+            scored[key][0] += 1
+            scored[key][1] = s
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1][1], kv[0]))
+        out[src] = [
+            (i + 1, k, v[0], v[1]) for i, (k, v) in enumerate(ranked[:RAKE_TOP])
+        ]
+    return out
+
+
+def test_rake_keyphrases_matches_python_replica(spark):
+    from databeats_spark.registry import queries
+
+    got = queries()["rake_keyphrases"](spark, SF_SMOKE).toPandas()
+    expect = _rake_replica()
+    assert set(got.source) == set(expect)
+    for src, rows in expect.items():
+        g = got[got.source == src].sort_values("rank")
+        assert [
+            (r.rank, r.phrase, r.n_occurrences) for r in g.itertuples()
+        ] == [(rk, ph, n) for rk, ph, n, _ in rows]
+        for r, (_, _, _, s) in zip(g.itertuples(), rows):
+            assert abs(r.score - s) < 2e-6
+
+
+def test_rake_planted_phrase_outranks_scattered_words(spark, tmp_path):
+    """A repeated multiword phrase accumulates its words' degree mass
+    and must outrank equally frequent but isolated single words."""
+    from databeats_spark.registry.signals import _rake_keyphrases
+
+    rows = []
+    for d in range(10):
+        text = "the neural scaling laws of solo and noise%d the" % d
+        rows.append((d, text, "en", "s", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/sf/documents.parquet")
+
+    got = _rake_keyphrases(spark, f"{tmp_path}/sf").toPandas()
+    assert got.iloc[0].phrase == "neural scaling laws"
+    assert got.iloc[0].n_occurrences == 10

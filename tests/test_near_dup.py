@@ -503,3 +503,81 @@ def test_blockmean_exact_twin_multi_scale_semantics(spark):
     merged = full.merge(out, on=["id_a", "id_b"], suffixes=("_full", "_min"))
     assert len(merged) == len(full), "a full-scale pair is missing from the union"
     assert (merged["hamming_min"] <= merged["hamming_full"]).all()
+
+
+def test_minhash_estimate_audit_matches_hashlib_replica(spark):
+    """Per-band estimator calibration vs a pure-Python md5 replica:
+    same hash family, same banding, same exact-Jaccard denominator."""
+    import hashlib
+    import math
+    import re
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.documents import PAIR_DOC_LIMIT
+    from databeats_spark.registry.vectors import MINHASH_EXACT_HASHES as H
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    docs = docs[docs.doc_id < PAIR_DOC_LIMIT]
+    shingles = {}
+    for r in docs.itertuples():
+        toks = [w for w in re.split(r"\s+", str(r.text).strip()) if w]
+        shingles[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    sig = {
+        d: [
+            min(hashlib.md5(f"{i}:{s}".encode()).hexdigest() for s in sh)
+            for i in range(H)
+        ]
+        for d, sh in shingles.items()
+        if sh
+    }
+    ids = sorted(sig)
+    bands = defaultdict(lambda: [0, 0, 0.0, 0.0])  # n, sum_matches, sum_jac, sum_abs
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            common = len(shingles[a] & shingles[b])
+            if common == 0:
+                continue
+            jac = common / (len(shingles[a]) + len(shingles[b]) - common)
+            m = sum(1 for i in range(H) if sig[a][i] == sig[b][i])
+            band = min(int(math.floor(jac * 10)), 9)
+            bands[band][0] += 1
+            bands[band][1] += m
+            bands[band][2] += jac
+            bands[band][3] += abs(m / H - jac)
+
+    got = queries()["minhash_estimate_audit"](spark, SF_SMOKE).toPandas()
+    assert list(got.band) == sorted(bands)
+    for r in got.itertuples():
+        n, sm, sj, sa = bands[r.band]
+        assert r.n_pairs == n and r.n_pairs * 0 + sm == sm
+        assert r.mean_est == round(sm / (H * n), 6)
+        assert abs(r.mean_exact - sj / n) < 2e-6
+        assert abs(r.mae - sa / n) < 2e-6
+        assert abs(r.bias - (sm / (H * n) - sj / n)) < 2e-6
+
+
+def test_minhash_estimate_extremes_on_planted_corpus(spark, tmp_path):
+    """Identical docs estimate 1.0 in the top band; docs sharing one
+    boilerplate shingle out of many sit in band 0 with a near-zero
+    estimate — the calibration curve's anchor points."""
+    from databeats_spark.registry.vectors import _minhash_estimate_audit
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(0, twin, "en", "s", len(twin)), (1, twin, "en", "s", len(twin))]
+    # two long docs overlapping in exactly one 3-gram window
+    a = " ".join(f"a{i}" for i in range(40)) + " shared tri gram"
+    b = "shared tri gram " + " ".join(f"b{i}" for i in range(40))
+    rows += [(2, a, "en", "s", len(a)), (3, b, "en", "s", len(b))]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{tmp_path}/sf/documents.parquet")
+
+    got = _minhash_estimate_audit(spark, f"{tmp_path}/sf").toPandas().set_index("band")
+    assert got.loc[9].mean_est == 1.0 and got.loc[9].mean_exact == 1.0
+    assert 0 in got.index and got.loc[0].mean_est <= 0.25
