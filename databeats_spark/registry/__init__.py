@@ -141,6 +141,15 @@ _WINDOW = (
     "zipf_slope",
 )
 
+# Queries whose BUILDER or ORACLE changed this round (reset to () at
+# round start, add entries as changes land): the rotation report
+# forces these into its recommended front-50 and
+# tests/test_rotation_ledger.py fails when one sits outside the live
+# window — the "changed query re-certifies" precedent (markov/lang_id
+# in r10, jackknife in r11), mechanical instead of CLAUDE.md prose the
+# report "cannot see".
+CHANGED_QUERIES: tuple[str, ...] = ("jackknife_ratio_ci",)
+
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
 # that silently gets no driver coverage (the r6 window quietly grew to
 # 56 and left 6 entries unchecked — ADVICE r6). _collect() trims to the

@@ -62,7 +62,7 @@ def driver_green_rounds(repo: str = REPO) -> dict[str, int]:
 
 def ledger() -> dict:
     """Machine-readable rotation state over the live registry."""
-    from databeats_spark.registry import registry
+    from databeats_spark.registry import CHANGED_QUERIES, registry
 
     last_green = driver_green_rounds()
     latest_round = max(last_green.values(), default=0)
@@ -79,6 +79,13 @@ def ledger() -> dict:
     # moment it is one round stale, so a headliner is never more than
     # one round behind while ~14 extra slots per round retire old debt.
     in_front = {s.name for s in front}
+    # Changed-this-round queries re-certify ahead of headliners: their
+    # green history predates the change, so it covers nothing (r11 —
+    # previously a CLAUDE.md precedent the report could not see).
+    for s in specs:
+        if s.name in CHANGED_QUERIES and s.name not in in_front:
+            front.append(s)
+            in_front.add(s.name)
     for s in specs:
         if s.bench and s.name not in in_front and last_green.get(s.name, 0) < latest_round:
             front.append(s)
@@ -102,6 +109,8 @@ def ledger() -> dict:
         "recommended_front_50": recommended,
         "window_misses_recommendation": [n for n in recommended if n not in set(window)],
         "uncovered_never_verified": [n for n in never if n not in set(window)],
+        "changed_queries": list(CHANGED_QUERIES),
+        "uncovered_changed": [n for n in CHANGED_QUERIES if n not in set(window)],
     }
 
 

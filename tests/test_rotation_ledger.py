@@ -40,3 +40,14 @@ def test_ledger_shape_is_sane():
     names = {s.name for s in registry()}
     assert set(led["current_window"]) <= names
     assert set(led["recommended_front_50"]) <= names
+
+
+def test_changed_queries_are_in_current_window():
+    """A query whose builder or oracle changed this round has green
+    history that covers NOTHING — it must re-certify. Mechanized in
+    r11 (previously a CLAUDE.md precedent the report could not see)."""
+    led = ledger()
+    assert not led["uncovered_changed"], (
+        "CHANGED_QUERIES outside the front-50 window: "
+        f"{led['uncovered_changed']} — prepend them to _WINDOW"
+    )
