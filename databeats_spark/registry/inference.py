@@ -1041,7 +1041,13 @@ def _permutation_null_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy1").cast("double") / F.col("n1").cast("double")
         - F.col("sy0").cast("double") / F.col("n0").cast("double")
     )
-    diffs = cells.select("k", diff.alias("diff"))
+    # empty-arm guard (the NULL-vs-inf divergence class, ADVICE r10):
+    # a permutation that lands every user in one arm has no defined
+    # diff — drop it on BOTH engines (data-dependent only on corpora
+    # of a handful of users, but guarded regardless)
+    diffs = cells.filter((F.col("n1") > 0) & (F.col("n0") > 0)).select(
+        "k", diff.alias("diff")
+    )
     obs = diffs.filter(F.col("k") == 0).limit(1).select(
         F.col("diff").alias("diff_obs")
     )
@@ -1099,6 +1105,8 @@ diffs AS (
          - CAST(sum(CASE WHEN arm = 0 THEN y END) AS DOUBLE)
            / CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS diff
   FROM cells GROUP BY k
+  HAVING sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) > 0
+     AND sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) > 0
 ),
 obs AS (SELECT diff AS diff_obs FROM diffs WHERE k = 0 LIMIT 1)
 SELECT CAST(count(*) AS BIGINT) AS n_perms,
