@@ -867,7 +867,19 @@ def _bh_fdr_discoveries(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_b = F.col("r").cast("double") / nb
     p_r = (F.col("tot_r") - F.col("r")).cast("double") / nr
     p_pool = F.col("tot_r").cast("double") / F.col("tot_n").cast("double")
-    z = (p_b - p_r) / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / nb + 1.0 / nr))
+    # degenerate-variance guard on exact INTEGER conditions (the
+    # NULL-vs-inf class): a brand that IS the whole corpus, or a
+    # corpus with zero/all returns, has no defined z — score it 0
+    # (p = 1, never discovered), the mann_whitney zero-variance posture
+    z = F.when(
+        (F.col("tot_n") == F.col("n"))
+        | (F.col("tot_r") == 0)
+        | (F.col("tot_r") == F.col("tot_n")),
+        F.lit(0.0),
+    ).otherwise(
+        (p_b - p_r)
+        / F.sqrt(p_pool * (1.0 - p_pool) * (1.0 / nb + 1.0 / nr))
+    )
     az = F.abs(z)
     # p = 2 * phi(|z|) * Horner(t), t = 1/(1 + c0|z|) — identical
     # literals + association on both engines (bit-equal doubles)
@@ -944,11 +956,13 @@ tot AS (
 ),
 scored AS (
   SELECT p_brand, n, r,
-         (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
-          - CAST(tot_r - r AS DOUBLE) / CAST(tot_n - n AS DOUBLE))
-         / sqrt((CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE))
-                * (1.0 - CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE))
-                * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(tot_n - n AS DOUBLE))) AS z
+         CASE WHEN tot_n = n OR tot_r = 0 OR tot_r = tot_n THEN 0.0
+              ELSE (CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+                    - CAST(tot_r - r AS DOUBLE) / CAST(tot_n - n AS DOUBLE))
+                   / sqrt((CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                          * (1.0 - CAST(tot_r AS DOUBLE) / CAST(tot_n AS DOUBLE))
+                          * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(tot_n - n AS DOUBLE)))
+         END AS z
   FROM agg CROSS JOIN tot
 ),
 pv AS (

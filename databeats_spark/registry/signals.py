@@ -2049,8 +2049,12 @@ def _heaps_exponent_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = F.log(F.col("cum_tok").cast("double"))
     y = F.log(F.col("cum_vocab").cast("double"))
+    # a source whose decile points all coincide (single token-bearing
+    # doc) has a zero OLS denominator — no defined slope, drop it on
+    # BOTH engines (NULL-vs-inf guard; needs >= 2 distinct x points)
     m = points.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.count_distinct("cum_tok").cast("bigint").alias("nx"),
         F.max("n_docs").alias("n_docs"),
         F.max("cum_tok").alias("n_tokens"),
         F.max("cum_vocab").alias("vocab"),
@@ -2058,7 +2062,7 @@ def _heaps_exponent_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y).alias("sy"),
         F.sum(x * y).alias("sxy"),
         F.sum(x * x).alias("sxx"),
-    )
+    ).filter(F.col("nx") >= 2)
     p = F.col("n_points").cast("double")
     beta = (p * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         p * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -2120,6 +2124,7 @@ m AS (
          sum(ln(CAST(cum_tok AS DOUBLE)) * ln(CAST(cum_vocab AS DOUBLE))) AS sxy,
          sum(ln(CAST(cum_tok AS DOUBLE)) * ln(CAST(cum_tok AS DOUBLE))) AS sxx
   FROM points GROUP BY source
+  HAVING count(DISTINCT cum_tok) >= 2
 )
 SELECT source, n_docs, n_tokens, vocab, n_points,
        round((CAST(n_points AS DOUBLE) * sxy - sx * sy)
