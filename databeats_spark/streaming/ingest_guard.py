@@ -233,32 +233,52 @@ def accepted_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(f"{state_dir}/accepted")
 
 
-def compact_state(spark: SparkSession, state_dir: str, epoch_floor: int = -1) -> None:
-    """Fold all epoch partitions at or below ``epoch_floor`` (default:
-    every epoch) into a single consolidated partition per state table.
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    epoch_floor: int = -1,
+    committed: set[int] | None = None,
+) -> None:
+    """Fold drained epoch partitions into one consolidated ``epoch=-1``
+    partition per state table (accepted / sigs / bands).
 
     Thousands of drained epochs mean thousands of tiny parquet files
     per table — the classic streaming small-file problem — and every
-    micro-batch re-lists them. Compaction rewrites the affected epochs
-    under one reserved partition (epoch = -1, below any real epoch id,
-    so replay exclusion of a live epoch never touches consolidated
-    rows). Run it from maintenance, never concurrently with a drain
-    (same single-writer rule as any table compaction)."""
+    micro-batch re-lists them. Since r11 this delegates to
+    ``streaming/compaction.py``'s manifest protocol, which fixes two
+    hazards the original in-place rewrite had: a crash mid-overwrite
+    could LOSE state (overwrite deletes before it writes; the staged
+    rows lived only in executor memory), and an epoch written but not
+    yet committed to the stream checkpoint could replay after its rows
+    were folded — the replay's ``epoch != current`` exclusion no longer
+    hides them, so the batch would collide with ITSELF and re-decide
+    against a corrupted index. Now only checkpoint-committed epochs
+    fold (ledger read from the drain helper's ``_ckpt``; override with
+    ``committed`` when the sink is driven directly), the swap is
+    two-phase with idempotent crash recovery, and ``epoch_floor``
+    (>= 0) additionally restricts folding to epochs at or below it.
+    Still a maintenance operation: never run concurrently with a drain
+    (single-writer rule)."""
+    from databeats_spark.streaming.compaction import (
+        committed_epochs,
+        compact_epoch_partials,
+    )
+
+    if committed is None:
+        committed = committed_epochs(f"{state_dir}/_ckpt")
+    exclude: set[int] = (
+        {e for e in committed if e > epoch_floor} if epoch_floor >= 0 else set()
+    )
+
+    def fold(df: DataFrame) -> DataFrame:
+        return df.drop("epoch")
+
     for table in ("accepted", "sigs", "bands"):
-        path = f"{state_dir}/{table}"
-        df = spark.read.parquet(path)
-        old = df.filter(F.col("epoch") <= epoch_floor) if epoch_floor >= 0 else df
-        keep = (
-            df.filter(F.col("epoch") > epoch_floor)
-            if epoch_floor >= 0
-            else df.filter(F.lit(False))
+        compact_epoch_partials(
+            spark,
+            f"{state_dir}/{table}",
+            fold,
+            ["epoch"],
+            committed=committed,
+            exclude=exclude,
         )
-        merged = (
-            keep.unionByName(old.withColumn("epoch", F.lit(-1).cast("long")))
-            .coalesce(max(1, spark.sparkContext.defaultParallelism // 4))
-        )
-        # full rewrite via staging (read-modify-write on the same path)
-        staged = merged.localCheckpoint(eager=True)
-        staged.write.mode("overwrite").partitionBy("epoch").option(
-            "partitionOverwriteMode", "static"
-        ).parquet(path)
