@@ -387,8 +387,13 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # rich line first: head-truncated in the driver's stdout tail but
-    # fully recoverable from the committed artifact (and the tail of
-    # this line — the audit section — still lands inside the window)
+    # fully recoverable from the live artifact (and the tail of this
+    # line — the audit section — still lands inside the window).
+    # artifacts/BENCH_LOCAL.json is GITIGNORED (r12): every run — the
+    # driver's included — overwrites it freely without dirtying the
+    # tree (the r10/r11 failure mode). Reference samples worth keeping
+    # are copied to artifacts/bench_samples/<name>.json and committed
+    # explicitly.
     rich_line = json.dumps(out)
     print(rich_line)
     try:

@@ -61,12 +61,25 @@ _MANIFEST = "_compact_manifest.json"
 def committed_epochs(checkpoint_path: str) -> set[int]:
     """Epoch ids the stream checkpoint has durably committed — the
     only epochs that can never replay. Structured Streaming writes one
-    ``commits/<batchId>`` file per committed micro-batch."""
+    ``commits/<batchId>`` file per committed micro-batch, but RETAINS
+    only the last ``minBatchesToRetain`` (default 100) of them — on a
+    long-lived stream the ledger is a rotating window, not the full
+    history. Batches commit strictly sequentially, so the folding rule
+    is ``epoch <= max(ledger)`` (see :func:`_max_committed`): only the
+    batch AFTER the newest committed id can still replay. This set is
+    therefore a lower-bound witness, not the universe of committed ids."""
     commits = os.path.join(checkpoint_path, "commits")
     try:
         return {int(f) for f in os.listdir(commits) if f.isdigit()}
     except OSError:
         return set()
+
+
+def _max_committed(committed: set[int]) -> int | None:
+    """The real commit frontier: epochs <= this can never replay
+    (sequential commits), even when checkpoint retention has rotated
+    their individual ``commits/<id>`` files away (ADVICE r11)."""
+    return max(committed) if committed else None
 
 
 def _epoch_leaf_dirs(state_path: str) -> dict[str, list[tuple[int, str]]]:
@@ -115,6 +128,18 @@ def recover_compaction(state_path: str) -> bool:
             os.makedirs(os.path.dirname(dst) or state_path, exist_ok=True)
             shutil.rmtree(dst, ignore_errors=True)
             os.rename(src, dst)
+        elif not os.path.isdir(dst):
+            # The deletes above have already run; a move whose source
+            # vanished with no destination in place means the folded
+            # base is GONE (e.g. a src/dst path-rendering mismatch) —
+            # treating it as an idempotent no-op would silently lose
+            # data (ADVICE r11). Leave the manifest + tmp in place for
+            # forensic repair and fail loudly.
+            raise RuntimeError(
+                f"compaction recovery: manifest move source {src!r} is "
+                f"missing and destination {dst!r} does not exist — folded "
+                "base lost; manifest left in place for manual repair"
+            )
     shutil.rmtree(tmp, ignore_errors=True)
     os.remove(mpath)
     return True
@@ -147,6 +172,12 @@ def compact_epoch_partials(
     recover_compaction(state_path)
     if committed is None:
         committed = committed_epochs(checkpoint_path or state_path + "_ckpt")
+    # Sequential-commit frontier, not set membership: checkpoint
+    # retention (minBatchesToRetain, default 100) rotates old
+    # commits/<id> files away, and membership alone would strand every
+    # pre-window epoch unfolded forever on a long-lived stream
+    # (ADVICE r11). Only the batch after max(committed) can replay.
+    frontier = _max_committed(committed)
 
     groups = _epoch_leaf_dirs(state_path)
     selected: list[str] = []
@@ -156,7 +187,11 @@ def compact_epoch_partials(
         foldable = [
             (e, rel)
             for e, rel in sorted(dirs)
-            if (e == BASE_EPOCH or e in committed) and e not in exclude
+            if (
+                e == BASE_EPOCH
+                or (frontier is not None and e <= frontier)
+            )
+            and e not in exclude
         ]
         if len(foldable) < 2:
             continue  # already a lone base (or lone epoch): no win
@@ -191,6 +226,16 @@ def compact_epoch_partials(
         f.flush()
         os.fsync(f.fileno())
     os.replace(mpath + ".writing", mpath)
+    # fsync the DIRECTORY entry too: the file's bytes are durable but
+    # the rename itself is not until the parent dir syncs — on power
+    # loss (not mere process crash) the destructive phase below could
+    # otherwise persist while the manifest rename does not, leaving no
+    # recovery record (ADVICE r11).
+    dfd = os.open(state_path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     recover_compaction(state_path)
     return len(move)
 

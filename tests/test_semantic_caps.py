@@ -19,6 +19,7 @@ import pytest
 from databeats_spark.registry.audits import SEG_CAP
 from databeats_spark.registry.corpus import KMV_SRC_CAP, VOCAB_SRC_CAP
 from databeats_spark.registry.events import SEQ_DAY_CAP
+from databeats_spark.registry.inference import BH_MAX_TESTS
 
 SF_DIRS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
@@ -49,4 +50,13 @@ def test_caps_have_headroom(sf_dir, duck):
     )
     assert _has_headroom(n_segments, SEG_CAP), (
         f"{sf_dir}: {n_segments} segments approaches SEG_CAP={SEG_CAP}"
+    )
+    # bh_fdr_discoveries' .limit(BH_MAX_TESTS) has NO matching cap in
+    # its DuckDB oracle — if the brand catalog ever grew past the cap
+    # the engines would desync by arbitrary truncation (ADVICE r11).
+    n_brands = duck.execute(
+        f"SELECT count(DISTINCT p_brand) FROM '{sf_dir}/part.parquet'"
+    ).fetchone()[0]
+    assert _has_headroom(n_brands, BH_MAX_TESTS), (
+        f"{sf_dir}: {n_brands} brands approaches BH_MAX_TESTS={BH_MAX_TESTS}"
     )

@@ -153,6 +153,62 @@ def test_chart_compaction_recovers_from_crash_between_fold_and_swap(
     assert not os.path.exists(os.path.join(state, "_compact_tmp"))
 
 
+def test_compaction_folds_epochs_older_than_retention_window(
+    spark, staged_events, tmp_path
+):
+    """Structured Streaming retains only the last minBatchesToRetain
+    commit files; an epoch whose commits/<id> file has rotated away
+    must STILL fold (batches commit sequentially, so anything <= the
+    newest committed id can never replay — ADVICE r11). Simulate the
+    rotation by deleting the oldest commit file before compacting."""
+    state = _drained_chart_state(spark, staged_events, tmp_path, "st4")
+    before = chart_streaks_from_state(spark, state).toPandas()
+    ckpt = state + "_ckpt"
+    commits = sorted(
+        f for f in os.listdir(os.path.join(ckpt, "commits")) if f.isdigit()
+    )
+    assert len(commits) >= 2, "need two drained epochs to simulate rotation"
+    os.remove(os.path.join(ckpt, "commits", commits[0]))
+
+    assert compact_chart_state(spark, state) > 0
+    # the rotated-away epoch still folds: every multi-epoch week is
+    # down to ONE partition. Before the frontier rule, weeks touched by
+    # both epochs would fold only the still-ledgered one and strand the
+    # rotated epoch beside the new base (2 partitions). Weeks touched
+    # ONLY by the rotated epoch legitimately keep their lone partition
+    # (a lone dir is never folded — no win).
+    by_week: dict[str, int] = {}
+    for d in _epoch_dirs(state):
+        by_week[os.path.dirname(d)] = by_week.get(os.path.dirname(d), 0) + 1
+    assert max(by_week.values()) == 1, (
+        "pre-retention-window epoch was stranded beside a folded base"
+    )
+    assert chart_streaks_from_state(spark, state).toPandas().equals(before)
+
+
+def test_recovery_raises_when_folded_base_is_lost(tmp_path):
+    """A manifest move whose tmp source vanished with no destination in
+    place means the folded base is gone — recovery must fail loudly,
+    not no-op past the data loss (ADVICE r11), and must leave the
+    manifest behind for forensic repair."""
+    import json
+
+    state = tmp_path / "st5"
+    (state / "_compact_tmp").mkdir(parents=True)  # tmp exists, but empty
+    (state / "_compact_manifest.json").write_text(
+        json.dumps({"delete": [], "move": ["wk=2024-01-01/epoch=-1"]})
+    )
+    with pytest.raises(RuntimeError, match="folded base lost"):
+        recover_compaction(str(state))
+    assert (state / "_compact_manifest.json").exists()
+
+    # but if the destination ALREADY exists (replay of a finished move)
+    # the same manifest is an idempotent no-op
+    (state / "wk=2024-01-01" / "epoch=-1").mkdir(parents=True)
+    assert recover_compaction(str(state))
+    assert not (state / "_compact_manifest.json").exists()
+
+
 def test_sprt_compaction_is_byte_identical_with_fewer_files(spark, tmp_path):
     from databeats_spark.streaming.monitor import (
         run_sprt_monitor_durable,
