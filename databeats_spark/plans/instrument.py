@@ -131,6 +131,7 @@ def stage_snapshot(spark: SparkSession) -> dict[str, int]:
         "stage_shuffle_write_records": 0,
         "stage_spill_bytes": 0,
         "n_stages": 0,
+        "n_tasks": 0,
     }
     it = stages.iterator()
     while it.hasNext():
@@ -141,6 +142,15 @@ def stage_snapshot(spark: SparkSession) -> dict[str, int]:
         out["stage_shuffle_write_records"] += s.shuffleWriteRecords()
         out["stage_spill_bytes"] += s.diskBytesSpilled()
         out["n_stages"] += 1
+        out["n_tasks"] += s.numCompleteTasks() + s.numFailedTasks()
+    # jobs are the driver-side scheduling unit: each one is an action
+    # round-trip (job submit, DAG build, stage wake-ups). At sf0.1 the
+    # headline set is overhead-dominated (VERDICT r11: 16.5 s wall vs
+    # 6.8 cpu-s over 32 cores), so JOB COUNT per query is the lever
+    # wall-clock still responds to when bytes and cpu are flat.
+    out["n_jobs"] = sc._jsc.sc().statusStore().jobsList(
+        jvm.java.util.ArrayList()
+    ).size()
     return out
 
 

@@ -22,7 +22,17 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # oracle (DuckDB) timestamps are UTC-naive.
     "spark.sql.session.timeZone": "UTC",
-    # runtime re-planning: partition coalescing, skew-join splitting.
+}
+
+# Performance posture for sessions WE build: runtime re-planning
+# (partition coalescing, skew-join splitting). All three are Spark 4
+# defaults, so foreign sessions already run with them; they are NOT
+# re-forced per-load by apply_runtime_confs — a caller that sized the
+# adaptive policy to its data (bench.py at tiny SFs, where each AQE
+# query-stage materialization is a driver round-trip that dominates
+# wall-clock: measured 37 -> 75 jobs / +~50% headline wall at sf0.1
+# with zero byte movement to re-plan) must keep that choice.
+ADAPTIVE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
@@ -30,10 +40,11 @@ RUNTIME_CONFS: dict[str, str] = {
 
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
-    """Apply the engine's required runtime confs to an existing session.
-
-    Called by every loader entry point so the engine works even inside
-    a session it did not build.
+    """Apply the engine's required CORRECTNESS confs to an existing
+    session. Called by every loader entry point so the engine works
+    even inside a session it did not build. Performance confs
+    (ADAPTIVE_CONFS) are session-build-time policy, never re-forced
+    here.
     """
     for k, v in RUNTIME_CONFS.items():
         try:
@@ -49,6 +60,7 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    adaptive: bool = True,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -83,9 +95,27 @@ def get_spark(
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    # adaptive=False is the tiny-input posture (callers size it to the
+    # DATA, e.g. bench.py below ~512 MB of total parquet): at that
+    # scale there is nothing for runtime re-planning to fix — no skew
+    # worth splitting, partitions already sized by
+    # shuffle_partitions_for — while every AQE query-stage
+    # materialization is a separate driver job round-trip (~half the
+    # headline job count at sf0.1). At real scale callers leave it
+    # True and the full ADAPTIVE_CONFS posture applies. getOrCreate may
+    # reuse a live session, so re-assert the runtime-settable flag on
+    # the session too, not just the builder.
+    adaptive_confs = dict(ADAPTIVE_CONFS)
+    if not adaptive:
+        adaptive_confs["spark.sql.adaptive.enabled"] = "false"
+    for k, v in adaptive_confs.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
 
     spark = builder.getOrCreate()
+    spark.conf.set(
+        "spark.sql.adaptive.enabled", adaptive_confs["spark.sql.adaptive.enabled"]
+    )
     spark.sparkContext.setLogLevel("WARN")
     return apply_runtime_confs(spark)
