@@ -81,64 +81,65 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r11 rotation, FINAL (VERDICT r10 item 1 takes precedence over
-    # the report's headliner-re-cert slots this round): the judge's
-    # Done criterion is 'r3/r4 buckets EMPTY', and 7 new + 1 changed
-    # + all 42 r3/r4-era greens is EXACTLY 50 — so the 14 one-round-
-    # stale bench headliners sit this round out and re-enter r12 via
-    # the report's forced-slot policy (they were all green in r10).
-    # — new/changed in r11 (ledger-mandatory slots):
-    "jackknife_ratio_ci",  # r11: d>1 single-day guard (ADVICE r10) — changed, re-cert
-    "contamination_scorecard",  # r11: per-source leak-type rollup (VERDICT item 8)
-    "bh_fdr_discoveries",  # r11: BH step-up over per-brand z-tests
-    "permutation_null_effect",  # r11: md5 label-permutation null test
-    "heaps_exponent_by_source",  # r11: per-source Heaps-law exponent fit
-    "isotonic_calibration",  # r11: closed-form PAVA calibration map
-    "minhash_estimate_audit",  # r11: sketch-vs-exact calibration curve
-    "rake_keyphrases",  # r11: RAKE keyphrases, ordered-fold scores
-    # — the ENTIRE r3/r4 staleness tail, oldest-first (ledger order):
-    "bigram_pmi",
-    "bracket_revenue",
-    "click_attribution",
-    "collated_type_counts",
-    "containment_pairs",
-    "cross_nation_volume",
-    "dominant_suppliers",
-    "event_transitions",
-    "forecast_revenue",
-    "gopher_quality_flags",
-    "grouping_sets_mix",
-    "incremental_corpus_dups",
-    "lateness_priority_mix",
-    "local_supplier_volume",
-    "part_supplier_kinds",
-    "pipe_syntax_returns",
-    "product_profit",
-    "retention_cohorts",
-    "returned_item_losses",
-    "shipping_priority",
-    "trimmed_price_stats",
-    "vocab_growth",
-    "weighted_sample",
-    "curation_funnel",
-    "doc_chunks",
-    "doc_entropy",
-    "dq_violations",
-    "embedding_quantization",
-    "funnel_stages",
-    "interpolated_daily_spend",
-    "length_drift_psi",
-    "peak_concurrency",
-    "price_mad",
-    "qty_width_buckets",
-    "sequence_packing",
-    "top_prices_with_ties",
-    "top_terms_per_source",
-    "try_cast_group_all",
-    "unigram_doc_logprob",
-    "value_outliers",
-    "yoy_revenue_growth",
-    "zipf_slope",
+    # r12 rotation — pure steady-state re-certification (VERDICT r11
+    # item 2), exactly the report's recommendation: the 7 certifying
+    # twins whose certificates aged past TWIN_MAX_AGE (r7 greens —
+    # VERDICT item 3's new forced-slot class), the 14 bench headliners
+    # (two rounds stale after sitting r11 out, per the documented
+    # precedence call), then the oldest greens (r5 bucket).
+    # — stale certifying twins (certificate age 4):
+    "lsh_cosine_topk_exact",
+    "ivf_cosine_topk_exact",
+    "minhash_near_dups_exact",
+    "simhash_near_dups_exact",
+    "semdedup_near_dups_exact",
+    "curation_funnel_exact",
+    "pagerank_docs_exact",
+    # — bench headliners (r10 green, forced back per one-round-stale policy):
+    "top_terms",
+    "rolling_7d_spend",
+    "cosine_topk",
+    "minhash_near_dups",
+    "pricing_summary",
+    "filter_project",
+    "top_customers",
+    "revenue_by_nation",
+    "weekly_chart_streak",
+    "sessionization",
+    "asof_purchase_value",
+    "dedup_exact_docs",
+    "text_stats",
+    "near_dup_pairs",
+    # — oldest greens (r5 bucket), ledger order:
+    "embedding_near_dups",
+    "revenue_share",
+    "class_weights",
+    "lateral_top_orders",
+    "multiset_order_overlap",
+    "json_key_stats",
+    "bitmap_distinct_orders",
+    "hll_distinct_users",
+    "span_dedup_docs",
+    "prefix_dup_groups",
+    "badword_doc_flags",
+    "idf_doc_score",
+    "cross_source_dups",
+    "dup_graph_degree",
+    "dup_triangles",
+    "lang_mix_flags",
+    "oov_rate",
+    "interleave_layout",
+    "exposure_cap",
+    "stratified_split_counts",
+    "snapshot_user_diff",
+    "user_erasure_audit",
+    "rolling_7d_active_users",
+    "event_cooccurrence_lift",
+    "asof_next_purchase",
+    "key_skew_profile",
+    "ri_violations",
+    "debounced_events",
+    "near_dup_threshold_sweep",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at
@@ -148,7 +149,7 @@ _WINDOW = (
 # window — the "changed query re-certifies" precedent (markov/lang_id
 # in r10, jackknife in r11), mechanical instead of CLAUDE.md prose the
 # report "cannot see".
-CHANGED_QUERIES: tuple[str, ...] = ("jackknife_ratio_ci",)
+CHANGED_QUERIES: tuple[str, ...] = ()
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
 # that silently gets no driver coverage (the r6 window quietly grew to
@@ -212,3 +213,28 @@ def oracle_sql() -> dict[str, str]:
 
 def bench_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {s.name: s.build for s in registry() if s.bench}
+
+
+def certifying_twins() -> dict[str, str]:
+    """rows-only approximate tier -> its ``*_exact`` certifying twin.
+
+    The production approximate tiers (MinHash/SimHash/SemDeDup/LSH/IVF/
+    HLL/KLL/pHash/blockmean/PageRank/curation funnel) can never be
+    hash-certified against DuckDB — the approximation IS the
+    difference — so each carries an exact twin running the SAME
+    pipeline arithmetic with an engine-shared deterministic substitute
+    (CLAUDE.md oracle-twin recipe). The twin's hash-green is the tier's
+    correctness certificate, which means the twin's driver-verification
+    AGE is the tier's certificate age: the rotation report treats a
+    stale twin like a stale bench headliner (VERDICT r11 item 3), so a
+    certified tier can never carry a silently old certificate.
+    Mechanically derived (tier has no oracle, ``<tier>_exact`` exists);
+    tests/test_rotation_ledger.py pins that EVERY rows-only registry
+    query has a twin here and every twin is oracle-carrying.
+    """
+    specs = {s.name: s for s in registry()}
+    return {
+        n: n + "_exact"
+        for n, s in specs.items()
+        if not s.has_oracle and n + "_exact" in specs
+    }

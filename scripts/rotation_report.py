@@ -60,9 +60,17 @@ def driver_green_rounds(repo: str = REPO) -> dict[str, int]:
     return last_green
 
 
+# A certifying twin older than this many rounds gets a forced window
+# slot (same mechanism as a stale bench headliner). The bound mirrors
+# the "max oracle staleness under ~4 rounds" steady-state target: the
+# twin IS the approximate tier's correctness certificate, so its age is
+# the tier's certificate age (VERDICT r11 item 3).
+TWIN_MAX_AGE = 3
+
+
 def ledger() -> dict:
     """Machine-readable rotation state over the live registry."""
-    from databeats_spark.registry import CHANGED_QUERIES, registry
+    from databeats_spark.registry import CHANGED_QUERIES, certifying_twins, registry
 
     last_green = driver_green_rounds()
     latest_round = max(last_green.values(), default=0)
@@ -86,6 +94,28 @@ def ledger() -> dict:
         if s.name in CHANGED_QUERIES and s.name not in in_front:
             front.append(s)
             in_front.add(s.name)
+    # Certifying twins whose hash-green is older than TWIN_MAX_AGE
+    # re-certify with forced slots, oldest first: the approximate tier
+    # they certify is rows-only forever, so the twin's staleness IS the
+    # tier's certificate staleness (VERDICT r11 item 3).
+    twins = certifying_twins()
+    twin_staleness = {
+        tier: {
+            "twin": twin,
+            "tier_last_green": last_green.get(tier, 0),
+            "twin_last_green": last_green.get(twin, 0),
+            "certificate_age": latest_round - last_green.get(twin, 0),
+        }
+        for tier, twin in sorted(twins.items())
+    }
+    stale_twins = sorted(
+        (t["twin"] for t in twin_staleness.values() if t["certificate_age"] > TWIN_MAX_AGE),
+        key=lambda n: (last_green.get(n, 0), index_of[n]),
+    )
+    for name in stale_twins:
+        if name not in in_front:
+            front.append(specs[index_of[name]])
+            in_front.add(name)
     for s in specs:
         if s.bench and s.name not in in_front and last_green.get(s.name, 0) < latest_round:
             front.append(s)
@@ -111,6 +141,9 @@ def ledger() -> dict:
         "uncovered_never_verified": [n for n in never if n not in set(window)],
         "changed_queries": list(CHANGED_QUERIES),
         "uncovered_changed": [n for n in CHANGED_QUERIES if n not in set(window)],
+        "twin_staleness": twin_staleness,
+        "stale_twins": stale_twins,
+        "uncovered_stale_twins": [n for n in stale_twins if n not in set(window)],
     }
 
 
@@ -125,6 +158,11 @@ def main() -> None:
           f"never driver-verified: {len(led['never_driver_verified'])}")
     for n in led["never_driver_verified"]:
         print(f"  {n} ({'oracle' if led['has_oracle'].get(n) else 'rows-only'})")
+
+    print("\ncertifying-twin staleness (certificate age in rounds):")
+    for tier, t in led["twin_staleness"].items():
+        flag = "  <-- FORCED (stale)" if t["twin"] in set(led["stale_twins"]) else ""
+        print(f"  {tier:28s} twin green r{t['twin_last_green']:<2d} age {t['certificate_age']}{flag}")
 
     print("\nrecommended front-50 for next round:")
     for i, n in enumerate(led["recommended_front_50"]):

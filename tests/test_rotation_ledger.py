@@ -42,6 +42,35 @@ def test_ledger_shape_is_sane():
     assert set(led["recommended_front_50"]) <= names
 
 
+def test_every_rows_only_tier_has_an_oracle_carrying_twin():
+    """The certifying-twin mapping must be TOTAL: a rows-only
+    approximate tier with no *_exact twin has no correctness
+    certificate at all, and a twin without an oracle certifies
+    nothing (VERDICT r11 item 3)."""
+    from databeats_spark.registry import certifying_twins, registry
+
+    specs = {s.name: s for s in registry()}
+    twins = certifying_twins()
+    rows_only = {n for n, s in specs.items() if not s.has_oracle}
+    assert set(twins) == rows_only, (
+        f"rows-only tiers without a certifying twin: {rows_only - set(twins)}"
+    )
+    for tier, twin in twins.items():
+        assert specs[twin].has_oracle, f"{twin} certifies {tier} but has no oracle"
+
+
+def test_stale_certifying_twins_are_in_current_window():
+    """A twin whose hash-green is older than TWIN_MAX_AGE rounds is a
+    silently aging certificate for its approximate tier — it must hold
+    a window slot until re-certified."""
+    led = ledger()
+    assert not led["uncovered_stale_twins"], (
+        "certifying twins with certificates older than the staleness "
+        f"bound sit outside the front-50 window: {led['uncovered_stale_twins']}"
+        " — prepend them to _WINDOW"
+    )
+
+
 def test_changed_queries_are_in_current_window():
     """A query whose builder or oracle changed this round has green
     history that covers NOTHING — it must re-certify. Mechanized in
