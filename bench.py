@@ -178,6 +178,8 @@ AUDIT_ROTATING_POOL = (
     "contamination_scorecard", "bh_fdr_discoveries",
     "permutation_null_effect", "heaps_exponent_by_source",
     "isotonic_calibration", "minhash_estimate_audit", "rake_keyphrases",
+    # r12 capstone (VERDICT r11 item 7)
+    "dedup_sensitivity_curve",
 )
 AUDIT_ROTATE_N = 8
 

@@ -87,6 +87,8 @@ _WINDOW = (
     # VERDICT item 3's new forced-slot class), the 14 bench headliners
     # (two rounds stale after sitting r11 out, per the documented
     # precedence call), then the oldest greens (r5 bucket).
+    # — new in r12 (never driver-verified, ledger-mandatory slot):
+    "dedup_sensitivity_curve",  # r12 capstone: threshold -> dup rate -> budget mix
     # — stale certifying twins (certificate age 4):
     "lsh_cosine_topk_exact",
     "ivf_cosine_topk_exact",
@@ -139,7 +141,6 @@ _WINDOW = (
     "key_skew_profile",
     "ri_violations",
     "debounced_events",
-    "near_dup_threshold_sweep",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at

@@ -572,6 +572,239 @@ ORDER BY source
 """
 
 
+# --- Q: dedup_sensitivity_curve — threshold -> dup rate -> budget mix ----
+# (VERDICT r11 item 7 capstone.) The dedup-tuning decision END-TO-END:
+# sweep the exact-Jaccard threshold ladder over the bounded verifier
+# slice (near_dup_threshold_sweep's candidate machinery), apply at
+# each threshold the scale-friendly DOMINANCE dedup rule — drop any
+# doc that has a better-ranked near-dup at >= t (one anti-join, no
+# iteration; rank = n_chars DESC, doc_id ASC, the dedup_keep_best
+# order; the transitive-closure variant is canonical_best_docs'
+# separate tier) — then run token_budget_allocation's exact
+# water-filling on each surviving per-source token table. One row per
+# (threshold, source): what the dedup knob does to the corpus mix AND
+# to the budget shares a training run would actually sample with.
+#
+# Exactness engineering: jaccard is the same long/long -> binary64
+# division on both engines, compared against the same double literals
+# (the ladder is shared literal text); dup_rate / water level / share
+# are single divisions of exact BIGINTs rounded once at 6; the
+# water-filling arithmetic is token_budget_allocation's verbatim,
+# windowed PER THRESHOLD. Scale posture: the threshold ladder is a
+# 6-row literal table (every BNLJ side it feeds is lint-proved
+# bounded), the per-(threshold, source) relation is catalog x ladder
+# bounded, and the pair machinery is the PAIR_DOC_LIMIT verifier
+# slice — at corpus scale the candidate set comes from the banded
+# MinHash generator, exactly as near_dup_threshold_sweep documents.
+
+DEDUP_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+
+def _dedup_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    # the ladder is literal, but createDataFrame plans it as RDDScan
+    # (Arrow conversion), which the lint rightly refuses to trust —
+    # the semantic no-op .limit puts the 6-row bound IN THE PLAN
+    # (CLAUDE.md: bounded-by-construction relations, never an
+    # allowlist entry), proving both BNLJ sides it feeds
+    thr = spark.createDataFrame(
+        [(float(x),) for x in DEDUP_SWEEP_THRESHOLDS], "threshold double"
+    ).limit(len(DEDUP_SWEEP_THRESHOLDS))
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    # rank attrs ride broadcast joins of the id-capped slice (r9 hint
+    # policy: bounded by construction), then each pair names its loser
+    ranked_pairs = (
+        pairs.join(
+            F.broadcast(
+                base.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("__ca"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                base.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("__cb"))
+            ),
+            "id_b",
+        )
+        .select(
+            "jaccard",
+            F.when(
+                (F.col("__ca") > F.col("__cb"))
+                | ((F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b"))),
+                F.col("id_b"),
+            )
+            .otherwise(F.col("id_a"))
+            .alias("loser"),
+        )
+    )
+    losers = (
+        ranked_pairs.join(F.broadcast(thr), F.col("jaccard") >= F.col("threshold"))
+        .select("threshold", F.col("loser").alias("doc_id"))
+        .distinct()
+    )
+    kept = base.crossJoin(F.broadcast(thr)).join(
+        losers, ["threshold", "doc_id"], "left_anti"
+    )
+    slice_src = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__all_docs")
+    )
+    per = kept.groupBy("threshold", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum("n_tok").cast("bigint").alias("cap_tokens"),
+    ).join(F.broadcast(slice_src), "source")
+
+    wt = Window.partitionBy("threshold")
+    wo = wt.orderBy("cap_tokens", "source")
+    flagged = (
+        per.select(
+            "threshold",
+            "source",
+            "kept_docs",
+            "cap_tokens",
+            "__all_docs",
+            F.count(F.lit(1)).over(wt).cast("bigint").alias("__n"),
+            F.sum("cap_tokens").over(wt).cast("bigint").alias("__total"),
+            F.row_number().over(wo).cast("bigint").alias("__i"),
+            F.coalesce(
+                F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__p"),
+        )
+        .withColumn(
+            "__budget",
+            F.expr(
+                f"CAST((__total * {BUDGET_FRACTION_NUM}) DIV {BUDGET_FRACTION_DEN} AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "is_capped",
+            (F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1))
+            < (F.col("__budget") - F.col("__p")),
+        )
+    )
+    scal = flagged.select(
+        "*",
+        F.sum(F.when(F.col("is_capped"), F.lit(1)).otherwise(F.lit(0)))
+        .over(wt)
+        .cast("bigint")
+        .alias("__k"),
+        F.sum(F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(F.lit(0)))
+        .over(wt)
+        .cast("bigint")
+        .alias("__pk"),
+    )
+    level = (F.col("__budget") - F.col("__pk")) / (F.col("__n") - F.col("__k"))
+    allocated = F.when(
+        F.col("is_capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(level)
+    return scal.select(
+        "threshold",
+        "source",
+        "kept_docs",
+        F.round(
+            (F.col("__all_docs") - F.col("kept_docs")) / F.col("__all_docs"), 6
+        ).alias("dup_rate"),
+        "cap_tokens",
+        "is_capped",
+        F.round(allocated, 6).alias("allocated_tokens"),
+        F.round(allocated / F.col("__budget"), 6).alias("budget_share"),
+    ).orderBy("threshold", "source")
+
+
+_DEDUP_SENSITIVITY_CURVE_SQL = rf"""
+WITH {_PAIRS_CTES},
+thr(threshold) AS (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.4 AS DOUBLE)),
+                          (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+                          (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE))),
+meta AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}
+),
+jp AS (
+  SELECT common * 1.0 / (sa.n + sb.n - common) AS jac,
+         CASE WHEN ma.n_chars > mb.n_chars
+                OR (ma.n_chars = mb.n_chars AND id_a < id_b)
+              THEN id_b ELSE id_a END AS loser
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  JOIN meta ma ON ma.doc_id = id_a
+  JOIN meta mb ON mb.doc_id = id_b
+),
+losers AS (
+  SELECT DISTINCT t.threshold, jp.loser AS doc_id
+  FROM jp JOIN thr t ON jp.jac >= t.threshold
+),
+kept AS (
+  SELECT t.threshold, m.source, m.doc_id, m.n_tok
+  FROM meta m CROSS JOIN thr t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM losers l
+    WHERE l.threshold = t.threshold AND l.doc_id = m.doc_id
+  )
+),
+allsrc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS all_docs FROM meta GROUP BY source
+),
+per AS (
+  SELECT k.threshold, k.source,
+         CAST(count(*) AS BIGINT) AS kept_docs,
+         CAST(sum(k.n_tok) AS BIGINT) AS cap_tokens,
+         a.all_docs
+  FROM kept k JOIN allsrc a ON a.source = k.source
+  GROUP BY k.threshold, k.source, a.all_docs
+),
+ranked AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY threshold) AS BIGINT) AS n,
+         CAST((CAST(sum(cap_tokens) OVER (PARTITION BY threshold) AS BIGINT)
+               * {BUDGET_FRACTION_NUM}) // {BUDGET_FRACTION_DEN} AS BIGINT) AS budget,
+         CAST(row_number() OVER (PARTITION BY threshold ORDER BY cap_tokens, source) AS BIGINT) AS i,
+         CAST(coalesce(sum(cap_tokens) OVER (
+           PARTITION BY threshold ORDER BY cap_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+  FROM per
+),
+flagged AS (
+  SELECT *, (cap_tokens * (n - i + 1)) < (budget - pfx) AS is_capped
+  FROM ranked
+),
+scal AS (
+  SELECT *,
+         CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END)
+              OVER (PARTITION BY threshold) AS BIGINT) AS k,
+         CAST(sum(CASE WHEN is_capped THEN cap_tokens ELSE 0 END)
+              OVER (PARTITION BY threshold) AS BIGINT) AS pk
+  FROM flagged
+),
+final AS (
+  SELECT threshold, source, kept_docs, all_docs, cap_tokens, is_capped, budget,
+         CASE WHEN is_capped THEN CAST(cap_tokens AS DOUBLE)
+              ELSE (budget - pk) * 1.0 / (n - k) END AS alloc
+  FROM scal
+)
+SELECT threshold, source, kept_docs,
+       round((all_docs - kept_docs) * 1.0 / all_docs, 6) AS dup_rate,
+       cap_tokens, is_capped,
+       round(alloc, 6) AS allocated_tokens,
+       round(alloc / budget, 6) AS budget_share
+FROM final
+ORDER BY threshold, source
+"""
+
+
 # --- Q: temperature_mix_allocation — n^alpha sampling weights ------------
 # The other half of training-mix planning next to the water-filling
 # budget: exponentially-smoothed sampling (p_s ∝ n_s^alpha, alpha=0.7
@@ -1562,6 +1795,13 @@ SPECS = [
         _near_dup_threshold_sweep,
         _NEAR_DUP_THRESHOLD_SWEEP_SQL,
         tags=("dedup", "audit"),
+    ),
+    QuerySpec(
+        "dedup_sensitivity_curve",
+        "threshold ladder -> dominance-dedup dup rate -> water-filled budget mix per source",
+        _dedup_sensitivity_curve,
+        _DEDUP_SENSITIVITY_CURVE_SQL,
+        tags=("dedup", "sampling", "window", "audit"),
     ),
     QuerySpec(
         "split_leakage_pairs",

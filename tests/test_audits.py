@@ -113,6 +113,63 @@ def test_token_budget_allocation_is_exact_water_filling(spark):
     assert abs(out.budget_share.sum() - 1.0) < 1e-4
 
 
+def test_dedup_sensitivity_curve_invariants(spark):
+    """The capstone's semantics beyond hash parity: (1) raising the
+    threshold can only KEEP more docs (fewer pairs qualify, fewer
+    losers), so kept docs are non-decreasing and dup rate
+    non-increasing in t; (2) at every threshold the water-filling
+    invariants of token_budget_allocation hold per partition: shares
+    sum to 1, no source exceeds its cap, uncapped sources share one
+    level; (3) the t=0.5 kept-count is consistent with the dominance
+    rule recomputed independently from the pair list."""
+    from databeats_spark.registry import queries
+
+    out = queries()["dedup_sensitivity_curve"](spark, SF_SMOKE).toPandas()
+    by_t = out.groupby("threshold")
+    kept_tot = by_t.kept_docs.sum()
+    assert (kept_tot.sort_index().diff().dropna() >= 0).all()
+    dup_tot = by_t.apply(
+        lambda g: (g.dup_rate * g.kept_docs / (1 - g.dup_rate)).sum(), include_groups=False
+    )  # recovered dropped-doc count; non-increasing in t
+    assert (dup_tot.sort_index().diff().dropna() <= 1e-6).all()
+    for _, g in by_t:
+        assert abs(g.budget_share.sum() - 1.0) < 1e-4
+        assert (g.allocated_tokens <= g.cap_tokens + 1e-9).all()
+        levels = g[~g.is_capped].allocated_tokens.unique()
+        assert len(levels) == 1
+        budget = int(g.cap_tokens.sum() * 3 // 5)
+        assert abs(g.allocated_tokens.sum() - budget) < 1e-3
+
+    # independent recomputation of the dominance dedup at t=0.5
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.registry.documents import PAIR_DOC_LIMIT
+    from databeats_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_tables(spark, SF_SMOKE, ["documents"])
+        .documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+        .select("doc_id", "n_chars")
+        .toPandas()
+    )
+    pairs = ngram_jaccard_pairs(
+        load_tables(spark, SF_SMOKE, ["documents"]).documents.filter(
+            F.col("doc_id") < PAIR_DOC_LIMIT
+        ),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+    ).toPandas()
+    chars = dict(zip(docs.doc_id, docs.n_chars))
+    losers = {
+        (int(r.id_b) if (chars[r.id_a], -r.id_a) > (chars[r.id_b], -r.id_b) else int(r.id_a))
+        for r in pairs.itertuples()
+    }
+    expected_kept = len(docs) - len(losers)
+    assert kept_tot.loc[0.5] == expected_kept
+
+
 def test_canonical_best_keeps_no_fewer_and_no_shorter_than_min_id_policy(spark):
     """Both survivor policies keep exactly one doc per cluster plus all
     singletons — same cardinality — and the best-policy survivor set's
