@@ -128,6 +128,12 @@ QUERIES = [
     # signature aggregate), and RAKE (positional explode -> per-source
     # token aggregate -> re-join -> WindowGroupLimit head)
     "isotonic_calibration", "minhash_estimate_audit", "rake_keyphrases",
+    # r12 capstone: the pair-verifier machinery (bounded slice) fanned
+    # across the 6-row literal threshold ladder, then per-threshold
+    # water-filling windows over the catalog x ladder relation — its
+    # movement is the shingle-pair aggregate, ladder fan-out is
+    # broadcast-side only
+    "dedup_sensitivity_curve",
 ]
 
 
