@@ -271,18 +271,23 @@ def main() -> None:
     env_marks = [("start", _env_probe())]
 
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
     cpu: dict[str, float] = {}
     for name, build in qs.items():
         best = float("inf")
         best_cpu = float("inf")
+        best_jobs = 0
         for _ in range(3):
             snap = stage_snapshot(spark)
             t0 = time.perf_counter()
             build(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-            best_cpu = min(best_cpu, stage_delta(spark, snap)["cpu_seconds"])
+            d = stage_delta(spark, snap)
+            best_cpu = min(best_cpu, d["cpu_seconds"])
+            best_jobs = d["n_jobs"]  # identical across reps (plan property)
         timings[name] = round(best, 4)
         cpu[name] = round(best_cpu, 4)
+        jobs[name] = best_jobs
     env_marks.append(("headline", _env_probe()))
 
     # additive section (round 4+): the corpus-mining / curation
@@ -375,6 +380,13 @@ def main() -> None:
         # additive since r8: steal-immune executor-CPU companions (see
         # the stage_delta bracketing above) — cite THESE in perf claims
         "queries_cpu_seconds": cpu,
+        # driver-side scheduling cost per headline query (rich line
+        # only — never a compact key): job count is a PLAN property,
+        # steal-immune like the byte metrics; at sf0.1 the headline is
+        # overhead-dominated, so this is the wall lever to watch
+        # round-over-round (r12: 37 total under the data-sized
+        # adaptive policy, was 75)
+        "queries_jobs": jobs,
         "cpu_seconds_total": round(sum(cpu.values()), 4),
         "mining_queries_total_runtime": round(sum(mining.values()), 4),
         "mining_queries": mining,
