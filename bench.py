@@ -206,19 +206,24 @@ def rotating_audit() -> list[str]:
     return [pool[(start + i) % len(pool)] for i in range(min(AUDIT_ROTATE_N, len(pool)))]
 
 
+def _total_parquet_bytes(sf_dir: str) -> int:
+    """Total on-disk input size — the axis BOTH session policies
+    (partition count, adaptive execution) are sized against."""
+    return sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+
+
 def shuffle_partitions_for(sf_dir: str) -> int:
     """Size shuffle partitions to the data, not a constant: ~32 MB of
     input per partition, clamped to [8, 2×cores]. At sf0.1 (~50 MB)
     that is 8 partitions — 32 would be pure task-scheduling overhead
     (measured: 16.5s → 10.6s total); at 100 TB the same rule gives
     thousands, and AQE coalescing trims the remainder."""
-    total = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
-    )
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    return max(8, min(2 * cores, total // (32 << 20) + 1))
+    return max(8, min(2 * cores, _total_parquet_bytes(sf_dir) // (32 << 20) + 1))
 
 
 def adaptive_for(sf_dir: str) -> bool:
@@ -232,12 +237,7 @@ def adaptive_for(sf_dir: str) -> bool:
     scheduling wall on byte-identical movement (r12, VERDICT r11 item
     1). At any real deployment size this returns True and the full
     AQE posture (coalescing, skew-join splitting) applies unchanged."""
-    total = sum(
-        os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
-    )
-    return total >= (512 << 20)
+    return _total_parquet_bytes(sf_dir) >= (512 << 20)
 
 
 def main() -> None:
