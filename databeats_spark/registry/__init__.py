@@ -81,66 +81,67 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r12 rotation — pure steady-state re-certification (VERDICT r11
-    # item 2), exactly the report's recommendation: the 7 certifying
-    # twins whose certificates aged past TWIN_MAX_AGE (r7 greens —
-    # VERDICT item 3's new forced-slot class), the 14 bench headliners
-    # (two rounds stale after sitting r11 out, per the documented
-    # precedence call), then the oldest greens (r5 bucket).
-    # — new in r12 (never driver-verified, ledger-mandatory slot):
-    "dedup_sensitivity_curve",  # r12 capstone: threshold -> dup rate -> budget mix
-    # — stale certifying twins (certificate age 4):
-    "lsh_cosine_topk_exact",
-    "ivf_cosine_topk_exact",
-    "minhash_near_dups_exact",
-    "simhash_near_dups_exact",
-    "semdedup_near_dups_exact",
-    "curation_funnel_exact",
-    "pagerank_docs_exact",
-    # — bench headliners (r10 green, forced back per one-round-stale policy):
-    "top_terms",
-    "rolling_7d_spend",
-    "cosine_topk",
-    "minhash_near_dups",
-    "pricing_summary",
-    "filter_project",
-    "top_customers",
-    "revenue_by_nation",
-    "weekly_chart_streak",
-    "sessionization",
-    "asof_purchase_value",
-    "dedup_exact_docs",
-    "text_stats",
-    "near_dup_pairs",
-    # — oldest greens (r5 bucket), ledger order:
-    "embedding_near_dups",
-    "revenue_share",
-    "class_weights",
-    "lateral_top_orders",
-    "multiset_order_overlap",
-    "json_key_stats",
-    "bitmap_distinct_orders",
-    "hll_distinct_users",
-    "span_dedup_docs",
-    "prefix_dup_groups",
-    "badword_doc_flags",
-    "idf_doc_score",
-    "cross_source_dups",
-    "dup_graph_degree",
-    "dup_triangles",
-    "lang_mix_flags",
-    "oov_rate",
-    "interleave_layout",
-    "exposure_cap",
-    "stratified_split_counts",
-    "snapshot_user_diff",
-    "user_erasure_audit",
-    "rolling_7d_active_users",
-    "event_cooccurrence_lift",
-    "asof_next_purchase",
-    "key_skew_profile",
-    "ri_violations",
-    "debounced_events",
+    # r13 rotation — VERDICT r12 item 1: retire the entire 42-query
+    # r5/r6 oracle-staleness tail in one window, plus the 4 certifying
+    # twins at certificate age 3 (r9 greens — one more round without a
+    # slot and they breach TWIN_MAX_AGE, so re-certify proactively),
+    # plus 4 oldest-r7 fillers from the report's recommendation. After
+    # a green r13 run the max ledger staleness is 4 rounds (r7/r8
+    # buckets) and r14 is pure steady-state.
+    # — certifying twins at age 3 (would be forced next round):
+    "approx_price_quantiles_exact",
+    "approx_distinct_parts_exact",
+    "hll_distinct_users_exact",
+    "phash_near_dups_exact",
+    # — r5 bucket (oldest oracle-greens), report order:
+    "near_dup_threshold_sweep",
+    "split_leakage_pairs",
+    "lexical_diversity",
+    "dup_cluster_sizes",
+    "dup_rate_by_source",
+    "canonical_best_docs",
+    # — r6 bucket (the remaining tail), report order:
+    "hard_negatives",
+    "retrieval_label_precision",
+    "label_centroid_distance",
+    "top_orders_per_customer",
+    "customer_order_stats",
+    "customers_without_orders",
+    "customers_with_big_orders",
+    "union_dedup",
+    "promo_revenue_ratio",
+    "late_shipment_orders",
+    "modal_priority",
+    "nation_customer_stats",
+    "segment_class",
+    "rollup_quantity",
+    "running_spend",
+    "first_lineitems_per_order",
+    "latest_order_per_customer",
+    "dedup_first_order",
+    "nation_market_share",
+    "blocking_suppliers",
+    "latest_event_per_user",
+    "time_features",
+    "json_props",
+    "quality_decile_mix",
+    "source_pareto",
+    "length_drift_ks",
+    "pagerank_docs",
+    "fluency_buckets",
+    "epoch_shard_layout",
+    "substring_dup_spans",
+    "ngram_novelty",
+    "substring_scrub_stats",
+    "corpus_summary_cube",
+    "length_percentiles_by_source",
+    "temperature_mix_allocation",
+    "token_budget_allocation",
+    # — oldest r7 fillers (report recommendation order):
+    "sql_api_revenue",
+    "sql_lateral_topk",
+    "supplier_part_stats",
+    "repeat_customers",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at
