@@ -166,6 +166,12 @@ def compact_epoch_partials(
     drain helpers' convention); pass it explicitly for custom layouts,
     or pass ``committed`` directly when the caller owns the ledger
     (e.g. a foreachBatch sink driven outside the drain helpers).
+    ``committed`` is a FRONTIER WITNESS, not a membership filter:
+    because micro-batches commit strictly sequentially, every epoch
+    ``<= max(committed)`` is folded — including ids absent from the
+    set (checkpoint retention rotates old ``commits/<id>`` files away,
+    and membership alone would strand pre-window epochs forever). To
+    withhold a specific below-frontier epoch, use ``exclude``.
     ``exclude`` holds committed epochs to leave unfolded anyway (the
     ANN corpus keeps its latest epoch so drift() stays meaningful).
     """
@@ -218,6 +224,21 @@ def compact_epoch_partials(
     folded.repartition(*[F.col(c) for c in partition_cols]).write.mode(
         "overwrite"
     ).partitionBy(*partition_cols).parquet(tmp)
+
+    # Pre-flight BEFORE anything destructive: every manifest move
+    # source must already exist under tmp. A fold that returned zero
+    # rows for a key prefix writes no epoch=-1 dir there, and the
+    # 'folded base lost' guard in recover_compaction would only fire
+    # AFTER the manifest's deletes destroyed the partials — an
+    # unrecoverable loss. Failing here is a clean no-op: live state
+    # untouched, tmp discarded on the next recover (ADVICE r12).
+    missing = [rel for rel in move if not os.path.isdir(os.path.join(tmp, rel))]
+    if missing:
+        raise RuntimeError(
+            f"compaction aborted before any destruction: fold produced no "
+            f"base partition(s) for {missing!r} under {tmp!r} — the fold "
+            "callable must return at least one row per selected key prefix"
+        )
 
     # phase 2: durably record the swap, then perform it via recovery
     mpath = os.path.join(state_path, _MANIFEST)

@@ -209,6 +209,42 @@ def test_recovery_raises_when_folded_base_is_lost(tmp_path):
     assert not (state / "_compact_manifest.json").exists()
 
 
+def test_zero_row_fold_aborts_before_any_destruction(spark, tmp_path):
+    """compact_epoch_partials accepts arbitrary fold callables; one
+    that yields zero rows for a selected key prefix writes no epoch=-1
+    base to tmp, and without a pre-flight the manifest's deletes would
+    destroy the partials before the 'folded base lost' recovery guard
+    could fire — unrecoverably (ADVICE r12). The pre-flight must fail
+    the compaction as a clean no-op: partials intact, no manifest, and
+    the next recover_compaction a no-op that clears tmp."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.streaming.compaction import compact_epoch_partials
+
+    state = str(tmp_path / "st6")
+    df = spark.range(4).select(
+        F.lit("a").alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") % 2).cast("long").alias("epoch"),
+    )
+    df.write.partitionBy("k", "epoch").parquet(state)
+    dirs_before = _epoch_dirs(state)
+    assert len(dirs_before) == 2
+
+    with pytest.raises(RuntimeError, match="before any destruction"):
+        compact_epoch_partials(
+            spark,
+            state,
+            lambda d: d.filter(F.lit(False)),
+            ["k", "epoch"],
+            committed={0, 1},
+        )
+    assert _epoch_dirs(state) == dirs_before, "partials were destroyed"
+    assert not os.path.exists(os.path.join(state, "_compact_manifest.json"))
+    assert recover_compaction(state) is False  # no-op, clears tmp
+    assert not os.path.exists(os.path.join(state, "_compact_tmp"))
+
+
 def test_sprt_compaction_is_byte_identical_with_fewer_files(spark, tmp_path):
     from databeats_spark.streaming.monitor import (
         run_sprt_monitor_durable,
