@@ -42,9 +42,56 @@ Three entry points:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
 _STAGE_SUFFIX = "QueryStageExec"
+
+# --- checkpoint-source capture (VERDICT r12 item 5) ------------------
+# A localCheckpoint truncates lineage: the final plan carries a
+# LogicalRDD where the checkpointed subtree used to be, so a plain
+# plan-walk of the final plan misses every exchange that EXECUTED
+# upstream of the checkpoint (hits_copurchase read 32 B of shuffle
+# while its rounds moved 44.6 MB). While a capture is active,
+# DataFrame.localCheckpoint is wrapped to record each PRE-checkpoint
+# DataFrame; after the final plan runs, those dataframes' own
+# executedPlans hold the upstream exchanges' populated SQLMetrics —
+# fold them with :func:`executed_metrics`, no re-run. Inactive (the
+# default) nothing is patched, so production query paths pay nothing.
+
+
+@contextmanager
+def capture_checkpoint_sources():
+    """Collect every DataFrame that gets localCheckpoint'd while
+    active. Wrap BOTH the query build and its execution (lazy
+    checkpoints are created at build time but run with the final
+    action), then fold each captured source with
+    :func:`executed_metrics` and sum into the final plan's metrics —
+    the segments are disjoint by construction (the final plan sees
+    only the post-checkpoint LogicalRDD, and each source's plan ends
+    at the NEXT checkpoint down its own lineage). Audit-only (single
+    threaded); not re-entrant-safe across threads."""
+    # patch the RUNTIME class: in PySpark 4 pyspark.sql.DataFrame is
+    # the dispatching facade and the classic subclass overrides
+    # localCheckpoint, so patching the base would never intercept
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _RuntimeDF
+    except ImportError:  # older PySpark: one concrete class
+        _RuntimeDF = DataFrame
+
+    captured: list[DataFrame] = []
+    original = _RuntimeDF.localCheckpoint
+
+    def recording(self, *args, **kwargs):
+        captured.append(self)
+        return original(self, *args, **kwargs)
+
+    _RuntimeDF.localCheckpoint = recording
+    try:
+        yield captured
+    finally:
+        _RuntimeDF.localCheckpoint = original
 
 
 def _walk(node):
@@ -114,6 +161,15 @@ def stage_snapshot(spark: SparkSession) -> dict[str, int]:
     snapshot taken right after an action can miss its final stages).
     Returns monotonically-growing totals — meaningful only as deltas
     via :func:`stage_delta` around a serially-run query.
+
+    RETENTION CAVEAT: both totals are ABSOLUTE counts over what the
+    store currently retains. ``get_spark`` pins
+    ``spark.ui.retainedJobs``/``retainedStages`` to 100000 so a bench
+    sweep never evicts a 'before' snapshot's entries; against a
+    session this engine did not build (defaults: 1000 stages / 1000
+    jobs) a long sweep can rotate 'before' jobs/stages out mid-run and
+    silently corrupt the delta (ADVICE r12). Keep deltas short or pin
+    retention before snapshotting.
     """
     sc = spark.sparkContext
     sc._jsc.sc().listenerBus().waitUntilEmpty()

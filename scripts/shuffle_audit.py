@@ -190,7 +190,8 @@ SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 def main() -> None:
     from bench import shuffle_partitions_for
     from databeats_spark.plans.instrument import (
-        execution_metrics, stage_delta, stage_snapshot,
+        capture_checkpoint_sources, executed_metrics, execution_metrics,
+        stage_delta, stage_snapshot,
     )
     from databeats_spark.registry import queries
     from databeats_spark.session import get_spark
@@ -206,7 +207,20 @@ def main() -> None:
         rows = by_sf[sf_dir] = {}
         for name in QUERIES:
             snap = stage_snapshot(spark)
-            m = execution_metrics(reg[name](spark, sf_dir))
+            # capture brackets build AND execute: checkpoints truncate
+            # lineage, so the final plan's walk misses every exchange
+            # upstream of a localCheckpoint (hits_copurchase read 32 B
+            # while its rounds moved 44.6 MB — VERDICT r12 item 5).
+            # Each captured pre-checkpoint df's own executedPlan holds
+            # those exchanges' populated SQLMetrics after the run;
+            # segments are disjoint (each plan ends at the next
+            # checkpoint down), so summing is exact, not double-count.
+            with capture_checkpoint_sources() as sources:
+                m = execution_metrics(reg[name](spark, sf_dir))
+            for src in sources:
+                sm = executed_metrics(src)
+                for k in sm:
+                    m[k] += sm[k]
             m.update(stage_delta(spark, snap))
             rows[name] = m
             print(json.dumps({"sf_dir": sf_dir, "query": name, **m}))
@@ -249,6 +263,13 @@ def main() -> None:
             "window operators — 0 B everywhere is the partition-sizing\n"
             "proof (every partition fits its task's memory share);\n"
             "test_shuffle_budget.py pins it at the correctness SF.\n\n"
+            "Since r13 the PLAN columns also see past localCheckpoints\n"
+            "(the former hits_copurchase blind spot: its final plan read\n"
+            "32 B because attach_global_scalar's checkpoint truncates\n"
+            "lineage): the audit captures every pre-checkpoint DataFrame\n"
+            "during build+execute and folds its executedPlan's SQLMetrics\n"
+            "into the row — disjoint plan segments, summed exactly\n"
+            "(plans/instrument.py::capture_checkpoint_sources).\n\n"
             "Iterative queries (pagerank/CC/funnel) are measured per\n"
             "checkpoint action via their metrics_sink hooks and tabled in\n"
             "their own section — their exchanges run in separate query\n"
