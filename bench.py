@@ -218,12 +218,20 @@ def _total_parquet_bytes(sf_dir: str) -> int:
 
 def shuffle_partitions_for(sf_dir: str) -> int:
     """Size shuffle partitions to the data, not a constant: ~32 MB of
-    input per partition, clamped to [8, 2×cores]. At sf0.1 (~50 MB)
-    that is 8 partitions — 32 would be pure task-scheduling overhead
-    (measured: 16.5s → 10.6s total); at 100 TB the same rule gives
-    thousands, and AQE coalescing trims the remainder."""
+    input per partition, clamped to [4, 2×cores]. At sf0.1 (~50 MB)
+    that is 4 partitions; at 100 TB the same rule gives thousands, and
+    AQE coalescing trims the remainder. The floor history: 32 was pure
+    task-scheduling overhead (r4: 16.5s → 10.6s at floor 8), and with
+    AQE now off at tiny inputs the floor-8 tasks stopped being
+    coalesced away — the r12 cpu regression (6.8 → 8.6 cpu-s). A/B at
+    sf0.1 (interleaved 8/4/2, min-of-3 per query, r13): floor 4 beats
+    8 on BOTH channels (cpu 6.5 vs 8.0 s, wall 8.9 vs 10.5 s at
+    matched steal) while floor 2 trades wall for cpu (scan-parallel
+    queries serialize: pricing_summary 1.73s vs 1.06s). Above the
+    ~512 MB adaptive_for threshold the formula's data term exceeds any
+    small floor, so this only shapes the no-AQE tiny-input regime."""
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    return max(8, min(2 * cores, _total_parquet_bytes(sf_dir) // (32 << 20) + 1))
+    return max(4, min(2 * cores, _total_parquet_bytes(sf_dir) // (32 << 20) + 1))
 
 
 def adaptive_for(sf_dir: str) -> bool:

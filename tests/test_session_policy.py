@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 
-from bench import adaptive_for
+from bench import adaptive_for, shuffle_partitions_for
 from databeats_spark.session import ADAPTIVE_CONFS, RUNTIME_CONFS, apply_runtime_confs
 
 
@@ -25,6 +25,21 @@ def test_adaptive_off_below_data_floor_on_above(tmp_path):
     with open(big, "wb") as f:
         f.truncate(600 << 20)
     assert adaptive_for(str(tmp_path)) is True
+
+
+def test_partition_floor_matches_no_aqe_regime(tmp_path):
+    """The sub-512MB (no-AQE) regime runs at the measured floor of 4
+    partitions (r13 A/B: floor 8's extra tiny tasks cost ~1.5 cpu-s
+    with nothing to coalesce them away; floor 2 serializes the
+    scan-parallel queries). Above the adaptive threshold the ~32 MB/
+    partition data term takes over, so AQE coalescing — not the
+    floor — owns the task count there."""
+    assert shuffle_partitions_for("/root/testdata/sf0.1") == 4
+    assert shuffle_partitions_for("/root/testdata/sf0.01") == 4
+    big = tmp_path / "big.parquet"
+    with open(big, "wb") as f:
+        f.truncate(600 << 20)  # just past the adaptive_for threshold
+    assert shuffle_partitions_for(str(tmp_path)) >= 17  # 600MB/32MB + 1
 
 
 def test_apply_runtime_confs_does_not_override_adaptive_choice(spark):
