@@ -805,6 +805,377 @@ ORDER BY threshold, source
 """
 
 
+# --- Q: dedup_sensitivity_delta — the curve's CDC form (r13 capstone) ----
+# (VERDICT r12 item 7.) The incremental dedup-knob decision: a new
+# crawl (doc_id >= SENS_DELTA_SPLIT within the verifier slice) lands
+# on an EXISTING corpus, and per threshold the question is what the
+# ingest does to the corpus and to the budget mix — WITHOUT re-running
+# old x old pair work. The pair generator structurally excludes
+# old x old (the join condition requires at least one new side, the
+# incremental_corpus_dups posture), so re-ingesting costs
+# old x new + new x new, never (old+new)². Dominance semantics are the
+# curve's verbatim (rank = n_chars DESC, doc_id ASC): a NEW doc is
+# dropped when any better-ranked near-dup at >= t exists (old or new
+# winner); an OLD doc is DISPLACED only by a better new doc (old
+# winners over old docs cannot exist here — those pairs are excluded,
+# which is exactly the CDC contract: the existing corpus's internal
+# dedup decisions are settled). Output per (threshold, source): new
+# docs kept, old docs displaced, the post-ingest token caps, and the
+# water-filled budget share NEXT TO its pre-ingest baseline
+# (share_delta) — the number a mix owner actually reads.
+#
+# Exactness engineering: identical to the curve (BIGINT counts/caps,
+# one double division per ratio, round-6 once). The pre-ingest
+# baseline rides the SAME water-filling plan as a sentinel
+# threshold=-1 partition (one windowed pass computes ladder + baseline
+# together; a per-source window MAX lifts the baseline share onto
+# every ladder row — deterministic: exactly one non-null per source).
+# Scale posture: ladder literal (lint-proved), catalog x ladder
+# relations, PAIR_DOC_LIMIT verifier slice; at corpus scale the
+# candidate generator is minhash banding with a side tag on the band
+# join, exactly as incremental_corpus_dups documents.
+
+SENS_DELTA_SPLIT = 150  # doc_id < SPLIT = existing corpus, >= = new crawl
+
+
+def _dedup_sensitivity_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from databeats_spark.functions.text import word_shingles
+
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+        (F.col("doc_id") < SENS_DELTA_SPLIT).alias("is_old"),
+    )
+    thr = spark.createDataFrame(
+        [(float(x),) for x in DEDUP_SWEEP_THRESHOLDS], "threshold double"
+    ).limit(len(DEDUP_SWEEP_THRESHOLDS))
+
+    # boundary-only candidate generation: the shingle self-join
+    # REQUIRES a new-side doc, so old x old never materializes
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
+    )
+    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                (F.col("a.doc_id") >= SENS_DELTA_SPLIT)
+                | (F.col("b.doc_id") >= SENS_DELTA_SPLIT)
+            ),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("common"))
+    )
+    # size/rank attrs ride broadcasts of the id-capped slice (r9 hint
+    # policy: bounded by construction)
+    pairs = (
+        common.join(
+            F.broadcast(sized.select(F.col("doc_id").alias("id_a"), F.col("n").alias("__na"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sized.select(F.col("doc_id").alias("id_b"), F.col("n").alias("__nb"))),
+            "id_b",
+        )
+        .join(
+            F.broadcast(base.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("__ca"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(base.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("__cb"))),
+            "id_b",
+        )
+        .select(
+            (F.col("common") / (F.col("__na") + F.col("__nb") - F.col("common"))).alias(
+                "jaccard"
+            ),
+            F.when(
+                (F.col("__ca") > F.col("__cb"))
+                | ((F.col("__ca") == F.col("__cb")) & (F.col("id_a") < F.col("id_b"))),
+                F.col("id_b"),
+            )
+            .otherwise(F.col("id_a"))
+            .alias("loser"),
+        )
+    )
+    # two consumers below (new-side anti join, old-side inner join):
+    # one lazy materialization per the one-materialization rule
+    losers = (
+        pairs.join(F.broadcast(thr), F.col("jaccard") >= F.col("threshold"))
+        .select("threshold", F.col("loser").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # per-source token mass of the existing corpus; two consumers
+    # (ladder spine + baseline sentinel partition)
+    src = (
+        base.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("is_old"), F.col("n_tok")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("__old_tok")
+        )
+        .localCheckpoint(eager=False)
+    )
+    kept_new = (
+        base.filter(~F.col("is_old"))
+        .crossJoin(F.broadcast(thr))
+        .join(losers, ["threshold", "doc_id"], "left_anti")
+        .groupBy("threshold", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__nk_docs"),
+            F.sum("n_tok").cast("bigint").alias("__nk_tok"),
+        )
+    )
+    displ = (
+        base.filter(F.col("is_old"))
+        .join(losers, ["doc_id"])
+        .groupBy("threshold", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__d_docs"),
+            F.sum("n_tok").cast("bigint").alias("__d_tok"),
+        )
+    )
+    caps = (
+        src.crossJoin(F.broadcast(thr))
+        .join(kept_new, ["threshold", "source"], "left")
+        .join(displ, ["threshold", "source"], "left")
+        .select(
+            "threshold",
+            "source",
+            F.coalesce("__nk_docs", F.lit(0)).cast("bigint").alias("new_kept_docs"),
+            F.coalesce("__d_docs", F.lit(0)).cast("bigint").alias("old_displaced_docs"),
+            (
+                F.col("__old_tok")
+                - F.coalesce("__d_tok", F.lit(0))
+                + F.coalesce("__nk_tok", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("cap_tokens"),
+        )
+        .unionByName(
+            src.select(
+                F.lit(-1.0).alias("threshold"),
+                "source",
+                F.lit(0).cast("bigint").alias("new_kept_docs"),
+                F.lit(0).cast("bigint").alias("old_displaced_docs"),
+                F.col("__old_tok").alias("cap_tokens"),
+            )
+        )
+    )
+
+    wt = Window.partitionBy("threshold")
+    wo = wt.orderBy("cap_tokens", "source")
+    flagged = (
+        caps.select(
+            "*",
+            F.count(F.lit(1)).over(wt).cast("bigint").alias("__n"),
+            F.sum("cap_tokens").over(wt).cast("bigint").alias("__total"),
+            F.row_number().over(wo).cast("bigint").alias("__i"),
+            F.coalesce(
+                F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__p"),
+        )
+        .withColumn(
+            "__budget",
+            F.expr(
+                f"CAST((__total * {BUDGET_FRACTION_NUM}) DIV {BUDGET_FRACTION_DEN} AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "is_capped",
+            (F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1))
+            < (F.col("__budget") - F.col("__p")),
+        )
+    )
+    scal = flagged.select(
+        "*",
+        F.sum(F.when(F.col("is_capped"), F.lit(1)).otherwise(F.lit(0)))
+        .over(wt)
+        .cast("bigint")
+        .alias("__k"),
+        F.sum(F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(F.lit(0)))
+        .over(wt)
+        .cast("bigint")
+        .alias("__pk"),
+    )
+    level = (F.col("__budget") - F.col("__pk")) / (F.col("__n") - F.col("__k"))
+    allocated = F.when(
+        F.col("is_capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(level)
+    shared = scal.withColumn("__share_raw", allocated / F.col("__budget")).withColumn(
+        "__share_before_raw",
+        F.max(F.when(F.col("threshold") == -1.0, F.col("__share_raw"))).over(
+            Window.partitionBy("source")
+        ),
+    )
+    return (
+        shared.filter(F.col("threshold") >= 0)
+        .select(
+            "threshold",
+            "source",
+            "new_kept_docs",
+            "old_displaced_docs",
+            (F.col("new_kept_docs") - F.col("old_displaced_docs"))
+            .cast("bigint")
+            .alias("delta_docs"),
+            "cap_tokens",
+            "is_capped",
+            F.round(allocated, 6).alias("allocated_tokens"),
+            F.round(F.col("__share_raw"), 6).alias("budget_share"),
+            F.round(F.col("__share_raw") - F.col("__share_before_raw"), 6).alias(
+                "share_delta"
+            ),
+        )
+        .orderBy("threshold", "source")
+    )
+
+
+_DEDUP_SENSITIVITY_DELTA_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                        i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+  FROM t
+), sized AS (
+  SELECT doc_id, len(shingles) AS n FROM s
+), e AS (
+  SELECT doc_id, unnest(shingles) AS sh FROM s
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.doc_id >= {SENS_DELTA_SPLIT} OR b.doc_id >= {SENS_DELTA_SPLIT}
+  GROUP BY 1, 2
+),
+thr(threshold) AS (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.4 AS DOUBLE)),
+                          (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)),
+                          (CAST(0.7 AS DOUBLE)), (CAST(0.8 AS DOUBLE))),
+meta AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents WHERE doc_id < {PAIR_DOC_LIMIT}
+),
+jp AS (
+  SELECT common * 1.0 / (sa.n + sb.n - common) AS jac,
+         CASE WHEN ma.n_chars > mb.n_chars
+                OR (ma.n_chars = mb.n_chars AND id_a < id_b)
+              THEN id_b ELSE id_a END AS loser
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+  JOIN meta ma ON ma.doc_id = id_a
+  JOIN meta mb ON mb.doc_id = id_b
+),
+losers AS (
+  SELECT DISTINCT t.threshold, jp.loser AS doc_id
+  FROM jp JOIN thr t ON jp.jac >= t.threshold
+),
+src AS (
+  SELECT source,
+         CAST(sum(CASE WHEN doc_id < {SENS_DELTA_SPLIT} THEN n_tok ELSE 0 END)
+              AS BIGINT) AS old_tok
+  FROM meta GROUP BY source
+),
+kept_new AS (
+  SELECT t.threshold, m.source,
+         CAST(count(*) AS BIGINT) AS nk_docs,
+         CAST(sum(m.n_tok) AS BIGINT) AS nk_tok
+  FROM meta m CROSS JOIN thr t
+  WHERE m.doc_id >= {SENS_DELTA_SPLIT} AND NOT EXISTS (
+    SELECT 1 FROM losers l
+    WHERE l.threshold = t.threshold AND l.doc_id = m.doc_id
+  )
+  GROUP BY 1, 2
+),
+displ AS (
+  SELECT l.threshold, m.source,
+         CAST(count(*) AS BIGINT) AS d_docs,
+         CAST(sum(m.n_tok) AS BIGINT) AS d_tok
+  FROM losers l JOIN meta m ON m.doc_id = l.doc_id
+  WHERE m.doc_id < {SENS_DELTA_SPLIT}
+  GROUP BY 1, 2
+),
+caps AS (
+  SELECT t.threshold, s.source,
+         CAST(coalesce(k.nk_docs, 0) AS BIGINT) AS new_kept_docs,
+         CAST(coalesce(d.d_docs, 0) AS BIGINT) AS old_displaced_docs,
+         CAST(s.old_tok - coalesce(d.d_tok, 0) + coalesce(k.nk_tok, 0)
+              AS BIGINT) AS cap_tokens
+  FROM src s CROSS JOIN thr t
+  LEFT JOIN kept_new k ON k.threshold = t.threshold AND k.source = s.source
+  LEFT JOIN displ d ON d.threshold = t.threshold AND d.source = s.source
+  UNION ALL
+  SELECT CAST(-1.0 AS DOUBLE) AS threshold, source,
+         CAST(0 AS BIGINT) AS new_kept_docs,
+         CAST(0 AS BIGINT) AS old_displaced_docs,
+         old_tok AS cap_tokens
+  FROM src
+),
+ranked AS (
+  SELECT *,
+         CAST(count(*) OVER (PARTITION BY threshold) AS BIGINT) AS n,
+         CAST((CAST(sum(cap_tokens) OVER (PARTITION BY threshold) AS BIGINT)
+               * {BUDGET_FRACTION_NUM}) // {BUDGET_FRACTION_DEN} AS BIGINT) AS budget,
+         CAST(row_number() OVER (PARTITION BY threshold ORDER BY cap_tokens, source) AS BIGINT) AS i,
+         CAST(coalesce(sum(cap_tokens) OVER (
+           PARTITION BY threshold ORDER BY cap_tokens, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pfx
+  FROM caps
+),
+flagged AS (
+  SELECT *, (cap_tokens * (n - i + 1)) < (budget - pfx) AS is_capped
+  FROM ranked
+),
+scal AS (
+  SELECT *,
+         CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END)
+              OVER (PARTITION BY threshold) AS BIGINT) AS k,
+         CAST(sum(CASE WHEN is_capped THEN cap_tokens ELSE 0 END)
+              OVER (PARTITION BY threshold) AS BIGINT) AS pk
+  FROM flagged
+),
+sharing AS (
+  SELECT *,
+         (CASE WHEN is_capped THEN CAST(cap_tokens AS DOUBLE)
+               ELSE (budget - pk) * 1.0 / (n - k) END) AS alloc,
+         (CASE WHEN is_capped THEN CAST(cap_tokens AS DOUBLE)
+               ELSE (budget - pk) * 1.0 / (n - k) END) / budget AS share_raw
+  FROM scal
+),
+with_before AS (
+  SELECT *,
+         max(CASE WHEN threshold = -1.0 THEN share_raw END)
+           OVER (PARTITION BY source) AS share_before_raw
+  FROM sharing
+)
+SELECT threshold, source, new_kept_docs, old_displaced_docs,
+       CAST(new_kept_docs - old_displaced_docs AS BIGINT) AS delta_docs,
+       cap_tokens, is_capped,
+       round(alloc, 6) AS allocated_tokens,
+       round(share_raw, 6) AS budget_share,
+       round(share_raw - share_before_raw, 6) AS share_delta
+FROM with_before
+WHERE threshold >= 0
+ORDER BY threshold, source
+"""
+
+
 # --- Q: temperature_mix_allocation — n^alpha sampling weights ------------
 # The other half of training-mix planning next to the water-filling
 # budget: exponentially-smoothed sampling (p_s ∝ n_s^alpha, alpha=0.7
@@ -1801,6 +2172,13 @@ SPECS = [
         "threshold ladder -> dominance-dedup dup rate -> water-filled budget mix per source",
         _dedup_sensitivity_curve,
         _DEDUP_SENSITIVITY_CURVE_SQL,
+        tags=("dedup", "sampling", "window", "audit"),
+    ),
+    QuerySpec(
+        "dedup_sensitivity_delta",
+        "incremental (CDC) dedup-knob curve: new-crawl ingest vs existing corpus, boundary pairs only, budget-share delta per source",
+        _dedup_sensitivity_delta,
+        _DEDUP_SENSITIVITY_DELTA_SQL,
         tags=("dedup", "sampling", "window", "audit"),
     ),
     QuerySpec(

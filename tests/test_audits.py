@@ -100,10 +100,14 @@ def test_token_budget_allocation_is_exact_water_filling(spark):
     its cap, capped sources are exactly the prefix in cap-ascending
     order, and every uncapped source gets the same level."""
     from databeats_spark.registry import queries
+    from databeats_spark.registry.audits import (
+        BUDGET_FRACTION_DEN,
+        BUDGET_FRACTION_NUM,
+    )
 
     out = queries()["token_budget_allocation"](spark, SF_SMOKE).toPandas()
     caps = dict(zip(out.source, out.cap_tokens))
-    budget = int(sum(caps.values()) * 3 // 5)
+    budget = int(sum(caps.values()) * BUDGET_FRACTION_NUM // BUDGET_FRACTION_DEN)
     assert abs(out.allocated_tokens.sum() - budget) < 1e-3
     assert (out.allocated_tokens <= out.cap_tokens + 1e-9).all()
     levels = out[~out.is_capped].allocated_tokens.unique()
@@ -123,6 +127,10 @@ def test_dedup_sensitivity_curve_invariants(spark):
     level; (3) the t=0.5 kept-count is consistent with the dominance
     rule recomputed independently from the pair list."""
     from databeats_spark.registry import queries
+    from databeats_spark.registry.audits import (
+        BUDGET_FRACTION_DEN,
+        BUDGET_FRACTION_NUM,
+    )
 
     out = queries()["dedup_sensitivity_curve"](spark, SF_SMOKE).toPandas()
     by_t = out.groupby("threshold")
@@ -137,7 +145,7 @@ def test_dedup_sensitivity_curve_invariants(spark):
         assert (g.allocated_tokens <= g.cap_tokens + 1e-9).all()
         levels = g[~g.is_capped].allocated_tokens.unique()
         assert len(levels) == 1
-        budget = int(g.cap_tokens.sum() * 3 // 5)
+        budget = int(g.cap_tokens.sum() * BUDGET_FRACTION_NUM // BUDGET_FRACTION_DEN)
         assert abs(g.allocated_tokens.sum() - budget) < 1e-3
 
     # independent recomputation of the dominance dedup at t=0.5
