@@ -50,6 +50,7 @@ FLAGSHIPS = {
     "poisson_bootstrap_ci": "one-pass bootstrap: 32x replicate explode with map-side partial combine; shuffle is catalog-sized (sources x replicates)",
     "basket_lift_rules": "one basket-keyed collect_set shuffle; <=basket^2 pair expansion MAP-SIDE off the sorted array (no self-join); catalog-bounded aggregate",
     "dedup_sensitivity_curve": "threshold ladder as a limit-bounded literal relation (both BNLJ fan-outs lint-proved); dominance dedup = one anti-join per the whole ladder; per-threshold water-filling windows",
+    "dedup_sensitivity_delta": "CDC form of the curve: the shingle join REQUIRES a new-side doc (old x old never materializes); pre-ingest baseline rides the same water-filling plan as a sentinel threshold=-1 partition",
 }
 
 
