@@ -1036,7 +1036,12 @@ def _dedup_sensitivity_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_capped",
             F.round(allocated, 6).alias("allocated_tokens"),
             F.round(F.col("__share_raw"), 6).alias("budget_share"),
-            F.round(F.col("__share_raw") - F.col("__share_before_raw"), 6).alias(
+            # + 0.0 normalizes the sign of zero: a tiny-negative true
+            # delta rounds to -0.0 in DuckDB but +0.0 in Spark
+            # (BigDecimal HALF_UP drops the sign), and %.6f CSV
+            # formatting tells them apart — first seen at sf0.1 where
+            # every share_delta collapses to zero
+            (F.round(F.col("__share_raw") - F.col("__share_before_raw"), 6) + F.lit(0.0)).alias(
                 "share_delta"
             ),
         )
@@ -1169,7 +1174,7 @@ SELECT threshold, source, new_kept_docs, old_displaced_docs,
        cap_tokens, is_capped,
        round(alloc, 6) AS allocated_tokens,
        round(share_raw, 6) AS budget_share,
-       round(share_raw - share_before_raw, 6) AS share_delta
+       round(share_raw - share_before_raw, 6) + 0.0 AS share_delta
 FROM with_before
 WHERE threshold >= 0
 ORDER BY threshold, source

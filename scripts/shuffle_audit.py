@@ -134,6 +134,11 @@ QUERIES = [
     # movement is the shingle-pair aggregate, ladder fan-out is
     # broadcast-side only
     "dedup_sensitivity_curve",
+    # r13 capstone: the curve's CDC form — candidate join requires a
+    # new-side doc (old x old structurally excluded), baseline rides
+    # the water-filling plan as a sentinel threshold partition; its
+    # movement is the boundary shingle-pair aggregate
+    "dedup_sensitivity_delta",
 ]
 
 

@@ -178,6 +178,79 @@ def test_dedup_sensitivity_curve_invariants(spark):
     assert kept_tot.loc[0.5] == expected_kept
 
 
+def test_dedup_sensitivity_delta_invariants(spark):
+    """The r13 CDC capstone's semantics beyond hash parity: (1) raising
+    the threshold shrinks the loser set, so total new docs kept is
+    non-decreasing and old docs displaced non-increasing in t; (2) the
+    pre-ingest baseline share recovered as budget_share - share_delta
+    is one constant per source across thresholds and sums to 1 (it is
+    a water-filling share itself); (3) per threshold the water-filling
+    invariants hold; (4) the t=0.5 totals match an independent
+    recomputation from the FULL pair list with old x old pairs dropped
+    in plain Python — pinning that the builder's join-side restriction
+    implements exactly the CDC contract."""
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.audits import (
+        BUDGET_FRACTION_DEN,
+        BUDGET_FRACTION_NUM,
+        SENS_DELTA_SPLIT,
+    )
+
+    out = queries()["dedup_sensitivity_delta"](spark, SF_SMOKE).toPandas()
+    by_t = out.groupby("threshold")
+    kept = by_t.new_kept_docs.sum().sort_index()
+    displ = by_t.old_displaced_docs.sum().sort_index()
+    assert (kept.diff().dropna() >= 0).all()
+    assert (displ.diff().dropna() <= 0).all()
+    assert (out.delta_docs == out.new_kept_docs - out.old_displaced_docs).all()
+
+    base_share = out.budget_share - out.share_delta
+    per_source = out.assign(b=base_share).groupby("source").b.nunique()
+    assert (per_source == 1).all(), "baseline share must not vary with t"
+    for _, g in by_t:
+        assert abs(g.budget_share.sum() - 1.0) < 1e-4
+        assert abs((g.budget_share - g.share_delta).sum() - 1.0) < 1e-4
+        assert (g.allocated_tokens <= g.cap_tokens + 1e-9).all()
+        levels = g[~g.is_capped].allocated_tokens.unique()
+        assert len(levels) == 1
+        budget = int(g.cap_tokens.sum() * BUDGET_FRACTION_NUM // BUDGET_FRACTION_DEN)
+        assert abs(g.allocated_tokens.sum() - budget) < 1e-3
+
+    # independent CDC recomputation at t=0.5: full pair list, then drop
+    # old x old in Python — must agree with the builder's structural
+    # join-side exclusion
+    from databeats_spark.operators.dedup import ngram_jaccard_pairs
+    from databeats_spark.registry.documents import PAIR_DOC_LIMIT
+    from databeats_spark.sources.tables import load_tables
+    from pyspark.sql import functions as F
+
+    docs = (
+        load_tables(spark, SF_SMOKE, ["documents"])
+        .documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+        .select("doc_id", "n_chars")
+        .toPandas()
+    )
+    pairs = ngram_jaccard_pairs(
+        load_tables(spark, SF_SMOKE, ["documents"]).documents.filter(
+            F.col("doc_id") < PAIR_DOC_LIMIT
+        ),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+    ).toPandas()
+    chars = dict(zip(docs.doc_id, docs.n_chars))
+    losers = {
+        (int(r.id_b) if (chars[r.id_a], -r.id_a) > (chars[r.id_b], -r.id_b) else int(r.id_a))
+        for r in pairs.itertuples()
+        if r.id_a >= SENS_DELTA_SPLIT or r.id_b >= SENS_DELTA_SPLIT
+    }
+    new_ids = {int(d) for d in docs.doc_id if d >= SENS_DELTA_SPLIT}
+    old_ids = {int(d) for d in docs.doc_id if d < SENS_DELTA_SPLIT}
+    assert kept.loc[0.5] == len(new_ids - losers)
+    assert displ.loc[0.5] == len(old_ids & losers)
+
+
 def test_canonical_best_keeps_no_fewer_and_no_shorter_than_min_id_policy(spark):
     """Both survivor policies keep exactly one doc per cluster plus all
     singletons — same cardinality — and the best-policy survivor set's
