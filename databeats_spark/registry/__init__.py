@@ -88,8 +88,9 @@ _WINDOW = (
     # plus 4 oldest-r7 fillers from the report's recommendation. After
     # a green r13 run the max ledger staleness is 4 rounds (r7/r8
     # buckets) and r14 is pure steady-state.
-    # — new in r13 (never driver-verified, ledger-mandatory slot):
+    # — new in r13 (never driver-verified, ledger-mandatory slots):
     "dedup_sensitivity_delta",  # r13 capstone: the curve's CDC form
+    "lsh_parameter_audit",  # banding-knob S-curve planner
     # — certifying twins at age 3 (would be forced next round):
     "approx_price_quantiles_exact",
     "approx_distinct_parts_exact",
@@ -140,10 +141,10 @@ _WINDOW = (
     "temperature_mix_allocation",
     "token_budget_allocation",
     # — oldest r7 fillers (report recommendation order; repeat_customers
-    # displaced by the r13 capstone's mandatory slot):
+    # and supplier_part_stats displaced by the two r13 new-query
+    # mandatory slots):
     "sql_api_revenue",
     "sql_lateral_topk",
-    "supplier_part_stats",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at

@@ -433,6 +433,116 @@ ORDER BY band
 """
 
 
+# --- Q: lsh_parameter_audit — banding-knob planner (S-curve audit) -------
+# The OTHER dedup knob next to the threshold (dedup_sensitivity_curve)
+# and the estimator bias (minhash_estimate_audit): which (bands b,
+# rows-per-band r) split of the 16-hash MinHash signature to run at
+# corpus scale. For each config with b*r = 16 — (16,1), (8,2) [the
+# production minhash_near_dups tier], (4,4), (2,8), (1,16) — the LSH
+# detection probability at Jaccard j is the S-curve 1 - (1 - j^r)^b.
+# Evaluated at each observed jaccard band's midpoint and multiplied by
+# the band's TRUE pair count (the near_dup_threshold_sweep histogram,
+# same slice and shingles), this yields the expected caught pairs per
+# (config, band): the recall the config buys above the 0.5 tier
+# threshold and the false-candidate verification load it pays below —
+# the numbers that pick the banding for a 100-TB run.
+#
+# Exactness engineering: NO order-exposed double sums anywhere — the
+# only aggregation is the BIGINT band histogram; every double is then
+# computed row-locally. The S-curve powers use b, r ∈ {1,2,4,8,16}
+# squaring ladders emitted as ONE SQL CASE text (_SCURVE_CASE) that
+# Spark evaluates via F.expr and DuckDB verbatim — identical
+# association, bit-equal doubles (the markov-determinant emitter
+# posture). Scale posture: the histogram is ≤21 rows, the config
+# table a 5-row literal with an explicit LIMIT (plan-lint bounded);
+# the corpus-sized work is exactly the sweep's bounded pair subtree.
+
+LSH_SIG_HASHES = 16
+LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16))
+
+
+def _pow_chain_sql(base: str, k: int) -> str:
+    """x^k for k a power of two, as an explicit squaring ladder —
+    ((x*x)*(x*x)) for k=4 — so both engines multiply in the identical
+    association and the doubles stay bit-equal."""
+    expr = base
+    while k > 1:
+        expr = f"({expr} * {expr})"
+        k //= 2
+    return expr
+
+
+def _scurve_case_sql() -> str:
+    arms = []
+    for b, r in LSH_CONFIGS:
+        miss = f"(1.0 - {_pow_chain_sql('__jm', r)})"
+        p = f"(1.0 - {_pow_chain_sql(miss, b)})"
+        arms.append(f"WHEN bands = {b} AND rows_per_band = {r} THEN {p}")
+    body = "\n  ".join(arms)
+    return f"CASE\n  {body}\n  END"
+
+
+_SCURVE_CASE = _scurve_case_sql()
+_JM_SQL = "LEAST((CAST(band AS DOUBLE) + 0.5) / 20.0, 1.0)"
+
+
+def _lsh_parameter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ["documents"])
+    docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.0)
+    hist = (
+        pairs.select(F.floor(F.col("jaccard") * 20).cast("bigint").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    cfg = spark.createDataFrame(
+        list(LSH_CONFIGS), "bands bigint, rows_per_band bigint"
+    ).limit(len(LSH_CONFIGS))
+    p = F.expr(_SCURVE_CASE)
+    return (
+        hist.crossJoin(F.broadcast(cfg))
+        .withColumn("__jm", F.expr(_JM_SQL))
+        .select(
+            "bands",
+            "rows_per_band",
+            "band",
+            F.round(F.col("band") / 20.0, 6).alias("band_lo"),
+            "n_pairs",
+            F.round(p, 6).alias("detect_prob"),
+            F.round(F.col("n_pairs").cast("double") * p, 6).alias("expected_caught"),
+        )
+        .orderBy("rows_per_band", "band")
+    )
+
+
+_LSH_PARAMETER_AUDIT_SQL = f"""
+WITH {_PAIRS_CTES},
+j AS (
+  SELECT common * 1.0 / (sa.n + sb.n - common) AS jac
+  FROM pairs
+  JOIN sized sa ON sa.doc_id = id_a
+  JOIN sized sb ON sb.doc_id = id_b
+),
+hist AS (
+  SELECT CAST(floor(jac * 20) AS BIGINT) AS band,
+         CAST(count(*) AS BIGINT) AS n_pairs
+  FROM j GROUP BY 1
+),
+cfg(bands, rows_per_band) AS (VALUES {", ".join(f"(CAST({b} AS BIGINT), CAST({r} AS BIGINT))" for b, r in LSH_CONFIGS)}),
+x AS (
+  SELECT bands, rows_per_band, band, n_pairs, {_JM_SQL} AS __jm
+  FROM hist CROSS JOIN cfg
+)
+SELECT bands, rows_per_band, band,
+       round(band / 20.0, 6) AS band_lo,
+       n_pairs,
+       round({_SCURVE_CASE}, 6) AS detect_prob,
+       round(CAST(n_pairs AS DOUBLE) * {_SCURVE_CASE}, 6) AS expected_caught
+FROM x
+ORDER BY rows_per_band, band
+"""
+
+
 # --- Q: token_budget_allocation — water-filling mix under a budget ------
 # The training-mix planning move: given a total token budget (60% of
 # the corpus here), allocate per-source quotas so no source exceeds
@@ -2185,6 +2295,13 @@ SPECS = [
         _dedup_sensitivity_delta,
         _DEDUP_SENSITIVITY_DELTA_SQL,
         tags=("dedup", "sampling", "window", "audit"),
+    ),
+    QuerySpec(
+        "lsh_parameter_audit",
+        "LSH banding planner: S-curve detection probability and expected caught pairs per (bands, rows) split of the 16-hash signature, against the observed jaccard histogram",
+        _lsh_parameter_audit,
+        _LSH_PARAMETER_AUDIT_SQL,
+        tags=("dedup", "audit"),
     ),
     QuerySpec(
         "split_leakage_pairs",

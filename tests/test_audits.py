@@ -178,6 +178,42 @@ def test_dedup_sensitivity_curve_invariants(spark):
     assert kept_tot.loc[0.5] == expected_kept
 
 
+def test_lsh_parameter_audit_invariants(spark):
+    """The banding planner's semantics beyond hash parity: (1) its
+    (band, n_pairs) histogram is exactly near_dup_threshold_sweep's
+    (same slice, same shingles); (2) detect_prob matches the S-curve
+    1-(1-j^r)^b recomputed independently in numpy at the band
+    midpoint, and expected_caught = n_pairs * p; (3) the knob
+    tradeoff: along constant b*r=16, increasing rows-per-band can
+    only LOWER detection at every band (false-candidate load above
+    the tier threshold 0.5 and recall both shrink monotonically)."""
+    import numpy as np
+
+    from databeats_spark.registry import queries
+    from databeats_spark.registry.audits import LSH_CONFIGS
+
+    out = queries()["lsh_parameter_audit"](spark, SF_SMOKE).toPandas()
+    sweep = queries()["near_dup_threshold_sweep"](spark, SF_SMOKE).toPandas()
+
+    hist = out[["band", "n_pairs"]].drop_duplicates().set_index("band").n_pairs
+    want = sweep.set_index("band").n_pairs
+    assert hist.sort_index().equals(want.sort_index())
+
+    jm = np.minimum((out.band.values + 0.5) / 20.0, 1.0)
+    p = 1.0 - (1.0 - jm ** out.rows_per_band.values) ** out.bands.values
+    assert np.allclose(out.detect_prob.values, p, atol=1e-6)
+    assert np.allclose(
+        out.expected_caught.values, out.n_pairs.values * p, atol=1e-5
+    )
+
+    # monotone knob: for fixed b*r, more rows per band => lower p
+    assert all(b * r == 16 for b, r in LSH_CONFIGS)
+    piv = out.pivot(index="band", columns="rows_per_band", values="detect_prob")
+    cols = sorted(piv.columns)
+    for lo, hi in zip(cols, cols[1:]):
+        assert (piv[hi] <= piv[lo] + 1e-9).all()
+
+
 def test_dedup_sensitivity_delta_invariants(spark):
     """The r13 CDC capstone's semantics beyond hash parity: (1) raising
     the threshold shrinks the loser set, so total new docs kept is
