@@ -180,6 +180,8 @@ AUDIT_ROTATING_POOL = (
     "isotonic_calibration", "minhash_estimate_audit", "rake_keyphrases",
     # r12 capstone (VERDICT r11 item 7)
     "dedup_sensitivity_curve",
+    # r13 additions (new tiers go in the POOL, never the core)
+    "dedup_sensitivity_delta", "lsh_parameter_audit",
 )
 AUDIT_ROTATE_N = 8
 
