@@ -80,6 +80,27 @@ def capture_checkpoint_sources():
     except ImportError:  # older PySpark: one concrete class
         _RuntimeDF = DataFrame
 
+    # A Spark Connect session's DataFrames are a THIRD class the patch
+    # above never touches — the capture would silently stay empty and
+    # the audit would report the pre-capture blind numbers as if the
+    # fix ran (r13 review). Fail loud instead; the audit is a local
+    # classic-session tool by design.
+    try:
+        from pyspark.sql import SparkSession as _SS
+
+        active = _SS.getActiveSession()
+    except Exception:
+        active = None
+    if active is not None and type(active).__module__.startswith(
+        "pyspark.sql.connect"
+    ):
+        raise RuntimeError(
+            "capture_checkpoint_sources only intercepts classic-session "
+            "DataFrames; the active session is Spark Connect, whose "
+            "localCheckpoint this patch cannot see — run the audit on a "
+            "local classic session"
+        )
+
     captured: list[DataFrame] = []
     original = _RuntimeDF.localCheckpoint
 

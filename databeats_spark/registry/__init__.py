@@ -91,6 +91,8 @@ _WINDOW = (
     # — new in r13 (never driver-verified, ledger-mandatory slots):
     "dedup_sensitivity_delta",  # r13 capstone: the curve's CDC form
     "lsh_parameter_audit",  # banding-knob S-curve planner
+    # — r13-CHANGED re-cert (shared _water_fill_keyed refactor):
+    "dedup_sensitivity_curve",
     # — certifying twins at age 3 (would be forced next round):
     "approx_price_quantiles_exact",
     "approx_distinct_parts_exact",
@@ -140,11 +142,10 @@ _WINDOW = (
     "length_percentiles_by_source",
     "temperature_mix_allocation",
     "token_budget_allocation",
-    # — oldest r7 fillers (report recommendation order; repeat_customers
-    # and supplier_part_stats displaced by the two r13 new-query
-    # mandatory slots):
+    # — oldest r7 filler (report recommendation order; repeat_customers,
+    # supplier_part_stats and sql_lateral_topk displaced by the two r13
+    # new-query slots plus the curve's changed-query re-cert):
     "sql_api_revenue",
-    "sql_lateral_topk",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at
@@ -154,7 +155,11 @@ _WINDOW = (
 # window — the "changed query re-certifies" precedent (markov/lang_id
 # in r10, jackknife in r11), mechanical instead of CLAUDE.md prose the
 # report "cannot see".
-CHANGED_QUERIES: tuple[str, ...] = ()
+# r13: the curve's water-filling block moved into the shared
+# _water_fill_keyed helper (value-identical, but the builder changed —
+# the changed-query class forces its re-cert slot); the delta shares
+# the helper but is already window-mandatory as a new query.
+CHANGED_QUERIES: tuple[str, ...] = ("dedup_sensitivity_curve",)
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
 # that silently gets no driver coverage (the r6 window quietly grew to

@@ -710,9 +710,68 @@ ORDER BY source
 DEDUP_SWEEP_THRESHOLDS = (0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
 
 
-def _dedup_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _water_fill_keyed(per: DataFrame):
+    """The keyed water-filling block shared by BOTH sensitivity
+    queries (r13 review: the curve and the delta carried verbatim
+    copies — a future fix to the capped-prefix arithmetic would have
+    had to land in two Spark builders or silently diverge a
+    certifying query). Input: one row per (threshold, source) with a
+    BIGINT ``cap_tokens`` plus any carry columns. Returns
+    ``(df, allocated)`` — the frame with ``__budget``/``is_capped``
+    attached and the unrounded allocation Column for the caller to
+    round/project. Arithmetic is token_budget_allocation's verbatim,
+    windowed PER THRESHOLD; that query keeps its own GLOBAL form on
+    purpose (its scalars must ride attach_global_scalar per the
+    derived-scalar rule — a different plan shape, not a third copy of
+    this one)."""
     from pyspark.sql import Window
 
+    wt = Window.partitionBy("threshold")
+    wo = wt.orderBy("cap_tokens", "source")
+    flagged = (
+        per.select(
+            "*",
+            F.count(F.lit(1)).over(wt).cast("bigint").alias("__n"),
+            F.sum("cap_tokens").over(wt).cast("bigint").alias("__total"),
+            F.row_number().over(wo).cast("bigint").alias("__i"),
+            F.coalesce(
+                F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("__p"),
+        )
+        .withColumn(
+            "__budget",
+            F.expr(
+                f"CAST((__total * {BUDGET_FRACTION_NUM}) DIV {BUDGET_FRACTION_DEN} AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "is_capped",
+            (F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1))
+            < (F.col("__budget") - F.col("__p")),
+        )
+    )
+    scal = flagged.select(
+        "*",
+        F.sum(F.when(F.col("is_capped"), F.lit(1)).otherwise(F.lit(0)))
+        .over(wt)
+        .cast("bigint")
+        .alias("__k"),
+        F.sum(F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(F.lit(0)))
+        .over(wt)
+        .cast("bigint")
+        .alias("__pk"),
+    )
+    level = (F.col("__budget") - F.col("__pk")) / (F.col("__n") - F.col("__k"))
+    allocated = F.when(
+        F.col("is_capped"), F.col("cap_tokens").cast("double")
+    ).otherwise(level)
+    return scal, allocated
+
+
+def _dedup_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = t.documents.filter(F.col("doc_id") < PAIR_DOC_LIMIT)
     base = docs.select(
@@ -772,52 +831,7 @@ def _dedup_sensitivity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("cap_tokens"),
     ).join(F.broadcast(slice_src), "source")
 
-    wt = Window.partitionBy("threshold")
-    wo = wt.orderBy("cap_tokens", "source")
-    flagged = (
-        per.select(
-            "threshold",
-            "source",
-            "kept_docs",
-            "cap_tokens",
-            "__all_docs",
-            F.count(F.lit(1)).over(wt).cast("bigint").alias("__n"),
-            F.sum("cap_tokens").over(wt).cast("bigint").alias("__total"),
-            F.row_number().over(wo).cast("bigint").alias("__i"),
-            F.coalesce(
-                F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("__p"),
-        )
-        .withColumn(
-            "__budget",
-            F.expr(
-                f"CAST((__total * {BUDGET_FRACTION_NUM}) DIV {BUDGET_FRACTION_DEN} AS BIGINT)"
-            ),
-        )
-        .withColumn(
-            "is_capped",
-            (F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1))
-            < (F.col("__budget") - F.col("__p")),
-        )
-    )
-    scal = flagged.select(
-        "*",
-        F.sum(F.when(F.col("is_capped"), F.lit(1)).otherwise(F.lit(0)))
-        .over(wt)
-        .cast("bigint")
-        .alias("__k"),
-        F.sum(F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(F.lit(0)))
-        .over(wt)
-        .cast("bigint")
-        .alias("__pk"),
-    )
-    level = (F.col("__budget") - F.col("__pk")) / (F.col("__n") - F.col("__k"))
-    allocated = F.when(
-        F.col("is_capped"), F.col("cap_tokens").cast("double")
-    ).otherwise(level)
+    scal, allocated = _water_fill_keyed(per)
     return scal.select(
         "threshold",
         "source",
@@ -971,7 +985,16 @@ def _dedup_sensitivity_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("sh")
     )
-    sized = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # one-materialization rule (r13 review): the shingle explode +
+    # per-doc count shuffle feeds TWO broadcast consumers below
+    # (id_a/__na and id_b/__nb projections, which AQE cannot
+    # exchange-reuse across broadcast sides) — checkpoint once so the
+    # explode/aggregate executes once per run
+    sized = (
+        sh.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(
@@ -1084,48 +1107,7 @@ def _dedup_sensitivity_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    wt = Window.partitionBy("threshold")
-    wo = wt.orderBy("cap_tokens", "source")
-    flagged = (
-        caps.select(
-            "*",
-            F.count(F.lit(1)).over(wt).cast("bigint").alias("__n"),
-            F.sum("cap_tokens").over(wt).cast("bigint").alias("__total"),
-            F.row_number().over(wo).cast("bigint").alias("__i"),
-            F.coalesce(
-                F.sum("cap_tokens").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("__p"),
-        )
-        .withColumn(
-            "__budget",
-            F.expr(
-                f"CAST((__total * {BUDGET_FRACTION_NUM}) DIV {BUDGET_FRACTION_DEN} AS BIGINT)"
-            ),
-        )
-        .withColumn(
-            "is_capped",
-            (F.col("cap_tokens") * (F.col("__n") - F.col("__i") + 1))
-            < (F.col("__budget") - F.col("__p")),
-        )
-    )
-    scal = flagged.select(
-        "*",
-        F.sum(F.when(F.col("is_capped"), F.lit(1)).otherwise(F.lit(0)))
-        .over(wt)
-        .cast("bigint")
-        .alias("__k"),
-        F.sum(F.when(F.col("is_capped"), F.col("cap_tokens")).otherwise(F.lit(0)))
-        .over(wt)
-        .cast("bigint")
-        .alias("__pk"),
-    )
-    level = (F.col("__budget") - F.col("__pk")) / (F.col("__n") - F.col("__k"))
-    allocated = F.when(
-        F.col("is_capped"), F.col("cap_tokens").cast("double")
-    ).otherwise(level)
+    scal, allocated = _water_fill_keyed(caps)
     shared = scal.withColumn("__share_raw", allocated / F.col("__budget")).withColumn(
         "__share_before_raw",
         F.max(F.when(F.col("threshold") == -1.0, F.col("__share_raw"))).over(

@@ -9,13 +9,23 @@ matter how noisy the clock is).
 
     python scripts/shuffle_audit.py
 
-Two measurement layers per query (r7 VERDICT item 3):
+Three measurement layers per query (r7 VERDICT item 3; third added
+r13):
 
 - PLAN layer (``execution_metrics``): exchange/scan SQLMetrics folded
   from the final adaptive plan — uncompressed dataSize, per-exchange
   attribution. Blind spot: AQE's empty-relation propagation can erase
   already-executed exchanges from the FINAL plan (empty result at one
   SF), under-reporting them as 0 B.
+- CHECKPOINT layer (``capture_checkpoint_sources``, r13): a
+  localCheckpoint truncates lineage, so the final plan misses every
+  exchange upstream of it. The capture records each pre-checkpoint
+  DataFrame during build+execute and folds its executedPlan's
+  SQLMetrics into the PLAN columns — disjoint segments, summed
+  exactly. This closed the former under-reporting on every
+  prefix-sum/attach_global_scalar query (hits_copurchase 32 B ->
+  real MBs); the PLAN columns are now those queries' movement signal
+  too.
 - STAGE layer (``stage_delta``): shuffle-write bytes + executor CPU
   summed over every stage the run actually executed, from the
   AppStatusStore — records EVERY stage that ran regardless of what the
@@ -72,8 +82,8 @@ QUERIES = [
     "rrf_hybrid_topk", "phash_near_dups", "blockmean_near_dups",
     # r9 additions: retrieval eval, attribution, drift/calibration and
     # experimentation readouts (robust_spend_stats / ks_two_sample run
-    # prefix-sum checkpoints — their plan columns under-report; the
-    # stage-layer exec-write column is their movement signal)
+    # prefix-sum checkpoints — under-reported in the plan columns
+    # before the r13 checkpoint capture; now fully in-plan)
     "bm25_ranking_quality", "matryoshka_energy_audit", "psi_length_drift",
     "acf_daily_revenue", "markov_event_transitions",
     "cohort_retention_triangle", "robust_spend_stats",
@@ -92,9 +102,8 @@ QUERIES = [
     # data, exactly the quadratic the twins accept at correctness SFs.
     "source_kmv_sketch",
     # r10 session-3 tiers: held-out bigram LM, term dispersion, ratio
-    # CI (checkpointed day cells — plan columns under-report like the
-    # other prefix-sum/checkpoint queries; stage exec-write covers it),
-    # EB source-rate shrinkage
+    # CI (checkpointed day cells — in-plan since the r13 checkpoint
+    # capture), EB source-rate shrinkage
     "stupid_backoff_logprob", "term_burstiness",
     "jackknife_ratio_ci", "eb_shrunk_source_rates",
     # degree-capped pair expansion: bytes ∝ Σ min(deg, AA_MAX_DEG=24)·deg
@@ -106,8 +115,8 @@ QUERIES = [
     # construction — its movement is the feature-stream aggregate)
     "good_turing_mass", "daily_count_overdispersion",
     "dsir_importance_weights", "wilson_return_ranking",
-    # r10 session-3 batch 4: CvM (prefix-sum checkpoints — stage-layer
-    # exec-write is its movement signal, like ks_two_sample), SPRT
+    # r10 session-3 batch 4: CvM (prefix-sum checkpoints — in-plan
+    # since the r13 checkpoint capture, like ks_two_sample), SPRT
     # e-process, Brier decomposition
     "cvm_two_sample", "sprt_evalue_monitor", "brier_decomposition",
     # fixed-round LPA: per-round exchanges are edges ⋈ labels — linear
