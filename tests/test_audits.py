@@ -95,6 +95,72 @@ def test_dup_cluster_sizes_histogram_is_internally_consistent(spark):
     assert (hist.n_docs == hist.cluster_size * hist.n_clusters).all()
 
 
+@given(
+    caps_a=st.lists(st.integers(0, 10_000), min_size=1, max_size=8),
+    caps_b=st.lists(st.integers(0, 10_000), min_size=1, max_size=8),
+)
+@settings(**SETTINGS)
+def test_water_fill_keyed_matches_reference(spark, caps_a, caps_b):
+    """_water_fill_keyed is now the ONE definition behind both
+    sensitivity queries (r13 refactor) — pin its closed form directly
+    against an independent Python water-filling over arbitrary cap
+    vectors, per threshold partition: the capped set is exactly the
+    ascending-cap prefix where cap*(remaining) < budget-prefix, capped
+    sources take their cap, the rest share one level, and the total
+    equals the BIGINT budget (never all-capped while budget < total)."""
+    from pyspark.sql import functions as F
+
+    from databeats_spark.registry.audits import (
+        BUDGET_FRACTION_DEN,
+        BUDGET_FRACTION_NUM,
+        _water_fill_keyed,
+    )
+
+    rows = [
+        (t, f"s{i}", int(c))
+        for t, caps in ((0.0, caps_a), (1.0, caps_b))
+        for i, c in enumerate(caps)
+    ]
+    per = spark.createDataFrame(rows, "threshold double, source string, cap_tokens long")
+    scal, allocated = _water_fill_keyed(per)
+    got = (
+        scal.select("threshold", "source", "cap_tokens", "is_capped",
+                    allocated.alias("alloc"), "__budget")
+        .toPandas()
+        .sort_values(["threshold", "source"])
+    )
+
+    def reference(caps):
+        total = sum(caps.values())
+        budget = total * BUDGET_FRACTION_NUM // BUDGET_FRACTION_DEN
+        order = sorted(caps, key=lambda s: (caps[s], s))
+        n = len(order)
+        capped, prefix = set(), 0
+        for i, s in enumerate(order):
+            # the builder's per-row test verbatim (__p is the prefix
+            # over ALL preceding rows, capped or not)
+            if caps[s] * (n - i) < budget - prefix:
+                capped.add(s)
+            prefix += caps[s]
+        # the capped set must come out a contiguous ascending-cap
+        # prefix (the monotonicity the builder's closed form relies on)
+        assert capped == set(order[: len(capped)])
+        level = (budget - sum(caps[s] for s in capped)) / (n - len(capped))
+        return budget, capped, level
+
+    for t, caps in ((0.0, caps_a), (1.0, caps_b)):
+        want_budget, want_capped, want_level = reference(
+            {f"s{i}": int(c) for i, c in enumerate(caps)}
+        )
+        g = got[got.threshold == t]
+        assert (g.__budget == want_budget).all()
+        assert set(g[g.is_capped].source) == want_capped
+        for r in g.itertuples():
+            want = float(r.cap_tokens) if r.source in want_capped else want_level
+            assert abs(r.alloc - want) < 1e-9
+        assert abs(g.alloc.sum() - want_budget) < 1e-6
+
+
 def test_token_budget_allocation_is_exact_water_filling(spark):
     """sum(alloc) equals the budget (to rounding), no source exceeds
     its cap, capped sources are exactly the prefix in cap-ascending
