@@ -427,7 +427,7 @@ def semantic_near_duplicates(
     corpus written with ``IVFIndex.write_partitioned`` dedups with
     zero extra clustering cost.
     """
-    from databeats_spark.functions.similarity import cosine
+    from databeats_spark.functions.similarity import dot, norm
     from databeats_spark.ml.ann import IVFIndex
 
     if n_lists is None:
@@ -437,9 +437,19 @@ def semantic_near_duplicates(
         max_iter=4, init_mode="random",
     )
     # pin the assignment once: both sides of the self-join read the same
-    # blocks instead of re-running the KMeans transform + scan twice
+    # blocks instead of re-running the KMeans transform + scan twice.
+    # Each row also carries its precomputed L2 norm: the candidate join
+    # evaluates the cosine on every within-cluster pair (n²/k of them),
+    # and cosine(a, b) = dot/(norm·norm) re-derived BOTH norms per pair
+    # — three interpreted HOF aggregates per candidate where one
+    # suffices. norm(v) here is the same sqrt(dot(v, v)) expression
+    # cosine() expands to, so dot/(n_a·n_b) is bit-identical to the
+    # former per-pair arithmetic — only computed n times instead of n²/k.
     e = idx.assigned.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), "centroid_id"
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        "centroid_id",
+        norm(F.col(vec_col)).alias("__n"),
     ).localCheckpoint(eager=False)
     return (
         e.alias("a")
@@ -451,7 +461,10 @@ def semantic_near_duplicates(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("cos_sim"),
+            (
+                dot(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

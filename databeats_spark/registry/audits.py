@@ -1848,9 +1848,14 @@ def _robust_spend_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(F.col("c_mktsegment").alias("seg"), dec("o_totalprice").alias("y"))
     )
+    # by_val has TWO consumers (the prefix-sum chain and seg_tot): one
+    # lazy localCheckpoint pins it — without it the final plan re-ran
+    # the whole orders⋈customer join + (seg, y) aggregate a second time
+    # for seg_tot (the eager checkpoint inside partitioned_running_total
+    # runs first, so its exchange is gone when seg_tot plans)
     by_val = vals.groupBy("seg", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=False)
     ranked = partitioned_running_total(
         by_val, [F.col("seg"), F.col("y")], "cnt", out_col="cum"
     )

@@ -39,7 +39,13 @@ def _basket_lift_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — no self-join, so neither join side re-executes the item scan
     # and the plan keeps the same shape at every SF (the original
     # items⋈items form flipped broadcast→sort-merge between SFs)
-    baskets = items.groupBy("ok").agg(F.sort_array(F.collect_set("brand")).alias("bs"))
+    # baskets has TWO consumers (pair explosion + per-brand supports):
+    # one lazy localCheckpoint pins it — exchange reuse shares the
+    # items shuffle but still re-ran the collect_set finalization and
+    # the array build once per consumer
+    baskets = items.groupBy("ok").agg(
+        F.sort_array(F.collect_set("brand")).alias("bs")
+    ).localCheckpoint(eager=False)
     bs = F.col("bs")
     pair_structs = F.flatten(
         F.transform(

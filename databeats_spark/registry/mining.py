@@ -1626,6 +1626,12 @@ HITS_TOP_K = 20
 
 def _hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
+    # the static edge table is consumed by every round's join (6+
+    # consumers): ONE lazy localCheckpoint pins it (the pagerank /
+    # one-materialization rule) — without it each checkpoint job
+    # recomputed the orders⋈lineitem join + distinct (~4 full scans,
+    # 17 shuffles / 106 MB at sf0.1), and exchange reuse cannot cross
+    # the two attach_global_scalar checkpoint jobs
     edges = (
         t.orders.select("o_orderkey", "o_custkey")
         .join(
@@ -1634,6 +1640,7 @@ def _hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     a = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     for _ in range(HITS_ROUNDS - 1):

@@ -568,52 +568,71 @@ DSIR_TARGET_LANG = "en"
 
 
 def _dsir_features(docs: DataFrame) -> DataFrame:
-    toks = docs.select("doc_id", "lang", F.split("text", " ").alias("t"))
-    uni = toks.select(
-        "doc_id", "lang", F.explode("t").alias("f")
-    ).filter(F.col("f") != "")
-    bigrams = F.expr(
-        "transform(sequence(1, size(t) - 1),"
-        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
-    )
-    bi = toks.filter(F.size("t") >= 2).select(
-        "doc_id", "lang", F.explode(bigrams).alias("f")
+    # unigrams ++ bigrams built as ONE array per doc and exploded once:
+    # the former unionAll(uni, bi) shape scanned + re-split every
+    # document TWICE per pass (two Generate branches over two scans in
+    # the same plan). The token array binds once as a HOF variable (no
+    # CSE inside lambdas — CLAUDE.md); feature multiset per doc is
+    # identical (non-empty unigrams, raw-token bigrams, same order of
+    # concatenation), so every downstream count and score is unchanged.
+    def feats_of(t):
+        uni = F.filter(t, lambda w: w != "")
+        bi = F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat(
+                    F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(uni, bi)
+
+    all_feats = F.element_at(
+        F.transform(F.array(F.split("text", " ")), feats_of), 1
     )
     bucket = (
         F.conv(F.substring(F.md5("f"), 1, 13), 16, 10).cast("bigint")
         % DSIR_BUCKETS
     )
-    return uni.unionAll(bi).select("doc_id", "lang", bucket.alias("b"))
+    return docs.select(
+        "doc_id", "lang", F.explode(all_feats).alias("f")
+    ).select("doc_id", "lang", bucket.alias("b"))
 
 
 def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = spread(t.documents, spark)
     feats = _dsir_features(docs)
-    raw = (
+    # BOTH distributions ride ONE bucket aggregate (c_t is a
+    # conditional count in the same map-side combine): the exploded
+    # feature stream is computed twice (stats pass + per-doc pass)
+    # instead of three times, one checkpoint replaces two, and the
+    # per-doc pass re-attaches a single broadcast. A bucket with no
+    # target rows carries c_t = 0, exactly what the former left join's
+    # coalesce(c_t, 0) produced — every smoothed term is bit-identical.
+    buckets = (
         feats.groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_r"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("c_r"),
+            F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("bigint"))
+            .cast("bigint")
+            .alias("c_t"),
+        )
         .localCheckpoint(eager=False)
     )
-    tgt = (
-        feats.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
-        .localCheckpoint(eager=False)
+    n = buckets.agg(
+        F.sum("c_r").cast("bigint").alias("n_r"),
+        F.sum("c_t").cast("bigint").alias("n_t"),
     )
-    n_r = raw.agg(F.sum("c_r").cast("bigint").alias("n_r"))
-    n_t = tgt.agg(F.sum("c_t").cast("bigint").alias("n_t"))
     score = F.log(
-        (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double")
-        / (F.col("n_t") + DSIR_BUCKETS)
+        (F.col("c_t") + 1).cast("double") / (F.col("n_t") + DSIR_BUCKETS)
     ) - F.log(
         (F.col("c_r") + 1).cast("double") / (F.col("n_r") + DSIR_BUCKETS)
     )
     return (
-        feats.join(F.broadcast(raw), "b")
-        .join(F.broadcast(tgt), "b", "left")
-        .crossJoin(F.broadcast(n_r))
-        .crossJoin(F.broadcast(n_t))
+        feats.join(F.broadcast(buckets), "b")
+        .crossJoin(F.broadcast(n))
         .groupBy("doc_id", "lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_feat"),
@@ -1994,10 +2013,22 @@ HEAPS_DECILES = 10
 
 def _heaps_exponent_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
-    words = _doc_words(spread(t.documents, spark), "source", "doc_id")
-    per_doc = words.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tok")
-    )
+    docs = spread(t.documents, spark)
+    words = _doc_words(docs, "source", "doc_id")
+    # per-doc token counts need no explode+shuffle: count(*) over the
+    # exploded non-empty words per (source, doc_id) IS the size of the
+    # filtered token array — a map-side expression on the scan. This
+    # removes one of the two full explode passes and the corpus-keyed
+    # (source, doc_id) aggregate exchange entirely; counts are exact
+    # integers either way. Docs with zero non-empty tokens produce no
+    # row in the former explode-count — mirror with a filter.
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("bigint")
+        .alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
     first_occ = words.groupBy("source", "w").agg(
         F.min("doc_id").alias("fd")
     )

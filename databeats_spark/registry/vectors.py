@@ -797,9 +797,15 @@ def _semdedup_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = semantic_near_duplicates(
         t.embeddings, "vec_id", "embedding", n_lists=None, threshold=0.4
     )
+    # pin the (tiny) pair list before the global sort: orderBy plans a
+    # range exchange whose SAMPLING pass re-executes the child, and the
+    # within-cluster pair join is all narrow (broadcast) compute — the
+    # n²/k cosine evaluation ran TWICE per action (measured: two equal
+    # ~10 cpu-s stages at sf0.1). The lazy checkpoint materializes the
+    # few surviving pairs once; sampling + sort read cached blocks.
     return out.select(
         "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
-    ).orderBy("id_a", "id_b")
+    ).localCheckpoint(eager=False).orderBy("id_a", "id_b")
 
 
 def _embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

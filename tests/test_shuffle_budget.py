@@ -237,12 +237,16 @@ def test_adamic_adar_pair_expansion_stays_capped(metrics):
 
 def test_dsir_bucket_tables_broadcast(metrics):
     """DSIR's promise: the raw/target distributions are <=1024-row
-    broadcasts (4 broadcast sides measured), so the corpus never
-    shuffles on the bucket key — only map-side partials move
-    (~404 KB at sf0.01). A lost broadcast joins the full feature
-    stream instead."""
+    broadcasts, so the corpus never shuffles on the bucket key — only
+    map-side partials move (~404 KB at sf0.01). A lost broadcast joins
+    the full feature stream instead. r13: BOTH distributions ride ONE
+    combined bucket aggregate (c_r + conditional c_t in the same
+    map-side combine), so the plan carries exactly 2 broadcast sides
+    (bucket table + scalar totals) instead of the former 4 — fewer
+    broadcasts for the same promise, pinned from below AND above so a
+    regression to per-distribution tables (4+) fails loudly."""
     m = metrics("dsir_importance_weights")
-    assert m["n_broadcasts"] >= 4, m
+    assert 2 <= m["n_broadcasts"] <= 3, m
     assert m["shuffle_bytes"] < 2_500_000, m
 
 
