@@ -282,18 +282,32 @@ def minhash_near_duplicates(
     # exact-Jaccard verification restricted to candidates: join the
     # (small) candidate list back to the per-doc shingle ARRAYS and
     # intersect in-memory — no shingle-level shuffle, the candidate
-    # count (not the corpus size) drives the cost
+    # count (not the corpus size) drives the cost.
+    #
+    # The scored candidate list is pinned (ONE lazy localCheckpoint)
+    # BEFORE the threshold filter, for two reasons measured at sf0.1:
+    # (a) filtering on the projected jaccard lets Catalyst push the
+    # predicate into the verify join's CONDITION, where the
+    # array_intersect is evaluated twice per candidate (inter + union
+    # reference it and join-condition codegen does no subexpression
+    # elimination) — in ONE Project the intersect is CSE'd and runs
+    # once; (b) every consumer re-executes the narrow verify tail —
+    # the registry query's global orderBy re-runs it in the range
+    # exchange's SAMPLING pass, and pagerank/connected-components
+    # symmetrize pairs with a UNION whose branches each re-run it.
+    # The materialized rows are (id_a, id_b, jaccard) for the BANDED
+    # candidate set only — bounded by the LSH posture, never corpus².
     sa = shingled.select(F.col("__id").alias("id_a"), F.col("__shingles").alias("__sh_a"))
     sb = shingled.select(F.col("__id").alias("id_b"), F.col("__shingles").alias("__sh_b"))
     inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
     union = F.size("__sh_a") + F.size("__sh_b") - inter
-    return (
+    scored = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .localCheckpoint(eager=False)
     )
+    return scored.filter(F.col("jaccard") >= threshold)
 
 
 def simhash_near_duplicates(

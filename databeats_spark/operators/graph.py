@@ -81,12 +81,22 @@ def connected_components(
     """
     from databeats_spark.plans.instrument import record_metrics
 
+    # Pin the INPUT edge list before the symmetrizing union: the union
+    # references ``edges`` twice, and exchange reuse only covers
+    # shuffle/broadcast boundaries — the narrow tail of an expensive
+    # edge generator (an LSH candidate pipeline's verify join) executed
+    # once PER BRANCH inside the sym checkpoint job (measured on
+    # curation_funnel: the whole candidate+verify chain appeared twice
+    # under the union). One lazy checkpoint makes the second branch
+    # read cached blocks; result-identical by construction.
+    pre_edges = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    e_in = pre_edges.localCheckpoint(eager=False)
     pre_sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        e_in.union(e_in.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
     sym = pre_sym.localCheckpoint()  # single materialization of the edge generator
+    record_metrics(metrics_sink, "cc_input_edges", pre_edges)
     record_metrics(metrics_sink, "cc_edges", pre_sym)
     pre_labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -191,18 +201,27 @@ def alternating_components(
         m = obs.get
         return out, (int(m["n"]), int(m["h"]))
 
+    # Pin the INPUT edge list first: it is referenced three times below
+    # (canonical pairs + both branches of the nodes union), and each
+    # reference re-executed the narrow tail of the upstream edge
+    # generator (exchange reuse covers only shuffle/broadcast
+    # boundaries). One lazy checkpoint materializes the generator once;
+    # all three readers hit cached blocks. Result-identical.
+    e_in = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).localCheckpoint(
+        eager=False
+    )
     # canonical undirected pairs, self-loops dropped
     e, sig = checkpoint_with_sig(
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
+        e_in.select(
+            F.greatest(F.col("s"), F.col("d")).alias("u"),
+            F.least(F.col("s"), F.col("d")).alias("v"),
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e_in.select(F.col("s").alias("node"))
+        .union(e_in.select(F.col("d").alias("node")))
         .distinct()
         .localCheckpoint()
     )

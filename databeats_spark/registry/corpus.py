@@ -1523,27 +1523,63 @@ def _kmv_parts(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") <= KMV_K)
         .select("source", "h")
     )
-    srcs = d.select("source").distinct().orderBy("source").limit(KMV_SRC_CAP)
+    # Pair-merge as ARRAY math over per-source sketches (r13): the
+    # former shape exploded every source's k minima across all its
+    # pairs (k x |pairs| x 2 rows — a 4.7 MB shuffle at sf0.1), then
+    # re-grouped and re-ranked per pair. A KMV sketch is mergeable by
+    # construction, so each source's k minima collapse to ONE sorted
+    # array row (catalog-bounded: <=KMV_SRC_CAP rows of k md5 hex
+    # strings) and the per-pair estimate is pure array arithmetic on a
+    # broadcast join — no fan-out shuffle, no per-pair window. Bit-
+    # identical to the grouped form: array_union dedups exactly like
+    # GROUP BY h, array_sort is the same lexicographic total order the
+    # row_number ranked, slice(..., 1, k) is the rn <= k cut, and a
+    # merged value is "common" iff it sits in both input sketches
+    # (n_side = 2).
+    #
+    # ``srcs`` derives from the sketch table, NOT from ``d``: the
+    # former d.select("source").distinct() was column-pruned to
+    # [source] at the scan, so Catalyst planned a SECOND full
+    # scan + shingle-explode + distinct chain just to list sources
+    # (exchange reuse needs identical subtrees; pruning made them
+    # differ — measured as two ~1.4 cpu-s corpus stages at sf0.1
+    # where one suffices). Sources present in ``arrs`` == sources
+    # with >=1 distinct shingle == sources in ``d``, so the source
+    # catalog (and the pair cross join) is exactly the same set.
+    # arrs has THREE consumers (srcs + both pair-join sides) and
+    # column pruning would give each its own full corpus chain
+    # (measured: the source-pruned srcs branch re-ran the whole
+    # scan+explode+distinct+window — exchange reuse needs identical
+    # subtrees). One lazy localCheckpoint of this catalog-bounded
+    # table (<= KMV_SRC_CAP rows of k hashes) pins one materialization.
+    arrs = (
+        sk.groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("hs"))
+        .localCheckpoint(eager=False)
+    )
+    srcs = arrs.select("source").orderBy("source").limit(KMV_SRC_CAP)
     pairs = (
         srcs.select(F.col("source").alias("sa"))
         .crossJoin(srcs.select(F.col("source").alias("sb")))
         .filter(F.col("sa") < F.col("sb"))
     )
-    ua = pairs.join(sk, F.col("source") == F.col("sa")).select("sa", "sb", "h")
-    ub = pairs.join(sk, F.col("source") == F.col("sb")).select("sa", "sb", "h")
-    g = (
-        ua.unionByName(ub)
-        .groupBy("sa", "sb", "h")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_side"))
-    )
-    wm = Window.partitionBy("sa", "sb").orderBy("h")
+    merged = F.slice(F.array_sort(F.array_union("ha", "hb")), 1, KMV_K)
     est = (
-        g.withColumn("rn", F.row_number().over(wm))
-        .filter(F.col("rn") <= KMV_K)
-        .groupBy("sa", "sb")
-        .agg(
-            F.sum((F.col("n_side") == 2).cast("bigint")).cast("bigint").alias("kmv_common"),
-            F.count(F.lit(1)).cast("bigint").alias("kmv_size"),
+        pairs.join(
+            F.broadcast(arrs.select(F.col("source").alias("sa"), F.col("hs").alias("ha"))),
+            "sa",
+        )
+        .join(
+            F.broadcast(arrs.select(F.col("source").alias("sb"), F.col("hs").alias("hb"))),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            F.size(F.array_intersect(merged, F.array_intersect("ha", "hb")))
+            .cast("bigint")
+            .alias("kmv_common"),
+            F.size(merged).cast("bigint").alias("kmv_size"),
         )
     )
     return d, pairs, est

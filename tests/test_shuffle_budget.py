@@ -105,18 +105,31 @@ def test_pagerank_rounds_move_bounded_bytes(spark):
     pairs — kilobytes on this graph — while the one-time LSH edge
     materialization dominates. A round that starts re-executing the
     edge generator (or compounding state) shows up as round bytes on
-    the edge step's scale."""
+    the edge step's scale. r13: the LSH pipeline's bytes moved out of
+    the sink's "edges" row into the minhash operator's own scored-
+    candidate checkpoint (minhash_near_duplicates pins the verified
+    pair list ONCE for all consumers), so the materialization cost is
+    folded from the captured pre-checkpoint plans — the same recovery
+    scripts/shuffle_audit.py uses for every localCheckpoint."""
+    from databeats_spark.plans.instrument import (
+        capture_checkpoint_sources, executed_metrics,
+    )
     from databeats_spark.registry.mining import _pagerank_docs
 
     sink: list[dict] = []
-    _pagerank_docs(spark, SF_CORRECT, metrics_sink=sink)
+    with capture_checkpoint_sources() as sources:
+        _pagerank_docs(spark, SF_CORRECT, metrics_sink=sink)
     steps = {s["step"]: s for s in sink}
     assert "edges" in steps and any(k.startswith("round_") for k in steps)
     rounds = [s for k, s in steps.items() if k.startswith("round_")]
-    # measured: edges ~578 KB, rounds 1-4 KB each at sf0.01 — order-of-
-    # magnitude headroom, trips only on re-execution/compounding
+    # measured: edges+captured checkpoints ~578 KB total, rounds 1-4 KB
+    # each at sf0.01 — order-of-magnitude headroom, trips only on
+    # re-execution/compounding
     assert all(r["shuffle_bytes"] < 100_000 for r in rounds), steps
-    assert steps["edges"]["shuffle_bytes"] > max(
+    materialization = steps["edges"]["shuffle_bytes"] + sum(
+        executed_metrics(s)["shuffle_bytes"] for s in sources
+    )
+    assert materialization > max(
         r["shuffle_bytes"] for r in rounds
     ), "edge materialization must dominate any single round"
 
