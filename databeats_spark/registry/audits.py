@@ -1981,6 +1981,10 @@ def _contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["documents"])
     docs = spread(t.documents, spark).select("doc_id", "source", "text")
 
+    # n_docs_sh (docs with >=1 five-shingle, the boiler denominator's
+    # presence set) rides this aggregate as a map-side size() of the
+    # HOF — no explode, no extra shuffle (the heaps_exponent recipe);
+    # it is consumed below by the boiler complement and then dropped.
     base = docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum((F.col("doc_id") % DECONTAM_EVAL_MOD != 0).cast("bigint"))
@@ -1989,6 +1993,11 @@ def _contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("doc_id") < PAIR_DOC_LIMIT).cast("bigint"))
         .cast("bigint")
         .alias("n_slice"),
+        F.sum(
+            (F.size(word_shingles("text", n=SHARED_SHINGLE_N)) > 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("n_docs_sh"),
     )
 
     # 1) benchmark_decontam's rule, rolled per source over train docs
@@ -2027,7 +2036,23 @@ def _contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("split_leak_docs"))
     )
 
-    # 3) shared_shingle_stats' boilerplate flag, rolled per source
+    # 3) shared_shingle_stats' boilerplate flag, rolled per source.
+    # r13 rewrite (guide §2.3/§2.4): the former shape planned the
+    # exploded 5-shingle chain TWICE (df aggregate + join-left side —
+    # column pruning makes the subtrees differ, so exchange reuse
+    # never fires) and then joined corpus-exploded rows against the
+    # df table by shingle: at test SF the planner broadcasts df, at
+    # 100 TB that join is an exploded-row x exploded-row SMJ. Shingles
+    # are per-doc DISTINCT (word_shingles ends in array_distinct), so
+    # df == 1 identifies a shingle owned by exactly ONE doc and the
+    # min() aggregates over that singleton group recover the owner
+    # row exactly. Complement: n_shared = n_shingles - n_unique, so
+    # the oracle's boiler predicate n_shared*2 >= n_shingles fails
+    # iff 2*n_unique > n_shingles — count those non-boiler docs from
+    # the df==1 slice alone and subtract from base's n_docs_sh
+    # (docs with zero shingles have no exploded rows on either side,
+    # matching the oracle's per_doc5 membership). ONE exploded pass,
+    # ONE exploded-row exchange, no exploded join.
     ex5 = docs.select(
         "doc_id",
         "source",
@@ -2038,23 +2063,30 @@ def _contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("sh").alias("n_shingles"),
         F.explode("sh").alias("shingle"),
     )
-    df_tbl = ex5.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    boiler = (
-        ex5.join(df_tbl, "shingle")
-        .groupBy("doc_id", "source", "n_shingles")
+    nonboiler = (
+        ex5.groupBy("shingle")
         .agg(
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_shared")
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("owner"),
+            F.min("source").alias("owner_src"),
+            F.min("n_shingles").alias("owner_n_sh"),
         )
-        .filter(F.col("n_shared") * 2 >= F.col("n_shingles"))
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("boilerplate_docs"))
+        .filter(F.col("df") == 1)
+        .groupBy("owner", "owner_src", "owner_n_sh")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .filter(F.col("n_unique") * 2 > F.col("owner_n_sh"))
+        .groupBy(F.col("owner_src").alias("source"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nonboiler_docs"))
     )
 
     zero = F.lit(0).cast("bigint")
+    boiler_docs = (
+        F.col("n_docs_sh") - F.coalesce("nonboiler_docs", zero)
+    ).cast("bigint")
     return (
         base.join(F.broadcast(contam), "source", "left")
         .join(F.broadcast(leak), "source", "left")
-        .join(F.broadcast(boiler), "source", "left")
+        .join(F.broadcast(nonboiler), "source", "left")
         .select(
             "source",
             "n_docs",
@@ -2072,10 +2104,9 @@ def _contamination_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest("n_slice", F.lit(1)),
                 6,
             ).alias("split_leak_rate"),
-            F.coalesce("boilerplate_docs", zero).alias("boilerplate_docs"),
+            boiler_docs.alias("boilerplate_docs"),
             F.round(
-                F.coalesce("boilerplate_docs", zero)
-                / F.greatest("n_docs", F.lit(1)),
+                boiler_docs / F.greatest("n_docs", F.lit(1)),
                 6,
             ).alias("boilerplate_rate"),
         )
