@@ -1502,11 +1502,24 @@ KMV_K = 64
 KMV_SRC_CAP = 32  # semantic no-op bound on the source catalog
 
 
-def _kmv_parts(spark: SparkSession, sf_dir: str):
+def _kmv_parts(spark: SparkSession, sf_dir: str, pin_d: bool = False):
     """Shared sketch pipeline: distinct (source, shingle) table, the
     bounded source-pair catalog, and the merged-sketch KMV estimate —
     used by both the full self-auditing query (exact verifier joined
-    on) and the sketch-only bench variant (VERDICT r9 item 2)."""
+    on) and the sketch-only bench variant (VERDICT r9 item 2).
+
+    ``pin_d``: the overlap variant consumes ``d`` through THREE more
+    subtrees (both exact-verifier self-join sides + the per-source
+    sizes) on top of the sketch chain — and the ``arrs`` checkpoint
+    below, which fixed the sketch-only variant's double corpus chain,
+    SEVERS in-plan exchange reuse between those subtrees and the
+    sketch chain (a ReusedExchange cannot cross checkpoint jobs; the
+    r13 shuffle audit measured the corpus distinct exchange executing
+    twice, +12.5 MB at sf0.1). One lazy localCheckpoint of ``d``
+    restores exactly one corpus-chain execution for the overlap
+    variant (one-materialization rule). The sketch-only variant keeps
+    ``pin_d=False``: its single consumer streams through the KMV
+    window without materializing the corpus-scaled distinct table."""
     from pyspark.sql import Window
 
     from databeats_spark.functions.text import word_shingles
@@ -1516,6 +1529,8 @@ def _kmv_parts(spark: SparkSession, sf_dir: str):
     d = docs.select(
         "source", F.explode(word_shingles("text", 3)).alias("sh")
     ).distinct()
+    if pin_d:
+        d = d.localCheckpoint(eager=False)
     h = d.select("source", F.md5("sh").alias("h"), "sh")
     wsk = Window.partitionBy("source").orderBy("h", "sh")
     sk = (
@@ -1586,7 +1601,7 @@ def _kmv_parts(spark: SparkSession, sf_dir: str):
 
 
 def _source_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d, pairs, est = _kmv_parts(spark, sf_dir)
+    d, pairs, est = _kmv_parts(spark, sf_dir, pin_d=True)
     sizes = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     inter = (
         d.select(F.col("source").alias("sa"), "sh")
