@@ -81,30 +81,46 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r13 rotation — VERDICT r12 item 1: retire the entire 42-query
-    # r5/r6 oracle-staleness tail in one window, plus the 4 certifying
-    # twins at certificate age 3 (r9 greens — one more round without a
-    # slot and they breach TWIN_MAX_AGE, so re-certify proactively),
-    # plus 4 oldest-r7 fillers from the report's recommendation. After
-    # a green r13 run the max ledger staleness is 4 rounds (r7/r8
-    # buckets) and r14 is pure steady-state.
+    # r13 FINAL rotation (optimization phase): the r13 checklist
+    # (OPTIMIZATION_r13.md items 1-10) rewrote the builders or
+    # transitively-called operators of 19 queries; the changed-query
+    # class outranks everything but never-verified slots (their green
+    # history predates the change, so it covers nothing), displacing
+    # the 4 proactive age-3 twin re-certs and 12 of the r5/r6 tail
+    # from the build-phase window. The twins sit at certificate age 3
+    # (not yet breaching TWIN_MAX_AGE) and the report mechanically
+    # forces them in r14; the displaced tail entries stay r5/r6-green
+    # and return with the r14 free slots. Mirrors
+    # scripts/rotation_report.py --json recommended_front_50 exactly.
     # — new in r13 (never driver-verified, ledger-mandatory slots):
     "dedup_sensitivity_delta",  # r13 capstone: the curve's CDC form
     "lsh_parameter_audit",  # banding-knob S-curve planner
-    # — r13-CHANGED re-cert (shared _water_fill_keyed refactor):
+    # — r13-CHANGED re-certs (CHANGED_QUERIES, registry order):
     "dedup_sensitivity_curve",
-    # — certifying twins at age 3 (would be forced next round):
-    "approx_price_quantiles_exact",
-    "approx_distinct_parts_exact",
-    "hll_distinct_users_exact",
-    "phash_near_dups_exact",
+    "dup_cluster_sizes",
+    "canonical_best_docs",
+    "pagerank_docs",
+    "takedown_blast_radius",
+    "minhash_near_dups",
+    "semdedup_near_dups",
+    "canonical_docs",
+    "dedup_components",
+    "curation_funnel_exact",
+    "hits_copurchase",
+    "curation_funnel",
+    "heaps_exponent_by_source",
+    "dsir_importance_weights",
+    "source_kmv_overlap",
+    "source_kmv_sketch",
+    "contamination_scorecard",
+    "robust_spend_stats",
+    "entity_clusters",
+    "basket_lift_rules",
     # — r5 bucket (oldest oracle-greens), report order:
     "near_dup_threshold_sweep",
     "split_leakage_pairs",
     "lexical_diversity",
-    "dup_cluster_sizes",
     "dup_rate_by_source",
-    "canonical_best_docs",
     # — r6 bucket (the remaining tail), report order:
     "hard_negatives",
     "retrieval_label_precision",
@@ -130,22 +146,6 @@ _WINDOW = (
     "time_features",
     "json_props",
     "quality_decile_mix",
-    "source_pareto",
-    "length_drift_ks",
-    "pagerank_docs",
-    "fluency_buckets",
-    "epoch_shard_layout",
-    "substring_dup_spans",
-    "ngram_novelty",
-    "substring_scrub_stats",
-    "corpus_summary_cube",
-    "length_percentiles_by_source",
-    "temperature_mix_allocation",
-    "token_budget_allocation",
-    # — oldest r7 filler (report recommendation order; repeat_customers,
-    # supplier_part_stats and sql_lateral_topk displaced by the two r13
-    # new-query slots plus the curve's changed-query re-cert):
-    "sql_api_revenue",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at
@@ -159,7 +159,40 @@ _WINDOW = (
 # _water_fill_keyed helper (value-identical, but the builder changed —
 # the changed-query class forces its re-cert slot); the delta shares
 # the helper but is already window-mandatory as a new query.
-CHANGED_QUERIES: tuple[str, ...] = ("dedup_sensitivity_curve",)
+# r13 optimization phase: every query whose builder or transitively-
+# called operator was rewritten by the OPTIMIZATION_r13.md checklist
+# (items 1-10) — all locally hash/rows-verified in vanilla sessions,
+# but their green history predates the change so it covers nothing.
+# Operator fan-out: minhash_near_duplicates -> minhash_near_dups,
+# pagerank_docs; semantic_near_duplicates -> semdedup_near_dups;
+# connected_components/alternating_components -> curation_funnel(+
+# exact), dedup_components, dup_cluster_sizes, canonical_best_docs,
+# entity_clusters, canonical_docs, takedown_blast_radius. The
+# unchanged exact twins (minhash/semdedup/pagerank _exact) are
+# self-contained md5/fixed-centroid pipelines and keep their r12
+# certificates.
+CHANGED_QUERIES: tuple[str, ...] = (
+    "dedup_sensitivity_curve",
+    "hits_copurchase",
+    "dsir_importance_weights",
+    "robust_spend_stats",
+    "heaps_exponent_by_source",
+    "basket_lift_rules",
+    "semdedup_near_dups",
+    "minhash_near_dups",
+    "pagerank_docs",
+    "curation_funnel",
+    "curation_funnel_exact",
+    "dedup_components",
+    "dup_cluster_sizes",
+    "canonical_best_docs",
+    "entity_clusters",
+    "canonical_docs",
+    "takedown_blast_radius",
+    "source_kmv_sketch",
+    "source_kmv_overlap",
+    "contamination_scorecard",
+)
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
 # that silently gets no driver coverage (the r6 window quietly grew to
