@@ -81,71 +81,66 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r13 FINAL rotation (optimization phase): the r13 checklist
-    # (OPTIMIZATION_r13.md items 1-10) rewrote the builders or
-    # transitively-called operators of 19 queries; the changed-query
-    # class outranks everything but never-verified slots (their green
-    # history predates the change, so it covers nothing), displacing
-    # the 4 proactive age-3 twin re-certs and 12 of the r5/r6 tail
-    # from the build-phase window. The twins sit at certificate age 3
-    # (not yet breaching TWIN_MAX_AGE) and the report mechanically
-    # forces them in r14; the displaced tail entries stay r5/r6-green
-    # and return with the r14 free slots. Mirrors
-    # scripts/rotation_report.py --json recommended_front_50 exactly.
-    # — new in r13 (never driver-verified, ledger-mandatory slots):
-    "dedup_sensitivity_delta",  # r13 capstone: the curve's CDC form
-    "lsh_parameter_audit",  # banding-knob S-curve planner
-    # — r13-CHANGED re-certs (CHANGED_QUERIES, registry order):
-    "dedup_sensitivity_curve",
-    "dup_cluster_sizes",
-    "canonical_best_docs",
-    "pagerank_docs",
-    "takedown_blast_radius",
-    "minhash_near_dups",
-    "semdedup_near_dups",
-    "canonical_docs",
-    "dedup_components",
-    "curation_funnel_exact",
-    "hits_copurchase",
-    "curation_funnel",
-    "heaps_exponent_by_source",
-    "dsir_importance_weights",
-    "source_kmv_overlap",
-    "source_kmv_sketch",
-    "contamination_scorecard",
-    "robust_spend_stats",
-    "entity_clusters",
-    "basket_lift_rules",
-    # — r5 bucket (oldest oracle-greens), report order:
-    "near_dup_threshold_sweep",
-    "split_leakage_pairs",
-    "lexical_diversity",
-    "dup_rate_by_source",
-    # — r6 bucket (the remaining tail), report order:
-    "hard_negatives",
-    "retrieval_label_precision",
-    "label_centroid_distance",
-    "top_orders_per_customer",
-    "customer_order_stats",
-    "customers_without_orders",
-    "customers_with_big_orders",
-    "union_dedup",
-    "promo_revenue_ratio",
-    "late_shipment_orders",
-    "modal_priority",
-    "nation_customer_stats",
-    "segment_class",
-    "rollup_quantity",
-    "running_spend",
-    "first_lineitems_per_order",
-    "latest_order_per_customer",
-    "dedup_first_order",
-    "nation_market_share",
-    "blocking_suppliers",
-    "latest_event_per_user",
-    "time_features",
-    "json_props",
-    "quality_decile_mix",
+    # r14 rotation (optimization round 2): steady-state re-certification
+    # per scripts/rotation_report.py with CHANGED_QUERIES reset — the 4
+    # age-4 certifying twins (TWIN_MAX_AGE breach without a slot), the
+    # 14 bench headliners (r12-green, two rounds stale), then the
+    # oldest-green r7/r8 tail. Mirrors the report's recommended
+    # front-50 exactly; r14 CHANGED_QUERIES re-certs are spliced in as
+    # optimization changes land, displacing the tail.
+    # — age-4 certifying twins (forced):
+    "approx_distinct_parts_exact",
+    "approx_price_quantiles_exact",
+    "phash_near_dups_exact",
+    "hll_distinct_users_exact",
+    # — bench headliners (r12-green, two rounds stale):
+    "top_terms",
+    "rolling_7d_spend",
+    "cosine_topk",
+    "pricing_summary",
+    "filter_project",
+    "top_customers",
+    "revenue_by_nation",
+    "weekly_chart_streak",
+    "sessionization",
+    "asof_purchase_value",
+    "dedup_exact_docs",
+    "text_stats",
+    "near_dup_pairs",
+    # — r7/r8 tail (oldest greens), report order:
+    "source_pareto",
+    "length_drift_ks",
+    "fluency_buckets",
+    "epoch_shard_layout",
+    "substring_dup_spans",
+    "ngram_novelty",
+    "substring_scrub_stats",
+    "corpus_summary_cube",
+    "length_percentiles_by_source",
+    "temperature_mix_allocation",
+    "token_budget_allocation",
+    "sql_api_revenue",
+    "sql_lateral_topk",
+    "supplier_part_stats",
+    "repeat_customers",
+    "priority_flags",
+    "open_only_customers",
+    "price_quantiles",
+    "order_gaps",
+    "session_windows",
+    "approx_price_quantiles",
+    "range_attribution",
+    "daily_from_hourly_rollup",
+    "user_value_ranks",
+    "user_funnel_summary",
+    "weekly_resample",
+    "hourly_event_stats",
+    "event_type_pivot",
+    "deterministic_sample",
+    "stratified_sample",
+    "doc_fingerprints",
+    "lang_id",
+    "posexplode_tokens",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at
@@ -155,44 +150,10 @@ _WINDOW = (
 # window — the "changed query re-certifies" precedent (markov/lang_id
 # in r10, jackknife in r11), mechanical instead of CLAUDE.md prose the
 # report "cannot see".
-# r13: the curve's water-filling block moved into the shared
-# _water_fill_keyed helper (value-identical, but the builder changed —
-# the changed-query class forces its re-cert slot); the delta shares
-# the helper but is already window-mandatory as a new query.
-# r13 optimization phase: every query whose builder or transitively-
-# called operator was rewritten by the OPTIMIZATION_r13.md checklist
-# (items 1-10) — all locally hash/rows-verified in vanilla sessions,
-# but their green history predates the change so it covers nothing.
-# Operator fan-out: minhash_near_duplicates -> minhash_near_dups,
-# pagerank_docs; semantic_near_duplicates -> semdedup_near_dups;
-# connected_components/alternating_components -> curation_funnel(+
-# exact), dedup_components, dup_cluster_sizes, canonical_best_docs,
-# entity_clusters, canonical_docs, takedown_blast_radius. The
-# unchanged exact twins (minhash/semdedup/pagerank _exact) are
-# self-contained md5/fixed-centroid pipelines and keep their r12
-# certificates.
-CHANGED_QUERIES: tuple[str, ...] = (
-    "dedup_sensitivity_curve",
-    "hits_copurchase",
-    "dsir_importance_weights",
-    "robust_spend_stats",
-    "heaps_exponent_by_source",
-    "basket_lift_rules",
-    "semdedup_near_dups",
-    "minhash_near_dups",
-    "pagerank_docs",
-    "curation_funnel",
-    "curation_funnel_exact",
-    "dedup_components",
-    "dup_cluster_sizes",
-    "canonical_best_docs",
-    "entity_clusters",
-    "canonical_docs",
-    "takedown_blast_radius",
-    "source_kmv_sketch",
-    "source_kmv_overlap",
-    "contamination_scorecard",
-)
+# r14 (optimization round 2): reset at round start; entries added as
+# optimization changes land (the r13 entries earned their driver-green
+# re-certs in CORRECTNESS_r13.json).
+CHANGED_QUERIES: tuple[str, ...] = ()
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
 # that silently gets no driver coverage (the r6 window quietly grew to
