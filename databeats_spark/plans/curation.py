@@ -93,10 +93,27 @@ def learned_quality_gate(
 
 
 def exact_dedup_stage(docs: DataFrame) -> DataFrame:
-    """Keep the min-id document per exact content fingerprint."""
+    """Keep the min-id document per exact content fingerprint.
+
+    Shape (r14): one min-over-window partitioned by the fingerprint —
+    a SINGLE consumption of ``docs`` and a single keyed exchange. The
+    former agg + left-semi form consumed ``docs`` twice (aggregate
+    branch + join branch), which (a) re-executed the upstream narrow
+    chain per branch and (b) made the stage ineligible for the
+    funnel's folded observe() segments (a doubly-consumed CollectMetrics
+    node double-counts). Both forms keep exactly the rows whose doc_id
+    is the group minimum, and both move the document payload through
+    one exchange (by fingerprint here, by doc_id in the join form) —
+    result-identical, one fewer aggregate pass."""
+    from pyspark.sql import Window
+
     fp = docs.withColumn("__fp", fingerprint(F.col("text")))
-    keep = fp.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
-    return docs.join(keep, "doc_id", "left_semi")
+    keep_min = F.min("doc_id").over(Window.partitionBy("__fp"))
+    return (
+        fp.withColumn("__keep", keep_min)
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
 
 
 def near_dup_stage(
@@ -238,17 +255,19 @@ def curate_corpus(
     scale the same seam is where a production run would persist each
     stage to reliable storage instead of executor-local blocks.
 
-    Passing a dict as ``observe_counts`` switches the pins to EAGER
-    checkpoints with the stage's row count riding each checkpoint job
+    Passing a dict as ``observe_counts`` switches to EAGER segment
+    checkpoints with every stage's row count riding a checkpoint job
     as an ``observe()`` metric (the pagerank/CC one-action-per-round
     recipe applied to the funnel): the dict fills with
     ``{stage: n_rows}`` and the report needs NO separate count jobs.
-    Implies ``pin_stages`` (an observed count without a pin would
-    re-execute upstream stages).
+    Since r14 adjacent LINEAR stages share one checkpoint job (raw →
+    quality → exact_dedup fold into the exact_dedup seal; see the
+    segment comment below), so the report issues one driver action per
+    SEGMENT, not per stage — same counts, same order, fewer jobs.
 
-    ``metrics_sink`` (requires ``observe_counts`` — the eager pins are
+    ``metrics_sink`` (requires ``observe_counts`` — the eager seals are
     the actions being measured) receives one data-movement row per
-    stage checkpoint plus the CC label rounds inside the near_dup
+    segment checkpoint plus the CC label rounds inside the near_dup
     stage — the funnel's entry in the deterministic SHUFFLE.md audit."""
     # the whole flow is compute-bound (shingling, signatures, quality
     # expressions): spread a few-split scan once at the head and every
@@ -264,25 +283,59 @@ def curate_corpus(
 
         from databeats_spark.plans.instrument import record_metrics
 
-        def pin(name: str, df: DataFrame) -> DataFrame:
+        # Folded observe segments (r14, VERDICT r13 item 1): a stage
+        # boundary only needs its own eager checkpoint when the NEXT
+        # stage consumes it through more than one subtree (re-execution
+        # + double-counted CollectMetrics otherwise). raw → quality →
+        # exact_dedup is a LINEAR chain (quality_gate is one
+        # project+filter; exact_dedup_stage is one window since r14),
+        # so those three counts ride ONE checkpoint job — each
+        # CollectMetrics node is evaluated exactly once because every
+        # boundary inside the segment has exactly one consumer. The
+        # remaining stages keep their own seal: near_dup/decontam/
+        # rebalance outputs are each consumed 2-3x by the next stage
+        # (LSH + canonical join; shingle branches + anti join; counts
+        # agg + keep join), and budget is the caller-facing result.
+        # The learned gate (scorer) consumes its INPUT twice (score +
+        # semi join back), so with a scorer nothing folds: raw's
+        # observe node would sit under both branches and double-count.
+        pending: list[tuple[str, Observation]] = []
+
+        def observe_only(name: str, df: DataFrame) -> DataFrame:
             obs = Observation()
-            pre = df.observe(obs, F.count(F.lit(1)).alias("n"))
-            out = pre.localCheckpoint()
-            record_metrics(metrics_sink, f"stage_{name}", pre)
-            observe_counts[name] = int(obs.get["n"])
+            pending.append((name, obs))
+            return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+        def pin(name: str, df: DataFrame) -> DataFrame:
+            pre = observe_only(name, df)
+            out = pre.localCheckpoint()  # the segment's ONE action
+            names = [n for n, _ in pending]
+            record_metrics(metrics_sink, "stage_" + "+".join(names), pre)
+            for n, obs in pending:
+                observe_counts[n] = int(obs.get["n"])
+            pending.clear()
             return out
+
+        # stages whose observe rides the NEXT seal instead of sealing
+        # themselves — safe only while the downstream chain is linear
+        fold_into_next = {"raw", "quality"} if scorer is None else set()
+
+        def maybe_pin(name: str, df: DataFrame) -> DataFrame:
+            if name in fold_into_next:
+                return observe_only(name, df)
+            return pin(name, df)
     elif pin_stages:
-        pin = lambda name, df: df.localCheckpoint(eager=False)  # noqa: E731
+        maybe_pin = lambda name, df: df.localCheckpoint(eager=False)  # noqa: E731
     else:
-        pin = lambda name, df: df  # noqa: E731
-    stages: dict[str, DataFrame] = {"raw": pin("raw", docs)}
+        maybe_pin = lambda name, df: df  # noqa: E731
+    stages: dict[str, DataFrame] = {"raw": maybe_pin("raw", docs)}
     prev = stages["raw"]
     for name, build in stage_builders(
         spark, token_budget, skew_guard=skew_guard,
         scorer=scorer, scorer_threshold=scorer_threshold,
         metrics_sink=metrics_sink if observe_counts is not None else None,
     ):
-        prev = stages[name] = pin(name, build(prev))
+        prev = stages[name] = maybe_pin(name, build(prev))
     return stages
 
 
@@ -291,11 +344,11 @@ def curation_report(
 ) -> DataFrame:
     """The stage-count funnel: one row per stage with the surviving
     document count — the audit artifact of a curation run. Each count
-    rides its stage's eager-checkpoint job as an ``observe()`` metric,
-    so the pipeline executes once end-to-end with exactly one driver
-    action per stage and zero separate count jobs
-    (tests/test_curation_plan.py pins this by poisoning
-    ``DataFrame.count`` for the duration of the report)."""
+    rides a segment's eager-checkpoint job as an ``observe()`` metric
+    (linear stages share one job since r14), so the pipeline executes
+    once end-to-end with exactly one driver action per segment and
+    zero separate count jobs (tests/test_curation_plan.py pins this by
+    poisoning ``DataFrame.count`` for the duration of the report)."""
     counts: dict[str, int] = {}
     curate_corpus(spark, sf_dir, token_budget, observe_counts=counts)
     rows = [(i, name, n) for i, (name, n) in enumerate(counts.items())]

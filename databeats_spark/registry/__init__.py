@@ -153,7 +153,33 @@ _WINDOW = (
 # r14 (optimization round 2): reset at round start; entries added as
 # optimization changes land (the r13 entries earned their driver-green
 # re-certs in CORRECTNESS_r13.json).
-CHANGED_QUERIES: tuple[str, ...] = ()
+CHANGED_QUERIES: tuple[str, ...] = (
+    # funnel fold (VERDICT r13 item 1): exact_dedup_stage window form +
+    # segment-folded observe seals in curate_corpus
+    "curation_funnel",
+    "curation_funnel_exact",
+    # dual-orientation co-partitioned edge checkpoints (item 4)
+    "hits_copurchase",
+    # hot-anchor prefilter on the suffix shuffle (item 3)
+    "substring_dup_spans",
+    "substring_dup_spans_hashed",
+    "substring_dup_spans_packed",
+    # partitioned_running_total range exchange sized by
+    # spark.sql.shuffle.partitions instead of defaultParallelism
+    # (item 2) — every prefix-sum consumer re-certifies
+    "robust_spend_stats",
+    "mann_whitney_effect",
+    "quantile_treatment_effect",
+    "ks_two_sample",
+    "cvm_two_sample",
+    "epoch_shard_layout",
+    "token_budget_pack",
+    "quantile_normalized_lengths",
+    "vocab_growth",
+    "sequence_packing",
+    "customer_deciles",
+    "peak_concurrency",
+)
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past
 # that silently gets no driver coverage (the r6 window quietly grew to

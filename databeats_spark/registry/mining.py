@@ -1626,29 +1626,42 @@ HITS_TOP_K = 20
 
 def _hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    # the static edge table is consumed by every round's join (6+
-    # consumers): ONE lazy localCheckpoint pins it (the pagerank /
-    # one-materialization rule) — without it each checkpoint job
-    # recomputed the orders⋈lineitem join + distinct (~4 full scans,
-    # 17 shuffles / 106 MB at sf0.1), and exchange reuse cannot cross
-    # the two attach_global_scalar checkpoint jobs
-    edges = (
+    # The static edge table is consumed by every round's join (6+
+    # consumers) — r13 pinned ONE lazy localCheckpoint so the
+    # orders⋈lineitem join + distinct runs once. r14 (VERDICT r13 item
+    # 4) removes the per-round edge exchanges too: every round was
+    # still re-shuffling the checkpointed edges by ``p`` then by ``u``
+    # (5 edge-sized exchanges = the dominant SHUFFLE.md mover,
+    # 78.6 MB at sf0.1). LogicalRDD preserves the origin dataset's
+    # output partitioning across localCheckpoint, so checkpointing the
+    # edge table ONCE PER JOIN ORIENTATION (hash(p) and hash(u)) makes
+    # every round's edge-side join AND the a1 aggregate exchange-free
+    # (guide §2.4: operations keyed the same way share one exchange);
+    # the only per-round movement left is the map-side-combined
+    # (u, Σa)/(p, Σh) partial-aggregate outputs. The dedup itself rides
+    # the hash(p) exchange: HashPartitioning(p) satisfies the (u, p)
+    # dropDuplicates clustering, so edges_p costs ONE exchange of the
+    # joined rows and edges_u one re-orientation of the deduped table —
+    # two edge-sized moves once, instead of one + five per run.
+    edges_p = (
         t.orders.select("o_orderkey", "o_custkey")
         .join(
             t.lineitem.select("l_orderkey", "l_partkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .repartition("p")
+        .dropDuplicates(["u", "p"])
         .localCheckpoint(eager=False)
     )
-    a = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    edges_u = edges_p.repartition("u").localCheckpoint(eager=False)
+    a = edges_p.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     for _ in range(HITS_ROUNDS - 1):
-        h = edges.join(a, "p").groupBy("u").agg(F.sum("a").cast("bigint").alias("h"))
-        a = edges.join(h, "u").groupBy("p").agg(F.sum("h").cast("bigint").alias("a"))
+        h = edges_p.join(a, "p").groupBy("u").agg(F.sum("a").cast("bigint").alias("h"))
+        a = edges_u.join(h, "u").groupBy("p").agg(F.sum("h").cast("bigint").alias("a"))
     auth = attach_global_scalar(a, F.sum("a").alias("norm"))
     h_last = (
-        edges.join(auth.select("p", "a"), "p")
+        edges_p.join(auth.select("p", "a"), "p")
         .groupBy("u")
         .agg(F.sum("a").cast("bigint").alias("h"))
     )

@@ -83,7 +83,10 @@ def test_partitioned_running_total_matches_global_window(spark):
             Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
-    for n_parts in (1, 4, 32, 64):
+    # None = the r14 default: the range exchange is sized by
+    # spark.sql.shuffle.partitions like every other shuffle in the
+    # session (scale-adaptive), instead of the local core count
+    for n_parts in (None, 1, 4, 32, 64):
         got = partitioned_running_total(
             df, order_by=[F.col("key"), F.col("id")], value_col="v",
             out_col="rt", num_partitions=n_parts,
