@@ -179,6 +179,9 @@ CHANGED_QUERIES: tuple[str, ...] = (
     "sequence_packing",
     "customer_deciles",
     "peak_concurrency",
+    # map-side run extraction + distinct-phrase scoring (token-stream
+    # window exchange and per-occurrence regroup removed)
+    "rake_keyphrases",
 )
 
 # The driver gate only sees the first _GATE_WIDTH entries; anything past

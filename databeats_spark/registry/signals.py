@@ -1839,64 +1839,96 @@ RAKE_TOP = 5
 
 
 def _rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 restructure (guide §2.3/§2.4 — measured 19.0 of 20.6 MB at
+    # sf0.1 was ONE exchange: the per-token stream shuffled by doc_id
+    # for the segment-id window, whose output then fed a per-OCCURRENCE
+    # score regroup). Two observations make both exchanges unnecessary:
+    # (a) a document's stopword-delimited runs are a per-row ARRAY
+    #     computation — boundary positions + zip_with slices — so the
+    #     candidate phrases are extracted map-side with no window and
+    #     no token shuffle;
+    # (b) an occurrence's score = Σ ws(source, token of phrase) is a
+    #     function of (source, phrase) ALONE — every occurrence of a
+    #     phrase scores identically (the old max(score) over
+    #     occurrences always reduced equal doubles) — so scoring runs
+    #     once per DISTINCT (source, phrase) and n_occurrences is a
+    #     map-side-combined count.
+    # Identical results: same candidate runs (exact array_contains
+    # stop test, same ≤RAKE_MAX_PHRASE cap), same exact BIGINT
+    # freq/deg over the full occurrence stream, and the same ordered
+    # 0.0-seeded fold over the phrase's (idx, ws) list — bit-equal
+    # doubles, same oracle SQL. Remaining movement: the vocab-keyed
+    # wstats aggregate, the distinct-phrase count aggregate, and the
+    # per-source top-5 head.
     t = load_tables(spark, sf_dir, ["documents"])
-    toks = (
-        spread(t.documents, spark)
-        .select(
-            "source",
-            "doc_id",
-            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
-        )
-        .filter(F.col("tok") != "")
-    )
     stop_arr = F.array(*[F.lit(s) for s in RAKE_STOPWORDS])
-    is_stop = F.array_contains(stop_arr, F.col("tok"))
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    seg = F.sum(is_stop.cast("int")).over(w)
-    words = toks.select(
-        "source", "doc_id", "pos", "tok", seg.alias("seg"), is_stop.alias("st")
-    ).filter(~F.col("st"))
-    occ = (
-        words.groupBy("source", "doc_id", "seg")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda x: x["tok"],
-            ).alias("ptoks")
+
+    def runs_of(tk):
+        n = F.size(tk)
+        stop_pos = F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_contains(stop_arr, F.element_at(tk, i)),
         )
-        .filter(F.size("ptoks") <= RAKE_MAX_PHRASE)
+        bounds = F.concat(F.array(F.lit(0)), stop_pos, F.array(n + F.lit(1)))
+        lo = F.slice(bounds, 1, F.size(bounds) - 1)
+        hi = F.slice(bounds, 2, F.size(bounds) - 1)
+        return F.zip_with(
+            lo, hi, lambda a, b: F.slice(tk, a + F.lit(1), b - a - F.lit(1))
+        )
+
+    # bind the (filtered) token array once as a HOF variable (no CSE
+    # inside lambdas — the word_shingles rule); docs with zero tokens
+    # emit no candidate runs on either form, and the n >= 1 guard keeps
+    # sequence() from counting down on the empty array
+    tk0 = F.filter(F.split(F.trim("text"), r"\s+"), lambda s: s != F.lit(""))
+    runs = F.element_at(F.transform(F.array(tk0), runs_of), 1)
+    occ = (
+        spread(t.documents, spark)
+        .filter(F.size(tk0) >= 1)
+        .select("source", F.explode(runs).alias("ptoks"))
+        .filter(
+            (F.size("ptoks") >= 1) & (F.size("ptoks") <= RAKE_MAX_PHRASE)
+        )
         .select(
             "source",
-            "doc_id",
-            "seg",
             F.concat_ws(" ", "ptoks").alias("phrase"),
             F.size("ptoks").cast("bigint").alias("plen"),
             "ptoks",
         )
     )
-    ow = occ.select(
-        "source",
-        "doc_id",
-        "seg",
-        "phrase",
-        "plen",
-        F.posexplode("ptoks").alias("idx", "tok"),
+    # word stats over the FULL occurrence stream (freq/deg count every
+    # occurrence, exactly as the per-token form did)
+    wstats = (
+        occ.select("source", "plen", F.explode("ptoks").alias("tok"))
+        .groupBy("source", "tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
     )
-    wstats = ow.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("freq"),
-        F.sum("plen").cast("bigint").alias("deg"),
+    # occurrence counts per distinct phrase (map-side combined); the
+    # token list is recovered from the phrase text itself — tokens are
+    # whitespace-split and joined with one space, so the round-trip is
+    # exact — and scored once per distinct phrase on the broadcast
+    # wstats side, with the same ordered fold as the per-occurrence
+    # form (the explode index IS the old idx order)
+    phr = occ.groupBy("source", "phrase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
     )
-    scored_tok = ow.join(wstats, ["source", "tok"]).select(
+    ptok = phr.select(
         "source",
-        "doc_id",
-        "seg",
         "phrase",
+        "n_occurrences",
+        F.posexplode(F.split("phrase", " ")).alias("idx", "tok"),
+    )
+    scored_tok = ptok.join(wstats, ["source", "tok"]).select(
+        "source",
+        "phrase",
+        "n_occurrences",
         "idx",
         (F.col("deg").cast("double") / F.col("freq").cast("double")).alias("ws"),
     )
-    occ_score = scored_tok.groupBy("source", "doc_id", "seg", "phrase").agg(
+    per_phrase = scored_tok.groupBy("source", "phrase", "n_occurrences").agg(
         F.aggregate(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("idx", "ws"))),
@@ -1905,10 +1937,6 @@ def _rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("score")
-    )
-    per_phrase = occ_score.groupBy("source", "phrase").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
-        F.max("score").alias("score"),
     )
     rw = Window.partitionBy("source").orderBy(F.desc("score"), "phrase")
     return (
