@@ -81,13 +81,37 @@ class QuerySpec:
 # displacing the tail overflow.
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
-    # r14 rotation (optimization round 2): steady-state re-certification
-    # per scripts/rotation_report.py with CHANGED_QUERIES reset — the 4
-    # age-4 certifying twins (TWIN_MAX_AGE breach without a slot), the
-    # 14 bench headliners (r12-green, two rounds stale), then the
-    # oldest-green r7/r8 tail. Mirrors the report's recommended
-    # front-50 exactly; r14 CHANGED_QUERIES re-certs are spliced in as
-    # optimization changes land, displacing the tail.
+    # r14 FINAL rotation (optimization round 2): the 18 r14
+    # CHANGED_QUERIES re-certs (funnel fold, HITS co-partitioning,
+    # suffix-anchor prefilter, PRT exchange sizing fan-out, RAKE
+    # restructure — the changed-query class outranks everything but
+    # never-verified slots), then the 4 age-4 certifying twins
+    # (TWIN_MAX_AGE breach), the 14 bench headliners (r12-green, two
+    # rounds stale), and the oldest-green r7/r8 tail that still fits.
+    # Mirrors scripts/rotation_report.py's recommended front-50
+    # exactly; the displaced r7/r8 fillers (open_only_customers …
+    # posexplode_tokens) stay green on their prior rows and return
+    # with the r15 free slots.
+    # — r14-CHANGED re-certs (report order):
+    "epoch_shard_layout",
+    "substring_dup_spans",
+    "customer_deciles",
+    "mann_whitney_effect",
+    "ks_two_sample",
+    "quantile_treatment_effect",
+    "cvm_two_sample",
+    "quantile_normalized_lengths",
+    "token_budget_pack",
+    "curation_funnel_exact",
+    "hits_copurchase",
+    "vocab_growth",
+    "sequence_packing",
+    "curation_funnel",
+    "rake_keyphrases",
+    "peak_concurrency",
+    "substring_dup_spans_hashed",
+    "substring_dup_spans_packed",
+    "robust_spend_stats",
     # — age-4 certifying twins (forced):
     "approx_distinct_parts_exact",
     "approx_price_quantiles_exact",
@@ -111,8 +135,6 @@ _WINDOW = (
     "source_pareto",
     "length_drift_ks",
     "fluency_buckets",
-    "epoch_shard_layout",
-    "substring_dup_spans",
     "ngram_novelty",
     "substring_scrub_stats",
     "corpus_summary_cube",
@@ -124,23 +146,6 @@ _WINDOW = (
     "supplier_part_stats",
     "repeat_customers",
     "priority_flags",
-    "open_only_customers",
-    "price_quantiles",
-    "order_gaps",
-    "session_windows",
-    "approx_price_quantiles",
-    "range_attribution",
-    "daily_from_hourly_rollup",
-    "user_value_ranks",
-    "user_funnel_summary",
-    "weekly_resample",
-    "hourly_event_stats",
-    "event_type_pivot",
-    "deterministic_sample",
-    "stratified_sample",
-    "doc_fingerprints",
-    "lang_id",
-    "posexplode_tokens",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at
