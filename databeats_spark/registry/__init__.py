@@ -82,16 +82,17 @@ class QuerySpec:
 # Regenerate with ``python scripts/rotation_report.py``.
 _WINDOW = (
     # r14 FINAL rotation (optimization round 2): the 18 r14
-    # CHANGED_QUERIES re-certs (funnel fold, HITS co-partitioning,
-    # suffix-anchor prefilter, PRT exchange sizing fan-out, RAKE
-    # restructure — the changed-query class outranks everything but
-    # never-verified slots), then the 4 age-4 certifying twins
-    # (TWIN_MAX_AGE breach), the 14 bench headliners (r12-green, two
-    # rounds stale), and the oldest-green r7/r8 tail that still fits.
-    # Mirrors scripts/rotation_report.py's recommended front-50
-    # exactly; the displaced r7/r8 fillers (open_only_customers …
-    # posexplode_tokens) stay green on their prior rows and return
-    # with the r15 free slots.
+    # CHANGED_QUERIES re-certs (funnel fold, suffix-anchor prefilter,
+    # prefix-sum exchange-sizing fan-out, RAKE restructure — the
+    # changed-query class outranks everything but never-verified
+    # slots; the attempted hits_copurchase change was reverted, so it
+    # keeps its r13-green row and takes no slot), then the 4 age-4
+    # certifying twins (TWIN_MAX_AGE breach), the 14 bench headliners
+    # (r12-green, two rounds stale), and the oldest-green r7/r8 tail
+    # that still fits. Mirrors scripts/rotation_report.py's
+    # recommended front-50 exactly; the displaced r7/r8 fillers
+    # (price_quantiles … posexplode_tokens) stay green on their prior
+    # rows and return with the r15 free slots.
     # — r14-CHANGED re-certs (report order):
     "epoch_shard_layout",
     "substring_dup_spans",
@@ -103,7 +104,6 @@ _WINDOW = (
     "quantile_normalized_lengths",
     "token_budget_pack",
     "curation_funnel_exact",
-    "hits_copurchase",
     "vocab_growth",
     "sequence_packing",
     "curation_funnel",
@@ -146,6 +146,7 @@ _WINDOW = (
     "supplier_part_stats",
     "repeat_customers",
     "priority_flags",
+    "open_only_customers",
 )
 
 # Queries whose BUILDER or ORACLE changed this round (reset to () at
@@ -163,8 +164,6 @@ CHANGED_QUERIES: tuple[str, ...] = (
     # segment-folded observe seals in curate_corpus
     "curation_funnel",
     "curation_funnel_exact",
-    # dual-orientation co-partitioned edge checkpoints (item 4)
-    "hits_copurchase",
     # hot-anchor prefilter on the suffix shuffle (item 3)
     "substring_dup_spans",
     "substring_dup_spans_hashed",

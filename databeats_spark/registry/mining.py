@@ -1626,42 +1626,45 @@ HITS_TOP_K = 20
 
 def _hits_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ["orders", "lineitem"])
-    # The static edge table is consumed by every round's join (6+
-    # consumers) — r13 pinned ONE lazy localCheckpoint so the
-    # orders⋈lineitem join + distinct runs once. r14 (VERDICT r13 item
-    # 4) removes the per-round edge exchanges too: every round was
-    # still re-shuffling the checkpointed edges by ``p`` then by ``u``
-    # (5 edge-sized exchanges = the dominant SHUFFLE.md mover,
-    # 78.6 MB at sf0.1). LogicalRDD preserves the origin dataset's
-    # output partitioning across localCheckpoint, so checkpointing the
-    # edge table ONCE PER JOIN ORIENTATION (hash(p) and hash(u)) makes
-    # every round's edge-side join AND the a1 aggregate exchange-free
-    # (guide §2.4: operations keyed the same way share one exchange);
-    # the only per-round movement left is the map-side-combined
-    # (u, Σa)/(p, Σh) partial-aggregate outputs. The dedup itself rides
-    # the hash(p) exchange: HashPartitioning(p) satisfies the (u, p)
-    # dropDuplicates clustering, so edges_p costs ONE exchange of the
-    # joined rows and edges_u one re-orientation of the deduped table —
-    # two edge-sized moves once, instead of one + five per run.
-    edges_p = (
+    # the static edge table is consumed by every round's join (6+
+    # consumers): ONE lazy localCheckpoint pins it (the pagerank /
+    # one-materialization rule) — without it each checkpoint job
+    # recomputed the orders⋈lineitem join + distinct (~4 full scans,
+    # 17 shuffles / 106 MB at sf0.1), and exchange reuse cannot cross
+    # the two attach_global_scalar checkpoint jobs.
+    #
+    # r14 attempted (and measured, and REJECTED) removing the per-round
+    # edge exchanges by checkpointing one copy per join orientation
+    # (hash(p)/hash(u)): with AQE OFF (the bench's tiny-input session)
+    # LogicalRDD preserves the origin partitioning and the rounds plan
+    # exchange-free (78.6 -> 36.9 MB, warm cpu -33% at sf0.1) — but
+    # with AQE ON (every deployment-size session, and the SHUFFLE.md
+    # audit session) localCheckpoint records UnknownPartitioning(0)
+    # (an unexecuted AdaptiveSparkPlan has no final partitioning, and
+    # this Spark version doesn't backfill it on eager execution
+    # either), so every round re-shuffles the edges ANYWAY and the two
+    # orientation exchanges become pure overhead: 82.5 -> 91.0 MB
+    # measured. Explicit un-checkpointed repartition("p")/("u")
+    # subtrees are not stage-reused across the round chain either
+    # (90.1 MB measured). A win that exists only with AQE off is a
+    # local-mode-only win; the r13 single-pin shape stays.
+    edges = (
         t.orders.select("o_orderkey", "o_custkey")
         .join(
             t.lineitem.select("l_orderkey", "l_partkey"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .select(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p"))
-        .repartition("p")
-        .dropDuplicates(["u", "p"])
+        .distinct()
         .localCheckpoint(eager=False)
     )
-    edges_u = edges_p.repartition("u").localCheckpoint(eager=False)
-    a = edges_p.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
+    a = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a"))
     for _ in range(HITS_ROUNDS - 1):
-        h = edges_p.join(a, "p").groupBy("u").agg(F.sum("a").cast("bigint").alias("h"))
-        a = edges_u.join(h, "u").groupBy("p").agg(F.sum("h").cast("bigint").alias("a"))
+        h = edges.join(a, "p").groupBy("u").agg(F.sum("a").cast("bigint").alias("h"))
+        a = edges.join(h, "u").groupBy("p").agg(F.sum("h").cast("bigint").alias("a"))
     auth = attach_global_scalar(a, F.sum("a").alias("norm"))
     h_last = (
-        edges_p.join(auth.select("p", "a"), "p")
+        edges.join(auth.select("p", "a"), "p")
         .groupBy("u")
         .agg(F.sum("a").cast("bigint").alias("h"))
     )

@@ -35,13 +35,13 @@ FLAGSHIPS = {
     "oov_rate": "vocab head via TakeOrderedAndProject, broadcast re-attach; one explode + hash agg on the corpus side",
     "rolling_7d_active_users": "sliding distinct: bounded cover-day explode (blowup = window length) + per-day hash agg",
     "token_budget_allocation": "water-filling: BIGINT capped-prefix test; windows over the limit-bounded source catalog; scalars via checkpointed attach",
-    "substring_dup_spans": "anchored suffix sort: window PARTITIONED BY the 8-token anchor (any >=8-token duplicate shares one), token-LCP of adjacent cross-doc suffixes",
+    "substring_dup_spans": "anchored suffix sort: hot-anchor prefilter (8-byte key min/max-doc pass keeps the ~9% of positions whose group spans >=2 docs) before the window PARTITIONED BY the 8-token anchor, token-LCP of adjacent cross-doc suffixes",
     "entity_clusters": "record linkage: equality-blocked self-join with levenshtein scored in-stage, star-alternation components, keep-best survivor window",
     "cuped_experiment_effect": "CUPED readout: per-user DECIMAL sums, moment scalars via checkpointed attach, one keyless final aggregate",
     "bpe_fertility_by_lang": "corpus word stream joined ONCE to the Heaps-small vocabulary (AQE broadcast; 440 B shuffled at both SFs)",
     "zorder_locality_audit": "bit-interleave DIV/% polynomial + value-range chunking: two hash aggregates, no global sort",
     "mann_whitney_effect": "rank-sum via distinct-value distributed prefix sum: range partition -> subtotal offsets -> exact BIGINT 2U fold",
-    "hits_copurchase": "HITS rounds: one round-dependent relation joined to static edges per round, exact BIGINT scores, top-k behind limits",
+    "hits_copurchase": "HITS rounds: static edges checkpointed once per join orientation (hash(p)/hash(u) — LogicalRDD keeps the partitioning, rounds join exchange-free), exact BIGINT scores, top-k behind limits",
     "holt_winters_forecast": "seasonal ordered fold: one hash agg to the daily table, then per-group array fold (no driver loop, no iteration shuffle)",
     "theil_sen_trend": "calendar-bounded pairwise slopes: series-key equi-join (pair count fixed by the calendar, not data volume) + type-7 median",
     "bm25_topk": "shuffle-free BM25: tf/dl off the token array (no explode), one keyless stats aggregate crossJoin, TakeOrderedAndProject top-k",
@@ -51,6 +51,7 @@ FLAGSHIPS = {
     "basket_lift_rules": "one basket-keyed collect_set shuffle; <=basket^2 pair expansion MAP-SIDE off the sorted array (no self-join); catalog-bounded aggregate",
     "dedup_sensitivity_curve": "threshold ladder as a limit-bounded literal relation (both BNLJ fan-outs lint-proved); dominance dedup = one anti-join per the whole ladder; per-threshold water-filling windows",
     "dedup_sensitivity_delta": "CDC form of the curve: the shingle join REQUIRES a new-side doc (old x old never materializes); pre-ingest baseline rides the same water-filling plan as a sentinel threshold=-1 partition",
+    "rake_keyphrases": "RAKE keyphrases: stopword-delimited runs extracted map-side (array boundary math — no per-token window), word stats broadcast, scoring once per DISTINCT phrase (score is a function of (source, phrase))",
 }
 
 
