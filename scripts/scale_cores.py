@@ -47,8 +47,8 @@ PROBES = [
     "hits_copurchase",
     "robust_spend_stats",
     "source_kmv_sketch",
-    "semdedup_near_dups",
-    "rake_keyphrases",
+    "curation_funnel",  # cpu-heaviest documents-only mining path
+    "rake_keyphrases",  # (semdedup needs embeddings, absent from the augmented set)
 ]
 
 
