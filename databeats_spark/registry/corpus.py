@@ -775,19 +775,28 @@ def _substring_dup_spans(
                 anchor_of(i).alias("anchor"),
                 rest_of(i).alias("rest"),
                 i.alias("pos"),
-                # 8-byte prefilter key: xxhash64 of the anchor window as
-                # a token ARRAY (no string building) — shared by the
-                # hot-anchor pass below, identical per position across
-                # both passes by construction
-                F.xxhash64(F.slice(tk, i, MIN_MATCH_TOKENS)).alias("key"),
             ),
         )
 
-    def anchor_keys_of(tk):
+    def anchors_of(tk):
+        # the hot-anchor pass builds ONLY the anchor per position —
+        # same anchor_of expression as the suffix pass, no tail
         starts = F.sequence(F.lit(1), F.size(tk) - F.lit(MIN_MATCH_TOKENS - 1))
-        return F.transform(
-            starts, lambda i: F.xxhash64(F.slice(tk, i, MIN_MATCH_TOKENS))
-        )
+
+        def anchor_of(i):
+            a = F.array_join(F.slice(tk, i, MIN_MATCH_TOKENS), " ")
+            return F.xxhash64(a) if hash_anchor else a
+
+        return F.transform(starts, anchor_of)
+
+    # 8-byte prefilter key, derived from the MATERIALIZED anchor column
+    # post-explode (whole-stage codegen, outside any HOF lambda — an
+    # in-lambda key was measured at +7 cold cpu-s at sf0.1): the hashed
+    # variants' anchor IS already a 64-bit hash; the verbatim variant
+    # hashes the anchor string once per row. Identical per position
+    # across both passes by construction.
+    def key_of(anchor_col):
+        return anchor_col if hash_anchor else F.xxhash64(anchor_col)
 
     # bind the token array once as a HOF variable (no CSE inside
     # lambdas). Docs shorter than the anchor are filtered FIRST —
@@ -800,7 +809,10 @@ def _substring_dup_spans(
     sfx = (
         docs.filter(F.size(toks) >= MIN_MATCH_TOKENS)
         .select("doc_id", F.explode(suffixes).alias("s"))
-        .select("doc_id", "s.anchor", "s.rest", "s.pos", "s.key")
+        .select(
+            "doc_id", "s.anchor", "s.rest", "s.pos",
+            key_of(F.col("s.anchor")).alias("key"),
+        )
     )
 
     # Hot-anchor prefilter (r14, guide §2.3/§3.2 — shuffle metadata,
@@ -808,7 +820,8 @@ def _substring_dup_spans(
     # anchor group holds rows from >= 2 DISTINCT docs (singleton groups
     # emit no lag pair; same-doc-only groups are filtered by
     # p_doc != doc_id), and that is decidable from an 8-byte hash of
-    # the anchor window alone. Pass 1 explodes only (doc_id, key) and
+    # the anchor alone. Pass 1 explodes only (doc_id, anchor) — no
+    # tail — hashes the anchor post-explode (codegen; see key_of) and
     # aggregates min/max doc per key (map-side combined, narrow rows);
     # the suffix shuffle then carries only rows whose key group spans
     # >= 2 docs — measured 8.9%/9.1% of positions at sf0.01/sf0.1
@@ -824,10 +837,11 @@ def _substring_dup_spans(
     # anchor... key exchange is by `key` while the window partitions
     # by `anchor`, so the worst case adds one filtered-row exchange —
     # still far below the unfiltered suffix shuffle.
-    anchor_keys = F.element_at(F.transform(F.array(toks), anchor_keys_of), 1)
+    anchor_keys = F.element_at(F.transform(F.array(toks), anchors_of), 1)
     hot = (
         docs.filter(F.size(toks) >= MIN_MATCH_TOKENS)
-        .select("doc_id", F.explode(anchor_keys).alias("key"))
+        .select("doc_id", F.explode(anchor_keys).alias("a"))
+        .select("doc_id", key_of(F.col("a")).alias("key"))
         .groupBy("key")
         .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
         .filter(F.col("__mn") != F.col("__mx"))
